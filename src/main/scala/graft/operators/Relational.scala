@@ -1,0 +1,359 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Relational query surface from SURVEY.md §2.B-§2.G: predicates, joins,
+  * aggregations, window functions, sorts/top-k, set operations.
+  *
+  * Determinism contract with the DuckDB oracle: every floating-point SUM is
+  * computed over an exact DECIMAL cast (per-row double arithmetic is IEEE-
+  * identical in both engines; summation order is not), then cast back to
+  * DOUBLE. Averages are exact-sum / count. Every query carries a total
+  * ORDER BY with tiebreak keys.
+  */
+object Relational {
+
+  /** Exact decimal sum of a (possibly computed) double column, as DOUBLE. */
+  private def dsum(c: Column, scale: Int = 6): Column =
+    sum(c.cast(s"decimal(18,$scale)")).cast("double")
+
+  val queries: Seq[Q] = Seq(
+
+    // ---- §2.D3: TPC-H Q1-shaped hash aggregate (partial+final for free) ----
+    Q("q_agg_pricing",
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(l_quantity) AS avg_qty,
+        |  count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1999-12-31 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("1999-12-31 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dsum(col("l_quantity"), 4).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))).as("sum_charge"),
+          (dsum(col("l_quantity"), 4) / count(col("l_quantity"))).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    // ---- §2.B5: predicate classes — BETWEEN, IN, comparison, boolean ----
+    Q("q_filter_between_in",
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM orders
+        |WHERE o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1998-12-31'
+        |  AND o_orderstatus IN ('O','F') AND o_totalprice > 1000
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .filter(col("o_orderdate").between(lit("1996-01-01").cast("timestamp"),
+                                           lit("1998-12-31").cast("timestamp"))
+          && col("o_orderstatus").isin("O", "F") && col("o_totalprice") > 1000)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice"), 4).as("total"))
+        .orderBy("o_orderpriority")
+    },
+
+    // ---- §2.B5: LIKE / IS NOT NULL / OR with 3-valued logic ----
+    Q("q_filter_like",
+      """SELECT p_type, count(*) AS n FROM part
+        |WHERE p_name LIKE '%bolt%' OR (p_brand LIKE 'Brand#1%' AND p_size IS NOT NULL)
+        |GROUP BY p_type ORDER BY p_type""".stripMargin) { (s, d) =>
+      Tables.part(s, d)
+        .filter(col("p_name").like("%bolt%")
+          || (col("p_brand").like("Brand#1%") && col("p_size").isNotNull))
+        .groupBy("p_type").agg(count(lit(1)).as("n")).orderBy("p_type")
+    },
+
+    // ---- §2.C1: 4-way equi inner join (broadcast small dims) ----
+    Q("q_join_revenue_by_nation",
+      """SELECT n_name,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_rows
+        |FROM customer
+        |JOIN orders   ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin) { (s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+        .join(Tables.lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+             count(lit(1)).as("n_rows"))
+        .orderBy("n_name")
+    },
+
+    // ---- §2.C2: left outer join, null-producing side aggregated ----
+    Q("q_join_left_outer",
+      """SELECT n_orders, count(*) AS n_customers FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS n_orders
+        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY c_custkey
+        |) GROUP BY n_orders ORDER BY n_orders""".stripMargin) { (s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy("c_custkey").agg(count(col("o_orderkey")).as("n_orders"))
+        .groupBy("n_orders").agg(count(lit(1)).as("n_customers"))
+        .orderBy("n_orders")
+    },
+
+    // ---- §2.C3: left semi (EXISTS rewrite) ----
+    Q("q_join_semi",
+      """SELECT c_mktsegment, count(*) AS n FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 5000)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin) { (s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d).filter(col("o_totalprice") > 5000),
+              col("c_custkey") === col("o_custkey"), "left_semi")
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("n")).orderBy("c_mktsegment")
+    },
+
+    // ---- §2.C3: left anti (NOT EXISTS rewrite) ----
+    Q("q_join_anti",
+      """SELECT c_mktsegment, count(*) AS n FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM events WHERE user_id = c_custkey)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin) { (s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.events(s, d), col("c_custkey") === col("user_id"), "left_anti")
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("n")).orderBy("c_mktsegment")
+    },
+
+    // ---- §2.C4: theta/range join — tiny side broadcast => NLJ, not cartesian ----
+    Q("q_join_range",
+      """SELECT s_name, count(*) AS n_close,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS bal_sum
+        |FROM supplier JOIN customer
+        |  ON c_acctbal BETWEEN s_acctbal - 100 AND s_acctbal + 100
+        |GROUP BY s_name ORDER BY s_name""".stripMargin) { (s, d) =>
+      Tables.customer(s, d)
+        .join(broadcast(Tables.supplier(s, d)),
+              col("c_acctbal").between(col("s_acctbal") - 100, col("s_acctbal") + 100))
+        .groupBy("s_name")
+        .agg(count(lit(1)).as("n_close"), dsum(col("c_acctbal"), 4).as("bal_sum"))
+        .orderBy("s_name")
+    },
+
+    // ---- §2.C6: 2-hop traversal (region -> nation -> customer) ----
+    Q("q_join_2hop",
+      """SELECT r_name, count(*) AS n_customers
+        |FROM region JOIN nation ON r_regionkey = n_regionkey
+        |JOIN customer ON n_nationkey = c_nationkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin) { (s, d) =>
+      Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name").agg(count(lit(1)).as("n_customers")).orderBy("r_name")
+    },
+
+    // ---- §2.D4: exact COUNT(DISTINCT) ----
+    Q("q_agg_distinct",
+      """SELECT c_mktsegment, count(DISTINCT c_nationkey) AS n_nations, count(*) AS n
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin) { (s, d) =>
+      Tables.customer(s, d).groupBy("c_mktsegment")
+        .agg(countDistinct(col("c_nationkey")).as("n_nations"), count(lit(1)).as("n"))
+        .orderBy("c_mktsegment")
+    },
+
+    // ---- §2.D5: ROLLUP over the region/nation hierarchy ----
+    Q("q_agg_rollup",
+      """SELECT r_name, n_name, count(*) AS n_cust,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS bal
+        |FROM region JOIN nation ON r_regionkey = n_regionkey
+        |JOIN customer ON n_nationkey = c_nationkey
+        |GROUP BY ROLLUP(r_name, n_name)
+        |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin) { (s, d) =>
+      // Expand (rollup) duplicates the joined grouping attrs, which trips
+      // Spark's ambiguous-self-join heuristic on a plan that has no self
+      // join; the check is a false positive here, disable it for this plan.
+      s.conf.set("spark.sql.analyzer.failAmbiguousSelfJoin", "false")
+      Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .select("r_name", "n_name", "c_acctbal")
+        .rollup("r_name", "n_name")
+        .agg(count(lit(1)).as("n_cust"), dsum(col("c_acctbal"), 4).as("bal"))
+        .orderBy(asc_nulls_first("r_name"), asc_nulls_first("n_name"))
+    },
+
+    // ---- §2.D5: CUBE ----
+    Q("q_agg_cube",
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin) { (s, d) =>
+      Tables.orders(s, d).cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
+    },
+
+    // ---- §2.D6: HAVING + FILTER (WHERE) aggregate modifiers ----
+    Q("q_agg_having_filtered",
+      """SELECT l_returnflag, count(*) AS n_all,
+        |  count(*) FILTER (WHERE l_discount > 0.05) AS n_disc,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) FILTER (WHERE l_tax > 0.04) AS DOUBLE) AS qty_taxed
+        |FROM lineitem GROUP BY l_returnflag HAVING count(*) > 100
+        |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d).groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_all"),
+             expr("count(*) FILTER (WHERE l_discount > 0.05)").as("n_disc"),
+             expr("cast(sum(cast(l_quantity as decimal(18,4))) FILTER (WHERE l_tax > 0.04) as double)").as("qty_taxed"))
+        .where(col("n_all") > 100)
+        .orderBy("l_returnflag")
+    },
+
+    // ---- §2.E1: ranking — top-3 orders per market segment ----
+    Q("q_window_rank",
+      """SELECT c_mktsegment, rn, o_orderkey, o_totalprice FROM (
+        |  SELECT c_mktsegment, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY c_mktsegment
+        |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |) WHERE rn <= 3 ORDER BY c_mktsegment, rn""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("c_mktsegment")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select("c_mktsegment", "rn", "o_orderkey", "o_totalprice")
+        .orderBy("c_mktsegment", "rn")
+    },
+
+    // ---- §2.E2: lag — inter-event gap per user ----
+    Q("q_window_lag",
+      """SELECT user_id, count(gap_us) AS n_gaps,
+        |  round(CAST(sum(gap_us) AS DOUBLE) / count(gap_us) / 1000000.0, 4) AS avg_gap_s
+        |FROM (
+        |  SELECT user_id,
+        |    epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |                                           ORDER BY ts, event_id) AS gap_us
+        |  FROM events
+        |) WHERE gap_us IS NOT NULL
+        |GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+      Tables.events(s, d)
+        .withColumn("us", unix_micros(col("ts")))
+        .withColumn("gap_us", col("us") - lag(col("us"), 1).over(w))
+        .filter(col("gap_us").isNotNull)
+        .groupBy("user_id")
+        .agg(count(col("gap_us")).as("n_gaps"),
+             round(sum(col("gap_us")).cast("double") / count(col("gap_us")) / lit(1000000.0), 4).as("avg_gap_s"))
+        .orderBy("user_id")
+    },
+
+    // ---- §2.E3: frame-spec running sum ----
+    Q("q_window_running",
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running
+        |FROM orders WHERE o_custkey < 50
+        |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.orders(s, d).filter(col("o_custkey") < 50)
+        .select(col("o_custkey"), col("o_orderkey"),
+                sum(col("o_totalprice").cast("decimal(18,4)")).over(w).cast("double").as("running"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+
+    // ---- §2.E3: moving average over a bounded rows frame ----
+    Q("q_window_moving_avg",
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) OVER w AS DOUBLE) / count(*) OVER w AS mov_avg
+        |FROM lineitem WHERE l_suppkey < 3
+        |WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("l_suppkey")
+        .orderBy(col("l_shipdate").asc, col("l_orderkey").asc, col("l_linenumber").asc)
+        .rowsBetween(-2, Window.currentRow)
+      Tables.lineitem(s, d).filter(col("l_suppkey") < 3)
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+                (sum(col("l_quantity").cast("decimal(18,4)")).over(w).cast("double")
+                  / count(lit(1)).over(w)).as("mov_avg"))
+        .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+    },
+
+    // ---- §2.F2: top-k => TakeOrderedAndProject, no global sort ----
+    Q("q_topk",
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+        |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 10""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc, col("l_linenumber").asc)
+        .limit(10)
+    },
+
+    // ---- §2.F1: multi-key global sort with explicit null placement ----
+    Q("q_sort_nulls",
+      """SELECT o_orderkey, nullif(o_orderstatus, 'P') AS st FROM orders
+        |ORDER BY st ASC NULLS FIRST, o_orderkey LIMIT 50""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), nullif(col("o_orderstatus"), lit("P")).as("st"))
+        .orderBy(asc_nulls_first("st"), col("o_orderkey").asc)
+        .limit(50)
+    },
+
+    // ---- §2.G1: UNION ALL across heterogeneous sources ----
+    Q("q_union_all",
+      """SELECT src, count(*) AS n, count(DISTINCT id) AS n_ids FROM (
+        |  SELECT c_custkey AS id, 'cust' AS src FROM customer WHERE c_mktsegment = 'BUILDING'
+        |  UNION ALL
+        |  SELECT o_custkey AS id, 'ord' AS src FROM orders WHERE o_totalprice > 9000
+        |) GROUP BY src ORDER BY src""".stripMargin) { (s, d) =>
+      val a = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").as("id"), lit("cust").as("src"))
+      val b = Tables.orders(s, d).filter(col("o_totalprice") > 9000)
+        .select(col("o_custkey").as("id"), lit("ord").as("src"))
+      a.unionByName(b).groupBy("src")
+        .agg(count(lit(1)).as("n"), countDistinct(col("id")).as("n_ids"))
+        .orderBy("src")
+    },
+
+    // ---- §2.G1: UNION (distinct) ----
+    Q("q_union_distinct",
+      """SELECT CAST(c_nationkey AS INT) AS k FROM customer
+        |UNION SELECT CAST(s_nationkey AS INT) AS k FROM supplier
+        |ORDER BY k""".stripMargin) { (s, d) =>
+      Tables.customer(s, d).select(col("c_nationkey").cast("int").as("k"))
+        .union(Tables.supplier(s, d).select(col("s_nationkey").cast("int").as("k")))
+        .distinct()
+        .orderBy("k")
+    },
+
+    // ---- §2.G2: INTERSECT ----
+    Q("q_intersect",
+      """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+        |ORDER BY o_custkey""".stripMargin) { (s, d) =>
+      val o = Tables.orders(s, d)
+      o.filter(year(col("o_orderdate")) === 1996).select("o_custkey")
+        .intersect(o.filter(year(col("o_orderdate")) === 1997).select("o_custkey"))
+        .orderBy("o_custkey")
+    },
+
+    // ---- §2.G2: EXCEPT (customers that never ordered) ----
+    Q("q_except",
+      """SELECT c_custkey FROM customer
+        |EXCEPT SELECT o_custkey FROM orders
+        |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      Tables.customer(s, d).select("c_custkey")
+        .except(Tables.orders(s, d).select(col("o_custkey").as("c_custkey")))
+        .orderBy("c_custkey")
+    }
+  )
+}
