@@ -10,7 +10,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   private def modules: Seq[Q] =
-    operators.Relational.queries
+    operators.Relational.queries ++
+    operators.Events.queries ++
+    functions.Scalars.queries
 
   private lazy val byName: Map[String, Q] =
     modules.map(q => q.name -> q).toMap

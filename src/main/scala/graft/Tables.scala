@@ -37,7 +37,9 @@ object Tables {
     val raw = s.read.parquet(path(d, "events"))
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+        // integer DIV, not `/`: long `/` is double division in Spark and
+        // loses sub-µs exactness at 1e18-scale nano counts
+        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
       case _ => raw
     }
   }

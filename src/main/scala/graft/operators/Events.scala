@@ -1,0 +1,130 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Events surface (SURVEY.md §2.J + §2.C5): time-window aggregations,
+  * stateful-style dedup, as-of join, stream-static enrichment. All run here
+  * in batch and are Structured-Streaming-compatible shapes (`window`,
+  * `session_window`, `dropDuplicates`, stream-static join).
+  */
+object Events {
+
+  val queries: Seq[Q] = Seq(
+
+    // ---- §2.J1: tumbling window aggregate ----
+    Q("q_events_tumbling",
+      """SELECT CAST(time_bucket(INTERVAL '1 day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS ws,
+        |  event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS val_sum
+        |FROM events GROUP BY ws, event_type ORDER BY ws, event_type""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+             sum(col("value").cast("decimal(18,4)")).cast("double").as("val_sum"))
+        .select(col("w.start").as("ws"), col("event_type"), col("n"), col("val_sum"))
+        .orderBy("ws", "event_type")
+    },
+
+    // ---- §2.J2: sliding window (1 day window, 12 h slide => 2 windows/event) ----
+    Q("q_events_sliding",
+      """SELECT ws, event_type, count(*) AS n FROM (
+        |  SELECT CAST(time_bucket(INTERVAL '12 hours', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS ws,
+        |         event_type FROM events
+        |  UNION ALL
+        |  SELECT CAST(time_bucket(INTERVAL '12 hours', CAST(ts AS TIMESTAMP)) - INTERVAL '12 hours' AS TIMESTAMP) AS ws,
+        |         event_type FROM events
+        |) GROUP BY ws, event_type ORDER BY ws, event_type""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 day", "12 hours").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("w.start").as("ws"), col("event_type"), col("n"))
+        .orderBy("ws", "event_type")
+    },
+
+    // ---- §2.J3: session window (30 min gap) vs gap-and-island oracle ----
+    Q("q_events_session",
+      """WITH g AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), sid AS (
+        |  SELECT user_id, ts,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM g
+        |), sess AS (
+        |  SELECT user_id, sid, count(*) AS c,
+        |    max(epoch_us(ts)) - min(epoch_us(ts)) AS len_us
+        |  FROM sid GROUP BY user_id, sid
+        |)
+        |SELECT user_id, count(*) AS n_sessions, CAST(sum(c) AS BIGINT) AS n_events,
+        |  max(len_us) AS max_len_us
+        |FROM sess GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
+        .agg(count(lit(1)).as("c"),
+             (unix_micros(max(col("ts"))) - unix_micros(min(col("ts")))).as("len_us"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_sessions"), sum(col("c")).as("n_events"),
+             max(col("len_us")).as("max_len_us"))
+        .orderBy("user_id")
+    },
+
+    // ---- §2.J5: deterministic dedup — earliest event per (user, type) ----
+    Q("q_events_dedup",
+      """SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS first_ts FROM (
+        |  SELECT user_id, event_type, event_id, ts,
+        |    row_number() OVER (PARTITION BY user_id, event_type
+        |                       ORDER BY ts, event_id) AS rn
+        |  FROM events
+        |) WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("user_id", "event_type")
+        .orderBy(col("ts").asc, col("event_id").asc)
+      Tables.events(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type"), col("event_id"), col("ts").as("first_ts"))
+        .orderBy("user_id", "event_type")
+    },
+
+    // ---- §2.C5: as-of join — latest prior 'view' for each 'purchase' ----
+    Q("q_events_asof",
+      """SELECT p.event_id, v.event_id AS view_id,
+        |  epoch_us(CAST(p.ts AS TIMESTAMP)) - epoch_us(CAST(v.ts AS TIMESTAMP)) AS gap_us
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        |  ON p.user_id = v.user_id AND v.ts <= p.ts
+        |ORDER BY p.event_id""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("user_id", "ts", "event_id")
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      AsofJoin.leftAsof(purchases, views, key = "user_id",
+          leftTs = "ts", rightTs = "ts",
+          rightCols = Seq("event_id" -> "view_id", "ts" -> "view_ts"))
+        .select(col("event_id"),
+                col("view_id"),
+                (unix_micros(col("ts")) - unix_micros(col("view_ts"))).as("gap_us"))
+        .orderBy("event_id")
+    },
+
+    // ---- §2.J6: stream-static join (events enriched by customer dim) ----
+    Q("q_events_enrich",
+      """SELECT c_mktsegment, event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS val_sum
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY c_mktsegment, event_type ORDER BY c_mktsegment, event_type""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .join(broadcast(Tables.customer(s, d)), col("user_id") === col("c_custkey"))
+        .groupBy("c_mktsegment", "event_type")
+        .agg(count(lit(1)).as("n"),
+             sum(col("value").cast("decimal(18,4)")).cast("double").as("val_sum"))
+        .orderBy("c_mktsegment", "event_type")
+    }
+  )
+}
