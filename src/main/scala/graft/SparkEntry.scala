@@ -12,7 +12,11 @@ object SparkEntry {
   private def modules: Seq[Q] =
     operators.Relational.queries ++
     operators.Events.queries ++
-    functions.Scalars.queries
+    functions.Scalars.queries ++
+    ext.Dedup.queries ++
+    ext.Similarity.queries ++
+    ext.TextAnalysis.queries ++
+    ext.Multimodal.queries
 
   private lazy val byName: Map[String, Q] =
     modules.map(q => q.name -> q).toMap

@@ -1,0 +1,185 @@
+package graft.ext
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import TextHash._
+
+/** Deduplication operators for large-scale corpus curation: exact hashing,
+  * MinHash signatures + LSH band candidate pairs, SimHash + banded hamming
+  * pairs, and n-gram Jaccard via a shingle inverted index.
+  *
+  * Scale design: nothing here materializes the O(n²) pair space. Candidate
+  * generation is always an equi-join on a derived key (band hash / shingle),
+  * so Spark plans it as a shuffled hash/sort-merge join that partitions by
+  * the key; only hash-colliding candidates are scored.
+  */
+object Dedup {
+  private val K = 5 // word-shingle width
+
+  // ---------- shared Spark-side builders ----------
+  /** (doc_id, sh): exploded distinct k-gram shingles per document. */
+  private def shingleDf(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(shinglesFromTokens(tokens(col("text")), K)).as("sh"))
+      .distinct()
+
+  /** (doc_id, sig_0..sig_7): minhash signature over shingle h31 hashes. */
+  private def minhashDf(s: SparkSession, d: String): DataFrame = {
+    val h = shingleDf(s, d).withColumn("h", h31(col("sh")))
+    val sigs = MinhashPerms.zipWithIndex.map { case ((a, b), i) =>
+      min((col("h") * a + b) % Mersenne31).as(s"sig_$i")
+    }
+    h.groupBy("doc_id").agg(sigs.head, sigs.tail: _*)
+  }
+
+  /** (doc_id, simhash, n_tokens): 32-bit frequency-weighted simhash. */
+  private def simhashDf(s: SparkSession, d: String): DataFrame = {
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .withColumn("h", h48(col("tok")))
+    val bitSums = (0 until 32).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"s_$j")
+    }
+    val agg = tok.groupBy("doc_id")
+      .agg(bitSums.head, bitSums.tail :+ count(lit(1)).as("n_tokens"): _*)
+    val sim = (0 until 32).map { j =>
+      when(col(s"s_$j") > 0, 1L << j).otherwise(0L)
+    }.reduce(_ + _)
+    agg.select(col("doc_id"), sim.cast("long").as("simhash"), col("n_tokens"))
+  }
+
+  // ---------- shared oracle-SQL fragments ----------
+  private def toksFrom = s"""SELECT doc_id, ${tokensSql("text")} AS toks FROM documents"""
+  private def shingleFrom =
+    s"""SELECT DISTINCT doc_id, sh FROM (
+       |  SELECT doc_id, unnest(${shinglesFromTokensSql("toks", K)}) AS sh
+       |  FROM ($toksFrom)
+       |)""".stripMargin
+  private def minhashSelect = {
+    val sigCols = MinhashPerms.zipWithIndex.map { case ((a, b), i) =>
+      s"min(($a * h + $b) % $Mersenne31) AS sig_$i"
+    }.mkString(",\n  ")
+    s"""SELECT doc_id, $sigCols
+       |FROM (SELECT doc_id, ${h31Sql("sh")} AS h FROM ($shingleFrom))
+       |GROUP BY doc_id""".stripMargin
+  }
+  private def simhashSelect = {
+    val bitSums = (0 until 32).map { j =>
+      s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s_$j"
+    }.mkString(",\n    ")
+    val recompose = (0 until 32).map(j => s"CASE WHEN s_$j > 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
+    s"""SELECT doc_id, CAST($recompose AS BIGINT) AS simhash, n_tokens FROM (
+       |  SELECT doc_id, $bitSums, count(*) AS n_tokens
+       |  FROM (SELECT doc_id, ${h48Sql("tok")} AS h FROM
+       |          (SELECT doc_id, unnest(toks) AS tok FROM ($toksFrom)))
+       |  GROUP BY doc_id
+       |)""".stripMargin
+  }
+
+  val queries: Seq[Q] = Seq(
+
+    // ---- exact dedup: content-hash groupBy ----
+    Q("q_dedup_exact",
+      """SELECT count(*) AS n_docs, count(DISTINCT md5(text)) AS n_unique,
+        |  count(*) - count(DISTINCT md5(text)) AS n_dups
+        |FROM documents""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .agg(count(lit(1)).as("n_docs"),
+             countDistinct(md5(col("text"))).as("n_unique"),
+             (count(lit(1)) - countDistinct(md5(col("text")))).as("n_dups"))
+    },
+
+    // ---- minhash signatures (8 affine perms over 5-gram shingles) ----
+    Q("q_dedup_minhash",
+      s"""$minhashSelect ORDER BY doc_id""".stripMargin) { (s, d) =>
+      minhashDf(s, d).orderBy("doc_id")
+    },
+
+    // ---- LSH candidate pairs: 4 bands × 2 rows, equi-join per band ----
+    Q("q_dedup_minhash_pairs", {
+      val bandCond = (0 until 4)
+        .map(b => s"(a.sig_${2 * b} = b.sig_${2 * b} AND a.sig_${2 * b + 1} = b.sig_${2 * b + 1})")
+        .mkString(" OR ")
+      s"""WITH sigs AS ($minhashSelect)
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id AND ($bandCond)
+         |ORDER BY doc_a, doc_b""".stripMargin
+    }) { (s, d) =>
+      // one equi-join per band (shuffle-partitioned by band hash), then
+      // distinct — never an O(n²) comparison
+      val bands = (0 until 4).map { b =>
+        val a = minhashDf(s, d).select(col("doc_id").as("doc_a"),
+          col(s"sig_${2 * b}").as("k1"), col(s"sig_${2 * b + 1}").as("k2"))
+        val bb = minhashDf(s, d).select(col("doc_id").as("doc_b"),
+          col(s"sig_${2 * b}").as("k1"), col(s"sig_${2 * b + 1}").as("k2"))
+        a.join(bb, Seq("k1", "k2")).filter(col("doc_a") < col("doc_b"))
+          .select("doc_a", "doc_b")
+      }
+      bands.reduce(_ unionByName _).distinct().orderBy("doc_a", "doc_b")
+    },
+
+    // ---- simhash fingerprints ----
+    Q("q_dedup_simhash",
+      s"""$simhashSelect ORDER BY doc_id""".stripMargin) { (s, d) =>
+      simhashDf(s, d).orderBy("doc_id")
+    },
+
+    // ---- simhash near-dup pairs: 8-bit band candidates + hamming rank ----
+    Q("q_dedup_simhash_pairs", {
+      val bandCond = (0 until 4)
+        .map(b => s"((a.simhash >> ${8 * b}) & 255 = (b.simhash >> ${8 * b}) & 255)")
+        .mkString(" OR ")
+      s"""WITH sims AS (SELECT * FROM ($simhashSelect) WHERE doc_id < 200)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+         |FROM sims a JOIN sims b ON a.doc_id < b.doc_id AND ($bandCond)
+         |ORDER BY hamming, doc_a, doc_b LIMIT 20""".stripMargin
+    }) { (s, d) =>
+      def sims = simhashDf(s, d).filter(col("doc_id") < 200)
+      val bands = (0 until 4).map { b =>
+        val a = sims.select(col("doc_id").as("doc_a"), col("simhash").as("sim_a"),
+          shiftright(col("simhash"), 8 * b).bitwiseAND(255).as("band"))
+        val bb = sims.select(col("doc_id").as("doc_b"), col("simhash").as("sim_b"),
+          shiftright(col("simhash"), 8 * b).bitwiseAND(255).as("band"))
+        a.join(bb, Seq("band")).filter(col("doc_a") < col("doc_b"))
+          .select("doc_a", "doc_b", "sim_a", "sim_b")
+      }
+      bands.reduce(_ unionByName _).distinct()
+        .select(col("doc_a"), col("doc_b"),
+          expr("cast(bit_count(sim_a ^ sim_b) as int)").as("hamming"))
+        .orderBy(col("hamming").asc, col("doc_a").asc, col("doc_b").asc)
+        .limit(20)
+    },
+
+    // ---- n-gram Jaccard via shingle inverted index ----
+    Q("q_dedup_jaccard",
+      s"""WITH sh AS ($shingleFrom),
+         |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+         |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |)
+         |SELECT doc_a, doc_b, shared,
+         |  round(CAST(shared AS DOUBLE) / (ca.n + cb.n - shared), 6) AS jacc
+         |FROM pairs
+         |JOIN cnt ca ON ca.doc_id = doc_a
+         |JOIN cnt cb ON cb.doc_id = doc_b
+         |ORDER BY jacc DESC, doc_a, doc_b LIMIT 10""".stripMargin) { (s, d) =>
+      val sh = shingleDf(s, d)
+      val cnt = shingleDf(s, d).groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val pairs = sh.select(col("doc_id").as("doc_a"), col("sh"))
+        .join(shingleDf(s, d).select(col("doc_id").as("doc_b"), col("sh")), Seq("sh"))
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
+      pairs
+        .join(cnt.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
+        .join(cnt.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+        .select(col("doc_a"), col("doc_b"), col("shared"),
+          round(col("shared").cast("double") / (col("na") + col("nb") - col("shared")), 6).as("jacc"))
+        .orderBy(col("jacc").desc, col("doc_a").asc, col("doc_b").asc)
+        .limit(10)
+    }
+  )
+}

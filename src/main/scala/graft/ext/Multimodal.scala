@@ -1,0 +1,80 @@
+package graft.ext
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: media payloads are opaque `binary` columns
+  * with a typed metadata struct alongside. The decode step is pluggable —
+  * real image/audio codecs are not available in this environment, so
+  * [[DeterministicFakeDecoder]] stands in; the Spark-side plumbing (schema,
+  * batch shape, partition-level execution via `mapPartitions`) is real and
+  * is what a production decoder would drop into.
+  */
+object Multimodal {
+
+  /** Decode stub boundary: bytes -> fixed-width feature vector. */
+  trait MediaDecoder extends Serializable {
+    def featureDim: Int
+    def decode(bytes: Array[Byte]): Array[Double]
+  }
+
+  /** Deterministic fake: 16-bin histogram of high nibbles, L1-normalized.
+    * Replace with a real codec (JPEG decode + pooling, PCM frames, …) in
+    * production; signature and batch shape stay identical.
+    */
+  object DeterministicFakeDecoder extends MediaDecoder {
+    val featureDim = 16
+    def decode(bytes: Array[Byte]): Array[Double] = {
+      val hist = new Array[Double](featureDim)
+      var i = 0
+      while (i < bytes.length) { hist((bytes(i) & 0xf0) >>> 4) += 1.0; i += 1 }
+      val n = math.max(bytes.length, 1).toDouble
+      var j = 0
+      while (j < featureDim) { hist(j) /= n; j += 1 }
+      hist
+    }
+  }
+
+  /** media table shape: (doc_id, blob BINARY, meta STRUCT<n_bytes, format>).
+    * Here synthesized from documents.text; a real pipeline reads files via
+    * `spark.read.format("binaryFile")` into the identical shape.
+    */
+  def mediaTable(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      col("text").cast("binary").as("blob"),
+      struct(octet_length(col("text")).as("n_bytes"),
+             col("source").as("format")).as("meta"))
+
+  /** Partition-parallel featurize: the one deliberate `mapPartitions` in the
+    * engine (per-row imperative decode, SURVEY.md §2 preference order (d)).
+    * Input partitioning is preserved; no shuffle.
+    */
+  def featurize(media: DataFrame, decoder: MediaDecoder): DataFrame = {
+    val s = media.sparkSession
+    import s.implicits._
+    media.select(col("doc_id"), col("blob")).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) => (id, decoder.decode(bytes)) })
+      .toDF("doc_id", "features")
+  }
+
+  val queries: Seq[Q] = Seq(
+
+    // ---- metadata extraction over the binary column (SQL-checkable) ----
+    Q("q_multimodal_meta",
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS n_bytes, md5(text) AS b_md5
+        |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin) { (s, d) =>
+      mediaTable(s, d).filter(col("doc_id") < 100)
+        .select(col("doc_id"), col("meta.n_bytes").as("n_bytes"), md5(col("blob")).as("b_md5"))
+        .orderBy("doc_id")
+    },
+
+    // ---- decode + featurize via mapPartitions (no SQL oracle: rows-only) ----
+    Q.noOracle("q_multimodal_features") { (s, d) =>
+      featurize(mediaTable(s, d), DeterministicFakeDecoder)
+        .select(col("doc_id"), col("features"))
+        .orderBy("doc_id")
+    }
+  )
+}

@@ -1,0 +1,113 @@
+package graft.ext
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+import TextHash._
+
+/** Text analysis operators for corpus curation: n-gram-marker language ID,
+  * quality scoring, token counting, and document fingerprinting — all pure
+  * `functions._` compositions (codegen'd), each with a DuckDB oracle.
+  */
+object TextAnalysis {
+  private val EnMarkers = Seq("the", "a")
+  private val DeMarkers = Seq("der", "das")
+  private val FrMarkers = Seq("le", "la")
+  private val Stopwords = Seq("the", "a", "of", "and")
+
+  private def inSetSql(e: String, set: Seq[String]): String =
+    s"CASE WHEN $e IN (${set.map(w => s"'$w'").mkString(", ")}) THEN 1 ELSE 0 END"
+
+  val queries: Seq[Q] = Seq(
+
+    // ---- language ID: marker-token votes -> confusion matrix vs label ----
+    Q("q_text_langid",
+      s"""WITH t AS (
+         |  SELECT doc_id, lang, unnest(${tokensSql("text")}) AS tok FROM documents
+         |), sc AS (
+         |  SELECT doc_id, lang,
+         |    sum(${inSetSql("tok", EnMarkers)}) AS c_en,
+         |    sum(${inSetSql("tok", DeMarkers)}) AS c_de,
+         |    sum(${inSetSql("tok", FrMarkers)}) AS c_fr
+         |  FROM t GROUP BY doc_id, lang
+         |), p AS (
+         |  SELECT lang,
+         |    CASE WHEN c_en >= c_de AND c_en >= c_fr THEN 'en'
+         |         WHEN c_de >= c_fr THEN 'de' ELSE 'fr' END AS pred
+         |  FROM sc
+         |)
+         |SELECT lang, pred, count(*) AS n FROM p GROUP BY lang, pred
+         |ORDER BY lang, pred""".stripMargin) { (s, d) =>
+      val sc = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("tok"))
+        .groupBy("doc_id", "lang")
+        .agg(
+          sum(when(col("tok").isin(EnMarkers: _*), 1).otherwise(0)).as("c_en"),
+          sum(when(col("tok").isin(DeMarkers: _*), 1).otherwise(0)).as("c_de"),
+          sum(when(col("tok").isin(FrMarkers: _*), 1).otherwise(0)).as("c_fr"))
+      sc.select(col("lang"),
+          when(col("c_en") >= col("c_de") && col("c_en") >= col("c_fr"), "en")
+            .when(col("c_de") >= col("c_fr"), "de").otherwise("fr").as("pred"))
+        .groupBy("lang", "pred").agg(count(lit(1)).as("n"))
+        .orderBy("lang", "pred")
+    },
+
+    // ---- quality scoring: token stats + stopword ratio + composite ----
+    Q("q_text_quality",
+      s"""SELECT doc_id, n_tokens,
+         |  round(CAST(tok_chars AS DOUBLE) / n_tokens, 6) AS avg_tok_len,
+         |  round(CAST(n_stop AS DOUBLE) / n_tokens, 6) AS stop_ratio,
+         |  round(CAST(n_stop AS DOUBLE) / n_tokens * 0.5
+         |        + least(n_tokens, 400) / 400.0 * 0.5, 6) AS quality
+         |FROM (
+         |  SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens,
+         |    CAST(list_reduce(list_transform(toks, t -> len(t)), (x, y) -> x + y) AS BIGINT) AS tok_chars,
+         |    CAST(list_reduce(list_transform(toks, t -> ${inSetSql("t", Stopwords)}), (x, y) -> x + y) AS BIGINT) AS n_stop
+         |  FROM (SELECT doc_id, ${tokensSql("text")} AS toks FROM documents)
+         |) WHERE doc_id < 200 ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val toks = tokens(col("text"))
+      Tables.documents(s, d).filter(col("doc_id") < 200)
+        .select(col("doc_id"),
+          size(toks).as("n_tokens"),
+          aggregate(transform(toks, t => length(t)), lit(0), (x, y) => x + y).cast("long").as("tok_chars"),
+          aggregate(transform(toks, t => when(t.isin(Stopwords: _*), 1).otherwise(0)),
+                    lit(0), (x, y) => x + y).cast("long").as("n_stop"))
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("tok_chars").cast("double") / col("n_tokens"), 6).as("avg_tok_len"),
+          round(col("n_stop").cast("double") / col("n_tokens"), 6).as("stop_ratio"),
+          round(col("n_stop").cast("double") / col("n_tokens") * 0.5
+            + least(col("n_tokens"), lit(400)) / 400.0 * 0.5, 6).as("quality"))
+        .orderBy("doc_id")
+    },
+
+    // ---- token counting: global top-20 ----
+    Q("q_text_tokens",
+      s"""SELECT tok, count(*) AS n
+         |FROM (SELECT unnest(${tokensSql("text")}) AS tok FROM documents)
+         |GROUP BY tok ORDER BY n DESC, tok LIMIT 20""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(explode(tokens(col("text"))).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("tok").asc)
+        .limit(20)
+    },
+
+    // ---- document fingerprint: min/max shingle hash + distinct shingles ----
+    Q("q_text_fingerprint",
+      s"""SELECT doc_id, min(h) AS fp_min, max(h) AS fp_max,
+         |  count(DISTINCT h) AS n_shingles
+         |FROM (
+         |  SELECT doc_id, ${h48Sql("sh")} AS h FROM (
+         |    SELECT doc_id, unnest(${shinglesFromTokensSql("toks", 5)}) AS sh
+         |    FROM (SELECT doc_id, ${tokensSql("text")} AS toks FROM documents)
+         |  )
+         |) GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(shinglesFromTokens(tokens(col("text")), 5)).as("sh"))
+        .select(col("doc_id"), h48(col("sh")).as("h"))
+        .groupBy("doc_id")
+        .agg(min(col("h")).as("fp_min"), max(col("h")).as("fp_max"),
+             countDistinct(col("h")).as("n_shingles"))
+        .orderBy("doc_id")
+    }
+  )
+}

@@ -1,0 +1,63 @@
+package graft.ext
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Portable deterministic token hashing shared by the dedup/similarity
+  * operators and their DuckDB oracles.
+  *
+  * The hash is the first 12 hex chars of md5 read as a big-endian integer
+  * (48 bits, fits BIGINT). Both engines compute md5 identically; Spark
+  * converts hex via `conv`, the oracle SQL via an explicit strpos×16^k
+  * chain (DuckDB has no conv).
+  */
+object TextHash {
+  val Mersenne31 = 2147483647L // 2^31-1, modulus for minhash permutations
+
+  /** 48-bit hash of a string column (codegen'd built-ins only). */
+  def h48(c: Column): Column =
+    conv(substring(md5(c), 1, 12), 16, 10).cast("long")
+
+  /** Same hash as DuckDB SQL over an expression string. */
+  def h48Sql(e: String): String = {
+    val terms = (1 to 12).map { i =>
+      val mult = math.pow(16, 12 - i).toLong
+      s"(strpos('0123456789abcdef', substr(md5($e), $i, 1)) - 1) * $mult"
+    }
+    s"CAST(${terms.mkString(" + ")} AS BIGINT)"
+  }
+
+  /** 31-bit reduction used as minhash/simhash input. */
+  def h31(c: Column): Column = h48(c) % Mersenne31
+  def h31Sql(e: String): String = s"(${h48Sql(e)} % ${Mersenne31})"
+
+  /** Whitespace tokens; keeps order, drops empties. */
+  def tokens(text: Column): Column =
+    filter(split(text, " ", -1), t => t =!= "")
+  def tokensSql(e: String): String =
+    s"list_filter(string_split($e, ' '), t -> t <> '')"
+
+  /** Word k-gram shingles (from a token-array column) joined by spaces.
+    * Guarded: fewer than k tokens yields an empty array — Spark's
+    * `sequence(1, 0)` would otherwise DESCEND.
+    */
+  def shinglesFromTokens(toks: Column, k: Int): Column =
+    when(size(toks) >= k,
+      transform(
+        sequence(lit(1), size(toks) - (k - 1)),
+        i => concat_ws(" ", (0 until k).map(o => element_at(toks, i + o)): _*)))
+      .otherwise(array().cast("array<string>"))
+
+  /** Same over a DuckDB token-LIST expression (e.g. an aliased column). */
+  def shinglesFromTokensSql(toks: String, k: Int): String = {
+    val parts = (0 until k).map(o => s"$toks[i + $o]").mkString(" || ' ' || ")
+    s"list_transform(range(1, greatest(len($toks) - ${k - 2}, 1)), i -> $parts)"
+  }
+
+  /** Fixed (a,b) affine-permutation constants for minhash signatures. */
+  val MinhashPerms: Seq[(Long, Long)] = Seq(
+    (1103515245L, 12345L), (998244353L, 1000000007L),
+    (69069L, 362437L), (1664525L, 1013904223L),
+    (22695477L, 1L), (134775813L, 1L),
+    (214013L, 2531011L), (1597334677L, 51L))
+}
