@@ -1,0 +1,84 @@
+package graft.graph
+
+import graft.model.KindModel
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** A collected typed property graph (SURVEY.md §1.1): nodes carry a kind
+  * plus a JSON document of properties; edges are directed (from, to) pairs.
+  *
+  * `nodes` schema: (id STRING, kind STRING, reported STRING/JSON)
+  * `edges` schema: (from_id STRING, to_id STRING)
+  */
+final case class Graph(nodes: DataFrame, edges: DataFrame, model: KindModel)
+
+/** Relational projection of the graph (reference collect.py:154-162 [D],
+  * oracle tests/collect_test.py:26-40 [T]): one table per kind named
+  * `<kind>`, one link table per ordered kind pair named
+  * `link_<from_kind>_<to_kind>` with columns (from_id, to_id).
+  */
+object GraphNormalizer {
+
+  /** Kind tables: project each node's JSON document onto the kind's declared
+    * schema (missing properties -> NULL) — SURVEY §2.B1. The JSON parse and
+    * projection run columnar via `from_json`; one pass over the node set per
+    * kind, with the kind filter pushed into the scan.
+    */
+  def kindTables(g: Graph): Map[String, DataFrame] = {
+    val kinds = g.model.kinds.filter(_.aggregateRoot).map(_.fqn)
+    kinds.map { fqn =>
+      val schema = g.model.toStructType(fqn)
+      val projected = g.nodes
+        .filter(col("kind") === fqn)
+        .withColumn("__doc", from_json(col("reported"), schema))
+        .select(schema.fieldNames.map(f => col(s"__doc.$f").as(f)).toSeq: _*)
+      fqn -> projected
+    }.toMap
+  }
+
+  /** Link tables keyed by `link_<from>_<to>`. Edge endpoints are resolved to
+    * kinds with two joins against the (id, kind) projection; the id lookup
+    * side is broadcast when small, otherwise a shuffled equi-join on id —
+    * never a driver-side collect of the edge set.
+    */
+  def linkTables(g: Graph): Map[String, DataFrame] = {
+    val idKind = g.nodes.select(col("id"), col("kind"))
+    val resolved = g.edges
+      .join(idKind.withColumnRenamed("id", "from_id").withColumnRenamed("kind", "from_kind"), "from_id")
+      .join(idKind.withColumnRenamed("id", "to_id").withColumnRenamed("kind", "to_kind"), "to_id")
+      .select("from_kind", "to_kind", "from_id", "to_id")
+
+    // The kind-pair inventory is bounded by |kinds|^2 (metadata-scale, not
+    // data-scale) — safe to enumerate on the driver. At 100 TB the write
+    // path instead partitions one output by (from_kind, to_kind); the
+    // per-pair DataFrames below share the same resolved plan.
+    val pairs = resolved.select("from_kind", "to_kind").distinct()
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    pairs.map { case (f, t) =>
+      s"link_${f}_$t" -> resolved
+        .filter(col("from_kind") === f && col("to_kind") === t)
+        .select("from_id", "to_id")
+    }.toMap
+  }
+
+  /** The full relational snapshot: kind tables + link tables. */
+  def normalize(g: Graph): Map[String, DataFrame] =
+    kindTables(g) ++ linkTables(g)
+
+  /** Ingest a JSON-lines graph export (reference A3 remote-graph source
+    * [D]): records tagged `"type":"node"` / `"type":"edge"`.
+    */
+  def fromJsonExport(spark: SparkSession, path: String, model: KindModel): Graph = {
+    val schema = StructType(Seq(
+      StructField("type", StringType), StructField("id", StringType),
+      StructField("kind", StringType), StructField("reported", StringType),
+      StructField("from", StringType), StructField("to", StringType)))
+    val raw = spark.read.schema(schema).json(path)
+    Graph(
+      nodes = raw.filter(col("type") === "node").select("id", "kind", "reported"),
+      edges = raw.filter(col("type") === "edge")
+        .select(col("from").as("from_id"), col("to").as("to_id")),
+      model = model)
+  }
+}

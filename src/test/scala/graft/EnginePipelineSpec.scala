@@ -1,0 +1,89 @@
+package graft
+
+import graft.config._
+import graft.engine.{Runner, Source}
+import graft.graph.Graph
+import graft.sources.ExampleSource
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** t1 smoke (SURVEY.md §5.2): full pipeline over the deterministic example
+  * graph must reproduce the reference's exact 13-table/count oracle
+  * (tests/collect_test.py:26-40 [T]) on every destination type.
+  */
+class EnginePipelineSpec extends AnyFunSuite {
+  private lazy val spark = SparkSuite.spark
+
+  private val registry: Map[String, Source] = Map(
+    "example" -> new Source {
+      val name = "example"
+      def collect(s: SparkSession): Graph = ExampleSource.collect(s)
+    })
+
+  private def cfg(dest: Destination) =
+    GraftConfig(Map("example" -> Map.empty), dest)
+
+  test("parquet destination reproduces the 13-table oracle") {
+    val base = Files.createTempDirectory("graft-parquet").toString
+    val report = Runner.run(spark, cfg(ArrowDest(FileDestination("parquet", base))), registry)
+    assert(report.sources == Seq(engine.SourceReport("example", 10, 13)))
+    ExampleSource.expectedCounts.foreach { case (table, n) =>
+      assert(spark.read.parquet(s"$base/current/$table").count() == n, s"table $table")
+    }
+  }
+
+  test("csv destination writes headers and matches counts") {
+    val base = Files.createTempDirectory("graft-csv").toString
+    Runner.run(spark, cfg(ArrowDest(FileDestination("csv", base))), registry)
+    ExampleSource.expectedCounts.foreach { case (table, n) =>
+      val df = spark.read.option("header", "true").csv(s"$base/current/$table")
+      assert(df.count() == n, s"table $table")
+    }
+    // header present: kind tables expose the base property columns
+    val cols = spark.read.option("header", "true")
+      .csv(s"$base/current/example_instance").columns.toSet
+    assert(Set("id", "name", "kind", "tags", "ctime", "instance_cores").subsetOf(cols))
+  }
+
+  test("jdbc (derby) destination stages __tmp tables then swaps atomically") {
+    val db = Files.createTempDirectory("graft-derby").resolve("db").toString
+    val url = s"jdbc:derby:$db;create=true"
+    Runner.run(spark, cfg(DbDest(JdbcDestination(url, "derby"))), registry)
+    ExampleSource.expectedCounts.foreach { case (table, n) =>
+      val count = spark.read.format("jdbc").option("url", url)
+        .option("dbtable", table).load().count()
+      assert(count == n, s"table $table")
+    }
+    // a second run replaces the snapshot in place (drop + rename path)
+    Runner.run(spark, cfg(DbDest(JdbcDestination(url, "derby"))), registry)
+    val again = spark.read.format("jdbc").option("url", url)
+      .option("dbtable", "example_region").load().count()
+    assert(again == 2)
+  }
+
+  test("failing source aborts before the swap; previous snapshot intact") {
+    val base = Files.createTempDirectory("graft-atomic").toString
+    val dest = ArrowDest(FileDestination("parquet", base))
+    Runner.run(spark, cfg(dest), registry) // snapshot 1
+    val boom = registry + ("bad" -> new Source {
+      val name = "bad"
+      def collect(s: SparkSession): Graph = throw new RuntimeException("collector exploded")
+    })
+    val cfg2 = GraftConfig(Map("example" -> Map.empty, "bad" -> Map.empty), dest)
+    intercept[Exception](Runner.run(spark, cfg2, boom))
+    // old snapshot still fully readable
+    ExampleSource.expectedCounts.foreach { case (table, n) =>
+      assert(spark.read.parquet(s"$base/current/$table").count() == n, s"table $table")
+    }
+  }
+
+  test("nested tags survive as MapType in parquet, degrade to JSON in csv") {
+    val base = Files.createTempDirectory("graft-fidelity").toString
+    Runner.run(spark, cfg(ArrowDest(FileDestination("parquet", base))), registry)
+    val df = spark.read.parquet(s"$base/current/example_account")
+    assert(df.schema("tags").dataType.typeName == "map")
+    assert(df.select("tags").first().getMap[String, String](0)("owner") == "example")
+  }
+}

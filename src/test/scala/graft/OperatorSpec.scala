@@ -1,0 +1,70 @@
+package graft
+
+import graft.ext.{Multimodal, TextHash}
+import graft.model.{Kind, KindModel, KindProperty}
+import graft.operators.AsofJoin
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.sql.Timestamp
+
+/** Unit specs for the custom operators and the kind system. */
+class OperatorSpec extends AnyFunSuite {
+  private lazy val spark = SparkSuite.spark
+  import spark.implicits._
+
+  test("kind model generates schemas with inheritance and nested types") {
+    val m = KindModel(Seq(
+      KindModel.resourceBase,
+      Kind("vm", Seq(
+        KindProperty("cores", "int64"),
+        KindProperty("ips", "string[]"),
+        KindProperty("limits", "dictionary[string, int32]")), bases = Seq("resource_base"))))
+    val st = m.toStructType("vm")
+    assert(st.fieldNames.toSeq ==
+      Seq("id", "name", "kind", "tags", "ctime", "cores", "ips", "limits"))
+    assert(st("ips").dataType.typeName == "array")
+    assert(st("limits").dataType.typeName == "map")
+    assert(!st("id").nullable && st("name").nullable)
+  }
+
+  test("asof join picks the latest right row at or before the left ts") {
+    def ts(s: Int) = new Timestamp(s * 1000L)
+    val left = Seq((1L, ts(10), "p1"), (1L, ts(20), "p2"), (2L, ts(5), "p3"))
+      .toDF("k", "ts", "pid")
+    val right = Seq((1L, ts(9), "v1"), (1L, ts(10), "v2"), (1L, ts(15), "v3"),
+                    (2L, ts(6), "v4"))
+      .toDF("k", "ts", "vid")
+    val got = AsofJoin.leftAsof(left, right, "k", "ts", "ts",
+        Seq("vid" -> "match_vid"))
+      .select("pid", "match_vid").as[(String, Option[String])].collect().toMap
+    assert(got == Map(
+      "p1" -> Some("v2"),  // equal ts is visible
+      "p2" -> Some("v3"),  // latest earlier
+      "p3" -> None))       // right row is later -> no match
+  }
+
+  test("shingles guard short documents") {
+    val df = Seq("a b", "a b c d e f").toDF("text")
+      .select(TextHash.shinglesFromTokens(TextHash.tokens(col("text")), 5).as("sh"))
+    val got = df.select(size(col("sh"))).as[Int].collect().toSeq
+    assert(got == Seq(0, 2))
+  }
+
+  test("multimodal featurizer is deterministic and normalized") {
+    val media = Seq((1L, "hello world"), (2L, "")).toDF("doc_id", "text")
+      .select(col("doc_id"), col("text").cast("binary").as("blob"))
+    val feats = Multimodal.featurize(media, Multimodal.DeterministicFakeDecoder)
+      .orderBy("doc_id").as[(Long, Seq[Double])].collect()
+    assert(feats.length == 2 && feats.forall(_._2.length == 16))
+    assert(math.abs(feats(0)._2.sum - 1.0) < 1e-9) // L1-normalized
+    assert(feats(1)._2.sum == 0.0)                 // empty payload -> zero vector
+    val again = Multimodal.featurize(media, Multimodal.DeterministicFakeDecoder)
+      .orderBy("doc_id").as[(Long, Seq[Double])].collect()
+    assert(feats.map(_._2).toSeq == again.map(_._2).toSeq)
+  }
+
+  test("flagship entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}
