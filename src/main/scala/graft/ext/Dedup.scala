@@ -18,24 +18,33 @@ object Dedup {
   private val K = 5 // word-shingle width
 
   // ---------- shared Spark-side builders ----------
-  /** (doc_id, sh): exploded distinct k-gram shingles per document. */
-  private def shingleDf(s: SparkSession, d: String): DataFrame =
+  /** (doc_id, h): distinct 48-bit hashes of k-gram shingles per document.
+    * Downstream joins/aggregates run on the 8-byte hash, never the shingle
+    * string — an order of magnitude less shuffle IO at corpus scale.
+    */
+  private[ext] def shingleHashDf(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(col("doc_id"), explode(shinglesFromTokens(tokens(col("text")), K)).as("sh"))
+      .select(col("doc_id"), h48(col("sh")).as("h"))
       .distinct()
 
   /** (doc_id, sig_0..sig_7): minhash signature over shingle h31 hashes. */
   private def minhashDf(s: SparkSession, d: String): DataFrame = {
-    val h = shingleDf(s, d).withColumn("h", h31(col("sh")))
+    val h = shingleHashDf(s, d).withColumn("h", col("h") % Mersenne31)
     val sigs = MinhashPerms.zipWithIndex.map { case ((a, b), i) =>
       min((col("h") * a + b) % Mersenne31).as(s"sig_$i")
     }
     h.groupBy("doc_id").agg(sigs.head, sigs.tail: _*)
   }
 
-  /** (doc_id, simhash, n_tokens): 32-bit frequency-weighted simhash. */
-  private def simhashDf(s: SparkSession, d: String): DataFrame = {
+  /** (doc_id, simhash, n_tokens): 32-bit frequency-weighted simhash.
+    * `docFilter` is applied BEFORE tokenization so restricted variants
+    * never explode the full corpus.
+    */
+  private def simhashDf(s: SparkSession, d: String,
+                        docFilter: Column = lit(true)): DataFrame = {
     val tok = Tables.documents(s, d)
+      .filter(docFilter)
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
       .withColumn("h", h48(col("tok")))
     val bitSums = (0 until 32).map { j =>
@@ -51,17 +60,20 @@ object Dedup {
 
   // ---------- shared oracle-SQL fragments ----------
   private def toksFrom = s"""SELECT doc_id, ${tokensSql("text")} AS toks FROM documents"""
-  private def shingleFrom =
-    s"""SELECT DISTINCT doc_id, sh FROM (
-       |  SELECT doc_id, unnest(${shinglesFromTokensSql("toks", K)}) AS sh
-       |  FROM ($toksFrom)
+  /** Distinct (doc_id, h48(shingle)) — mirrors [[shingleHashDf]]. */
+  private def shingleHashFrom =
+    s"""SELECT DISTINCT doc_id, h FROM (
+       |  SELECT doc_id, ${h48Sql("sh")} AS h FROM (
+       |    SELECT doc_id, unnest(${shinglesFromTokensSql("toks", K)}) AS sh
+       |    FROM ($toksFrom)
+       |  )
        |)""".stripMargin
   private def minhashSelect = {
     val sigCols = MinhashPerms.zipWithIndex.map { case ((a, b), i) =>
       s"min(($a * h + $b) % $Mersenne31) AS sig_$i"
     }.mkString(",\n  ")
     s"""SELECT doc_id, $sigCols
-       |FROM (SELECT doc_id, ${h31Sql("sh")} AS h FROM ($shingleFrom))
+       |FROM (SELECT doc_id, h % $Mersenne31 AS h FROM ($shingleHashFrom))
        |GROUP BY doc_id""".stripMargin
   }
   private def simhashSelect = {
@@ -107,11 +119,13 @@ object Dedup {
          |ORDER BY doc_a, doc_b""".stripMargin
     }) { (s, d) =>
       // one equi-join per band (shuffle-partitioned by band hash), then
-      // distinct — never an O(n²) comparison
+      // distinct — never an O(n²) comparison. Signatures are computed ONCE
+      // and cached; the four band joins reuse the materialized rows.
+      val sigs = minhashDf(s, d).cache()
       val bands = (0 until 4).map { b =>
-        val a = minhashDf(s, d).select(col("doc_id").as("doc_a"),
+        val a = sigs.select(col("doc_id").as("doc_a"),
           col(s"sig_${2 * b}").as("k1"), col(s"sig_${2 * b + 1}").as("k2"))
-        val bb = minhashDf(s, d).select(col("doc_id").as("doc_b"),
+        val bb = sigs.select(col("doc_id").as("doc_b"),
           col(s"sig_${2 * b}").as("k1"), col(s"sig_${2 * b + 1}").as("k2"))
         a.join(bb, Seq("k1", "k2")).filter(col("doc_a") < col("doc_b"))
           .select("doc_a", "doc_b")
@@ -136,7 +150,7 @@ object Dedup {
          |FROM sims a JOIN sims b ON a.doc_id < b.doc_id AND ($bandCond)
          |ORDER BY hamming, doc_a, doc_b LIMIT 20""".stripMargin
     }) { (s, d) =>
-      def sims = simhashDf(s, d).filter(col("doc_id") < 200)
+      val sims = simhashDf(s, d, docFilter = col("doc_id") < 200).cache()
       val bands = (0 until 4).map { b =>
         val a = sims.select(col("doc_id").as("doc_a"), col("simhash").as("sim_a"),
           shiftright(col("simhash"), 8 * b).bitwiseAND(255).as("band"))
@@ -154,11 +168,11 @@ object Dedup {
 
     // ---- n-gram Jaccard via shingle inverted index ----
     Q("q_dedup_jaccard",
-      s"""WITH sh AS ($shingleFrom),
+      s"""WITH sh AS ($shingleHashFrom),
          |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
          |pairs AS (
          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
-         |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
          |  GROUP BY 1, 2
          |)
          |SELECT doc_a, doc_b, shared,
@@ -167,10 +181,10 @@ object Dedup {
          |JOIN cnt ca ON ca.doc_id = doc_a
          |JOIN cnt cb ON cb.doc_id = doc_b
          |ORDER BY jacc DESC, doc_a, doc_b LIMIT 10""".stripMargin) { (s, d) =>
-      val sh = shingleDf(s, d)
-      val cnt = shingleDf(s, d).groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val pairs = sh.select(col("doc_id").as("doc_a"), col("sh"))
-        .join(shingleDf(s, d).select(col("doc_id").as("doc_b"), col("sh")), Seq("sh"))
+      val sh = shingleHashDf(s, d).cache()
+      val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val pairs = sh.select(col("doc_id").as("doc_a"), col("h"))
+        .join(sh.select(col("doc_id").as("doc_b"), col("h")), Seq("h"))
         .filter(col("doc_a") < col("doc_b"))
         .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
       pairs

@@ -94,19 +94,24 @@ object TextAnalysis {
     // ---- document fingerprint: min/max shingle hash + distinct shingles ----
     Q("q_text_fingerprint",
       s"""SELECT doc_id, min(h) AS fp_min, max(h) AS fp_max,
-         |  count(DISTINCT h) AS n_shingles
+         |  count(*) AS n_shingles
          |FROM (
-         |  SELECT doc_id, ${h48Sql("sh")} AS h FROM (
-         |    SELECT doc_id, unnest(${shinglesFromTokensSql("toks", 5)}) AS sh
-         |    FROM (SELECT doc_id, ${tokensSql("text")} AS toks FROM documents)
+         |  SELECT DISTINCT doc_id, h FROM (
+         |    SELECT doc_id, ${h48Sql("sh")} AS h FROM (
+         |      SELECT doc_id, unnest(${shinglesFromTokensSql("toks", 5)}) AS sh
+         |      FROM (SELECT doc_id, ${tokensSql("text")} AS toks FROM documents)
+         |    )
          |  )
          |) GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      // distinct-then-count: one shuffle on (doc_id, h) instead of the
+      // count(DISTINCT) Expand, and min/max are unaffected by the dedup
       Tables.documents(s, d)
         .select(col("doc_id"), explode(shinglesFromTokens(tokens(col("text")), 5)).as("sh"))
         .select(col("doc_id"), h48(col("sh")).as("h"))
+        .distinct()
         .groupBy("doc_id")
         .agg(min(col("h")).as("fp_min"), max(col("h")).as("fp_max"),
-             countDistinct(col("h")).as("n_shingles"))
+             count(lit(1)).as("n_shingles"))
         .orderBy("doc_id")
     }
   )
