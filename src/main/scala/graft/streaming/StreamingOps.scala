@@ -1,0 +1,66 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface (SURVEY.md §2.J). The reference is strictly
+  * batch-snapshot; these operators make the events surface incremental. The
+  * transformations are the SAME shapes used by the batch queries in
+  * [[graft.operators.Events]] — a windowed aggregate written against a
+  * stream runs unchanged over a static frame, which is how the batch oracle
+  * pins their semantics.
+  */
+object StreamingOps {
+
+  /** The events schema as read from the driver testdata (ts arrives as
+    * nano count under the legacy reader flag and is normalized here).
+    */
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** File-source stream over an events parquet path (new files appear as
+    * micro-batches at scale; here the single testdata file is one batch).
+    */
+  def eventsStream(spark: SparkSession, path: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream.schema(eventsSchema).parquet(path)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  }
+
+  /** §2.J1 tumbling aggregate — identical shape to q_events_tumbling. */
+  def tumblingCounts(events: DataFrame, width: String = "1 day"): DataFrame =
+    events
+      .groupBy(window(col("ts"), width).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("value").cast("decimal(18,4)")).cast("double").as("val_sum"))
+      .select(col("w.start").as("ws"), col("event_type"), col("n"), col("val_sum"))
+
+  /** §2.J4 watermarked variant: append-mode emission, late data dropped
+    * once the watermark passes the window end.
+    */
+  def tumblingWithWatermark(events: DataFrame, width: String, lateness: String): DataFrame =
+    tumblingCountsOn(events.withWatermark("ts", lateness), width)
+
+  private def tumblingCountsOn(events: DataFrame, width: String): DataFrame =
+    events.groupBy(window(col("ts"), width).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("ws"), col("event_type"), col("n"))
+
+  /** §2.J5 stateful dedup bounded by the watermark (state is evictable —
+    * the unbounded `dropDuplicates` would grow state forever on a real
+    * stream).
+    */
+  def dedupWithinWatermark(events: DataFrame, lateness: String): DataFrame =
+    events.withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** §2.J3 session windows (30 min gap) per user — streaming-capable. */
+  def sessionCounts(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), gap).as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("sw.start").as("session_start"), col("user_id"), col("n_events"))
+}

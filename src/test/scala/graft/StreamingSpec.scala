@@ -1,0 +1,89 @@
+package graft
+
+import graft.streaming.StreamingOps
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.sql.Timestamp
+
+/** Streaming semantics (SURVEY.md §2.J): batch/stream equivalence for the
+  * windowed aggregates, and the watermark-only behaviors (late-data drop,
+  * bounded dedup state) that have no batch oracle.
+  */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = SparkSuite.spark
+
+  test("tumbling aggregate over a file stream equals the batch result") {
+    val dir = "/root/testdata/sf0.001"
+    val stream = StreamingOps.eventsStream(spark, s"$dir/events.parquet")
+    val q = StreamingOps.tumblingCounts(stream)
+      .writeStream.format("memory").queryName("tumbling_out")
+      .outputMode("complete").start()
+    try { q.processAllAvailable() } finally q.stop()
+
+    val streamed = spark.table("tumbling_out")
+      .orderBy("ws", "event_type").collect().toSeq
+    val batch = StreamingOps.tumblingCounts(Tables.events(spark, dir))
+      .orderBy("ws", "event_type").collect().toSeq
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
+  test("session windows over a stream equal the batch result") {
+    val dir = "/root/testdata/sf0.001"
+    val stream = StreamingOps.eventsStream(spark, s"$dir/events.parquet")
+    val q = StreamingOps.sessionCounts(stream)
+      .writeStream.format("memory").queryName("session_out")
+      .outputMode("complete").start()
+    try { q.processAllAvailable() } finally q.stop()
+    val streamed = spark.table("session_out")
+      .orderBy("session_start", "user_id").collect().toSeq
+    val batch = StreamingOps.sessionCounts(Tables.events(spark, dir))
+      .orderBy("session_start", "user_id").collect().toSeq
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
+  test("watermark drops events later than the allowed lateness") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    def ts(min: Int) = new Timestamp(3600_000L + min * 60_000L)
+
+    val mem = MemoryStream[(Timestamp, String)]
+    val q = StreamingOps
+      .tumblingWithWatermark(mem.toDF.toDF("ts", "event_type"), "10 minutes", "5 minutes")
+      .writeStream.format("memory").queryName("late_out")
+      .outputMode("append").start()
+    try {
+      mem.addData((ts(1), "a"), (ts(2), "a"))     // window [0,10)
+      q.processAllAvailable()
+      mem.addData((ts(30), "a"))                  // watermark -> 25min: closes [0,10)
+      q.processAllAvailable()
+      mem.addData((ts(3), "late"))                // < watermark: DROPPED
+      mem.addData((ts(31), "a"))
+      q.processAllAvailable()
+      val emitted = spark.table("late_out").collect().toSeq
+      assert(emitted.map(_.getLong(2)).sum == 2)  // only the two on-time [0,10) events
+      assert(!emitted.exists(_.getString(1) == "late"))
+    } finally q.stop()
+  }
+
+  test("dropDuplicatesWithinWatermark dedups within the state horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    def ts(min: Int) = new Timestamp(3600_000L + min * 60_000L)
+
+    val mem = MemoryStream[(Long, Timestamp)]
+    val events = mem.toDF.toDF("event_id", "ts")
+    val q = StreamingOps.dedupWithinWatermark(events, "10 minutes")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, ts(0)), (1L, ts(1)), (2L, ts(1)))
+      q.processAllAvailable()
+      mem.addData((1L, ts(2))) // duplicate within watermark: dropped
+      q.processAllAvailable()
+      assert(spark.table("dedup_out").select("event_id")
+        .as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+    } finally q.stop()
+  }
+}
