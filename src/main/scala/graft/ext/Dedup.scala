@@ -2,6 +2,7 @@ package graft.ext
 
 import graft.{Q, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import TextHash._
 
@@ -16,6 +17,15 @@ import TextHash._
   */
 object Dedup {
   private val K = 5 // word-shingle width
+
+  /** Document-frequency cap for the Jaccard inverted index: a shingle shared
+    * by more than this many documents is boilerplate and is dropped BEFORE
+    * the self-join. Without the cap one hot shingle with posting-list length
+    * p contributes p² join rows — at 100 TB a single boilerplate phrase in
+    * 10⁵ docs would emit 10¹⁰ pairs. With it, join fan-out is bounded by
+    * MaxShingleDf² per shingle regardless of corpus size.
+    */
+  private val MaxShingleDf = 128
 
   // ---------- shared Spark-side builders ----------
   /** (doc_id, h): distinct 48-bit hashes of k-gram shingles per document.
@@ -118,19 +128,22 @@ object Dedup {
          |FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id AND ($bandCond)
          |ORDER BY doc_a, doc_b""".stripMargin
     }) { (s, d) =>
-      // one equi-join per band (shuffle-partitioned by band hash), then
-      // distinct — never an O(n²) comparison. Signatures are computed ONCE
-      // and cached; the four band joins reuse the materialized rows.
-      val sigs = minhashDf(s, d).cache()
-      val bands = (0 until 4).map { b =>
-        val a = sigs.select(col("doc_id").as("doc_a"),
-          col(s"sig_${2 * b}").as("k1"), col(s"sig_${2 * b + 1}").as("k2"))
-        val bb = sigs.select(col("doc_id").as("doc_b"),
-          col(s"sig_${2 * b}").as("k1"), col(s"sig_${2 * b + 1}").as("k2"))
-        a.join(bb, Seq("k1", "k2")).filter(col("doc_a") < col("doc_b"))
-          .select("doc_a", "doc_b")
-      }
-      bands.reduce(_ unionByName _).distinct().orderBy("doc_a", "doc_b")
+      // Candidates = pairs agreeing on ANY band. Each signature row explodes
+      // to 4 (band, k1, k2) keys and ONE self equi-join on (band, k1, k2)
+      // finds all of them — a single shuffle instead of four band joins that
+      // each re-scan the signature table. Never an O(n²) comparison: fan-out
+      // is bounded by per-(band,key) bucket size.
+      val banded = minhashDf(s, d)
+        .select(col("doc_id"), posexplode(array((0 until 4).map { b =>
+          struct(col(s"sig_${2 * b}").as("k1"), col(s"sig_${2 * b + 1}").as("k2"))
+        }: _*)).as(Seq("band", "kk")))
+        .select(col("doc_id"), col("band"), col("kk.k1").as("k1"), col("kk.k2").as("k2"))
+        .cache()
+      banded.select(col("doc_id").as("doc_a"), col("band"), col("k1"), col("k2"))
+        .join(banded.select(col("doc_id").as("doc_b"), col("band"), col("k1"), col("k2")),
+              Seq("band", "k1", "k2"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b").distinct().orderBy("doc_a", "doc_b")
     },
 
     // ---- simhash fingerprints ----
@@ -166,9 +179,19 @@ object Dedup {
         .limit(20)
     },
 
-    // ---- n-gram Jaccard via shingle inverted index ----
+    // ---- n-gram Jaccard via shingle inverted index (df-capped) ----
+    // Ubiquitous shingles (df > MaxShingleDf) are removed from the index —
+    // and symmetrically from the per-doc counts — before the self-join, the
+    // standard stopword-style cap that keeps posting lists, and therefore
+    // join fan-out, bounded at any corpus size. The oracle SQL applies the
+    // identical cap, so the result stays hash-checkable.
     Q("q_dedup_jaccard",
-      s"""WITH sh AS ($shingleHashFrom),
+      s"""WITH sh0 AS ($shingleHashFrom),
+         |sh AS (
+         |  SELECT doc_id, h FROM (
+         |    SELECT doc_id, h, count(*) OVER (PARTITION BY h) AS df FROM sh0
+         |  ) WHERE df <= $MaxShingleDf
+         |),
          |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
          |pairs AS (
          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
@@ -181,7 +204,13 @@ object Dedup {
          |JOIN cnt ca ON ca.doc_id = doc_a
          |JOIN cnt cb ON cb.doc_id = doc_b
          |ORDER BY jacc DESC, doc_a, doc_b LIMIT 10""".stripMargin) { (s, d) =>
-      val sh = shingleHashDf(s, d).cache()
+      // one shuffle by h computes df and filters in place (window, not
+      // groupBy+join: the index is never re-shuffled or re-scanned)
+      val sh = shingleHashDf(s, d)
+        .withColumn("df", count(lit(1)).over(Window.partitionBy("h")))
+        .filter(col("df") <= MaxShingleDf)
+        .drop("df")
+        .cache()
       val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val pairs = sh.select(col("doc_id").as("doc_a"), col("h"))
         .join(sh.select(col("doc_id").as("doc_b"), col("h")), Seq("h"))

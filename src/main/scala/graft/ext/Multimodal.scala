@@ -70,11 +70,27 @@ object Multimodal {
         .orderBy("doc_id")
     },
 
-    // ---- decode + featurize via mapPartitions (no SQL oracle: rows-only) ----
-    Q.noOracle("q_multimodal_features") { (s, d) =>
+    // ---- decode + featurize via mapPartitions ----
+    // Output is exploded to scalar (doc_id, idx, feat) rows: array columns
+    // are not canonicalizable by the driver's pandas hasher, and the fake
+    // decoder is deterministic arithmetic, so the histogram has an exact
+    // DuckDB oracle (documents.text is ASCII: codepoint == UTF-8 byte).
+    Q("q_multimodal_features",
+      """WITH chars AS (
+        |  SELECT doc_id, ord(c) // 16 AS bin
+        |  FROM (SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents)
+        |),
+        |lens AS (SELECT doc_id, greatest(octet_length(encode(text)), 1) AS n FROM documents),
+        |bins AS (SELECT doc_id, bin, count(*) AS cnt FROM chars GROUP BY 1, 2)
+        |SELECT l.doc_id, CAST(i.idx AS INT) AS idx, round(coalesce(b.cnt, 0) / l.n, 6) AS feat
+        |FROM lens l
+        |CROSS JOIN (SELECT unnest(range(16)) AS idx) i
+        |LEFT JOIN bins b ON b.doc_id = l.doc_id AND b.bin = i.idx
+        |ORDER BY l.doc_id, idx""".stripMargin) { (s, d) =>
       featurize(mediaTable(s, d), DeterministicFakeDecoder)
-        .select(col("doc_id"), col("features"))
-        .orderBy("doc_id")
+        .select(col("doc_id"), posexplode(col("features")).as(Seq("idx", "feat")))
+        .select(col("doc_id"), col("idx"), round(col("feat"), 6).as("feat"))
+        .orderBy("doc_id", "idx")
     }
   )
 }

@@ -130,8 +130,12 @@ object Scalars {
         |  count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS val_sum
         |FROM events GROUP BY jk_bucket ORDER BY jk_bucket""".stripMargin) { (s, d) =>
+      // from_json with a single-field schema: one Jackson parse per row that
+      // skips unwanted fields, instead of get_json_object's per-call path
+      // engine (same shape q_map_funcs uses)
+      val k = from_json(col("props"), StructType(Seq(StructField("k", IntegerType)))).getField("k")
       Tables.events(s, d)
-        .groupBy((get_json_object(col("props"), "$.k").cast("int") % 10).as("jk_bucket"))
+        .groupBy((k % 10).as("jk_bucket"))
         .agg(count(lit(1)).as("n"),
              sum(col("value").cast("decimal(18,4)")).cast("double").as("val_sum"))
         .orderBy("jk_bucket")

@@ -176,15 +176,21 @@ object Relational {
         |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin) { (s, d) =>
       // Expand (rollup) duplicates the joined grouping attrs, which trips
       // Spark's ambiguous-self-join heuristic on a plan that has no self
-      // join; the check is a false positive here, disable it for this plan.
-      s.conf.set("spark.sql.analyzer.failAmbiguousSelfJoin", "false")
-      Tables.customer(s, d)
-        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
-        .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
-        .select("r_name", "n_name", "c_acctbal")
-        .rollup("r_name", "n_name")
-        .agg(count(lit(1)).as("n_cust"), dsum(col("c_acctbal"), 4).as("bal"))
-        .orderBy(asc_nulls_first("r_name"), asc_nulls_first("n_name"))
+      // join; the check is a false positive here. Dataset analysis is eager,
+      // so the conf can be restored as soon as the plan is built — nothing
+      // leaks into later queries on the shared session.
+      val key = "spark.sql.analyzer.failAmbiguousSelfJoin"
+      val saved = s.conf.getOption(key)
+      s.conf.set(key, "false")
+      try {
+        Tables.customer(s, d)
+          .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+          .select("r_name", "n_name", "c_acctbal")
+          .rollup("r_name", "n_name")
+          .agg(count(lit(1)).as("n_cust"), dsum(col("c_acctbal"), 4).as("bal"))
+          .orderBy(asc_nulls_first("r_name"), asc_nulls_first("n_name"))
+      } finally saved.fold(s.conf.unset(key))(s.conf.set(key, _))
     },
 
     // ---- §2.D5: CUBE ----
@@ -354,6 +360,148 @@ object Relational {
       Tables.customer(s, d).select("c_custkey")
         .except(Tables.orders(s, d).select(col("o_custkey").as("c_custkey")))
         .orderBy("c_custkey")
+    },
+
+    // ---- §2.C2: right outer join (all customers survive, matched or not) ----
+    Q("q_join_right_outer",
+      """SELECT n_orders, count(*) AS n_customers FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS n_orders
+        |  FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY c_custkey
+        |) GROUP BY n_orders ORDER BY n_orders""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"), "right_outer")
+        .groupBy("c_custkey").agg(count(col("o_orderkey")).as("n_orders"))
+        .groupBy("n_orders").agg(count(lit(1)).as("n_customers"))
+        .orderBy("n_orders")
+    },
+
+    // ---- §2.C2: full outer join (unmatched rows from BOTH sides) ----
+    Q("q_join_full_outer",
+      """SELECT side, count(*) AS n FROM (
+        |  SELECT CASE WHEN c_custkey IS NULL THEN 'event_only'
+        |              WHEN user_id IS NULL THEN 'cust_only' ELSE 'both' END AS side
+        |  FROM (SELECT DISTINCT user_id FROM events) e
+        |  FULL JOIN customer ON user_id = c_custkey
+        |) GROUP BY side ORDER BY side""".stripMargin) { (s, d) =>
+      Tables.events(s, d).select("user_id").distinct()
+        .join(Tables.customer(s, d), col("user_id") === col("c_custkey"), "full_outer")
+        .select(when(col("c_custkey").isNull, "event_only")
+          .when(col("user_id").isNull, "cust_only").otherwise("both").as("side"))
+        .groupBy("side").agg(count(lit(1)).as("n"))
+        .orderBy("side")
+    },
+
+    // ---- §2.E1: rank / dense_rank over a tie-producing key + ntile ----
+    // rank and dense_rank are ordered by a COARSE key (price in thousands)
+    // so ties exist and the two differ; ntile runs over a total order
+    // (price, orderkey) because its row-position semantics are only
+    // deterministic under a unique sort.
+    Q("q_window_rank_dense",
+      """SELECT c_mktsegment, o_orderkey, price_k, rnk, drnk, quart FROM (
+        |  SELECT c_mktsegment, o_orderkey, CAST(floor(o_totalprice / 1000) AS INT) AS price_k,
+        |    CAST(rank() OVER (PARTITION BY c_mktsegment
+        |      ORDER BY CAST(floor(o_totalprice / 1000) AS INT) DESC) AS INT) AS rnk,
+        |    CAST(dense_rank() OVER (PARTITION BY c_mktsegment
+        |      ORDER BY CAST(floor(o_totalprice / 1000) AS INT) DESC) AS INT) AS drnk,
+        |    CAST(ntile(4) OVER (PARTITION BY c_mktsegment
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS quart
+        |  FROM orders JOIN customer ON o_custkey = c_custkey WHERE o_custkey < 100
+        |) WHERE rnk <= 5 ORDER BY c_mktsegment, rnk, o_orderkey""".stripMargin) { (s, d) =>
+      val priceK = floor(col("o_totalprice") / 1000).cast("int")
+      val wCoarse = Window.partitionBy("c_mktsegment").orderBy(priceK.desc)
+      val wTotal = Window.partitionBy("c_mktsegment")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      Tables.orders(s, d).filter(col("o_custkey") < 100)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment"), col("o_orderkey"), priceK.as("price_k"),
+                rank().over(wCoarse).as("rnk"),
+                dense_rank().over(wCoarse).as("drnk"),
+                ntile(4).over(wTotal).as("quart"))
+        .filter(col("rnk") <= 5)
+        .orderBy("c_mktsegment", "rnk", "o_orderkey")
+    },
+
+    // ---- §2.E2: lead / first / last analytic functions ----
+    Q("q_window_lead_first_last",
+      """SELECT user_id, event_id, nxt, fst, lst FROM (
+        |  SELECT user_id, event_id,
+        |    lead(event_id) OVER w AS nxt,
+        |    first_value(event_id) OVER w AS fst,
+        |    last_value(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS lst
+        |  FROM events WHERE user_id < 20
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |) ORDER BY user_id, event_id""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+      val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.events(s, d).filter(col("user_id") < 20)
+        .select(col("user_id"), col("event_id"),
+                lead(col("event_id"), 1).over(w).as("nxt"),
+                first(col("event_id")).over(w).as("fst"),
+                last(col("event_id")).over(wFull).as("lst"))
+        .orderBy("user_id", "event_id")
+    },
+
+    // ---- §2.D5: explicit GROUPING SETS + grouping_id() disambiguation ----
+    Q("q_agg_grouping_sets",
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(grouping_id(o_orderstatus, o_orderpriority) AS INT) AS gid, count(*) AS n
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+        |ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+              Seq(col("o_orderstatus")), Seq.empty),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(grouping_id().cast("int").as("gid"), count(lit(1)).as("n"))
+        .orderBy(col("gid"), asc_nulls_first("o_orderstatus"),
+                 asc_nulls_first("o_orderpriority"))
+    },
+
+    // ---- §2.G2: INTERSECT ALL (multiplicity-preserving) ----
+    Q("q_intersect_all",
+      """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+        |INTERSECT ALL
+        |SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+        |ORDER BY o_custkey""".stripMargin) { (s, d) =>
+      val o = Tables.orders(s, d)
+      o.filter(year(col("o_orderdate")) === 1996).select("o_custkey")
+        .intersectAll(o.filter(year(col("o_orderdate")) === 1997).select("o_custkey"))
+        .orderBy("o_custkey")
+    },
+
+    // ---- §2.G2: EXCEPT ALL ----
+    Q("q_except_all",
+      """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+        |EXCEPT ALL
+        |SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+        |ORDER BY o_custkey""".stripMargin) { (s, d) =>
+      val o = Tables.orders(s, d)
+      o.filter(year(col("o_orderdate")) === 1996).select("o_custkey")
+        .exceptAll(o.filter(year(col("o_orderdate")) === 1997).select("o_custkey"))
+        .orderBy("o_custkey")
+    },
+
+    // ---- §2.E3: rangeBetween frame — 30-day trailing sum per customer.
+    // Both engines order by epoch seconds (numeric RANGE frame); ties on
+    // the order key include all peers, so the result is deterministic.
+    Q("q_window_range_frame",
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+        |    PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+        |    RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS sum_30d
+        |FROM orders WHERE o_custkey < 50
+        |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(unix_timestamp(col("o_orderdate")))
+        .rangeBetween(-2592000L, Window.currentRow)
+      Tables.orders(s, d).filter(col("o_custkey") < 50)
+        .select(col("o_custkey"), col("o_orderkey"),
+                sum(col("o_totalprice").cast("decimal(18,4)")).over(w)
+                  .cast("double").as("sum_30d"))
+        .orderBy("o_custkey", "o_orderkey")
     }
   )
 }

@@ -21,8 +21,9 @@ object StreamingOps {
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
-  /** File-source stream over an events parquet path (new files appear as
-    * micro-batches at scale; here the single testdata file is one batch).
+  /** File-source stream over a *directory* of events parquet files (Spark's
+    * FileStreamSource watches directories, never single files; new files
+    * appear as micro-batches at scale).
     */
   def eventsStream(spark: SparkSession, path: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

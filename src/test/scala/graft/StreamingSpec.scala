@@ -14,9 +14,22 @@ import java.sql.Timestamp
 class StreamingSpec extends AnyFunSuite {
   private lazy val spark = SparkSuite.spark
 
+  /** Spark's FileStreamSource requires a *directory* to watch; the driver
+    * testdata ships a single file, so stage it into a temp dir (testdata is
+    * read-only — copy, don't symlink-in-place).
+    */
+  private lazy val eventsDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-events-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      dir.resolve("events.parquet"))
+    dir.toFile.deleteOnExit()
+    dir.toString
+  }
+
   test("tumbling aggregate over a file stream equals the batch result") {
     val dir = "/root/testdata/sf0.001"
-    val stream = StreamingOps.eventsStream(spark, s"$dir/events.parquet")
+    val stream = StreamingOps.eventsStream(spark, eventsDir)
     val q = StreamingOps.tumblingCounts(stream)
       .writeStream.format("memory").queryName("tumbling_out")
       .outputMode("complete").start()
@@ -31,7 +44,7 @@ class StreamingSpec extends AnyFunSuite {
 
   test("session windows over a stream equal the batch result") {
     val dir = "/root/testdata/sf0.001"
-    val stream = StreamingOps.eventsStream(spark, s"$dir/events.parquet")
+    val stream = StreamingOps.eventsStream(spark, eventsDir)
     val q = StreamingOps.sessionCounts(stream)
       .writeStream.format("memory").queryName("session_out")
       .outputMode("complete").start()
