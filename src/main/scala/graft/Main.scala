@@ -46,14 +46,15 @@ object Main {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // wire config-driven sources: graph_export picks its path from config
+    // wire config-driven sources: graph_export picks its path from config;
+    // its kind model arrives embedded in the export (no hardcoded schema)
     val wired = registry.map {
       case ("graph_export", _) => "graph_export" -> new Source {
         val name = "graph_export"
         def collect(s: SparkSession): Graph = {
           val path = config.sources("graph_export").getOrElse("path",
             throw new IllegalArgumentException("graph_export.path must be defined"))
-          GraphNormalizer.fromJsonExport(s, path, ExampleSource.model)
+          GraphNormalizer.fromJsonExport(s, path)
         }
       }
       case other => other

@@ -48,7 +48,8 @@ object Runner {
       spark: SparkSession,
       config: GraftConfig,
       registry: Map[String, Source],
-      progress: ProgressListener = NoopProgress): RunReport = {
+      progress: ProgressListener = NoopProgress,
+      uploader: graft.sink.BucketUploader = graft.sink.HadoopBucketUploader): RunReport = {
 
     // source-enable filter (B3): only configured sources are instantiated
     val active = registry.filter { case (key, _) => config.sources.contains(key) }
@@ -56,7 +57,9 @@ object Runner {
 
     val runId = UUID.randomUUID().toString.take(8)
     val pool = Executors.newFixedThreadPool(SourceParallelism)
-    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    // silent reporter: after a fail-fast return the pool is shut down and
+    // straggler continuations are rejected by design — not an error to log
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool, _ => ())
 
     try {
       val futures = active.map { case (key, src) =>
@@ -74,13 +77,15 @@ object Runner {
       }.toSeq
 
       // global barrier: reference as_completed drain (collect.py:193-196).
-      // Await each; the first failure aborts before ANY swap happens.
-      val results = futures.map(f => Await.result(f, Duration.Inf))
+      // Future.sequence fails as soon as ANY source fails — the first error
+      // surfaces immediately (true as-completed fail-fast) instead of after
+      // every earlier-submitted source happens to finish; no swap happens.
+      val results = Await.result(Future.sequence(futures), Duration.Inf)
 
       // atomic snapshot swap, once, after all sources succeeded (K2)
       progress.progress("engine", "swapping snapshot")
       SnapshotSink.committer(config.destination, runId,
-        results.flatMap(_._2)).commit(spark)
+        results.flatMap(_._2), uploader).commit(spark)
       RunReport(results.map(_._1))
     } finally pool.shutdown()
   }

@@ -67,14 +67,46 @@ object GraphNormalizer {
     kindTables(g) ++ linkTables(g)
 
   /** Ingest a JSON-lines graph export (reference A3 remote-graph source
-    * [D]): records tagged `"type":"node"` / `"type":"edge"`.
+    * [D]): records tagged `"type":"node"` / `"type":"edge"`, plus
+    * `"type":"kind"` records carrying the kind model so the schema travels
+    * with the export (the reference's remote core likewise ships its model
+    * with the graph). `reported` may be an embedded JSON object — Spark's
+    * JSON reader captures an object into a StringType field as raw text.
+    *
+    * Model resolution: embedded kind records win; otherwise `fallback`;
+    * otherwise the export is rejected (schemas are never guessed).
     */
-  def fromJsonExport(spark: SparkSession, path: String, model: KindModel): Graph = {
+  def fromJsonExport(
+      spark: SparkSession,
+      path: String,
+      fallback: Option[KindModel] = None): Graph = {
     val schema = StructType(Seq(
       StructField("type", StringType), StructField("id", StringType),
       StructField("kind", StringType), StructField("reported", StringType),
-      StructField("from", StringType), StructField("to", StringType)))
+      StructField("from", StringType), StructField("to", StringType),
+      StructField("fqn", StringType),
+      StructField("properties", ArrayType(StructType(Seq(
+        StructField("name", StringType), StructField("kind", StringType),
+        StructField("required", BooleanType)))))))
     val raw = spark.read.schema(schema).json(path)
+
+    // kind records are metadata-scale (|kinds|, not |nodes|) — the one
+    // sanctioned driver-side collect, same as the kind-pair enumeration
+    import org.apache.spark.sql.Row
+    val embedded = raw.filter(col("type") === "kind")
+      .select("fqn", "properties").collect().toSeq.map { r =>
+        val props = r.getSeq[Row](1).map { p =>
+          graft.model.KindProperty(p.getString(0), p.getString(1),
+            !p.isNullAt(2) && p.getBoolean(2))
+        }
+        graft.model.Kind(r.getString(0), props)
+      }
+    val model =
+      if (embedded.nonEmpty) KindModel(embedded)
+      else fallback.getOrElse(throw new IllegalArgumentException(
+        "graph export carries no kind records and no fallback model was given " +
+          "(expected {\"type\":\"kind\",\"fqn\":…,\"properties\":[…]} lines)"))
+
     Graph(
       nodes = raw.filter(col("type") === "node").select("id", "kind", "reported"),
       edges = raw.filter(col("type") === "edge")

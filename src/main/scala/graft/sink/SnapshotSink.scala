@@ -1,7 +1,7 @@
 package graft.sink
 
 import graft.config.{ArrowDest, DbDest, Destination, FileDestination, JdbcDestination}
-import org.apache.hadoop.fs.Path
+import org.apache.hadoop.fs.{FileUtil, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
@@ -56,23 +56,74 @@ object SnapshotSink {
         }
       case DbDest(cfg) =>
         tables.foreach { case (name, df) =>
-          flattenForSql(df).write.mode("overwrite")
+          val w = flattenForSql(df).write.mode("overwrite")
             .format("jdbc")
             .option("url", cfg.url)
             .option("dbtable", s"${name}__tmp")
             .option("batchsize", cfg.batchSize)
-            .save()
+          cfg.user.foreach(w.option("user", _))
+          cfg.password.foreach(w.option("password", _))
+          w.save()
         }
     }
     tables.keys.toSeq
   }
 
-  /** One commit per run — called exactly once, after the global barrier. */
-  def committer(dest: Destination, runId: String, tables: Seq[String]): SnapshotCommit =
+  /** One commit per run — called exactly once, after the global barrier.
+    * A bucket-bearing file destination (s3/gcs) gets the reference's
+    * write-locally-then-upload step (collect.py:108-149) appended to the
+    * local swap: promote `current`, then push every table directory to the
+    * bucket via the pluggable uploader.
+    */
+  def committer(
+      dest: Destination,
+      runId: String,
+      tables: Seq[String],
+      uploader: BucketUploader = HadoopBucketUploader): SnapshotCommit =
     dest match {
+      case ArrowDest(cfg) if cfg.bucket.isDefined =>
+        UploadingSnapshotCommit(FileSnapshotCommit(cfg.path, runId), cfg, tables, uploader)
       case ArrowDest(cfg) => FileSnapshotCommit(cfg.path, runId)
       case DbDest(cfg)    => JdbcSnapshotCommit(cfg, tables)
     }
+}
+
+/** Pushes one committed table directory to a cloud bucket. Pluggable so the
+  * pipeline is testable without cloud credentials (local-filesystem fake in
+  * EnginePipelineSpec); the default resolves the bucket through Hadoop's
+  * `s3a://`/`gs://` filesystems and fails loudly when no connector is on
+  * the classpath — a configured bucket is never silently ignored.
+  */
+trait BucketUploader extends Serializable {
+  def upload(spark: SparkSession, tableDir: Path, cfg: FileDestination): Unit
+}
+
+object HadoopBucketUploader extends BucketUploader {
+  def upload(spark: SparkSession, tableDir: Path, cfg: FileDestination): Unit = {
+    val scheme = if (cfg.provider.contains("gcs")) "gs" else "s3a"
+    val bucket = cfg.bucket.getOrElse(
+      throw new IllegalArgumentException("upload without bucket"))
+    val conf = spark.sparkContext.hadoopConfiguration
+    cfg.region.foreach(conf.set("fs.s3a.endpoint.region", _))
+    val target = new Path(s"$scheme://$bucket/${tableDir.getName}")
+    val srcFs = tableDir.getFileSystem(conf)
+    val dstFs = target.getFileSystem(conf) // throws if no s3a/gs connector
+    FileUtil.copy(srcFs, tableDir, dstFs, target, false, true, conf)
+  }
+}
+
+/** File swap first, then per-table upload of the promoted snapshot. */
+final case class UploadingSnapshotCommit(
+    inner: FileSnapshotCommit,
+    cfg: FileDestination,
+    tables: Seq[String],
+    uploader: BucketUploader) extends SnapshotCommit {
+  def commit(spark: SparkSession): Unit = {
+    inner.commit(spark)
+    tables.foreach { t =>
+      uploader.upload(spark, new Path(s"${inner.base}/current/$t"), cfg)
+    }
+  }
 }
 
 /** Deferred promotion handle: `commit()` runs once, after the global
@@ -86,34 +137,64 @@ final case class FileSnapshotCommit(base: String, runId: String) extends Snapsho
     val staging = new Path(s"$base/_staging/$runId")
     val current = new Path(s"$base/current")
     val retired = new Path(s"$base/_retired_$runId")
-    if (fs.exists(current)) fs.rename(current, retired)
-    require(fs.rename(staging, current), s"snapshot swap failed for $staging")
-    if (fs.exists(retired)) fs.delete(retired, true)
+    val hadCurrent = fs.exists(current)
+    if (hadCurrent) require(fs.rename(current, retired), s"could not retire $current")
+    // If promotion fails, roll the retired snapshot back so `current` is
+    // never left missing — a failed run must leave the previous snapshot
+    // readable (K3), not stranded under _retired_.
+    val promoted = try fs.rename(staging, current) catch {
+      case e: Throwable => if (hadCurrent) fs.rename(retired, current); throw e
+    }
+    if (!promoted) {
+      if (hadCurrent) fs.rename(retired, current)
+      throw new IllegalStateException(s"snapshot swap failed for $staging")
+    }
+    if (hadCurrent) fs.delete(retired, true)
   }
 }
 
 final case class JdbcSnapshotCommit(cfg: JdbcDestination, tables: Seq[String]) extends SnapshotCommit {
-  /** Dialect-specific rename DDL (SURVEY §7.4). */
-  private def renameSql(from: String, to: String): Seq[String] = cfg.dialect match {
-    case d if d.startsWith("derby") => Seq(s"RENAME TABLE $from TO $to")
-    case d if d.startsWith("mysql") | d.startsWith("mariadb") =>
-      Seq(s"RENAME TABLE $from TO $to")
-    case _ => Seq(s"""ALTER TABLE $from RENAME TO $to""") // sqlite/postgres/ansi
-  }
+
+  private def isMysqlFamily: Boolean =
+    cfg.dialect.startsWith("mysql") || cfg.dialect.startsWith("mariadb")
 
   def commit(spark: SparkSession): Unit = {
-    val conn = DriverManager.getConnection(cfg.url)
+    val props = new java.util.Properties()
+    cfg.user.foreach(props.setProperty("user", _))
+    cfg.password.foreach(props.setProperty("password", _))
+    val conn = DriverManager.getConnection(cfg.url, props)
     try {
       conn.setAutoCommit(false)
       val st = conn.createStatement()
-      val meta = conn.getMetaData
-      tables.foreach { t =>
-        // drop the previous snapshot's table, then promote __tmp
-        val rs = meta.getTables(null, null, null, Array("TABLE"))
-        val existing = Iterator.continually(rs)
-          .takeWhile(_.next()).map(_.getString("TABLE_NAME").toLowerCase).toSet
-        if (existing.contains(t.toLowerCase)) st.executeUpdate(s"DROP TABLE $t")
-        renameSql(s"${t}__tmp", t).foreach(st.executeUpdate)
+      // one metadata scan for the whole swap, not one per table (O(T), the
+      // per-table reflect was O(T²) round trips)
+      val rs = conn.getMetaData.getTables(null, null, null, Array("TABLE"))
+      val existing = Iterator.continually(rs)
+        .takeWhile(_.next()).map(_.getString("TABLE_NAME").toLowerCase).toSet
+      if (isMysqlFamily) {
+        // MySQL/MariaDB DDL auto-commits — a DROP+RENAME sequence cannot be
+        // rolled back, so the swap uses the one primitive those engines DO
+        // make atomic: a single multi-table RENAME statement. Old tables
+        // move aside and new ones promote in one step; the retired tables
+        // are dropped afterwards (failure there leaves garbage, not a
+        // half-swapped snapshot).
+        val renames = tables.flatMap { t =>
+          (if (existing.contains(t.toLowerCase)) Seq(s"$t TO ${t}__old") else Nil) :+
+            s"${t}__tmp TO $t"
+        }
+        st.executeUpdate(s"RENAME TABLE ${renames.mkString(", ")}")
+        tables.filter(t => existing.contains(t.toLowerCase))
+          .foreach(t => st.executeUpdate(s"DROP TABLE ${t}__old"))
+      } else {
+        // transactional-DDL dialects (postgres/sqlite/derby): DROP + RENAME
+        // inside one transaction, rolled back wholesale on any failure
+        tables.foreach { t =>
+          if (existing.contains(t.toLowerCase)) st.executeUpdate(s"DROP TABLE $t")
+          val rename =
+            if (cfg.dialect.startsWith("derby")) s"RENAME TABLE ${t}__tmp TO $t"
+            else s"ALTER TABLE ${t}__tmp RENAME TO $t"
+          st.executeUpdate(rename)
+        }
       }
       conn.commit()
     } catch {

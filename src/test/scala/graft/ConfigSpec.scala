@@ -72,6 +72,67 @@ class ConfigSpec extends AnyFunSuite {
     assert(GraftConfig.dialectAliases("mariadb") == "mariadb+pymysql")
   }
 
+  test("db string assembles user:pass@host:port/db?args like the reference") {
+    // mirror of util.py:31-55 component-by-component
+    assert(GraftConfig.dbString("mysql", Map(
+      "user" -> "u", "password" -> "p", "host" -> "h", "port" -> 3306,
+      "database" -> "db", "args" -> Map("ssl" -> "true")))
+      == "mysql+pymysql://u:p@h:3306/db?ssl=true")
+    // optional pieces drop out exactly as in the reference
+    assert(GraftConfig.dbString("postgresql", Map("host" -> "h", "database" -> "db"))
+      == "postgresql://h/db")
+    assert(GraftConfig.dbString("sqlite", Map("database" -> "c2s.db"))
+      == "sqlite:///c2s.db")
+    assert(GraftConfig.dbString("mariadb", Map("user" -> "u", "host" -> "h"))
+      == "mariadb+pymysql://u@h")
+  }
+
+  test("jdbc destination carries credentials and args from config") {
+    val c = GraftConfig.parse(
+      """sources:
+        |  example: {}
+        |destinations:
+        |  derby:
+        |    host: localhost
+        |    port: 1527
+        |    database: graft
+        |    user: app
+        |    password: "se#cret"
+        |    args:
+        |      ssl: basic
+        |""".stripMargin)
+    val DbDest(j) = c.destination: @unchecked
+    assert(j.url == "jdbc:derby://localhost:1527/graft?ssl=basic")
+    assert(j.user.contains("app"))
+    assert(j.password.contains("se#cret")) // '#' inside quotes is NOT a comment
+    assert(j.args == Map("ssl" -> "basic"))
+  }
+
+  test("missing jdbc drivers fail with the reference's install hints") {
+    def dest(d: String) = GraftConfig.parse(
+      s"sources:\n  example: {}\ndestinations:\n  $d:\n    database: x\n")
+    def hint(d: String): String =
+      intercept[IllegalStateException](dest(d)).getMessage
+    assert(hint("mysql").contains("pip install cloud2sql[mysql]"))
+    assert(hint("mariadb").contains("pip install cloud2sql[mysql]"))
+    assert(hint("postgresql").contains("pip install cloud2sql[postgresql]"))
+    assert(hint("snowflake").contains("pip install cloud2sql[snowflake]"))
+    assert(hint("mssql").contains("pymssql package"))
+    assert(hint("oracle").contains("cx_oracle package"))
+    assert(hint("sqlite").contains("required dependencies"))
+    // derby's driver IS on the classpath: parses fine
+    val DbDest(j) = dest("derby").destination: @unchecked
+    assert(j.dialect == "derby")
+  }
+
+  test("yaml comments are stripped only outside quotes (MiniYaml)") {
+    assert(MiniYaml.stripComment("""password: "ab#cd"""") == """password: "ab#cd"""")
+    assert(MiniYaml.stripComment("key: value # trailing") == "key: value ")
+    assert(MiniYaml.stripComment("# full line") == "")
+    assert(MiniYaml.stripComment("key: a#b") == "key: a#b") // no preceding space: not a comment
+    assert(MiniYaml.stripComment("key: 'x # y' # real") == "key: 'x # y' ")
+  }
+
   test("s3 bucket normalizer handles the reference's four URI shapes") {
     assert(UriNormalizer.s3Bucket("s3://bkt/path/x").contains("bkt"))
     assert(UriNormalizer.s3Bucket("https://bkt.s3.eu-1.amazonaws.com/y").contains("bkt"))

@@ -79,6 +79,30 @@ class EnginePipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("s3 destination uploads every table to the bucket after the swap") {
+    val base = Files.createTempDirectory("graft-s3stage").toString
+    val bucketRoot = Files.createTempDirectory("graft-fake-bucket")
+    // local-filesystem fake standing in for the s3a/gs connector; the
+    // commit path (stage -> swap -> per-table upload) is the real one
+    val fake = new graft.sink.BucketUploader {
+      def upload(s: SparkSession, tableDir: org.apache.hadoop.fs.Path,
+                 cfg: FileDestination): Unit = {
+        val conf = s.sparkContext.hadoopConfiguration
+        val fs = tableDir.getFileSystem(conf)
+        val dst = new org.apache.hadoop.fs.Path(
+          bucketRoot.resolve(cfg.bucket.get).resolve(tableDir.getName).toString)
+        org.apache.hadoop.fs.FileUtil.copy(fs, tableDir, fs, dst, false, true, conf)
+      }
+    }
+    val dest = ArrowDest(FileDestination("parquet", base, 100000,
+      Some("mybkt"), Some("eu-central-1"), Some("s3")))
+    Runner.run(spark, cfg(dest), registry, uploader = fake)
+    ExampleSource.expectedCounts.foreach { case (table, n) =>
+      val obj = bucketRoot.resolve("mybkt").resolve(table)
+      assert(spark.read.parquet(obj.toString).count() == n, s"bucket object $table")
+    }
+  }
+
   test("nested tags survive as MapType in parquet, degrade to JSON in csv") {
     val base = Files.createTempDirectory("graft-fidelity").toString
     Runner.run(spark, cfg(ArrowDest(FileDestination("parquet", base))), registry)

@@ -1,0 +1,66 @@
+package graft
+
+import graft.graph.GraphNormalizer
+import graft.sources.ExampleSource
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+import scala.jdk.CollectionConverters._
+
+/** A3 remote-graph source (reference collect.py:60-63): write the example
+  * graph as a JSON-lines export — kind records first (the model travels
+  * with the export), then nodes with the `reported` document embedded as a
+  * JSON object, then edges — ingest it back and require the reference's
+  * verbatim 13-table/count oracle.
+  */
+class GraphExportSpec extends AnyFunSuite {
+  private lazy val spark = SparkSuite.spark
+
+  private def exportLines: Seq[String] = {
+    val g = ExampleSource.collect(spark)
+    val kindLines = ExampleSource.model.kinds.map { k =>
+      val props = k.properties.map { p =>
+        s"""{"name":"${p.name}","kind":"${p.kind}","required":${p.required}}"""
+      }.mkString("[", ",", "]")
+      s"""{"type":"kind","fqn":"${k.fqn}","properties":$props}"""
+    }
+    val nodeLines = g.nodes.collect().toSeq.map { r =>
+      // `reported` embedded as an object, not an escaped string — the
+      // ingest must capture it back to raw text
+      s"""{"type":"node","id":"${r.getString(0)}","kind":"${r.getString(1)}","reported":${r.getString(2)}}"""
+    }
+    val edgeLines = g.edges.collect().toSeq.map { r =>
+      s"""{"type":"edge","from":"${r.getString(0)}","to":"${r.getString(1)}"}"""
+    }
+    kindLines ++ nodeLines ++ edgeLines
+  }
+
+  test("JSON-lines export round-trips through graph_export to the 13-table oracle") {
+    val dir = Files.createTempDirectory("graft-export")
+    Files.write(dir.resolve("graph.jsonl"), exportLines.asJava)
+
+    val g = GraphNormalizer.fromJsonExport(spark, dir.toString)
+    assert(g.model.kinds.map(_.fqn).toSet == ExampleSource.model.kinds.map(_.fqn).toSet)
+
+    val tables = GraphNormalizer.normalize(g)
+    assert(tables.keySet == ExampleSource.expectedCounts.keySet)
+    ExampleSource.expectedCounts.foreach { case (t, n) =>
+      assert(tables(t).count() == n, s"table $t")
+    }
+    // property fidelity through the object-embedded `reported` document
+    val inst = tables("example_instance").orderBy("id").collect()
+    assert(inst.map(_.getAs[Long]("instance_cores")).toSeq == Seq(4L, 8L))
+  }
+
+  test("export without kind records is rejected unless a fallback model is given") {
+    val dir = Files.createTempDirectory("graft-export-nomodel")
+    val noKinds = exportLines.filterNot(_.contains("\"type\":\"kind\""))
+    Files.write(dir.resolve("graph.jsonl"), noKinds.asJava)
+    val e = intercept[IllegalArgumentException](
+      GraphNormalizer.fromJsonExport(spark, dir.toString))
+    assert(e.getMessage.contains("no kind records"))
+    // explicit fallback model still works (library entry point)
+    val g = GraphNormalizer.fromJsonExport(spark, dir.toString, Some(ExampleSource.model))
+    assert(GraphNormalizer.normalize(g)("example_region").count() == 2)
+  }
+}
