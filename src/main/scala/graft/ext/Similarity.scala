@@ -11,39 +11,104 @@ import org.apache.spark.sql.expressions.Window
   *  - `q_embed_topk`: brute-force cosine top-k — the correctness baseline.
   *    The probe set is broadcast, so the scan side streams once with no
   *    shuffle; cost O(|Q|·N) compute, O(N) IO.
-  *  - `q_embed_lsh`: sign-LSH (random-hyperplane style, here axis-aligned
-  *    deterministic planes) — candidates are restricted to the probe's
-  *    bucket via an equi-join on the bucket id, which Spark shuffles by
-  *    bucket: the 100 TB-scale path (per-bucket locality, no full scan per
-  *    probe).
+  *  - `q_embed_lsh`: sign-LSH over L=4 hash tables × b=16 seeded
+  *    pseudo-random hyperplanes each (64 planes total, 2^16 buckets per
+  *    table) with 1-bit multi-probe on the query side. Candidates come from
+  *    an equi-join on (table, bucket) — work per probe scales with bucket
+  *    occupancy (N/2^16 per table), not with N. Scaling rule: grow b with
+  *    log2(N) to hold bucket occupancy constant; grow L / probe radius to
+  *    buy recall.
   *
-  * Dot products use `zip_with`+`aggregate` built-ins — codegen'd, no UDF.
+  * The hyperplanes are integer-arithmetic-derived (exact in both engines,
+  * no libm calls), so the DuckDB oracle reproduces them bit-for-bit.
   */
 object Similarity {
 
-  private def dot(a: Column, b: Column): Column =
+  def dot(a: Column, b: Column): Column =
     graft.functions.DotProduct.dot_product(a, b)
 
-  private def cosine(a: Column, b: Column): Column =
+  def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
 
   /** (vec_id, v): embeddings widened to double for exact-order parity. */
-  private def vecs(s: SparkSession, d: String): DataFrame =
+  private[ext] def vecs(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d).select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
 
   private val DotSql = "list_dot_product"
   private def cosSql(a: String, b: String): String =
     s"round($DotSql($a, $b) / (sqrt($DotSql($a, $a)) * sqrt($DotSql($b, $b))), 6)"
 
-  private val bucketSql =
-    """(CASE WHEN v[1] > 0 THEN 8 ELSE 0 END + CASE WHEN v[9] > 0 THEN 4 ELSE 0 END
-      | + CASE WHEN v[17] > 0 THEN 2 ELSE 0 END + CASE WHEN v[25] > 0 THEN 1 ELSE 0 END)""".stripMargin
+  // ---------------- sign-LSH: seeded hyperplanes ----------------
+  val Tables_L = 4  // hash tables
+  val Bits_B   = 16 // hyperplane bits per table -> 2^16 buckets/table
+  val Dim      = 64
 
-  private def bucket(v: Column): Column =
-    when(element_at(v, 1) > 0, 8).otherwise(0) +
-      when(element_at(v, 9) > 0, 4).otherwise(0) +
-      when(element_at(v, 17) > 0, 2).otherwise(0) +
-      when(element_at(v, 25) > 0, 1).otherwise(0)
+  /** Plane weights from pure integer arithmetic: exactly reproducible in
+    * SQL (no RNG, no libm). w(i,j) ∈ [-1, 1] with ~uniform spread.
+    */
+  private def planeWeight(i: Int, j: Int): Double =
+    ((((i * 2654435761L + j * 40503L) * 69069L + 12345L) % 2147483647L) % 2001L - 1000L) / 1000.0
+
+  private[ext] val Planes: IndexedSeq[Seq[Double]] =
+    (0 until Tables_L * Bits_B).map(i => (0 until Dim).map(j => planeWeight(i, j)))
+
+  /** Per-row bucket array, one 16-bit bucket per hash table. Evaluated as
+    * 64 codegen'd dot products — columnar, zero shuffle.
+    */
+  private def bucketArray(v: Column): Column =
+    array((0 until Tables_L).map { t =>
+      (0 until Bits_B).map { b =>
+        when(dot(v, typedLit(Planes(t * Bits_B + b))) > 0, lit(1L << b)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }: _*)
+
+  /** (vec_id, v, tbl, bucket): LSH index rows, L per vector. */
+  def lshSignatures(vecDf: DataFrame): DataFrame =
+    vecDf.select(col("vec_id"), col("v"), posexplode(bucketArray(col("v"))).as(Seq("tbl", "bucket")))
+
+  /** 1-bit multi-probe: the probe's own bucket plus every 1-bit flip —
+    * 17 lookup keys per (probe, table), query-side only.
+    */
+  private def probeBuckets(bucket: Column): Column =
+    array(bucket +: (0 until Bits_B).map(f => bucket.bitwiseXOR(lit(1L << f))): _*)
+
+  /** Distinct (qid, cand) candidate pairs for probes selected by `probePred`
+    * — an equi-join on (tbl, bucket), shuffled by bucket: the sublinear
+    * scale path (never compares a probe against the full corpus).
+    */
+  def lshCandidates(sigs: DataFrame, probePred: Column): DataFrame = {
+    val probes = sigs.filter(probePred)
+      .select(col("vec_id").as("qid"), col("tbl"),
+              explode(probeBuckets(col("bucket"))).as("bucket"))
+    probes.join(sigs.select(col("vec_id").as("cand"), col("tbl"), col("bucket")),
+                Seq("tbl", "bucket"))
+      .filter(col("cand") =!= col("qid"))
+      .select("qid", "cand").distinct()
+  }
+
+  /** Cosine-scored top-k among LSH candidates. */
+  def lshTopK(vecDf: DataFrame, probePred: Column, k: Int): DataFrame = {
+    val sigs = lshSignatures(vecDf)
+    val cands = lshCandidates(sigs, probePred)
+    val scored = cands
+      .join(vecDf.select(col("vec_id").as("qid"), col("v").as("qv")), Seq("qid"))
+      .join(vecDf.select(col("vec_id").as("cand"), col("v").as("cv")), Seq("cand"))
+      .select(col("qid"), col("cand"), round(cosine(col("qv"), col("cv")), 6).as("cos_r"))
+    val w = Window.partitionBy("qid").orderBy(col("cos_r").desc, col("cand").asc)
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+  }
+
+  /** The same plane/signature/probe pipeline as DuckDB SQL fragments. */
+  private val planesSql =
+    s"""SELECT i, j,
+       |  ((((i*2654435761 + j*40503) * 69069 + 12345) % 2147483647) % 2001 - 1000) / 1000.0 AS w
+       |FROM range(${Tables_L * Bits_B}) t(i), range($Dim) u(j)""".stripMargin
+  private val sigsSql =
+    s"""SELECT vec_id, tbl, CAST(sum(CASE WHEN dp > 0 THEN 1 << bit ELSE 0 END) AS BIGINT) AS bucket
+       |FROM (
+       |  SELECT vec_id, i // $Bits_B AS tbl, i % $Bits_B AS bit, sum(v[j + 1] * w) AS dp
+       |  FROM e, planes GROUP BY 1, 2, 3
+       |) GROUP BY vec_id, tbl""".stripMargin
 
   val queries: Seq[Q] = Seq(
 
@@ -71,29 +136,30 @@ object Similarity {
         .orderBy("qid", "rn")
     },
 
-    // ---- sign-LSH bucketed top-1: equi-join on bucket id ----
+    // ---- multi-table multi-probe sign-LSH top-1 ----
     Q("q_embed_lsh",
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |b AS (SELECT vec_id, v, $bucketSql AS bkt FROM e),
-         |q AS (SELECT * FROM b WHERE vec_id < 20),
-         |sims AS (
-         |  SELECT q.vec_id AS qid, c.vec_id AS cand, ${cosSql("q.v", "c.v")} AS cos_r
-         |  FROM q JOIN b c ON q.bkt = c.bkt AND c.vec_id <> q.vec_id
+         |planes AS ($planesSql),
+         |sigs AS ($sigsSql),
+         |probes AS (
+         |  SELECT s.vec_id AS qid, s.tbl,
+         |    CAST(xor(s.bucket, CASE WHEN f < 0 THEN 0 ELSE 1 << f END) AS BIGINT) AS bucket
+         |  FROM (SELECT * FROM sigs WHERE vec_id < 20) s, range(-1, $Bits_B) r(f)
+         |),
+         |cand AS (
+         |  SELECT DISTINCT p.qid, c.vec_id AS cand
+         |  FROM probes p JOIN sigs c ON p.tbl = c.tbl AND p.bucket = c.bucket AND c.vec_id <> p.qid
+         |),
+         |scored AS (
+         |  SELECT qid, cand, ${cosSql("qv.v", "cv.v")} AS cos_r
+         |  FROM cand JOIN e qv ON qv.vec_id = qid JOIN e cv ON cv.vec_id = cand
          |)
          |SELECT qid, cand, cos_r FROM (
          |  SELECT qid, cand, cos_r,
          |    row_number() OVER (PARTITION BY qid ORDER BY cos_r DESC, cand) AS rn
-         |  FROM sims
+         |  FROM scored
          |) WHERE rn = 1 ORDER BY qid""".stripMargin) { (s, d) =>
-      val b = vecs(s, d).withColumn("bkt", bucket(col("v")))
-      val q = b.select(col("vec_id").as("qid"), col("v").as("qv"), col("bkt"))
-        .filter(col("qid") < 20)
-      val sims = b.select(col("vec_id").as("cand"), col("v"), col("bkt"))
-        .join(q, Seq("bkt"))
-        .filter(col("cand") =!= col("qid"))
-        .select(col("qid"), col("cand"), round(cosine(col("qv"), col("v")), 6).as("cos_r"))
-      val w = Window.partitionBy("qid").orderBy(col("cos_r").desc, col("cand").asc)
-      sims.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      lshTopK(vecs(s, d), col("vec_id") < 20, 1)
         .select("qid", "cand", "cos_r")
         .orderBy("qid")
     }

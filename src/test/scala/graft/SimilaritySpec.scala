@@ -1,0 +1,79 @@
+package graft
+
+import graft.ext.Similarity
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.scalatest.funsuite.AnyFunSuite
+
+/** LSH quality properties (SURVEY §2.I3). The driver testdata embeddings
+  * are near-orthogonal random vectors — there, ANY sublinear method has
+  * low recall because no true near neighbors exist. Recall is therefore
+  * measured on planted near-duplicates (seeded, deterministic): each base
+  * vector gets a noisy twin at cosine ≈ 0.95+, and the LSH index must
+  * retrieve the twin as top-1 for most probes while examining only a small
+  * fraction of the corpus.
+  */
+class SimilaritySpec extends AnyFunSuite {
+  private lazy val spark = SparkSuite.spark
+
+  private val nBase = 60
+  private lazy val planted = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    def unit(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    val rows = (0 until nBase).flatMap { i =>
+      val base = unit(Array.fill(Similarity.Dim)(rnd.nextGaussian()))
+      // per-dim sigma 0.03 -> ||noise|| ~ 0.03*sqrt(64) = 0.24 -> cos ~ 0.97
+      val noisy = unit(base.zip(Array.fill(Similarity.Dim)(rnd.nextGaussian() * 0.03))
+        .map { case (b, e) => b + e })
+      Seq((2L * i, base.toSeq), (2L * i + 1, noisy.toSeq))
+    }
+    rows.toDF("vec_id", "v")
+  }
+
+  test("planted near-duplicates: LSH top-1 recall >= 0.8, candidates sublinear") {
+    val probePred = col("vec_id") % 2 === 0 // probe with the clean vectors
+    val sigs = Similarity.lshSignatures(planted)
+    val cands = Similarity.lshCandidates(sigs, probePred).cache()
+
+    // sublinearity: no probe examines more than 25% of the corpus, and the
+    // average candidate set is far below it
+    val perProbe = cands.groupBy("qid").agg(count(lit(1)).as("n"))
+      .agg(max("n").as("mx"), avg("n").as("av")).head()
+    assert(perProbe.getLong(0) <= (2L * nBase) / 4, s"max candidates ${perProbe.getLong(0)}")
+
+    // recall@1: the noisy twin must surface as the top-scored candidate
+    val top1 = Similarity.lshTopK(planted, probePred, 1)
+      .select(col("qid"), col("cand")).collect()
+    val hits = top1.count(r => r.getLong(1) == r.getLong(0) + 1)
+    assert(hits >= (nBase * 0.8).toInt, s"recall@1 = $hits/$nBase")
+  }
+
+  test("LSH agrees with brute force whenever the true top-1 is a candidate") {
+    import spark.implicits._
+    val probePred = col("vec_id") % 2 === 0
+    // brute-force ground truth over the planted corpus
+    val q = planted.filter(probePred).select(col("vec_id").as("qid"), col("v").as("qv"))
+    val bf = planted.select(col("vec_id").as("cand"), col("v"))
+      .join(broadcast(q), col("cand") =!= col("qid"))
+      .select(col("qid"), col("cand"),
+        Similarity.cosine(col("qv"), col("v")).as("cos"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cand").asc)
+    val bfTop = bf.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("qid"), col("cand").as("bf_cand"))
+
+    val lshTop = Similarity.lshTopK(planted, probePred, 1)
+      .select(col("qid"), col("cand").as("lsh_cand"))
+    val cands = Similarity.lshCandidates(Similarity.lshSignatures(planted), probePred)
+
+    // whenever LSH's candidate set contains the true neighbor, its top-1 IS
+    // the true neighbor (scoring is exact; only candidate recall is approx)
+    val joined = bfTop
+      .join(cands.withColumnRenamed("cand", "bf_cand"), Seq("qid", "bf_cand"), "left_semi")
+      .join(lshTop, Seq("qid"))
+    val disagree = joined.filter(col("bf_cand") =!= col("lsh_cand")).count()
+    assert(disagree == 0)
+  }
+}
