@@ -1,23 +1,80 @@
 package graft
 
 import graft.config.GraftConfig
-import graft.engine.{ProgressListener, Runner, Source}
+import graft.engine.{AnalyticsEventSender, NoopEventSender, ProgressListener, NoopProgress, Runner, Source}
 import graft.graph.{Graph, GraphNormalizer}
 import graft.sources.ExampleSource
 import org.apache.spark.sql.SparkSession
 
 import java.nio.file.{Files, Paths}
 
-/** CLI entry — the reference's `cloud2sql --config cfg.yaml` surface
-  * (cloud2sql __main__.py:24-97): parse config, resolve sources, run the
-  * engine, print the per-source report.
+/** CLI entry — the reference's `cloud2sql` argument surface
+  * (cloud2sql __main__.py:24-97): `--config`, `--show progress|log|none`,
+  * `--debug`, `--version`, `--create-config`, `--analytics-opt-out`, with
+  * every flag also settable through the environment (`GRAFT_<FLAG>`;
+  * `CLOUD2SQL_<FLAG>` accepted for drop-in parity with the reference's
+  * env_args_prefix).
   *
   * Built-in source registry:
   *  - `example`: the deterministic fixture graph (reference test collector)
   *  - `graph_export`: JSON-lines node/edge export ingest (reference A3);
-  *    config keys: `path`, plus the example kind model unless extended.
+  *    config key `path`; the kind model arrives embedded in the export.
   */
 object Main {
+
+  val Version = "0.9.0"
+
+  final case class CliArgs(
+      config: Option[String] = None,
+      show: String = "progress",
+      debug: Boolean = false,
+      analyticsOptOut: Boolean = false,
+      version: Boolean = false,
+      createConfig: Boolean = false)
+
+  private val showChoices = Set("progress", "log", "none")
+
+  /** argparse-style parsing with env fallback (reference __main__.py:24-28).
+    * CLI flags win over environment values.
+    */
+  def parseArgs(argv: Seq[String], env: Map[String, String] = sys.env): CliArgs = {
+    def envFlag(name: String): Option[String] =
+      env.get(s"GRAFT_$name").orElse(env.get(s"CLOUD2SQL_$name"))
+    var a = CliArgs(
+      config = envFlag("CONFIG"),
+      show = envFlag("SHOW").getOrElse("progress"),
+      debug = envFlag("DEBUG").exists(_.toBoolean),
+      analyticsOptOut = envFlag("ANALYTICS_OPT_OUT").exists(_.toBoolean))
+    var rest = argv.toList
+    while (rest.nonEmpty) rest = rest match {
+      case "--config" :: v :: t            => a = a.copy(config = Some(v)); t
+      case "--show" :: v :: t              =>
+        require(showChoices(v), s"argument --show: invalid choice: '$v' (choose from ${showChoices.mkString(", ")})")
+        a = a.copy(show = v); t
+      case "--debug" :: t                  => a = a.copy(debug = true); t
+      case "--version" :: t                => a = a.copy(version = true); t
+      case "--create-config" :: t          => a = a.copy(createConfig = true); t
+      case "--analytics-opt-out" :: t      => a = a.copy(analyticsOptOut = true); t
+      case other :: _ => throw new IllegalArgumentException(s"unrecognized argument: $other")
+    }
+    if (!a.version && !a.createConfig)
+      require(a.config.nonEmpty, "The following arguments are required: --config")
+    a
+  }
+
+  /** `--create-config` output (reference __main__.py:59-62): the source
+    * defaults plus the default sqlite destination, verbatim database name.
+    */
+  def createConfigYaml: String =
+    """sources:
+      |  example: {}
+      |  # graph_export:
+      |  #   path: /path/to/graph.jsonl
+      |destinations:
+      |  sqlite:
+      |    database: cloud2sql.db
+      |""".stripMargin
+
   def registry: Map[String, Source] = Map(
     "example" -> new Source {
       val name = "example"
@@ -29,13 +86,14 @@ object Main {
         throw new IllegalArgumentException("graph_export requires a path (set via config)")
     })
 
-  def main(args: Array[String]): Unit = {
-    val configPath = args.toSeq match {
-      case Seq("--config", p) => p
-      case Seq(p)             => p
-      case _ => sys.error("usage: graft.Main --config <config.yaml>")
+  def main(argv: Array[String]): Unit = {
+    val args = try parseArgs(argv.toSeq) catch {
+      case e: IllegalArgumentException => sys.error(e.getMessage)
     }
-    val config = GraftConfig.parse(Files.readString(Paths.get(configPath)))
+    if (args.version) { println(s"Graft Version $Version (cloud2sql-compatible)"); return }
+    if (args.createConfig) { print(createConfigYaml); return }
+
+    val config = GraftConfig.parse(Files.readString(Paths.get(args.config.get)))
 
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[32]"))
@@ -44,7 +102,8 @@ object Main {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.setLogLevel(
+      if (args.show == "log") { if (args.debug) "DEBUG" else "INFO" } else "ERROR")
 
     // wire config-driven sources: graph_export picks its path from config;
     // its kind model arrives embedded in the export (no hardcoded schema)
@@ -60,13 +119,20 @@ object Main {
       case other => other
     }
 
-    val stderrProgress: ProgressListener = new ProgressListener {
-      def progress(source: String, message: String): Unit =
-        System.err.println(s"[progress] $source: $message")
-    }
+    val progress: ProgressListener =
+      if (args.show == "none") NoopProgress
+      else new ProgressListener {
+        def progress(source: String, message: String): Unit =
+          System.err.println(s"[progress] $source: $message")
+        override def progressDone(task: String, current: Int, total: Int): Unit =
+          System.err.println(s"[progress] $task: $current/$total")
+      }
+    // analytics default to no-op either way — this engine never phones
+    // home; the flag is accepted for CLI parity and forces Noop explicitly
+    val sender: AnalyticsEventSender = NoopEventSender
 
     try {
-      val report = Runner.run(spark, config, wired, stderrProgress)
+      val report = Runner.run(spark, config, wired, progress, sender = sender)
       report.sources.foreach { s =>
         println(s"${s.name}: ${s.nodes} nodes, ${s.edges} edges")
       }

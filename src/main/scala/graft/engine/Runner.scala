@@ -25,15 +25,32 @@ final case class RunReport(sources: Seq[SourceReport]) {
   def totalEdges: Long = sources.map(_.edges).sum
 }
 
-/** Progress feedback surface (K4) — the reference streams JSON progress
-  * messages to a UI thread (collect.py:165-189); we expose the same
-  * message points as a listener. Analytics events (K5) default to no-op:
+/** Progress feedback surface (K4) — the reference streams progress
+  * messages to a UI thread (collect.py:165-189) including task-completion
+  * ticks (`feedback.progress_done(task, current, total)`, collect.py:199-202);
+  * both message points are exposed here with the same shape. Analytics
+  * events (K5) go through [[AnalyticsEventSender]] and default to no-op:
   * this engine never phones home.
   */
 trait ProgressListener extends Serializable {
   def progress(source: String, message: String): Unit
+  /** The reference's progress_done(task, current, total) tick. */
+  def progressDone(task: String, current: Int, total: Int): Unit = ()
 }
 object NoopProgress extends ProgressListener { def progress(s: String, m: String): Unit = () }
+
+/** K5 analytics interface, schema-compatible with the reference's PostHog
+  * sender (collect.py:183-197: one "collect" event carrying
+  * {total, engine, <src>: 1, <src>_nodes, <src>_edges}; "error" on
+  * failure). The default sender drops everything.
+  */
+trait AnalyticsEventSender extends Serializable {
+  def capture(event: String, props: Map[String, Any]): Unit
+  def flush(): Unit = ()
+}
+object NoopEventSender extends AnalyticsEventSender {
+  def capture(event: String, props: Map[String, Any]): Unit = ()
+}
 
 /** The engine runner (SURVEY.md §3.1 Spark-native equivalent):
   * per-source pipelines run as parallel jobs on one SparkSession (the
@@ -49,7 +66,8 @@ object Runner {
       config: GraftConfig,
       registry: Map[String, Source],
       progress: ProgressListener = NoopProgress,
-      uploader: graft.sink.BucketUploader = graft.sink.HadoopBucketUploader): RunReport = {
+      uploader: graft.sink.BucketUploader = graft.sink.HadoopBucketUploader,
+      sender: AnalyticsEventSender = NoopEventSender): RunReport = {
 
     // source-enable filter (B3): only configured sources are instantiated
     val active = registry.filter { case (key, _) => config.sources.contains(key) }
@@ -80,12 +98,36 @@ object Runner {
       // Future.sequence fails as soon as ANY source fails — the first error
       // surfaces immediately (true as-completed fail-fast) instead of after
       // every earlier-submitted source happens to finish; no swap happens.
-      val results = Await.result(Future.sequence(futures), Duration.Inf)
+      val results = Try(Await.result(Future.sequence(futures), Duration.Inf)) match {
+        case Success(r) => r
+        case Failure(e) =>
+          // reference error path: analytics error event, flush, no swap
+          sender.capture("error", Map("error" -> String.valueOf(e.getMessage)))
+          sender.flush()
+          throw e
+      }
 
-      // atomic snapshot swap, once, after all sources succeeded (K2)
-      progress.progress("engine", "swapping snapshot")
+      // reference analytics payload: {total, engine, <src>: 1,
+      // <src>_nodes, <src>_edges} in ONE "collect" event (collect.py:183-196)
+      val engineName = config.destination match {
+        case graft.config.DbDest(c) => c.dialect
+        case _                      => "file"
+      }
+      val analytics: Map[String, Any] =
+        Map("total" -> active.size, "engine" -> engineName) ++
+          active.keys.map(_ -> 1) ++
+          results.flatMap { case (r, _) =>
+            Seq(s"${r.name}_nodes" -> r.nodes, s"${r.name}_edges" -> r.edges)
+          }
+      sender.capture("collect", analytics)
+
+      // atomic snapshot swap, once, after all sources succeeded (K2);
+      // progress ticks mirror collect.py:199-202
+      val swapTask = "Make latest snapshot available"
+      progress.progressDone(swapTask, 0, 1)
       SnapshotSink.committer(config.destination, runId,
         results.flatMap(_._2), uploader).commit(spark)
+      progress.progressDone(swapTask, 1, 1)
       RunReport(results.map(_._1))
     } finally pool.shutdown()
   }

@@ -103,6 +103,20 @@ class EnginePipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("analytics 'collect' event carries the reference's payload schema") {
+    val base = Files.createTempDirectory("graft-analytics").toString
+    val rec = scala.collection.mutable.Map[String, Map[String, Any]]()
+    val sender = new graft.engine.AnalyticsEventSender {
+      def capture(e: String, p: Map[String, Any]): Unit = rec(e) = p
+    }
+    Runner.run(spark, cfg(ArrowDest(FileDestination("parquet", base))), registry,
+      sender = sender)
+    // reference: {total, engine, <src>: 1, <src>_nodes, <src>_edges}
+    val p = rec("collect")
+    assert(p("total") == 1 && p("engine") == "file" && p("example") == 1)
+    assert(p("example_nodes") == 10L && p("example_edges") == 13L)
+  }
+
   test("nested tags survive as MapType in parquet, degrade to JSON in csv") {
     val base = Files.createTempDirectory("graft-fidelity").toString
     Runner.run(spark, cfg(ArrowDest(FileDestination("parquet", base))), registry)

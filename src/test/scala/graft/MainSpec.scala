@@ -1,0 +1,40 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** CLI argument surface parity (reference __main__.py:24-66). */
+class MainSpec extends AnyFunSuite {
+
+  test("flags parse; CLI wins over environment; env prefix accepted") {
+    val a = Main.parseArgs(Seq("--config", "/x.yaml", "--show", "none", "--debug"))
+    assert(a == Main.CliArgs(Some("/x.yaml"), "none", debug = true))
+
+    val fromEnv = Main.parseArgs(Nil, Map("GRAFT_CONFIG" -> "/env.yaml"))
+    assert(fromEnv.config.contains("/env.yaml"))
+    val refPrefix = Main.parseArgs(Nil, Map("CLOUD2SQL_CONFIG" -> "/ref.yaml", "CLOUD2SQL_SHOW" -> "log"))
+    assert(refPrefix.config.contains("/ref.yaml") && refPrefix.show == "log")
+    val cliWins = Main.parseArgs(Seq("--config", "/cli.yaml"), Map("GRAFT_CONFIG" -> "/env.yaml"))
+    assert(cliWins.config.contains("/cli.yaml"))
+  }
+
+  test("--version and --create-config do not require --config") {
+    assert(Main.parseArgs(Seq("--version")).version)
+    assert(Main.parseArgs(Seq("--create-config")).createConfig)
+    val e = intercept[IllegalArgumentException](Main.parseArgs(Nil, Map.empty))
+    assert(e.getMessage.contains("The following arguments are required: --config"))
+  }
+
+  test("--show rejects unknown choices (argparse wording)") {
+    val e = intercept[IllegalArgumentException](
+      Main.parseArgs(Seq("--config", "/x", "--show", "fancy")))
+    assert(e.getMessage.contains("invalid choice"))
+  }
+
+  test("--create-config output is loadable and defaults to the sqlite destination") {
+    val tree = graft.config.MiniYaml.parse(Main.createConfigYaml)
+    assert(tree.contains("sources") && tree.contains("destinations"))
+    val dests = tree("destinations").asInstanceOf[Map[String, Any]]
+    assert(dests.keySet == Set("sqlite"))
+    assert(dests("sqlite").asInstanceOf[Map[String, Any]]("database") == "cloud2sql.db")
+  }
+}
