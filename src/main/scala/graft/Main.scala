@@ -101,6 +101,7 @@ object Main {
       .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true") // events.ts INT64(NANOS)
       .getOrCreate()
     spark.sparkContext.setLogLevel(
       if (args.show == "log") { if (args.debug) "DEBUG" else "INFO" } else "ERROR")

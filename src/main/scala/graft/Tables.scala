@@ -32,7 +32,10 @@ object Tables {
     */
   def events(s: SparkSession, d: String): DataFrame = {
     // Spark's parquet reader rejects TIMESTAMP(NANOS) outright unless the
-    // legacy conf surfaces it as a raw nano count (runtime-settable).
+    // legacy conf surfaces it as a raw nano count. All graft entry points
+    // set it at session build; this defensive set (same constant value, so
+    // idempotent — nothing observable leaks) keeps the loader correct for
+    // arbitrary caller-provided sessions too.
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = s.read.parquet(path(d, "events"))
     raw.schema("ts").dataType match {

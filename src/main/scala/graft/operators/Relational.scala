@@ -75,6 +75,23 @@ object Relational {
         .groupBy("p_type").agg(count(lit(1)).as("n")).orderBy("p_type")
     },
 
+    // ---- §2.B4: NOT IN with three-valued logic — a NULL subject makes
+    // `NOT IN` UNKNOWN, so NULL rows are filtered in BOTH engines; n_null
+    // pins that no NULL survives the predicate ----
+    Q("q_filter_not_in",
+      """SELECT count(*) AS n_kept,
+        |  CAST(sum(CASE WHEN st IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+        |  count(DISTINCT st) AS n_status
+        |FROM (SELECT nullif(o_orderstatus, 'P') AS st FROM orders)
+        |WHERE st NOT IN ('O')""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .select(nullif(col("o_orderstatus"), lit("P")).as("st"))
+        .filter(!col("st").isin("O"))
+        .agg(count(lit(1)).as("n_kept"),
+             sum(when(col("st").isNull, 1).otherwise(0)).as("n_null"),
+             countDistinct(col("st")).as("n_status"))
+    },
+
     // ---- §2.C1: 4-way equi inner join (broadcast small dims) ----
     Q("q_join_revenue_by_nation",
       """SELECT n_name,

@@ -9,6 +9,7 @@ object SparkSuite {
     .appName("graft-test")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true") // events.ts INT64(NANOS)
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 }
