@@ -120,24 +120,34 @@ object Main {
       case other => other
     }
 
-    val progress: ProgressListener =
-      if (args.show == "none") NoopProgress
-      else new ProgressListener {
+    // reference show modes: progress -> live renderer (1 s repaint + final
+    // replay); log -> plain lines (logging shows the detail); none -> quiet
+    val renderer: Option[graft.engine.ConsoleProgressRenderer] =
+      if (args.show == "progress") Some(new graft.engine.ConsoleProgressRenderer()) else None
+    val progress: ProgressListener = args.show match {
+      case "progress" => renderer.get
+      case "log" => new ProgressListener {
         def progress(source: String, message: String): Unit =
           System.err.println(s"[progress] $source: $message")
         override def progressDone(task: String, current: Int, total: Int): Unit =
           System.err.println(s"[progress] $task: $current/$total")
       }
+      case _ => NoopProgress
+    }
     // analytics default to no-op either way — this engine never phones
     // home; the flag is accepted for CLI parity and forces Noop explicitly
     val sender: AnalyticsEventSender = NoopEventSender
 
     try {
       val report = Runner.run(spark, config, wired, progress, sender = sender)
+      renderer.foreach(_.close())
       report.sources.foreach { s =>
         println(s"${s.name}: ${s.nodes} nodes, ${s.edges} edges")
       }
       println(s"total: ${report.totalNodes} nodes, ${report.totalEdges} edges")
-    } finally spark.stop()
+    } finally {
+      renderer.foreach(_.close())
+      spark.stop()
+    }
   }
 }

@@ -136,6 +136,41 @@ object Similarity {
         .orderBy("qid", "rn")
     },
 
+    // ---- embedding-cosine near-duplicate pairs (dedup blocking pass) ----
+    // All-pairs near-dup detection via the LSH index itself: candidates are
+    // pairs sharing ANY (table, bucket) — an equi-join on the index, never
+    // O(n²) — then exact cosine scoring and a similarity threshold. This is
+    // the embedding-side analogue of MinHash-LSH document dedup.
+    Q("q_dedup_embed",
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |planes AS ($planesSql),
+         |sigs AS ($sigsSql),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM sigs a JOIN sigs b ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |),
+         |scored AS (
+         |  SELECT id_a, id_b, ${cosSql("x.v", "y.v")} AS cos_r
+         |  FROM cand JOIN e x ON x.vec_id = id_a JOIN e y ON y.vec_id = id_b
+         |)
+         |SELECT id_a, id_b, cos_r FROM scored WHERE cos_r >= 0.2
+         |ORDER BY cos_r DESC, id_a, id_b LIMIT 20""".stripMargin) { (s, d) =>
+      val v = vecs(s, d)
+      val sigs = lshSignatures(v)
+      val pairs = sigs.select(col("vec_id").as("id_a"), col("tbl"), col("bucket"))
+        .join(sigs.select(col("vec_id").as("id_b"), col("tbl"), col("bucket")),
+              Seq("tbl", "bucket"))
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b").distinct()
+      pairs
+        .join(v.select(col("vec_id").as("id_a"), col("v").as("va")), Seq("id_a"))
+        .join(v.select(col("vec_id").as("id_b"), col("v").as("vb")), Seq("id_b"))
+        .select(col("id_a"), col("id_b"), round(cosine(col("va"), col("vb")), 6).as("cos_r"))
+        .filter(col("cos_r") >= 0.2)
+        .orderBy(col("cos_r").desc, col("id_a").asc, col("id_b").asc)
+        .limit(20)
+    },
+
     // ---- multi-table multi-probe sign-LSH top-1 ----
     Q("q_embed_lsh",
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -30,6 +30,21 @@ class MainSpec extends AnyFunSuite {
     assert(e.getMessage.contains("invalid choice"))
   }
 
+  test("progress renderer keeps the latest message per source and replays on close") {
+    val buf = new java.io.ByteArrayOutputStream()
+    val r = new graft.engine.ConsoleProgressRenderer(
+      new java.io.PrintStream(buf), live = false, pollMillis = 10)
+    r.progress("example", "collect started")
+    r.progress("example", "collect done: 10 nodes, 13 edges")
+    r.progressDone("Make latest snapshot available", 1, 1)
+    r.close()
+    r.close() // idempotent
+    val out = buf.toString
+    assert(out.contains("example: collect done: 10 nodes, 13 edges"))
+    assert(out.contains("Make latest snapshot available: 1/1"))
+    assert(!out.contains("collect started")) // superseded message not replayed
+  }
+
   test("--create-config output is loadable and defaults to the sqlite destination") {
     val tree = graft.config.MiniYaml.parse(Main.createConfigYaml)
     assert(tree.contains("sources") && tree.contains("destinations"))
