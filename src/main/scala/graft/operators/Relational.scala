@@ -501,6 +501,24 @@ object Relational {
         .orderBy("o_custkey")
     },
 
+    // ---- §2.C1 at scale: salted skew join — result must be IDENTICAL to
+    // the plain equi-join the oracle runs; the salt only changes the
+    // shuffle layout (hot keys spread over saltFactor partitions) ----
+    Q("q_join_skew_salted",
+      """SELECT s_name, count(*) AS n_items,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS price_sum
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_name ORDER BY s_name""".stripMargin) { (s, d) =>
+      val fact = Tables.lineitem(s, d)
+        .select(col("l_suppkey").as("suppkey"), col("l_extendedprice"))
+      val dim = Tables.supplier(s, d)
+        .select(col("s_suppkey").as("suppkey"), col("s_name"))
+      SkewJoin.salted(fact, dim, Seq("suppkey"), saltFactor = 8)
+        .groupBy("s_name")
+        .agg(count(lit(1)).as("n_items"), dsum(col("l_extendedprice")).as("price_sum"))
+        .orderBy("s_name")
+    },
+
     // ---- §2.E3: rangeBetween frame — 30-day trailing sum per customer.
     // Both engines order by epoch seconds (numeric RANGE frame); ties on
     // the order key include all peers, so the result is deterministic.

@@ -1,0 +1,35 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Skew-robust equi-join (SURVEY §2.C1 at 100 TB): when one join key is a
+  * heavy hitter, a plain shuffle join lands its entire partition on one
+  * task. Salting spreads it: the fact side gets a deterministic per-row
+  * salt in [0, saltFactor), the (small) dimension side is replicated once
+  * per salt value, and the join key becomes (key, salt) — the hot key now
+  * occupies saltFactor shuffle partitions. The result set is identical to
+  * the unsalted join, which is exactly what the DuckDB oracle of
+  * `q_join_skew_salted` pins.
+  *
+  * AQE's skew-join split handles sort-merge cases adaptively; explicit
+  * salting remains the tool when AQE can't help (hash aggregation over the
+  * joined key, pre-AQE shuffles, or deterministic plan requirements).
+  */
+object SkewJoin {
+
+  /** Inner equi-join of `fact` with `dim` on `keys`, fact side salted,
+    * dim side replicated `saltFactor`×. Equivalent to
+    * `fact.join(dim, keys)` for any saltFactor >= 1.
+    */
+  def salted(fact: DataFrame, dim: DataFrame, keys: Seq[String], saltFactor: Int): DataFrame = {
+    require(saltFactor >= 1, s"saltFactor must be >= 1, got $saltFactor")
+    // per-row content hash — deterministic, spreads a hot KEY because its
+    // rows differ in the other columns
+    val saltedFact = fact.withColumn("__salt",
+      pmod(hash(fact.columns.map(col).toSeq: _*), lit(saltFactor)))
+    val replicatedDim = dim.withColumn("__salt",
+      explode(array((0 until saltFactor).map(lit): _*)))
+    saltedFact.join(replicatedDim, keys :+ "__salt").drop("__salt")
+  }
+}

@@ -64,4 +64,26 @@ object StreamingOps {
       .groupBy(session_window(col("ts"), gap).as("sw"), col("user_id"))
       .agg(count(lit(1)).as("n_events"))
       .select(col("sw.start").as("session_start"), col("user_id"), col("n_events"))
+
+  /** Incremental snapshot maintenance: every micro-batch of a complete-mode
+    * aggregate is written to staging and promoted with the SAME atomic
+    * swap the batch engine uses (K2, [[graft.sink.FileSnapshotCommit]]) —
+    * readers of `<base>/current` always see one complete, consistent state
+    * of the aggregate, never a half-written micro-batch. This is the
+    * streaming extension of the reference's snapshot semantics; the
+    * reference itself is batch-only (SURVEY §2.J).
+    */
+  def maintainSnapshot(
+      aggregated: DataFrame,
+      base: String,
+      queryName: String = "graft-snapshot"): org.apache.spark.sql.streaming.StreamingQuery =
+    aggregated.writeStream
+      .queryName(queryName)
+      .outputMode("complete")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val runId = s"b$batchId"
+        batch.write.mode("overwrite").parquet(s"$base/_staging/$runId/snapshot")
+        graft.sink.FileSnapshotCommit(base, runId).commit(batch.sparkSession)
+      }
+      .start()
 }

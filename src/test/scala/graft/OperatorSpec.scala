@@ -28,6 +28,19 @@ class OperatorSpec extends AnyFunSuite {
     assert(!st("id").nullable && st("name").nullable)
   }
 
+  test("salted skew join equals the plain join on heavy-hitter data") {
+    // 90% of fact rows share one key — the salting must spread the shuffle
+    // without changing a single output row
+    val fact = (0 until 5000).map(i => (if (i % 10 == 0) i % 7 else 42, i.toLong))
+      .toDF("k", "payload")
+    val dim = (0 until 50).map(i => (i, s"dim_$i")).toDF("k", "name")
+    val plain = fact.join(dim, Seq("k"))
+      .groupBy("k", "name").count().orderBy("k").collect().toSeq
+    val saltedJ = graft.operators.SkewJoin.salted(fact, dim, Seq("k"), saltFactor = 16)
+      .groupBy("k", "name").count().orderBy("k").collect().toSeq
+    assert(saltedJ == plain && plain.nonEmpty)
+  }
+
   test("asof join picks the latest right row at or before the left ts") {
     def ts(s: Int) = new Timestamp(s * 1000L)
     val left = Seq((1L, ts(10), "p1"), (1L, ts(20), "p2"), (2L, ts(5), "p3"))

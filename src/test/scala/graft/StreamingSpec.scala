@@ -56,6 +56,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty && streamed == batch)
   }
 
+  test("streaming aggregate maintains an atomically-swapped snapshot") {
+    val base = java.nio.file.Files.createTempDirectory("graft-stream-snap").toString
+    val stream = StreamingOps.eventsStream(spark, eventsDir)
+    val q = StreamingOps.maintainSnapshot(
+      StreamingOps.tumblingCounts(stream), base, "snap_out")
+    try q.processAllAvailable() finally q.stop()
+
+    // <base>/current holds exactly the batch-computed aggregate
+    val snap = spark.read.parquet(s"$base/current/snapshot")
+      .orderBy("ws", "event_type").collect().toSeq
+    val batch = StreamingOps.tumblingCounts(Tables.events(spark, "/root/testdata/sf0.001"))
+      .orderBy("ws", "event_type").collect().toSeq
+    assert(snap.nonEmpty && snap == batch)
+    // no staging debris left visible to readers
+    assert(!new java.io.File(s"$base/_staging").exists()
+      || new java.io.File(s"$base/_staging").listFiles().isEmpty)
+  }
+
   test("watermark drops events later than the allowed lateness") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
