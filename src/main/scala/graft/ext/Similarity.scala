@@ -88,7 +88,10 @@ object Similarity {
 
   /** Cosine-scored top-k among LSH candidates. */
   def lshTopK(vecDf: DataFrame, probePred: Column, k: Int): DataFrame = {
-    val sigs = lshSignatures(vecDf)
+    // cached: probe side and index side of the candidate join share these
+    // signature rows; at cluster scale this materialization is the LSH
+    // index build (write once, probe many)
+    val sigs = lshSignatures(vecDf).cache()
     val cands = lshCandidates(sigs, probePred)
     val scored = cands
       .join(vecDf.select(col("vec_id").as("qid"), col("v").as("qv")), Seq("qid"))
@@ -156,7 +159,9 @@ object Similarity {
          |SELECT id_a, id_b, cos_r FROM scored WHERE cos_r >= 0.2
          |ORDER BY cos_r DESC, id_a, id_b LIMIT 20""".stripMargin) { (s, d) =>
       val v = vecs(s, d)
-      val sigs = lshSignatures(v)
+      // cached: both sides of the self-join read the same 64-dot-product
+      // signature set — without the cache the planes are evaluated twice
+      val sigs = lshSignatures(v).cache()
       val pairs = sigs.select(col("vec_id").as("id_a"), col("tbl"), col("bucket"))
         .join(sigs.select(col("vec_id").as("id_b"), col("tbl"), col("bucket")),
               Seq("tbl", "bucket"))

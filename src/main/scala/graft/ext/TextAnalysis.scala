@@ -91,6 +91,21 @@ object TextAnalysis {
         .limit(20)
     },
 
+    // ---- BPE-ish subword counting: letter runs / digit runs / single
+    // punctuation, the pre-tokenization split every BPE-family tokenizer
+    // applies before merges; same regex class semantics in both engines ----
+    Q("q_text_tokens_bpe",
+      """SELECT tok, count(*) AS n FROM (
+        |  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS tok
+        |  FROM documents
+        |) GROUP BY tok ORDER BY n DESC, tok LIMIT 30""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(explode(expr("regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("tok").asc)
+        .limit(30)
+    },
+
     // ---- document fingerprint: min/max shingle hash + distinct shingles ----
     Q("q_text_fingerprint",
       s"""SELECT doc_id, min(h) AS fp_min, max(h) AS fp_max,

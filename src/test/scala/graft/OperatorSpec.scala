@@ -28,6 +28,17 @@ class OperatorSpec extends AnyFunSuite {
     assert(!st("id").nullable && st("name").nullable)
   }
 
+  test("GraftExtensions surfaces dot_product in SQL") {
+    GraftExtensions.install(spark)
+    val r = spark.sql("SELECT dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
+      .head().getDouble(0)
+    assert(r == 11.0)
+    // type check errors surface with the expression's message
+    val e = intercept[Exception](
+      spark.sql("SELECT dot_product(array('a'), array(1.0d))").collect())
+    assert(e.getMessage.contains("dot_product") || e.getMessage.contains("DATATYPE_MISMATCH"))
+  }
+
   test("salted skew join equals the plain join on heavy-hitter data") {
     // 90% of fact rows share one key — the salting must spread the shuffle
     // without changing a single output row
