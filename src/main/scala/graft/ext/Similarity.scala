@@ -101,6 +101,49 @@ object Similarity {
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
   }
 
+  // ---------------- IVF (inverted-file) coarse quantization ----------------
+
+  /** (vec_id, cid): each vector assigned to its nearest centroid. The
+    * centroid set is a deterministic strided sample (IVF-Flat with random
+    * centroids — the standard no-training baseline); it is broadcast, so
+    * assignment is a map-side argmax with NO shuffle of the corpus. Scaling
+    * rule: centroids ≈ sqrt(N) keeps cells at sqrt(N) rows; `nprobe` buys
+    * recall linearly in scanned cells.
+    */
+  def ivfAssign(vecDf: DataFrame, centroidStride: Int): DataFrame = {
+    val c = vecDf.filter(col("vec_id") % centroidStride === 0)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    val w = Window.partitionBy("vec_id")
+      .orderBy(cosine(col("v"), col("cv")).desc, col("cid").asc)
+    vecDf.join(broadcast(c))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select("vec_id", "cid")
+  }
+
+  /** Cosine top-k via IVF: probe the `nprobe` nearest cells per query. */
+  def ivfTopK(vecDf: DataFrame, probePred: Column, centroidStride: Int,
+              nprobe: Int, k: Int): DataFrame = {
+    val cc = vecDf.filter(col("vec_id") % centroidStride === 0)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    val asn = ivfAssign(vecDf, centroidStride)
+    val wProbe = Window.partitionBy("qid")
+      .orderBy(cosine(col("qv"), col("cv")).desc, col("cid").asc)
+    val probes = vecDf.filter(probePred)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+      .join(broadcast(cc))
+      .withColumn("rn", row_number().over(wProbe)).filter(col("rn") <= nprobe)
+      .select("qid", "cid")
+    val cands = probes.join(asn, Seq("cid"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("cand")).distinct()
+    val scored = cands
+      .join(vecDf.select(col("vec_id").as("qid"), col("v").as("qv")), Seq("qid"))
+      .join(vecDf.select(col("vec_id").as("cand"), col("v").as("cv2")), Seq("cand"))
+      .select(col("qid"), col("cand"), round(cosine(col("qv"), col("cv2")), 6).as("cos_r"))
+    val w = Window.partitionBy("qid").orderBy(col("cos_r").desc, col("cand").asc)
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+  }
+
   /** The same plane/signature/probe pipeline as DuckDB SQL fragments. */
   private val planesSql =
     s"""SELECT i, j,
@@ -174,6 +217,51 @@ object Similarity {
         .filter(col("cos_r") >= 0.2)
         .orderBy(col("cos_r").desc, col("id_a").asc, col("id_b").asc)
         .limit(20)
+    },
+
+    // ---- IVF-quantized cosine top-1: broadcast centroids, map-side
+    // assignment, nprobe=2 cells scanned per probe ----
+    Q("q_embed_ivf", {
+      def cosRaw(a: String, b: String) =
+        s"$DotSql($a, $b) / (sqrt($DotSql($a, $a)) * sqrt($DotSql($b, $b)))"
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 25 = 0),
+         |asn AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT e.vec_id, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${cosRaw("e.v", "c.cv")} DESC, c.cid) AS rn
+         |    FROM e, c
+         |  ) WHERE rn = 1
+         |),
+         |probes AS (
+         |  SELECT qid, cid FROM (
+         |    SELECT e.vec_id AS qid, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${cosRaw("e.v", "c.cv")} DESC, c.cid) AS rn
+         |    FROM e, c WHERE e.vec_id < 20
+         |  ) WHERE rn <= 2
+         |),
+         |cand AS (
+         |  SELECT DISTINCT p.qid, a.vec_id AS cand
+         |  FROM probes p JOIN asn a ON a.cid = p.cid AND a.vec_id <> p.qid
+         |),
+         |scored AS (
+         |  SELECT qid, cand, ${cosSql("x.v", "y.v")} AS cos_r
+         |  FROM cand JOIN e x ON x.vec_id = qid JOIN e y ON y.vec_id = cand
+         |)
+         |SELECT qid, cand, cos_r FROM (
+         |  SELECT qid, cand, cos_r,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cos_r DESC, cand) AS rn
+         |  FROM scored
+         |) WHERE rn = 1 ORDER BY qid""".stripMargin
+    }) { (s, d) =>
+      // ranking uses the UNROUNDED cosine in both engines (identical IEEE
+      // doubles, left-to-right dot accumulation) — rounding first would
+      // manufacture rank ties
+      ivfTopK(vecs(s, d), col("vec_id") < 20, centroidStride = 25, nprobe = 2, k = 1)
+        .select("qid", "cand", "cos_r")
+        .orderBy("qid")
     },
 
     // ---- multi-table multi-probe sign-LSH top-1 ----

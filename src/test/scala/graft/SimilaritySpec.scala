@@ -51,6 +51,21 @@ class SimilaritySpec extends AnyFunSuite {
     assert(hits >= (nBase * 0.8).toInt, s"recall@1 = $hits/$nBase")
   }
 
+  test("planted near-duplicates: IVF top-1 recall, cells sublinear") {
+    val probePred = col("vec_id") % 2 === 0
+    // stride 4 -> 30 centroids over 120 vectors; nprobe 2 scans ~2 cells
+    val top1 = Similarity.ivfTopK(planted, probePred, centroidStride = 4, nprobe = 2, k = 1)
+      .select(col("qid"), col("cand")).collect()
+    val hits = top1.count(r => r.getLong(1) == r.getLong(0) + 1)
+    // a twin at cos ~0.97 lands in the same or an adjacent cell most of the
+    // time; nprobe=2 recovers the bulk of them
+    assert(hits >= (nBase * 0.6).toInt, s"IVF recall@1 = $hits/$nBase")
+    // cell size bound: no cell holds more than half the corpus
+    val maxCell = Similarity.ivfAssign(planted, 4)
+      .groupBy("cid").agg(count(lit(1)).as("n")).agg(max("n")).head().getLong(0)
+    assert(maxCell <= nBase, s"max IVF cell $maxCell")
+  }
+
   test("LSH agrees with brute force whenever the true top-1 is a candidate") {
     import spark.implicits._
     val probePred = col("vec_id") % 2 === 0
