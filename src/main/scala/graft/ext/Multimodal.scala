@@ -59,6 +59,23 @@ object Multimodal {
       .toDF("doc_id", "features")
   }
 
+  /** Frame sampling over an opaque media blob: every `stride` bytes, take a
+    * `frameBytes`-wide slice — the Spark plumbing (offset `sequence` +
+    * `posexplode` + binary `substring`, all codegen'd) is exactly what a
+    * video pipeline does per GOP/keyframe; a real decoder replaces the
+    * byte-slice with a decoded frame, shape unchanged.
+    */
+  def frameSample(media: DataFrame, frameBytes: Int, stride: Int): DataFrame = {
+    val L = octet_length(col("blob"))
+    val offsets = when(L >= frameBytes,
+      sequence(lit(1), L - (frameBytes - 1), lit(stride)))
+      .otherwise(array().cast("array<int>"))
+    media
+      .select(col("doc_id"), col("blob"), posexplode(offsets).as(Seq("frame_idx", "off")))
+      .select(col("doc_id"), col("frame_idx"),
+              md5(expr(s"substring(blob, off, $frameBytes)")).as("frame_md5"))
+  }
+
   val queries: Seq[Q] = Seq(
 
     // ---- metadata extraction over the binary column (SQL-checkable) ----
@@ -68,6 +85,20 @@ object Multimodal {
       mediaTable(s, d).filter(col("doc_id") < 100)
         .select(col("doc_id"), col("meta.n_bytes").as("n_bytes"), md5(col("blob")).as("b_md5"))
         .orderBy("doc_id")
+    },
+
+    // ---- frame sampling: strided binary slices, hashed per frame ----
+    // (documents.text is ASCII, so byte slices == char slices and the
+    // oracle can express the same frames over VARCHAR)
+    Q("q_multimodal_frames",
+      """SELECT doc_id, CAST(i AS INT) AS frame_idx, md5(substr(text, 1 + i * 64, 16)) AS frame_md5
+        |FROM (
+        |  SELECT doc_id, text, unnest(range((octet_length(encode(text) ) - 15 + 63) // 64)) AS i
+        |  FROM documents WHERE doc_id < 100 AND octet_length(encode(text)) >= 16
+        |) ORDER BY doc_id, frame_idx""".stripMargin) { (s, d) =>
+      frameSample(mediaTable(s, d).filter(col("doc_id") < 100), frameBytes = 16, stride = 64)
+        .select(col("doc_id"), (col("frame_idx")).as("frame_idx"), col("frame_md5"))
+        .orderBy("doc_id", "frame_idx")
     },
 
     // ---- decode + featurize via mapPartitions ----
