@@ -37,22 +37,25 @@ object GraphNormalizer {
     }.toMap
   }
 
-  /** Link tables keyed by `link_<from>_<to>`. Edge endpoints are resolved to
-    * kinds with two joins against the (id, kind) projection; the id lookup
-    * side is broadcast when small, otherwise a shuffled equi-join on id —
-    * never a driver-side collect of the edge set.
+  /** Edge endpoints resolved to kinds with two joins against the (id, kind)
+    * projection; the id lookup side is broadcast when small, otherwise a
+    * shuffled equi-join on id — never a driver-side collect of the edge set.
     */
-  def linkTables(g: Graph): Map[String, DataFrame] = {
+  def resolvedEdges(g: Graph): DataFrame = {
     val idKind = g.nodes.select(col("id"), col("kind"))
-    val resolved = g.edges
+    g.edges
       .join(idKind.withColumnRenamed("id", "from_id").withColumnRenamed("kind", "from_kind"), "from_id")
       .join(idKind.withColumnRenamed("id", "to_id").withColumnRenamed("kind", "to_kind"), "to_id")
       .select("from_kind", "to_kind", "from_id", "to_id")
+  }
 
+  /** Link tables keyed by `link_<from>_<to>`. */
+  def linkTables(g: Graph): Map[String, DataFrame] = {
+    val resolved = resolvedEdges(g)
     // The kind-pair inventory is bounded by |kinds|^2 (metadata-scale, not
-    // data-scale) — safe to enumerate on the driver. At 100 TB the write
-    // path instead partitions one output by (from_kind, to_kind); the
-    // per-pair DataFrames below share the same resolved plan.
+    // data-scale) — safe to enumerate on the driver. At 100 TB use
+    // [[writeLinksPartitioned]] instead; the per-pair DataFrames below
+    // share the same resolved plan.
     val pairs = resolved.select("from_kind", "to_kind").distinct()
       .collect().map(r => (r.getString(0), r.getString(1)))
     pairs.map { case (f, t) =>
@@ -61,6 +64,15 @@ object GraphNormalizer {
         .select("from_id", "to_id")
     }.toMap
   }
+
+  /** The 100 TB link write path: ONE pass over the resolved edge set,
+    * written partitioned by (from_kind, to_kind) — no driver-side pair
+    * enumeration, no per-pair job, and readers of a single pair get
+    * partition pruning (`…/from_kind=<f>/to_kind=<t>`) for free.
+    */
+  def writeLinksPartitioned(g: Graph, path: String): Unit =
+    resolvedEdges(g).write.mode("overwrite")
+      .partitionBy("from_kind", "to_kind").parquet(path)
 
   /** The full relational snapshot: kind tables + link tables. */
   def normalize(g: Graph): Map[String, DataFrame] =

@@ -72,7 +72,16 @@ class EnginePipelineSpec extends AnyFunSuite {
       def collect(s: SparkSession): Graph = throw new RuntimeException("collector exploded")
     })
     val cfg2 = GraftConfig(Map("example" -> Map.empty, "bad" -> Map.empty), dest)
-    intercept[Exception](Runner.run(spark, cfg2, boom))
+    val events = scala.collection.mutable.Map[String, Map[String, Any]]()
+    var flushed = false
+    val sender = new graft.engine.AnalyticsEventSender {
+      def capture(e: String, p: Map[String, Any]): Unit = events(e) = p
+      override def flush(): Unit = flushed = true
+    }
+    intercept[Exception](Runner.run(spark, cfg2, boom, sender = sender))
+    // reference error path: 'error' analytics event + flush, never 'collect'
+    assert(events.contains("error") && !events.contains("collect") && flushed)
+    assert(String.valueOf(events("error")("error")).contains("collector exploded"))
     // old snapshot still fully readable
     ExampleSource.expectedCounts.foreach { case (table, n) =>
       assert(spark.read.parquet(s"$base/current/$table").count() == n, s"table $table")

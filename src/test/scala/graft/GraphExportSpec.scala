@@ -2,6 +2,7 @@ package graft
 
 import graft.graph.GraphNormalizer
 import graft.sources.ExampleSource
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 import java.nio.file.Files
@@ -50,6 +51,21 @@ class GraphExportSpec extends AnyFunSuite {
     // property fidelity through the object-embedded `reported` document
     val inst = tables("example_instance").orderBy("id").collect()
     assert(inst.map(_.getAs[Long]("instance_cores")).toSeq == Seq(4L, 8L))
+  }
+
+  test("partitioned link write serves every pair with partition pruning") {
+    val out = Files.createTempDirectory("graft-links").toString
+    GraphNormalizer.writeLinksPartitioned(ExampleSource.collect(spark), out)
+    val all = spark.read.parquet(out)
+    // one dataset serves every link_<from>_<to> table of the oracle
+    ExampleSource.expectedCounts.filter(_._1.startsWith("link_")).foreach { case (t, n) =>
+      val Array(f, to) = t.stripPrefix("link_").split("_example_")
+      val pair = all.filter(col("from_kind") === f && col("to_kind") === s"example_$to")
+      assert(pair.count() == n, s"pair $t")
+      // the pair filter prunes to its partition directory, not a full scan
+      val scanned = pair.queryExecution.executedPlan.toString
+      assert(scanned.contains("PartitionFilters"))
+    }
   }
 
   test("export without kind records is rejected unless a fallback model is given") {
