@@ -519,6 +519,40 @@ object Relational {
         .orderBy("s_name")
     },
 
+    // ---- §2.G2 use case: snapshot diff — two synthetic snapshots of the
+    // customer table (some rows dropped, some balances bumped, some keys
+    // added) classified added/removed/changed/unchanged per key ----
+    Q("q_snapshot_diff",
+      """WITH prev AS (SELECT c_custkey AS k, c_acctbal AS bal FROM customer),
+        |curr AS (
+        |  SELECT c_custkey AS k,
+        |    c_acctbal + CASE WHEN c_custkey % 10 = 0 THEN 1 ELSE 0 END AS bal
+        |  FROM customer WHERE c_custkey % 7 <> 0
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000 AS k, 0.0 AS bal
+        |  FROM customer WHERE c_custkey % 13 = 0
+        |),
+        |d AS (
+        |  SELECT coalesce(p.k, c.k) AS k,
+        |    CASE WHEN p.k IS NULL THEN 'added'
+        |         WHEN c.k IS NULL THEN 'removed'
+        |         WHEN p.bal IS DISTINCT FROM c.bal THEN 'changed'
+        |         ELSE 'unchanged' END AS status
+        |  FROM prev p FULL JOIN curr c ON p.k = c.k
+        |)
+        |SELECT status, count(*) AS n FROM d GROUP BY status ORDER BY status""".stripMargin) { (s, d) =>
+      val cust = Tables.customer(s, d)
+      val prev = cust.select(col("c_custkey").as("k"), col("c_acctbal").as("bal"))
+      val curr = cust.filter(col("c_custkey") % 7 =!= 0)
+        .select(col("c_custkey").as("k"),
+          (col("c_acctbal") + when(col("c_custkey") % 10 === 0, 1).otherwise(0)).as("bal"))
+        .unionByName(cust.filter(col("c_custkey") % 13 === 0)
+          .select((col("c_custkey") + 1000000).as("k"), lit(0.0).as("bal")))
+      SnapshotDiff.diff(prev, curr, Seq("k"))
+        .groupBy("status").agg(count(lit(1)).as("n"))
+        .orderBy("status")
+    },
+
     // ---- §2.E3: rangeBetween frame — 30-day trailing sum per customer.
     // Both engines order by epoch seconds (numeric RANGE frame); ties on
     // the order key include all peers, so the result is deterministic.

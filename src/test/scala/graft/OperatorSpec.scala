@@ -52,6 +52,18 @@ class OperatorSpec extends AnyFunSuite {
     assert(saltedJ == plain && plain.nonEmpty)
   }
 
+  test("snapshot diff classifies null-valued changes null-safely") {
+    val prev = Seq((1, Option("a")), (2, None), (3, Option("c")), (4, Option("d")))
+      .toDF("k", "v")
+    val curr = Seq((1, Option("a")), (2, Option("x")), (3, None), (5, Option("e")))
+      .toDF("k", "v")
+    val got = graft.operators.SnapshotDiff.diff(prev, curr, Seq("k"))
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    // null==null is unchanged; null->value and value->null are changed
+    assert(got == Map(1 -> "unchanged", 2 -> "changed", 3 -> "changed",
+                      4 -> "removed", 5 -> "added"))
+  }
+
   test("asof join picks the latest right row at or before the left ts") {
     def ts(s: Int) = new Timestamp(s * 1000L)
     val left = Seq((1L, ts(10), "p1"), (1L, ts(20), "p2"), (2L, ts(5), "p3"))
