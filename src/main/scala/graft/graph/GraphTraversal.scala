@@ -1,0 +1,41 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Bounded multi-hop reachability over the edge set (SURVEY §2.C6
+  * generalized): BFS by iterated equi-join, one shuffle per hop, frontier
+  * deduplicated per round so a node is expanded once regardless of how
+  * many paths reach it.
+  *
+  * Scale notes: each round joins |frontier| against the edge set
+  * partitioned by from_id — never materializes path multiplicity; `visited`
+  * grows monotonically and bounds total work at |V| per round. For deep
+  * traversals (> ~10 hops) checkpoint the frontier to cut lineage; hop
+  * counts here are small (resource hierarchies are shallow).
+  */
+object GraphTraversal {
+
+  /** @param edges  (from_id, to_id)
+    * @param starts (id) seed set
+    * @return (id, hops) — every node reachable within `maxHops`, with the
+    *         minimal hop count (starts themselves at hop 0)
+    */
+  def reachableWithin(edges: DataFrame, starts: DataFrame, maxHops: Int): DataFrame = {
+    require(maxHops >= 0)
+    val e = edges.select(col("from_id"), col("to_id"))
+    var visited = starts.select(col("id")).distinct().withColumn("hops", lit(0))
+    var frontier = visited
+    var hop = 0
+    while (hop < maxHops && !frontier.isEmpty) {
+      hop += 1
+      val next = frontier.join(e, frontier("id") === e("from_id"))
+        .select(col("to_id").as("id")).distinct()
+        .join(visited.select("id"), Seq("id"), "left_anti")
+        .withColumn("hops", lit(hop))
+      visited = visited.unionByName(next)
+      frontier = next
+    }
+    visited
+  }
+}

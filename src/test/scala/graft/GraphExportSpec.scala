@@ -68,6 +68,23 @@ class GraphExportSpec extends AnyFunSuite {
     }
   }
 
+  test("bounded BFS reaches the whole example graph from the account") {
+    import spark.implicits._
+    val g = ExampleSource.collect(spark)
+    val starts = Seq("acc1").toDF("id")
+    val within1 = graft.graph.GraphTraversal.reachableWithin(g.edges, starts, 1)
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(within1 == Map("acc1" -> 0, "reg1" -> 1, "reg2" -> 1))
+    val within3 = graft.graph.GraphTraversal.reachableWithin(g.edges, starts, 3)
+    // account -> regions -> {instances, networks, volumes, custom} ->
+    // network-instances / instance-volumes: all 10 nodes within 3 hops
+    assert(within3.count() == 10)
+    // minimal hop count wins: i1 is region->instance (2), not
+    // region->network->instance (3)
+    val hops = within3.collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(hops("i1") == 2 && hops("v1") == 2 && hops("c1") == 2)
+  }
+
   test("export without kind records is rejected unless a fallback model is given") {
     val dir = Files.createTempDirectory("graft-export-nomodel")
     val noKinds = exportLines.filterNot(_.contains("\"type\":\"kind\""))

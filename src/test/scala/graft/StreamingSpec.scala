@@ -74,6 +74,34 @@ class StreamingSpec extends AnyFunSuite {
       || new java.io.File(s"$base/_staging").listFiles().isEmpty)
   }
 
+  test("snapshot maintenance replaces current atomically across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    def ts(min: Int) = new Timestamp(3600_000L + min * 60_000L)
+
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val events = mem.toDF.toDF("ts", "event_type", "value")
+      .withColumn("value", col("value"))
+    val base = java.nio.file.Files.createTempDirectory("graft-multi-snap").toString
+    val q = StreamingOps.maintainSnapshot(
+      StreamingOps.tumblingCounts(events), base, "multi_snap")
+    try {
+      mem.addData((ts(1), "a", 1.0), (ts(2), "b", 2.0))
+      q.processAllAvailable()
+      val snap1 = spark.read.parquet(s"$base/current/snapshot").count()
+      assert(snap1 == 2) // two (window, type) groups
+
+      mem.addData((ts(3), "a", 3.0), (ts(4), "c", 4.0))
+      q.processAllAvailable()
+      // complete-mode aggregate: current now reflects ALL data, old
+      // snapshot fully replaced (no leftover files double-counting)
+      val rows = spark.read.parquet(s"$base/current/snapshot")
+        .orderBy("event_type").collect()
+      assert(rows.map(_.getAs[String]("event_type")).toSeq == Seq("a", "b", "c"))
+      assert(rows.map(_.getAs[Long]("n")).sum == 4)
+    } finally q.stop()
+  }
+
   test("watermark drops events later than the allowed lateness") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
