@@ -56,6 +56,7 @@ object Main {
       case "--create-config" :: t          => a = a.copy(createConfig = true); t
       case "--analytics-opt-out" :: t      => a = a.copy(analyticsOptOut = true); t
       case other :: _ => throw new IllegalArgumentException(s"unrecognized argument: $other")
+      case Nil        => Nil // unreachable: loop guard requires nonEmpty
     }
     if (!a.version && !a.createConfig)
       require(a.config.nonEmpty, "The following arguments are required: --config")
