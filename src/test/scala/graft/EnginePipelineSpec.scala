@@ -112,6 +112,22 @@ class EnginePipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("a committed snapshot registers as SQL views (link-table join works)") {
+    val base = Files.createTempDirectory("graft-views").toString
+    Runner.run(spark, cfg(ArrowDest(FileDestination("parquet", base))), registry)
+    val tables = graft.query.Snapshot.register(spark, base)
+    assert(tables.size == 13 && tables.contains("example_instance"))
+    // the canonical exported-schema query shape: node ⋈ link ⋈ node
+    val n = spark.sql(
+      """SELECT r.name, count(*) AS n
+        |FROM example_region r
+        |JOIN link_example_region_example_instance l ON r.id = l.from_id
+        |JOIN example_instance i ON l.to_id = i.id
+        |GROUP BY r.name ORDER BY r.name""".stripMargin).collect()
+    assert(n.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("us-east", 1L), ("us-west", 1L)))
+  }
+
   test("analytics 'collect' event carries the reference's payload schema") {
     val base = Files.createTempDirectory("graft-analytics").toString
     val rec = scala.collection.mutable.Map[String, Map[String, Any]]()
