@@ -58,6 +58,10 @@ object Main {
       case other :: _ => throw new IllegalArgumentException(s"unrecognized argument: $other")
       case Nil        => Nil // unreachable: loop guard requires nonEmpty
     }
+    // validate AFTER the loop so environment-sourced values go through the
+    // same choices check as CLI flags (argparse validates both identically)
+    require(showChoices(a.show),
+      s"argument --show: invalid choice: '${a.show}' (choose from ${showChoices.mkString(", ")})")
     if (!a.version && !a.createConfig)
       require(a.config.nonEmpty, "The following arguments are required: --config")
     a
@@ -123,8 +127,12 @@ object Main {
 
     // reference show modes: progress -> live renderer (1 s repaint + final
     // replay); log -> plain lines (logging shows the detail); none -> quiet
+    // live ANSI repaint only on a real terminal; redirected stderr (CI,
+    // `2> run.log`) gets just the final replay — no cursor-control garbage
     val renderer: Option[graft.engine.ConsoleProgressRenderer] =
-      if (args.show == "progress") Some(new graft.engine.ConsoleProgressRenderer()) else None
+      if (args.show == "progress")
+        Some(new graft.engine.ConsoleProgressRenderer(live = System.console() != null))
+      else None
     val progress: ProgressListener = args.show match {
       case "progress" => renderer.get
       case "log" => new ProgressListener {

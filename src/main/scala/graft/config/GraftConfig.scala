@@ -202,15 +202,21 @@ object MiniYaml {
 
   /** YAML comment rule: '#' opens a comment only at line start or after
     * whitespace, and never inside a quoted scalar — so `password: "ab#cd"`
-    * and URL fragments survive intact.
+    * and URL fragments survive intact. A quote only OPENS a string when it
+    * can start a scalar (line start or after whitespace/':'), so an
+    * apostrophe inside an unquoted value (`path: /data/o'brien # x`) is
+    * plain text and the trailing comment is still stripped.
     */
   def stripComment(l: String): String = {
     var inSingle = false; var inDouble = false
     var i = 0
+    def mayOpen = i == 0 || l.charAt(i - 1).isWhitespace || l.charAt(i - 1) == ':'
     while (i < l.length) {
       l.charAt(i) match {
-        case '\'' if !inDouble => inSingle = !inSingle
-        case '"' if !inSingle  => inDouble = !inDouble
+        case '\'' if inSingle              => inSingle = false
+        case '\'' if !inDouble && mayOpen  => inSingle = true
+        case '"' if inDouble               => inDouble = false
+        case '"' if !inSingle && mayOpen   => inDouble = true
         case '#' if !inSingle && !inDouble &&
           (i == 0 || l.charAt(i - 1).isWhitespace) => return l.substring(0, i)
         case _ =>

@@ -47,8 +47,9 @@ final class ConsoleProgressRenderer(
     order.asScala.toSeq.map(k => s"$k: ${state.get(k)}")
 
   private def repaint(): Unit = synchronized {
+    if (ended.get()) return // close() already replayed; don't print again
     val ls = lines
-    if (painted > 0) out.print(s"[${painted}F[J") // up N + clear
+    if (painted > 0) out.print(s"\u001b[${painted}F\u001b[J") // up N + clear
     ls.foreach(out.println)
     painted = ls.size
   }
@@ -59,11 +60,13 @@ final class ConsoleProgressRenderer(
   def close(): Unit = {
     if (ended.compareAndSet(false, true)) {
       ticker.interrupt()
+      // replay inside the same lock repaint uses, so an in-flight ticker
+      // repaint can never interleave with — or duplicate — the final output
       synchronized {
-        if (live && painted > 0) out.print(s"[${painted}F[J")
+        if (live && painted > 0) out.print(s"\u001b[${painted}F\u001b[J")
         painted = 0
+        lines.foreach(out.println)
       }
-      lines.foreach(out.println)
     }
   }
 }

@@ -86,7 +86,15 @@ object Similarity {
       .select("qid", "cand").distinct()
   }
 
-  /** Cosine-scored top-k among LSH candidates. */
+  /** Cosine-scored top-k among LSH candidates.
+    *
+    * Cache lifetime: the signature index is `.cache()`d because both sides
+    * of the candidate join read it; the blocks live until the session drops
+    * them (Bench clears between queries). Long-lived sessions issuing many
+    * probe batches should build `lshSignatures(v).cache()` ONCE, reuse it
+    * via [[lshCandidates]], and `unpersist()` when done — that is the
+    * write-once/probe-many shape a production index has anyway.
+    */
   def lshTopK(vecDf: DataFrame, probePred: Column, k: Int): DataFrame = {
     // cached: probe side and index side of the candidate join share these
     // signature rows; at cluster scale this materialization is the LSH

@@ -107,7 +107,10 @@ object GraphNormalizer {
     import org.apache.spark.sql.Row
     val embedded = raw.filter(col("type") === "kind")
       .select("fqn", "properties").collect().toSeq.map { r =>
-        val props = r.getSeq[Row](1).map { p =>
+        require(!r.isNullAt(0), "graph export: kind record without fqn")
+        // a property-less kind is legal (all columns inherited/absent)
+        val props = if (r.isNullAt(1)) Seq.empty[graft.model.KindProperty]
+        else r.getSeq[Row](1).map { p =>
           graft.model.KindProperty(p.getString(0), p.getString(1),
             !p.isNullAt(2) && p.getBoolean(2))
         }

@@ -99,6 +99,19 @@ trait BucketUploader extends Serializable {
 }
 
 object HadoopBucketUploader extends BucketUploader {
+
+  /** Replace, never merge: `FileUtil.copy` into an EXISTING directory nests
+    * the source under it — a second run would keep serving run-1 data at
+    * the top level. Shared with test fakes so they exercise the same
+    * replace semantics.
+    */
+  def replaceCopy(srcFs: org.apache.hadoop.fs.FileSystem, src: Path,
+                  dstFs: org.apache.hadoop.fs.FileSystem, dst: Path,
+                  conf: org.apache.hadoop.conf.Configuration): Unit = {
+    if (dstFs.exists(dst)) dstFs.delete(dst, true)
+    FileUtil.copy(srcFs, src, dstFs, dst, false, true, conf)
+  }
+
   def upload(spark: SparkSession, tableDir: Path, cfg: FileDestination): Unit = {
     val scheme = if (cfg.provider.contains("gcs")) "gs" else "s3a"
     val bucket = cfg.bucket.getOrElse(
@@ -108,7 +121,7 @@ object HadoopBucketUploader extends BucketUploader {
     val target = new Path(s"$scheme://$bucket/${tableDir.getName}")
     val srcFs = tableDir.getFileSystem(conf)
     val dstFs = target.getFileSystem(conf) // throws if no s3a/gs connector
-    FileUtil.copy(srcFs, tableDir, dstFs, target, false, true, conf)
+    replaceCopy(srcFs, tableDir, dstFs, target, conf)
   }
 }
 
@@ -171,13 +184,17 @@ final case class JdbcSnapshotCommit(cfg: JdbcDestination, tables: Seq[String]) e
       val rs = conn.getMetaData.getTables(null, null, null, Array("TABLE"))
       val existing = Iterator.continually(rs)
         .takeWhile(_.next()).map(_.getString("TABLE_NAME").toLowerCase).toSet
-      if (isMysqlFamily) {
+      if (isMysqlFamily && tables.nonEmpty) {
         // MySQL/MariaDB DDL auto-commits — a DROP+RENAME sequence cannot be
         // rolled back, so the swap uses the one primitive those engines DO
         // make atomic: a single multi-table RENAME statement. Old tables
         // move aside and new ones promote in one step; the retired tables
         // are dropped afterwards (failure there leaves garbage, not a
         // half-swapped snapshot).
+        // Self-heal first: a crash after a previous RENAME can leave
+        // `t__old` behind, which would make this run's RENAME fail forever.
+        tables.filter(t => existing.contains(s"${t.toLowerCase}__old"))
+          .foreach(t => st.executeUpdate(s"DROP TABLE ${t}__old"))
         val renames = tables.flatMap { t =>
           (if (existing.contains(t.toLowerCase)) Seq(s"$t TO ${t}__old") else Nil) :+
             s"${t}__tmp TO $t"

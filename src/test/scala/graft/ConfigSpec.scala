@@ -131,6 +131,10 @@ class ConfigSpec extends AnyFunSuite {
     assert(MiniYaml.stripComment("# full line") == "")
     assert(MiniYaml.stripComment("key: a#b") == "key: a#b") // no preceding space: not a comment
     assert(MiniYaml.stripComment("key: 'x # y' # real") == "key: 'x # y' ")
+    // an apostrophe INSIDE an unquoted scalar does not open a string, so
+    // the trailing comment is still stripped
+    assert(MiniYaml.stripComment("path: /data/o'brien # staging") == "path: /data/o'brien ")
+    assert(MiniYaml.stripComment("""note: it"s fine # c""") == """note: it"s fine """)
   }
 
   test("s3 bucket normalizer handles the reference's four URI shapes") {

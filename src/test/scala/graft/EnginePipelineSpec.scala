@@ -100,7 +100,8 @@ class EnginePipelineSpec extends AnyFunSuite {
         val fs = tableDir.getFileSystem(conf)
         val dst = new org.apache.hadoop.fs.Path(
           bucketRoot.resolve(cfg.bucket.get).resolve(tableDir.getName).toString)
-        org.apache.hadoop.fs.FileUtil.copy(fs, tableDir, fs, dst, false, true, conf)
+        // the REAL replace-then-copy path, just pointed at a local bucket
+        graft.sink.HadoopBucketUploader.replaceCopy(fs, tableDir, fs, dst, conf)
       }
     }
     val dest = ArrowDest(FileDestination("parquet", base, 100000,
@@ -109,6 +110,13 @@ class EnginePipelineSpec extends AnyFunSuite {
     ExampleSource.expectedCounts.foreach { case (table, n) =>
       val obj = bucketRoot.resolve("mybkt").resolve(table)
       assert(spark.read.parquet(obj.toString).count() == n, s"bucket object $table")
+    }
+    // a SECOND run must REPLACE each bucket object, not nest/merge into it
+    Runner.run(spark, cfg(dest), registry, uploader = fake)
+    ExampleSource.expectedCounts.foreach { case (table, n) =>
+      val obj = bucketRoot.resolve("mybkt").resolve(table)
+      assert(spark.read.parquet(obj.toString).count() == n, s"run-2 object $table")
+      assert(!obj.resolve(table).toFile.exists(), s"run-2 nested dir under $table")
     }
   }
 

@@ -24,10 +24,14 @@ class MainSpec extends AnyFunSuite {
     assert(e.getMessage.contains("The following arguments are required: --config"))
   }
 
-  test("--show rejects unknown choices (argparse wording)") {
+  test("--show rejects unknown choices (argparse wording), from CLI and env") {
     val e = intercept[IllegalArgumentException](
       Main.parseArgs(Seq("--config", "/x", "--show", "fancy")))
     assert(e.getMessage.contains("invalid choice"))
+    // env-sourced values go through the same validation as CLI flags
+    val e2 = intercept[IllegalArgumentException](
+      Main.parseArgs(Seq("--config", "/x"), Map("GRAFT_SHOW" -> "progess")))
+    assert(e2.getMessage.contains("invalid choice"))
   }
 
   test("progress renderer keeps the latest message per source and replays on close") {
