@@ -56,8 +56,11 @@ object Bench {
     }
 
     val results = queries.map { case (name, fn) =>
-      val times = (1 to reps).map(_ => once(name, fn))
-      name -> times.sorted.apply(times.size / 2)
+      val times = (1 to reps).map(_ => once(name, fn)).sorted
+      val n = times.size
+      // true median: average the middle pair for even rep counts (picking
+      // the upper-middle would report the WORSE of 2 runs as the "median")
+      name -> (if (n % 2 == 1) times(n / 2) else (times(n / 2 - 1) + times(n / 2)) / 2)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")

@@ -40,11 +40,14 @@ object Main {
   def parseArgs(argv: Seq[String], env: Map[String, String] = sys.env): CliArgs = {
     def envFlag(name: String): Option[String] =
       env.get(s"GRAFT_$name").orElse(env.get(s"CLOUD2SQL_$name"))
+    // truthy like a shell, not like Scala: "1"/"yes" must not throw
+    def envBool(name: String): Boolean =
+      envFlag(name).exists(v => Set("1", "true", "yes", "on")(v.trim.toLowerCase))
     var a = CliArgs(
       config = envFlag("CONFIG"),
       show = envFlag("SHOW").getOrElse("progress"),
-      debug = envFlag("DEBUG").exists(_.toBoolean),
-      analyticsOptOut = envFlag("ANALYTICS_OPT_OUT").exists(_.toBoolean))
+      debug = envBool("DEBUG"),
+      analyticsOptOut = envBool("ANALYTICS_OPT_OUT"))
     var rest = argv.toList
     while (rest.nonEmpty) rest = rest match {
       case "--config" :: v :: t            => a = a.copy(config = Some(v)); t
@@ -76,6 +79,10 @@ object Main {
       |  # graph_export:
       |  #   path: /path/to/graph.jsonl
       |destinations:
+      |  # sqlite is the reference default; if no SQLite JDBC driver is on
+      |  # the classpath (this sandbox ships Derby instead), use:
+      |  #   derby:
+      |  #     url: jdbc:derby:graft.db;create=true
       |  sqlite:
       |    database: cloud2sql.db
       |""".stripMargin

@@ -107,8 +107,26 @@ object Runner {
           throw e
       }
 
+      // atomic snapshot swap, once, after all sources succeeded (K2);
+      // progress ticks mirror collect.py:199-202. A swap failure goes down
+      // the same error path as a source failure — no success-shaped
+      // analytics for a run that never promoted.
+      try {
+        val swapTask = "Make latest snapshot available"
+        progress.progressDone(swapTask, 0, 1)
+        SnapshotSink.committer(config.destination, runId,
+          results.flatMap(_._2), uploader).commit(spark)
+        progress.progressDone(swapTask, 1, 1)
+      } catch {
+        case e: Throwable =>
+          sender.capture("error", Map("error" -> String.valueOf(e.getMessage)))
+          sender.flush()
+          throw e
+      }
+
       // reference analytics payload: {total, engine, <src>: 1,
-      // <src>_nodes, <src>_edges} in ONE "collect" event (collect.py:183-196)
+      // <src>_nodes, <src>_edges} in ONE "collect" event (collect.py:183-196),
+      // flushed before return so a buffering sender never loses it
       val engineName = config.destination match {
         case graft.config.DbDest(c) => c.dialect
         case _                      => "file"
@@ -120,14 +138,7 @@ object Runner {
             Seq(s"${r.name}_nodes" -> r.nodes, s"${r.name}_edges" -> r.edges)
           }
       sender.capture("collect", analytics)
-
-      // atomic snapshot swap, once, after all sources succeeded (K2);
-      // progress ticks mirror collect.py:199-202
-      val swapTask = "Make latest snapshot available"
-      progress.progressDone(swapTask, 0, 1)
-      SnapshotSink.committer(config.destination, runId,
-        results.flatMap(_._2), uploader).commit(spark)
-      progress.progressDone(swapTask, 1, 1)
+      sender.flush()
       RunReport(results.map(_._1))
     } finally pool.shutdown()
   }

@@ -24,7 +24,12 @@ object GraphTraversal {
   def reachableWithin(edges: DataFrame, starts: DataFrame, maxHops: Int): DataFrame = {
     require(maxHops >= 0)
     val e = edges.select(col("from_id"), col("to_id"))
-    var visited = starts.select(col("id")).distinct().withColumn("hops", lit(0))
+    // each hop's frontier is cached and materialized by the isEmpty probe,
+    // so hop k never re-executes hops 1..k-1 (uncached, the chained lineage
+    // would cost Θ(h²) join executions); `visited` is a union of cached
+    // nodes, cheap to scan at the end. Caches stay alive for the returned
+    // plan — callers drop them with spark.catalog.clearCache() / unpersist.
+    var visited = starts.select(col("id")).distinct().withColumn("hops", lit(0)).cache()
     var frontier = visited
     var hop = 0
     while (hop < maxHops && !frontier.isEmpty) {
@@ -33,8 +38,9 @@ object GraphTraversal {
         .select(col("to_id").as("id")).distinct()
         .join(visited.select("id"), Seq("id"), "left_anti")
         .withColumn("hops", lit(hop))
+        .cache()
       visited = visited.unionByName(next)
-      frontier = next
+      frontier = next // isEmpty materializes the cache on the next loop test
     }
     visited
   }

@@ -22,15 +22,19 @@ object SnapshotDiff {
     require(prev.columns.sameElements(curr.columns),
       s"snapshot schemas differ: ${prev.columns.mkString(",")} vs ${curr.columns.mkString(",")}")
     val nonKey = prev.columns.filterNot(keys.contains).toSeq
-    val p = prev.select(keys.map(col) ++ nonKey.map(c => col(c).as(s"__p_$c"))
-      :+ lit(1).as("__pe"): _*)
-    val c = curr.select(keys.map(col) ++ nonKey.map(c0 => col(c0).as(s"__c_$c0"))
-      :+ lit(1).as("__ce"): _*)
+    val p = prev.select(keys.map(k => col(k).as(s"__pk_$k")) ++
+      nonKey.map(c => col(c).as(s"__p_$c")) :+ lit(1).as("__pe"): _*)
+    val c = curr.select(keys.map(k => col(k).as(s"__ck_$k")) ++
+      nonKey.map(c0 => col(c0).as(s"__c_$c0")) :+ lit(1).as("__ce"): _*)
+    // null-safe key join: a NULL key row present in both snapshots is ONE
+    // logical row (unchanged/changed), not an added+removed pair. `<=>`
+    // stays an equi-join key, so this still plans as a hash/sort-merge join.
+    val joinCond = keys.map(k => col(s"__pk_$k") <=> col(s"__ck_$k")).reduce(_ && _)
     val same =
       if (nonKey.isEmpty) lit(true)
       else nonKey.map(c0 => col(s"__p_$c0") <=> col(s"__c_$c0")).reduce(_ && _)
-    p.join(c, keys, "full_outer")
-      .select(keys.map(col) :+
+    p.join(c, joinCond, "full_outer")
+      .select(keys.map(k => coalesce(col(s"__pk_$k"), col(s"__ck_$k")).as(k)) :+
         when(col("__pe").isNull, "added")
           .when(col("__ce").isNull, "removed")
           .when(same, "unchanged")

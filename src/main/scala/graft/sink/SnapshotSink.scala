@@ -63,6 +63,9 @@ object SnapshotSink {
             .option("batchsize", cfg.batchSize)
           cfg.user.foreach(w.option("user", _))
           cfg.password.foreach(w.option("password", _))
+          // connection args (ssl etc.) apply whether the url was explicit
+          // or assembled — Spark forwards unknown options as JDBC properties
+          cfg.args.foreach { case (k, v) => w.option(k, v) }
           w.save()
         }
     }
@@ -168,33 +171,47 @@ final case class FileSnapshotCommit(base: String, runId: String) extends Snapsho
 
 final case class JdbcSnapshotCommit(cfg: JdbcDestination, tables: Seq[String]) extends SnapshotCommit {
 
-  private def isMysqlFamily: Boolean =
-    cfg.dialect.startsWith("mysql") || cfg.dialect.startsWith("mariadb")
+  private def family: String = cfg.dialect.takeWhile(_ != '+')
+
+  private def isMysqlFamily: Boolean = family == "mysql" || family == "mariadb"
+
+  /** Dialects whose DDL participates in transactions (wholesale rollback
+    * works); everything else auto-commits DDL and needs move-aside swaps.
+    */
+  private def hasTransactionalDdl: Boolean =
+    Set("postgresql", "sqlite", "derby")(family)
+
+  private def renameSql(from: String, to: String): String = family match {
+    case "derby"                       => s"RENAME TABLE $from TO $to"
+    case "mssql"                       => s"EXEC sp_rename '$from', '$to'"
+    case _                             => s"ALTER TABLE $from RENAME TO $to"
+  }
 
   def commit(spark: SparkSession): Unit = {
     val props = new java.util.Properties()
     cfg.user.foreach(props.setProperty("user", _))
     cfg.password.foreach(props.setProperty("password", _))
+    cfg.args.foreach { case (k, v) => props.setProperty(k, v) }
     val conn = DriverManager.getConnection(cfg.url, props)
     try {
       conn.setAutoCommit(false)
       val st = conn.createStatement()
-      // one metadata scan for the whole swap, not one per table (O(T), the
-      // per-table reflect was O(T²) round trips)
-      val rs = conn.getMetaData.getTables(null, null, null, Array("TABLE"))
+      // one metadata scan for the whole swap, not one per table — scoped to
+      // the CONNECTION's catalog/schema so a same-named table in another
+      // database can never poison the swap
+      val (catalog, schema) =
+        (scala.util.Try(conn.getCatalog).getOrElse(null),
+         scala.util.Try(conn.getSchema).getOrElse(null))
+      val rs = conn.getMetaData.getTables(catalog, schema, null, Array("TABLE"))
       val existing = Iterator.continually(rs)
         .takeWhile(_.next()).map(_.getString("TABLE_NAME").toLowerCase).toSet
+      // Self-heal: a crash between a previous swap's RENAME and its DROP
+      // can leave `t__old` behind, which would fail every later swap.
+      tables.filter(t => existing.contains(s"${t.toLowerCase}__old"))
+        .foreach(t => st.executeUpdate(s"DROP TABLE ${t}__old"))
       if (isMysqlFamily && tables.nonEmpty) {
-        // MySQL/MariaDB DDL auto-commits — a DROP+RENAME sequence cannot be
-        // rolled back, so the swap uses the one primitive those engines DO
-        // make atomic: a single multi-table RENAME statement. Old tables
-        // move aside and new ones promote in one step; the retired tables
-        // are dropped afterwards (failure there leaves garbage, not a
-        // half-swapped snapshot).
-        // Self-heal first: a crash after a previous RENAME can leave
-        // `t__old` behind, which would make this run's RENAME fail forever.
-        tables.filter(t => existing.contains(s"${t.toLowerCase}__old"))
-          .foreach(t => st.executeUpdate(s"DROP TABLE ${t}__old"))
+        // MySQL/MariaDB auto-commit DDL but DO make one multi-table RENAME
+        // atomic: old tables move aside and new ones promote in one step.
         val renames = tables.flatMap { t =>
           (if (existing.contains(t.toLowerCase)) Seq(s"$t TO ${t}__old") else Nil) :+
             s"${t}__tmp TO $t"
@@ -202,15 +219,23 @@ final case class JdbcSnapshotCommit(cfg: JdbcDestination, tables: Seq[String]) e
         st.executeUpdate(s"RENAME TABLE ${renames.mkString(", ")}")
         tables.filter(t => existing.contains(t.toLowerCase))
           .foreach(t => st.executeUpdate(s"DROP TABLE ${t}__old"))
-      } else {
-        // transactional-DDL dialects (postgres/sqlite/derby): DROP + RENAME
-        // inside one transaction, rolled back wholesale on any failure
+      } else if (hasTransactionalDdl) {
+        // postgres/sqlite/derby: DROP + RENAME inside one transaction,
+        // rolled back wholesale on any failure
         tables.foreach { t =>
           if (existing.contains(t.toLowerCase)) st.executeUpdate(s"DROP TABLE $t")
-          val rename =
-            if (cfg.dialect.startsWith("derby")) s"RENAME TABLE ${t}__tmp TO $t"
-            else s"ALTER TABLE ${t}__tmp RENAME TO $t"
-          st.executeUpdate(rename)
+          st.executeUpdate(renameSql(s"${t}__tmp", t))
+        }
+      } else {
+        // auto-commit-DDL dialects without multi-RENAME (oracle/snowflake/
+        // mssql): per-table move-aside. A crash mid-sequence leaves the old
+        // table recoverable under `t__old`, never silently dropped — the
+        // per-dialect atomicity limit is inherent to those engines.
+        tables.foreach { t =>
+          val had = existing.contains(t.toLowerCase)
+          if (had) st.executeUpdate(renameSql(t, s"${t}__old"))
+          st.executeUpdate(renameSql(s"${t}__tmp", t))
+          if (had) st.executeUpdate(s"DROP TABLE ${t}__old")
         }
       }
       conn.commit()

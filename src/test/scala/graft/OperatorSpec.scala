@@ -64,6 +64,14 @@ class OperatorSpec extends AnyFunSuite {
                       4 -> "removed", 5 -> "added"))
   }
 
+  test("snapshot diff joins NULL keys null-safely (one row, not added+removed)") {
+    val prev = Seq((Option(1), "a"), (Option.empty[Int], "x")).toDF("k", "v")
+    val curr = Seq((Option(1), "a"), (Option.empty[Int], "x")).toDF("k", "v")
+    val got = graft.operators.SnapshotDiff.diff(prev, curr, Seq("k"))
+      .collect().map(r => (if (r.isNullAt(0)) -999 else r.getInt(0)) -> r.getString(1)).toMap
+    assert(got == Map(1 -> "unchanged", -999 -> "unchanged"))
+  }
+
   test("asof join picks the latest right row at or before the left ts") {
     def ts(s: Int) = new Timestamp(s * 1000L)
     val left = Seq((1L, ts(10), "p1"), (1L, ts(20), "p2"), (2L, ts(5), "p3"))
