@@ -88,19 +88,26 @@ object GraphNormalizer {
     * Model resolution: embedded kind records win; otherwise `fallback`;
     * otherwise the export is rejected (schemas are never guessed).
     */
+  /** JSON-lines export record shape (nodes, edges, and kind records). */
+  val exportSchema: StructType = StructType(Seq(
+    StructField("type", StringType), StructField("id", StringType),
+    StructField("kind", StringType), StructField("reported", StringType),
+    StructField("from", StringType), StructField("to", StringType),
+    StructField("fqn", StringType),
+    StructField("properties", ArrayType(StructType(Seq(
+      StructField("name", StringType), StructField("kind", StringType),
+      StructField("required", BooleanType)))))))
+
   def fromJsonExport(
       spark: SparkSession,
       path: String,
-      fallback: Option[KindModel] = None): Graph = {
-    val schema = StructType(Seq(
-      StructField("type", StringType), StructField("id", StringType),
-      StructField("kind", StringType), StructField("reported", StringType),
-      StructField("from", StringType), StructField("to", StringType),
-      StructField("fqn", StringType),
-      StructField("properties", ArrayType(StructType(Seq(
-        StructField("name", StringType), StructField("kind", StringType),
-        StructField("required", BooleanType)))))))
-    val raw = spark.read.schema(schema).json(path)
+      fallback: Option[KindModel] = None): Graph =
+    fromExportRecords(spark.read.schema(exportSchema).json(path), fallback)
+
+  /** Split an already-read record set (batch or one micro-batch of a
+    * stream) into a typed [[Graph]].
+    */
+  def fromExportRecords(raw: DataFrame, fallback: Option[KindModel]): Graph = {
 
     // kind records are metadata-scale (|kinds|, not |nodes|) — the one
     // sanctioned driver-side collect, same as the kind-pair enumeration

@@ -85,6 +85,30 @@ class GraphExportSpec extends AnyFunSuite {
     assert(hops("i1") == 2 && hops("v1") == 2 && hops("c1") == 2)
   }
 
+  test("streaming ingest commits each export file as one atomic snapshot") {
+    val watch = Files.createTempDirectory("graft-ingest-watch")
+    val base = Files.createTempDirectory("graft-ingest-dest").toString
+    val dest = graft.config.ArrowDest(graft.config.FileDestination("parquet", base))
+
+    val q = graft.streaming.StreamingGraphIngest.run(spark, watch.toString, dest)
+    try {
+      // snapshot 1: the full example export
+      Files.write(watch.resolve("export1.jsonl"), exportLines.asJava)
+      q.processAllAvailable()
+      ExampleSource.expectedCounts.foreach { case (t, n) =>
+        assert(spark.read.parquet(s"$base/current/$t").count() == n, s"snap1 $t")
+      }
+      // snapshot 2: the custom resource disappears from the inventory —
+      // the NEW snapshot must fully replace the old one
+      val without = exportLines.filterNot(l => l.contains("\"c1\"") || l.contains(":\"c1\""))
+      Files.write(watch.resolve("export2.jsonl"), without.asJava)
+      q.processAllAvailable()
+      assert(spark.read.parquet(s"$base/current/example_region").count() == 2)
+      assert(!new java.io.File(s"$base/current/link_example_region_example_custom_resource").exists(),
+        "stale table from snapshot 1 survived the swap")
+    } finally q.stop()
+  }
+
   test("export without kind records is rejected unless a fallback model is given") {
     val dir = Files.createTempDirectory("graft-export-nomodel")
     val noKinds = exportLines.filterNot(_.contains("\"type\":\"kind\""))
