@@ -109,6 +109,46 @@ class GraphExportSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("normalizes a 100k-node synthetic graph (data-scale smoke)") {
+    import org.apache.spark.sql.functions._
+    import graft.model.{Kind, KindModel, KindProperty}
+    // events at sf0.1: 100k rows -> 100k event nodes + user nodes + edges
+    val ev = Tables.events(spark, "/root/testdata/sf0.1")
+    val eventNodes = ev.select(
+      concat(lit("e"), col("event_id")).as("id"),
+      lit("event_record").as("kind"),
+      to_json(struct(
+        concat(lit("e"), col("event_id")).as("id"),
+        concat(lit("evt-"), col("event_id")).as("name"),
+        lit("event_record").as("kind"),
+        col("event_type"), col("value"))).as("reported"))
+    val userNodes = ev.select(col("user_id")).distinct().select(
+      concat(lit("u"), col("user_id")).as("id"),
+      lit("user_record").as("kind"),
+      to_json(struct(
+        concat(lit("u"), col("user_id")).as("id"),
+        concat(lit("user-"), col("user_id")).as("name"),
+        lit("user_record").as("kind"))).as("reported"))
+    val edges = ev.select(
+      concat(lit("u"), col("user_id")).as("from_id"),
+      concat(lit("e"), col("event_id")).as("to_id"))
+    val model = KindModel(Seq(
+      Kind("event_record", KindModel.baseProperties ++ Seq(
+        KindProperty("event_type", "string"), KindProperty("value", "double"))),
+      Kind("user_record", KindModel.baseProperties)))
+    val g = graft.graph.Graph(eventNodes.unionByName(userNodes), edges, model)
+
+    val tables = GraphNormalizer.normalize(g)
+    val nEvents = ev.count()
+    val nUsers = ev.select("user_id").distinct().count()
+    assert(tables("event_record").count() == nEvents)
+    assert(tables("user_record").count() == nUsers)
+    assert(tables("link_user_record_event_record").count() == nEvents)
+    // projection fidelity at scale: typed double survives the JSON round-trip
+    val v = tables("event_record").agg(sum(col("value"))).head().getDouble(0)
+    assert(!v.isNaN)
+  }
+
   test("export without kind records is rejected unless a fallback model is given") {
     val dir = Files.createTempDirectory("graft-export-nomodel")
     val noKinds = exportLines.filterNot(_.contains("\"type\":\"kind\""))
