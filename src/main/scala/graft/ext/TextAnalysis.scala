@@ -106,6 +106,40 @@ object TextAnalysis {
         .limit(30)
     },
 
+    // ---- PII scrubbing: regex redaction with an audit count. The corpus
+    // is synthetic, so deterministic emails/phones are woven in first and
+    // the scrubber must remove exactly those; the same POSIX-class regexes
+    // behave identically in Java and RE2/DuckDB ----
+    Q("q_text_redact", {
+      val email = "[a-z0-9._]+@[a-z0-9.-]+[.][a-z]+"
+      val phone = "[+][0-9]{2}-[0-9]{3}-[0-9]{4}"
+      s"""SELECT doc_id,
+         |  CAST(len(regexp_extract_all(pii_text, '$email')) AS INT) AS n_emails,
+         |  CAST(len(regexp_extract_all(pii_text, '$phone')) AS INT) AS n_phones,
+         |  md5(regexp_replace(regexp_replace(pii_text, '$email', '<EMAIL>', 'g'),
+         |                     '$phone', '<PHONE>', 'g')) AS redacted_md5
+         |FROM (
+         |  SELECT doc_id,
+         |    text || ' contact user' || doc_id || '@example.com or +49-555-' ||
+         |    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS pii_text
+         |  FROM documents WHERE doc_id < 200
+         |) ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
+      val email = "[a-z0-9._]+@[a-z0-9.-]+[.][a-z]+"
+      val phone = "[+][0-9]{2}-[0-9]{3}-[0-9]{4}"
+      val piiText = concat(col("text"), lit(" contact user"), col("doc_id"),
+        lit("@example.com or +49-555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+      Tables.documents(s, d).filter(col("doc_id") < 200)
+        .select(col("doc_id"), piiText.as("pii_text"))
+        .select(col("doc_id"),
+          size(expr(s"regexp_extract_all(pii_text, '$email', 0)")).as("n_emails"),
+          size(expr(s"regexp_extract_all(pii_text, '$phone', 0)")).as("n_phones"),
+          md5(regexp_replace(regexp_replace(col("pii_text"), email, "<EMAIL>"),
+                             phone, "<PHONE>")).as("redacted_md5"))
+        .orderBy("doc_id")
+    },
+
     // ---- document fingerprint: min/max shingle hash + distinct shingles ----
     Q("q_text_fingerprint",
       s"""SELECT doc_id, min(h) AS fp_min, max(h) AS fp_max,
