@@ -17,6 +17,11 @@ import org.apache.spark.sql.streaming.StreamingQuery
   *
   * `maxFilesPerTrigger=1` pins the snapshot boundary to the file boundary:
   * two exports arriving together still commit as two ordered snapshots.
+  *
+  * Recovery semantics: foreachBatch may replay a batch after a failure;
+  * the pipeline is idempotent per batch — staging overwrites
+  * `_staging/s<batchId>` and the swap promotes the same content again, so
+  * a replayed batch converges to the identical snapshot.
   */
 object StreamingGraphIngest {
 

@@ -65,6 +65,30 @@ object StreamingOps {
       .agg(count(lit(1)).as("n_events"))
       .select(col("sw.start").as("session_start"), col("user_id"), col("n_events"))
 
+  /** Stream-stream interval join: each purchase joins the SAME user's view
+    * events from the preceding `lookback` window. Both sides carry
+    * watermarks, so Spark bounds the join state: a buffered view is evicted
+    * once the purchase-side watermark passes `view.ts + lookback` — without
+    * the time bound a stream-stream join would buffer forever.
+    */
+  def purchasesWithRecentViews(
+      purchases: DataFrame,
+      views: DataFrame,
+      lateness: String = "10 minutes",
+      lookback: String = "30 minutes"): DataFrame = {
+    val p = purchases.withWatermark("ts", lateness)
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+              col("event_id").as("purchase_id"))
+    val v = views.withWatermark("ts", lateness)
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+              col("event_id").as("view_id"))
+    p.join(v, expr(
+      s"""p_user = v_user AND
+         |v_ts >= p_ts - INTERVAL $lookback AND v_ts <= p_ts""".stripMargin))
+      .select(col("p_user").as("user_id"), col("purchase_id"), col("view_id"),
+              col("p_ts"), col("v_ts"))
+  }
+
   /** Incremental snapshot maintenance: every micro-batch of a complete-mode
     * aggregate is written to staging and promoted with the SAME atomic
     * swap the batch engine uses (K2, [[graft.sink.FileSnapshotCommit]]) —

@@ -126,6 +126,35 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join pairs purchases with recent views only") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    def ts(min: Int) = new Timestamp(3600_000L + min * 60_000L)
+
+    val purchases = MemoryStream[(Long, Timestamp, Long)]
+    val views = MemoryStream[(Long, Timestamp, Long)]
+    def df(m: MemoryStream[(Long, Timestamp, Long)]) =
+      m.toDF.toDF("event_id", "ts", "user_id")
+    val q = StreamingOps.purchasesWithRecentViews(df(purchases), df(views))
+      .writeStream.format("memory").queryName("ss_join")
+      .outputMode("append").start()
+    try {
+      views.addData((100L, ts(0), 1L), (101L, ts(20), 1L), (102L, ts(20), 2L))
+      purchases.addData((200L, ts(30), 1L)) // views at t0 (30 min ago) and t20 qualify
+      q.processAllAvailable()
+      // advance both watermarks far past every buffered event so all joins
+      // emit (append-mode interval joins emit only below the watermark)
+      views.addData((199L, ts(300), 9L))
+      purchases.addData((299L, ts(300), 9L))
+      q.processAllAvailable()
+      val got = spark.table("ss_join")
+        .filter(col("purchase_id") === 200L)
+        .select("view_id").as[Long].collect().sorted.toSeq
+      // user 1's views within [p_ts - 30min, p_ts]; user 2's view excluded
+      assert(got == Seq(100L, 101L))
+    } finally q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark dedups within the state horizon") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
