@@ -106,6 +106,26 @@ object TextAnalysis {
         .limit(30)
     },
 
+    // ---- deterministic train/val/test assignment: content-hash bucketing
+    // (h48 % 100) gives a reproducible, engine-portable split — and because
+    // the key is the TEXT, exact duplicates always land in the same split
+    // (no train/test leakage through dups) ----
+    Q("q_sample_split",
+      s"""SELECT source, split, count(*) AS n FROM (
+         |  SELECT source,
+         |    CASE WHEN pct < 80 THEN 'train' WHEN pct < 90 THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM (SELECT source, ${h48Sql("text")} % 100 AS pct FROM documents)
+         |) GROUP BY source, split ORDER BY source, split""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("source"), (h48(col("text")) % 100).as("pct"))
+        .select(col("source"),
+          when(col("pct") < 80, "train").when(col("pct") < 90, "val")
+            .otherwise("test").as("split"))
+        .groupBy("source", "split").agg(count(lit(1)).as("n"))
+        .orderBy("source", "split")
+    },
+
     // ---- PII scrubbing: regex redaction with an audit count. The corpus
     // is synthetic, so deterministic emails/phones are woven in first and
     // the scrubber must remove exactly those; the same POSIX-class regexes
