@@ -13,6 +13,10 @@ object TextAnalysis {
   private val DeMarkers = Seq("der", "das")
   private val FrMarkers = Seq("le", "la")
   private val Stopwords = Seq("the", "a", "of", "and")
+  // PII patterns shared by the Spark builder AND the oracle SQL — one
+  // definition, no drift (POSIX classes behave identically in Java and RE2)
+  private val EmailRe = "[a-z0-9._]+@[a-z0-9.-]+[.][a-z]+"
+  private val PhoneRe = "[+][0-9]{2}-[0-9]{3}-[0-9]{4}"
 
   private def inSetSql(e: String, set: Seq[String]): String =
     s"CASE WHEN $e IN (${set.map(w => s"'$w'").mkString(", ")}) THEN 1 ELSE 0 END"
@@ -130,33 +134,28 @@ object TextAnalysis {
     // is synthetic, so deterministic emails/phones are woven in first and
     // the scrubber must remove exactly those; the same POSIX-class regexes
     // behave identically in Java and RE2/DuckDB ----
-    Q("q_text_redact", {
-      val email = "[a-z0-9._]+@[a-z0-9.-]+[.][a-z]+"
-      val phone = "[+][0-9]{2}-[0-9]{3}-[0-9]{4}"
+    Q("q_text_redact",
       s"""SELECT doc_id,
-         |  CAST(len(regexp_extract_all(pii_text, '$email')) AS INT) AS n_emails,
-         |  CAST(len(regexp_extract_all(pii_text, '$phone')) AS INT) AS n_phones,
-         |  md5(regexp_replace(regexp_replace(pii_text, '$email', '<EMAIL>', 'g'),
-         |                     '$phone', '<PHONE>', 'g')) AS redacted_md5
+         |  CAST(len(regexp_extract_all(pii_text, '$EmailRe')) AS INT) AS n_emails,
+         |  CAST(len(regexp_extract_all(pii_text, '$PhoneRe')) AS INT) AS n_phones,
+         |  md5(regexp_replace(regexp_replace(pii_text, '$EmailRe', '<EMAIL>', 'g'),
+         |                     '$PhoneRe', '<PHONE>', 'g')) AS redacted_md5
          |FROM (
          |  SELECT doc_id,
          |    text || ' contact user' || doc_id || '@example.com or +49-555-' ||
          |    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS pii_text
          |  FROM documents WHERE doc_id < 200
-         |) ORDER BY doc_id""".stripMargin
-    }) { (s, d) =>
-      val email = "[a-z0-9._]+@[a-z0-9.-]+[.][a-z]+"
-      val phone = "[+][0-9]{2}-[0-9]{3}-[0-9]{4}"
+         |) ORDER BY doc_id""".stripMargin) { (s, d) =>
       val piiText = concat(col("text"), lit(" contact user"), col("doc_id"),
         lit("@example.com or +49-555-"),
         lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
       Tables.documents(s, d).filter(col("doc_id") < 200)
         .select(col("doc_id"), piiText.as("pii_text"))
         .select(col("doc_id"),
-          size(expr(s"regexp_extract_all(pii_text, '$email', 0)")).as("n_emails"),
-          size(expr(s"regexp_extract_all(pii_text, '$phone', 0)")).as("n_phones"),
-          md5(regexp_replace(regexp_replace(col("pii_text"), email, "<EMAIL>"),
-                             phone, "<PHONE>")).as("redacted_md5"))
+          size(expr(s"regexp_extract_all(pii_text, '$EmailRe', 0)")).as("n_emails"),
+          size(expr(s"regexp_extract_all(pii_text, '$PhoneRe', 0)")).as("n_phones"),
+          md5(regexp_replace(regexp_replace(col("pii_text"), EmailRe, "<EMAIL>"),
+                             PhoneRe, "<PHONE>")).as("redacted_md5"))
         .orderBy("doc_id")
     },
 

@@ -78,16 +78,6 @@ object GraphNormalizer {
   def normalize(g: Graph): Map[String, DataFrame] =
     kindTables(g) ++ linkTables(g)
 
-  /** Ingest a JSON-lines graph export (reference A3 remote-graph source
-    * [D]): records tagged `"type":"node"` / `"type":"edge"`, plus
-    * `"type":"kind"` records carrying the kind model so the schema travels
-    * with the export (the reference's remote core likewise ships its model
-    * with the graph). `reported` may be an embedded JSON object — Spark's
-    * JSON reader captures an object into a StringType field as raw text.
-    *
-    * Model resolution: embedded kind records win; otherwise `fallback`;
-    * otherwise the export is rejected (schemas are never guessed).
-    */
   /** JSON-lines export record shape (nodes, edges, and kind records). */
   val exportSchema: StructType = StructType(Seq(
     StructField("type", StringType), StructField("id", StringType),
@@ -98,6 +88,16 @@ object GraphNormalizer {
       StructField("name", StringType), StructField("kind", StringType),
       StructField("required", BooleanType)))))))
 
+  /** Ingest a JSON-lines graph export (reference A3 remote-graph source
+    * [D]): records tagged `"type":"node"` / `"type":"edge"`, plus
+    * `"type":"kind"` records carrying the kind model so the schema travels
+    * with the export (the reference's remote core likewise ships its model
+    * with the graph). `reported` may be an embedded JSON object — Spark's
+    * JSON reader captures an object into a StringType field as raw text.
+    *
+    * Model resolution: embedded kind records win; otherwise `fallback`;
+    * otherwise the export is rejected (schemas are never guessed).
+    */
   def fromJsonExport(
       spark: SparkSession,
       path: String,

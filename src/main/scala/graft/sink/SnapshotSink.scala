@@ -153,6 +153,13 @@ final case class FileSnapshotCommit(base: String, runId: String) extends Snapsho
     val staging = new Path(s"$base/_staging/$runId")
     val current = new Path(s"$base/current")
     val retired = new Path(s"$base/_retired_$runId")
+    // self-heal a prior crash of THIS runId (streaming replays reuse it):
+    // mid-swap (current gone, retired holds the old snapshot) -> restore;
+    // post-swap (both present) -> drop the stale retired copy
+    if (fs.exists(retired)) {
+      if (!fs.exists(current)) fs.rename(retired, current)
+      else fs.delete(retired, true)
+    }
     val hadCurrent = fs.exists(current)
     if (hadCurrent) require(fs.rename(current, retired), s"could not retire $current")
     // If promotion fails, roll the retired snapshot back so `current` is

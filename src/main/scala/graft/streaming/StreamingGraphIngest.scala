@@ -18,10 +18,16 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * `maxFilesPerTrigger=1` pins the snapshot boundary to the file boundary:
   * two exports arriving together still commit as two ordered snapshots.
   *
-  * Recovery semantics: foreachBatch may replay a batch after a failure;
-  * the pipeline is idempotent per batch — staging overwrites
-  * `_staging/s<batchId>` and the swap promotes the same content again, so
-  * a replayed batch converges to the identical snapshot.
+  * Recovery semantics: with a DURABLE `checkpointDir`, a restart resumes
+  * after the last committed batch; a replayed in-flight batch is idempotent
+  * (staging overwrites `_staging/s<batchId>`, the swap promotes the same
+  * content). Without a checkpoint dir the source starts from scratch on
+  * restart and re-plays every file still in the watch directory — fine for
+  * tests, wrong for production; pass a real path there.
+  *
+  * Poison-file isolation: a malformed export fails ITS batch only — the
+  * error is reported through `progress` and ingestion continues with the
+  * next file (set `failOnError=true` to fail the whole query instead).
   */
 object StreamingGraphIngest {
 
@@ -31,22 +37,35 @@ object StreamingGraphIngest {
       dest: Destination,
       fallback: Option[KindModel] = None,
       progress: ProgressListener = NoopProgress,
-      queryName: String = "graft-graph-ingest"): StreamingQuery =
-    spark.readStream
+      checkpointDir: Option[String] = None,
+      failOnError: Boolean = false,
+      queryName: String = "graft-graph-ingest"): StreamingQuery = {
+    val reader = spark.readStream
       .schema(GraphNormalizer.exportSchema)
       .option("maxFilesPerTrigger", 1)
       .json(watchDir)
-      .writeStream
-      .queryName(queryName)
+    val writer = reader.writeStream.queryName(queryName)
+    checkpointDir.foreach(writer.option("checkpointLocation", _))
+    writer
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        if (!batch.isEmpty) {
-          val g = GraphNormalizer.fromExportRecords(batch, fallback)
-          val tables = GraphNormalizer.normalize(g)
-          val runId = s"s$batchId"
-          val staged = SnapshotSink.stage(tables, dest, runId)
-          SnapshotSink.committer(dest, runId, staged).commit(batch.sparkSession)
-          progress.progress("graph_export", s"snapshot $runId committed: ${staged.size} tables")
-        }
+        // one JSON parse per snapshot: the batch plan is otherwise
+        // re-executed by every kind-table write + the pair enumeration
+        batch.persist()
+        try {
+          if (!batch.isEmpty) {
+            val g = GraphNormalizer.fromExportRecords(batch, fallback)
+            val tables = GraphNormalizer.normalize(g)
+            val runId = s"s$batchId"
+            val staged = SnapshotSink.stage(tables, dest, runId)
+            SnapshotSink.committer(dest, runId, staged).commit(batch.sparkSession)
+            progress.progress("graph_export", s"snapshot $runId committed: ${staged.size} tables")
+          }
+        } catch {
+          case e: Throwable if !failOnError =>
+            progress.progress("graph_export",
+              s"batch $batchId FAILED (skipped, previous snapshot intact): ${e.getMessage}")
+        } finally batch.unpersist()
       }
       .start()
+  }
 }

@@ -70,6 +70,11 @@ object StreamingOps {
     * watermarks, so Spark bounds the join state: a buffered view is evicted
     * once the purchase-side watermark passes `view.ts + lookback` — without
     * the time bound a stream-stream join would buffer forever.
+    *
+    * INNER join semantics: a purchase with no view inside the window emits
+    * NO row (this stream answers "which views led here", not "count all
+    * purchases") — use Spark's watermarked `leftOuter` interval join when
+    * view-less purchases must surface with null view columns.
     */
   def purchasesWithRecentViews(
       purchases: DataFrame,
