@@ -92,6 +92,56 @@ object Relational {
              countDistinct(col("st")).as("n_status"))
     },
 
+    // ---- data-quality profiling: per-column stats in ONE scan (struct-
+    // packed aggregates unpivoted afterwards), the validation pass a
+    // pipeline runs before trusting a new snapshot ----
+    Q("q_profile_orders",
+      """SELECT col, n, n_null, n_distinct, round(mn, 6) AS mn, round(mx, 6) AS mx
+        |FROM (
+        |  SELECT 'o_totalprice' AS col, count(*) AS n,
+        |    count(*) - count(o_totalprice) AS n_null,
+        |    count(DISTINCT o_totalprice) AS n_distinct,
+        |    min(o_totalprice) AS mn, max(o_totalprice) AS mx
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'o_custkey', count(*), count(*) - count(o_custkey),
+        |    count(DISTINCT o_custkey),
+        |    CAST(min(o_custkey) AS DOUBLE), CAST(max(o_custkey) AS DOUBLE)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus),
+        |    count(DISTINCT o_orderstatus), NULL, NULL
+        |  FROM orders
+        |) ORDER BY col""".stripMargin) { (s, d) =>
+      // all three columns' stats in ONE aggregate over ONE scan (the
+      // multi-distinct plans as a single Expand pass), then unpivoted
+      val stats = Tables.orders(s, d).agg(
+        count(lit(1)).as("n"),
+        count(col("o_totalprice")).as("tp_nn"),
+        countDistinct(col("o_totalprice")).as("tp_nd"),
+        round(min(col("o_totalprice")).cast("double"), 6).as("tp_mn"),
+        round(max(col("o_totalprice")).cast("double"), 6).as("tp_mx"),
+        count(col("o_custkey")).as("ck_nn"),
+        countDistinct(col("o_custkey")).as("ck_nd"),
+        round(min(col("o_custkey")).cast("double"), 6).as("ck_mn"),
+        round(max(col("o_custkey")).cast("double"), 6).as("ck_mx"),
+        count(col("o_orderstatus")).as("st_nn"),
+        countDistinct(col("o_orderstatus")).as("st_nd"))
+      val nullD = lit(null).cast("double")
+      stats.select(explode(array(
+        struct(lit("o_custkey").as("col"), col("n"),
+          (col("n") - col("ck_nn")).as("n_null"), col("ck_nd").as("n_distinct"),
+          col("ck_mn").as("mn"), col("ck_mx").as("mx")),
+        struct(lit("o_orderstatus").as("col"), col("n"),
+          (col("n") - col("st_nn")).as("n_null"), col("st_nd").as("n_distinct"),
+          nullD.as("mn"), nullD.as("mx")),
+        struct(lit("o_totalprice").as("col"), col("n"),
+          (col("n") - col("tp_nn")).as("n_null"), col("tp_nd").as("n_distinct"),
+          col("tp_mn").as("mn"), col("tp_mx").as("mx")))).as("s"))
+        .select("s.*")
+        .orderBy("col")
+    },
+
     // ---- §2.C1: 4-way equi inner join (broadcast small dims) ----
     Q("q_join_revenue_by_nation",
       """SELECT n_name,
