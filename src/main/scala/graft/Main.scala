@@ -50,6 +50,10 @@ object Main {
       analyticsOptOut = envBool("ANALYTICS_OPT_OUT"))
     var rest = argv.toList
     while (rest.nonEmpty) rest = rest match {
+      case "--config" :: Nil               =>
+        throw new IllegalArgumentException("argument --config: expected one argument")
+      case "--show" :: Nil                 =>
+        throw new IllegalArgumentException("argument --show: expected one argument")
       case "--config" :: v :: t            => a = a.copy(config = Some(v)); t
       case "--show" :: v :: t              =>
         require(showChoices(v), s"argument --show: invalid choice: '$v' (choose from ${showChoices.mkString(", ")})")

@@ -23,6 +23,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // the LSH/minhash/jaccard queries cache index tables by design;
+      // without this the cached blocks of all 70+ queries accumulate
+      // across the run (Bench clears between queries for the same reason)
+      finally spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -119,8 +119,16 @@ object HadoopBucketUploader extends BucketUploader {
     val scheme = if (cfg.provider.contains("gcs")) "gs" else "s3a"
     val bucket = cfg.bucket.getOrElse(
       throw new IllegalArgumentException("upload without bucket"))
-    val conf = spark.sparkContext.hadoopConfiguration
-    cfg.region.foreach(conf.set("fs.s3a.endpoint.region", _))
+    // copy, never mutate, the session-shared configuration: a per-
+    // destination region must not leak into every later S3 access; the
+    // uncached FS instance makes the copied region actually take effect
+    // (Hadoop's FS cache keys ignore conf contents)
+    val conf = new org.apache.hadoop.conf.Configuration(
+      spark.sparkContext.hadoopConfiguration)
+    cfg.region.foreach { r =>
+      conf.set("fs.s3a.endpoint.region", r)
+      conf.setBoolean(s"fs.$scheme.impl.disable.cache", true)
+    }
     val target = new Path(s"$scheme://$bucket/${tableDir.getName}")
     val srcFs = tableDir.getFileSystem(conf)
     val dstFs = target.getFileSystem(conf) // throws if no s3a/gs connector
@@ -212,25 +220,35 @@ final case class JdbcSnapshotCommit(cfg: JdbcDestination, tables: Seq[String]) e
       val rs = conn.getMetaData.getTables(catalog, schema, null, Array("TABLE"))
       val existing = Iterator.continually(rs)
         .takeWhile(_.next()).map(_.getString("TABLE_NAME").toLowerCase).toSet
-      // Self-heal: a crash between a previous swap's RENAME and its DROP
-      // can leave `t__old` behind, which would fail every later swap.
-      tables.filter(t => existing.contains(s"${t.toLowerCase}__old"))
-        .foreach(t => st.executeUpdate(s"DROP TABLE ${t}__old"))
+      // Self-heal, restore-first (mirrors FileSnapshotCommit): a crash
+      // between a previous swap's RENAME and its DROP can leave `t__old`
+      // behind. If `t` is also missing (crash mid-promote), `t__old` is the
+      // ONLY copy — rename it back instead of dropping it; only a stale
+      // `t__old` next to a live `t` is dropped.
+      val healed = tables.flatMap { t =>
+        if (!existing.contains(s"${t.toLowerCase}__old")) None
+        else if (existing.contains(t.toLowerCase)) {
+          st.executeUpdate(s"DROP TABLE ${t}__old"); None
+        } else {
+          st.executeUpdate(renameSql(s"${t}__old", t)); Some(t.toLowerCase)
+        }
+      }.toSet
+      val present = existing ++ healed
       if (isMysqlFamily && tables.nonEmpty) {
         // MySQL/MariaDB auto-commit DDL but DO make one multi-table RENAME
         // atomic: old tables move aside and new ones promote in one step.
         val renames = tables.flatMap { t =>
-          (if (existing.contains(t.toLowerCase)) Seq(s"$t TO ${t}__old") else Nil) :+
+          (if (present.contains(t.toLowerCase)) Seq(s"$t TO ${t}__old") else Nil) :+
             s"${t}__tmp TO $t"
         }
         st.executeUpdate(s"RENAME TABLE ${renames.mkString(", ")}")
-        tables.filter(t => existing.contains(t.toLowerCase))
+        tables.filter(t => present.contains(t.toLowerCase))
           .foreach(t => st.executeUpdate(s"DROP TABLE ${t}__old"))
       } else if (hasTransactionalDdl) {
         // postgres/sqlite/derby: DROP + RENAME inside one transaction,
         // rolled back wholesale on any failure
         tables.foreach { t =>
-          if (existing.contains(t.toLowerCase)) st.executeUpdate(s"DROP TABLE $t")
+          if (present.contains(t.toLowerCase)) st.executeUpdate(s"DROP TABLE $t")
           st.executeUpdate(renameSql(s"${t}__tmp", t))
         }
       } else {
@@ -239,7 +257,7 @@ final case class JdbcSnapshotCommit(cfg: JdbcDestination, tables: Seq[String]) e
         // table recoverable under `t__old`, never silently dropped — the
         // per-dialect atomicity limit is inherent to those engines.
         tables.foreach { t =>
-          val had = existing.contains(t.toLowerCase)
+          val had = present.contains(t.toLowerCase)
           if (had) st.executeUpdate(renameSql(t, s"${t}__old"))
           st.executeUpdate(renameSql(s"${t}__tmp", t))
           if (had) st.executeUpdate(s"DROP TABLE ${t}__old")

@@ -61,7 +61,10 @@ object StreamingGraphIngest {
             progress.progress("graph_export", s"snapshot $runId committed: ${staged.size} tables")
           }
         } catch {
-          case e: Throwable if !failOnError =>
+          // NonFatal only: an OOM/StackOverflow/interrupt must fail the
+          // query, not be reported as a skipped batch over a possibly
+          // corrupted JVM
+          case scala.util.control.NonFatal(e) if !failOnError =>
             progress.progress("graph_export",
               s"batch $batchId FAILED (skipped, previous snapshot intact): ${e.getMessage}")
         } finally batch.unpersist()
