@@ -163,16 +163,21 @@ object Dedup {
          |FROM sims a JOIN sims b ON a.doc_id < b.doc_id AND ($bandCond)
          |ORDER BY hamming, doc_a, doc_b LIMIT 20""".stripMargin
     }) { (s, d) =>
-      val sims = simhashDf(s, d, docFilter = col("doc_id") < 200).cache()
-      val bands = (0 until 4).map { b =>
-        val a = sims.select(col("doc_id").as("doc_a"), col("simhash").as("sim_a"),
-          shiftright(col("simhash"), 8 * b).bitwiseAND(255).as("band"))
-        val bb = sims.select(col("doc_id").as("doc_b"), col("simhash").as("sim_b"),
-          shiftright(col("simhash"), 8 * b).bitwiseAND(255).as("band"))
-        a.join(bb, Seq("band")).filter(col("doc_a") < col("doc_b"))
-          .select("doc_a", "doc_b", "sim_a", "sim_b")
-      }
-      bands.reduce(_ unionByName _).distinct()
+      // same shape as the minhash pairs: each fingerprint explodes to 4
+      // (band, key) rows and ONE self equi-join on (band, key) yields every
+      // pair agreeing on ANY band — a single shuffle instead of four joins
+      // that each re-scan the fingerprints. Fan-out is bounded by
+      // per-(band,key) bucket occupancy, never O(n²).
+      val banded = simhashDf(s, d, docFilter = col("doc_id") < 200)
+        .select(col("doc_id"), col("simhash"), posexplode(array((0 until 4).map { b =>
+          shiftright(col("simhash"), 8 * b).bitwiseAND(255)
+        }: _*)).as(Seq("band", "key")))
+        .cache()
+      banded.select(col("doc_id").as("doc_a"), col("simhash").as("sim_a"), col("band"), col("key"))
+        .join(banded.select(col("doc_id").as("doc_b"), col("simhash").as("sim_b"), col("band"), col("key")),
+              Seq("band", "key"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b", "sim_a", "sim_b").distinct()
         .select(col("doc_a"), col("doc_b"),
           expr("cast(bit_count(sim_a ^ sim_b) as int)").as("hamming"))
         .orderBy(col("hamming").asc, col("doc_a").asc, col("doc_b").asc)

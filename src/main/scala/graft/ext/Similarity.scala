@@ -113,34 +113,62 @@ object Similarity {
 
   /** (vec_id, cid): each vector assigned to its nearest centroid. The
     * centroid set is a deterministic strided sample (IVF-Flat with random
-    * centroids — the standard no-training baseline); it is broadcast, so
-    * assignment is a map-side argmax with NO shuffle of the corpus. Scaling
-    * rule: centroids ≈ sqrt(N) keeps cells at sqrt(N) rows; `nprobe` buys
-    * recall linearly in scanned cells.
+    * centroids — the standard no-training baseline). Centroids are
+    * collected once (metadata-scale: ≈ sqrt(N) rows, the same data a
+    * broadcast would ship) and embedded as ONE array literal; the argmax
+    * is then a single projection — `array_max` over a `transform` that
+    * scores every centroid per row — so assignment is genuinely map-side:
+    * no join, no window, no Exchange between the corpus scan and the
+    * (vec_id, cid) output. Scaling rule: centroids ≈ sqrt(N) keeps cells
+    * at sqrt(N) rows; `nprobe` buys recall linearly in scanned cells. For
+    * centroid sets too big for one literal (≳10⁵), chunk the centroid
+    * array and take the max of per-chunk maxima — still projection-only.
     */
-  def ivfAssign(vecDf: DataFrame, centroidStride: Int): DataFrame = {
-    val c = vecDf.filter(col("vec_id") % centroidStride === 0)
-      .select(col("vec_id").as("cid"), col("v").as("cv"))
-    val w = Window.partitionBy("vec_id")
-      .orderBy(cosine(col("v"), col("cv")).desc, col("cid").asc)
-    vecDf.join(broadcast(c))
-      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select("vec_id", "cid")
+  /** Centroid set as one array literal: metadata-scale (≈ sqrt(N) rows,
+    * the same data a broadcast would ship), collected once driver-side.
+    */
+  private def centroidLit(vecDf: DataFrame, centroidStride: Int): Column =
+    typedLit(vecDf.filter(col("vec_id") % centroidStride === 0)
+      .select(col("vec_id"), col("v"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .sortBy(_._1)
+      .toSeq)
+
+  /** Per-centroid (cos, -cid) scores of `v` against the literal centroid
+    * array — a pure projection. Struct ordering makes the max/descending
+    * sort equal a (cos DESC, cid ASC) ranking: cos compares first, and on
+    * ties the larger -cid is the smaller cid. The cosine is the same
+    * unrounded expression the windowed form ordered by — bit-identical
+    * ranking.
+    */
+  private def centroidScores(cArr: Column, v: Column): Column = {
+    val vnorm = sqrt(dot(v, v))
+    transform(cArr, c => struct(
+      (dot(v, c("_2")) / (vnorm * sqrt(dot(c("_2"), c("_2"))))).as("cos"),
+      (-c("_1")).as("ncid")))
   }
 
-  /** Cosine top-k via IVF: probe the `nprobe` nearest cells per query. */
+  def ivfAssign(vecDf: DataFrame, centroidStride: Int): DataFrame = {
+    val cArr = centroidLit(vecDf, centroidStride)
+    val best = array_max(centroidScores(cArr, col("v")))
+    vecDf.select(col("vec_id"), (-best("ncid")).as("cid"))
+  }
+
+  /** Cosine top-k via IVF: probe the `nprobe` nearest cells per query.
+    * Probe→cell selection is the same projection-only centroid scoring as
+    * [[ivfAssign]] (sort the scored array, keep `nprobe`) — no join, no
+    * shuffle, on either side of the cell assignment.
+    */
   def ivfTopK(vecDf: DataFrame, probePred: Column, centroidStride: Int,
               nprobe: Int, k: Int): DataFrame = {
-    val cc = vecDf.filter(col("vec_id") % centroidStride === 0)
-      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    val cArr = centroidLit(vecDf, centroidStride)
     val asn = ivfAssign(vecDf, centroidStride)
-    val wProbe = Window.partitionBy("qid")
-      .orderBy(cosine(col("qv"), col("cv")).desc, col("cid").asc)
     val probes = vecDf.filter(probePred)
-      .select(col("vec_id").as("qid"), col("v").as("qv"))
-      .join(broadcast(cc))
-      .withColumn("rn", row_number().over(wProbe)).filter(col("rn") <= nprobe)
-      .select("qid", "cid")
+      .select(col("vec_id").as("qid"),
+        explode(slice(sort_array(centroidScores(cArr, col("v")), asc = false),
+                      1, nprobe)).as("sc"))
+      .select(col("qid"), (-col("sc.ncid")).as("cid"))
     val cands = probes.join(asn, Seq("cid"))
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("cand")).distinct()
@@ -227,8 +255,8 @@ object Similarity {
         .limit(20)
     },
 
-    // ---- IVF-quantized cosine top-1: broadcast centroids, map-side
-    // assignment, nprobe=2 cells scanned per probe ----
+    // ---- IVF-quantized cosine top-1: centroid-literal projection for
+    // assignment (no Exchange), nprobe=2 cells scanned per probe ----
     Q("q_embed_ivf", {
       def cosRaw(a: String, b: String) =
         s"$DotSql($a, $b) / (sqrt($DotSql($a, $a)) * sqrt($DotSql($b, $b)))"

@@ -197,16 +197,15 @@ object Relational {
         .groupBy("c_mktsegment").agg(count(lit(1)).as("n")).orderBy("c_mktsegment")
     },
 
-    // ---- §2.C4: theta/range join — tiny side broadcast => NLJ, not cartesian ----
+    // ---- §2.C4: range join — banded equi-join (BandJoin), never an NLJ ----
     Q("q_join_range",
       """SELECT s_name, count(*) AS n_close,
         |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS bal_sum
         |FROM supplier JOIN customer
         |  ON c_acctbal BETWEEN s_acctbal - 100 AND s_acctbal + 100
         |GROUP BY s_name ORDER BY s_name""".stripMargin) { (s, d) =>
-      Tables.customer(s, d)
-        .join(broadcast(Tables.supplier(s, d)),
-              col("c_acctbal").between(col("s_acctbal") - 100, col("s_acctbal") + 100))
+      BandJoin.range(Tables.customer(s, d), Tables.supplier(s, d),
+                     col("c_acctbal"), col("s_acctbal"), radius = 100)
         .groupBy("s_name")
         .agg(count(lit(1)).as("n_close"), dsum(col("c_acctbal"), 4).as("bal_sum"))
         .orderBy("s_name")
