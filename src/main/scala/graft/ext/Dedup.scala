@@ -68,6 +68,27 @@ object Dedup {
     agg.select(col("doc_id"), sim.cast("long").as("simhash"), col("n_tokens"))
   }
 
+  /** Distinct (doc_a < doc_b) MinHash-LSH candidate pairs. Each signature
+    * row explodes to 4 (band, k1, k2) keys and ONE self equi-join on
+    * (band, k1, k2) finds every pair agreeing on ANY band — a single
+    * shuffle instead of four band joins that each re-scan the signature
+    * table. Never an O(n²) comparison: fan-out is bounded by per-(band,key)
+    * bucket size.
+    */
+  private def minhashPairsDf(s: SparkSession, d: String): DataFrame = {
+    val banded = minhashDf(s, d)
+      .select(col("doc_id"), posexplode(array((0 until 4).map { b =>
+        struct(col(s"sig_${2 * b}").as("k1"), col(s"sig_${2 * b + 1}").as("k2"))
+      }: _*)).as(Seq("band", "kk")))
+      .select(col("doc_id"), col("band"), col("kk.k1").as("k1"), col("kk.k2").as("k2"))
+      .cache()
+    banded.select(col("doc_id").as("doc_a"), col("band"), col("k1"), col("k2"))
+      .join(banded.select(col("doc_id").as("doc_b"), col("band"), col("k1"), col("k2")),
+            Seq("band", "k1", "k2"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+  }
+
   // ---------- shared oracle-SQL fragments ----------
   private def toksFrom = s"""SELECT doc_id, ${tokensSql("text")} AS toks FROM documents"""
   /** Distinct (doc_id, h48(shingle)) — mirrors [[shingleHashDf]]. */
@@ -128,22 +149,41 @@ object Dedup {
          |FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id AND ($bandCond)
          |ORDER BY doc_a, doc_b""".stripMargin
     }) { (s, d) =>
-      // Candidates = pairs agreeing on ANY band. Each signature row explodes
-      // to 4 (band, k1, k2) keys and ONE self equi-join on (band, k1, k2)
-      // finds all of them — a single shuffle instead of four band joins that
-      // each re-scan the signature table. Never an O(n²) comparison: fan-out
-      // is bounded by per-(band,key) bucket size.
-      val banded = minhashDf(s, d)
-        .select(col("doc_id"), posexplode(array((0 until 4).map { b =>
-          struct(col(s"sig_${2 * b}").as("k1"), col(s"sig_${2 * b + 1}").as("k2"))
-        }: _*)).as(Seq("band", "kk")))
-        .select(col("doc_id"), col("band"), col("kk.k1").as("k1"), col("kk.k2").as("k2"))
-        .cache()
-      banded.select(col("doc_id").as("doc_a"), col("band"), col("k1"), col("k2"))
-        .join(banded.select(col("doc_id").as("doc_b"), col("band"), col("k1"), col("k2")),
-              Seq("band", "k1", "k2"))
-        .filter(col("doc_a") < col("doc_b"))
-        .select("doc_a", "doc_b").distinct().orderBy("doc_a", "doc_b")
+      minhashPairsDf(s, d).orderBy("doc_a", "doc_b")
+    },
+
+    // ---- cluster closure: pairs -> connected components -> canonical doc ----
+    // The step that turns candidate PAIRS into a deduplicated corpus:
+    // transitive closure over the MinHash-LSH pair graph (a near-dup of b
+    // and b of c puts a,c in one cluster even if they never shared a band),
+    // canonical representative = min doc_id, keep = this row IS the
+    // representative. filter(keep) is the deduplicated corpus.
+    Q("q_dedup_clusters", {
+      val bandCond = (0 until 4)
+        .map(b => s"(a.sig_${2 * b} = b.sig_${2 * b} AND a.sig_${2 * b + 1} = b.sig_${2 * b + 1})")
+        .mkString(" OR ")
+      s"""WITH RECURSIVE sigs AS ($minhashSelect),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id AND ($bandCond)
+         |),
+         |edges AS (SELECT doc_a AS s, doc_b AS t FROM pairs
+         |          UNION SELECT doc_b, doc_a FROM pairs),
+         |reach(id, r) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.t, reach.r FROM reach JOIN edges e ON e.s = reach.id
+         |)
+         |SELECT id AS doc_id, min(r) AS cluster_id, (id = min(r)) AS keep
+         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
+      val nodes = Tables.documents(s, d).select(col("doc_id").as("id"))
+      val edges = minhashPairsDf(s, d)
+        .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      graft.operators.ConnectedComponents.run(nodes, edges)
+        .select(col("id").as("doc_id"), col("comp").as("cluster_id"),
+                (col("id") === col("comp")).as("keep"))
+        .orderBy("doc_id")
     },
 
     // ---- simhash fingerprints ----

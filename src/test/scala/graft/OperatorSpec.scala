@@ -111,4 +111,39 @@ class OperatorSpec extends AnyFunSuite {
   test("flagship entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("connected components: closed under edges, canonical min id, union-find parity") {
+    // seeded graph: dense near-dup clusters + one 60-node chain (worst case
+    // for plain min-propagation — the label hop must collapse it in
+    // O(log diameter) rounds, well inside the default iteration cap)
+    val rnd = new scala.util.Random(7)
+    val n = 400L
+    val clusterEdges = (0 until 300).map { _ =>
+      val base = rnd.nextInt(40) * 10L
+      (base + rnd.nextInt(4), base + rnd.nextInt(4))
+    }
+    val chainEdges = (0 until 59).map(i => (340L + i, 341L + i))
+    val edges = (clusterEdges ++ chainEdges).filter(e => e._1 != e._2)
+      .map { case (a, b) => (a.min(b), a.max(b)) }.distinct
+    val nodes = (0L until n).toDF("id")
+    val got = graft.operators.ConnectedComponents
+      .run(nodes, edges.toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    // oracle: driver-side union-find over the same edges
+    val parent = scala.collection.mutable.Map((0L until n).map(i => i -> i): _*)
+    def find(x: Long): Long = { if (parent(x) != x) parent(x) = find(parent(x)); parent(x) }
+    edges.foreach { case (a, b) => parent(find(a)) = find(b) }
+    val comp = (0L until n).groupBy(find).flatMap { case (_, ids) =>
+      ids.map(_ -> ids.min)
+    }
+
+    assert(got.size == n)
+    assert(got == comp)                                     // exact labeling
+    edges.foreach { case (a, b) => assert(got(a) == got(b)) } // closure
+    got.foreach { case (id, c) =>
+      assert(c <= id)                                       // canonical = min
+      assert(got(c) == c)                                   // rep in own cluster
+    }
+  }
 }
