@@ -85,12 +85,18 @@ object Runner {
           progress.progress(key, "collect started")
           val graph = src.collect(spark)
           val tables = GraphNormalizer.normalize(graph)
-          // stage all tables; promotion is deferred past the barrier
+          // stage all tables; promotion is deferred past the barrier.
+          // Node/edge counts come from the writes' observed metrics
+          // (SnapshotSink.StagedTable) — every node lands in exactly one
+          // kind table and every resolved edge in exactly one link table,
+          // so the sums are the snapshot's counts with NO second pass over
+          // the source (at 100 TB a count-after-write re-reads everything).
           val staged = SnapshotSink.stage(tables, config.destination, runId)
-          val nodes = graph.nodes.count()
-          val edges = graph.edges.count()
+          val (linkT, kindT) = staged.partition(_.name.startsWith("link_"))
+          val nodes = kindT.map(_.rows).sum
+          val edges = linkT.map(_.rows).sum
           progress.progress(key, s"collect done: $nodes nodes, $edges edges")
-          (SourceReport(key, nodes, edges), staged)
+          (SourceReport(key, nodes, edges), staged.map(_.name))
         }
       }.toSeq
 

@@ -36,27 +36,46 @@ object SnapshotSink {
     df.select(cols.toSeq: _*)
   }
 
-  /** Stage all tables of one source under the shared runId; several sources
-    * stage concurrently into the same snapshot. Returns the staged names.
+  /** A staged table plus the row count its write produced — observed as a
+    * write-side metric (`Dataset.observe`), NOT by re-executing the table's
+    * plan: at 100 TB a count-after-write is a second full pass per source.
     */
-  def stage(tables: Map[String, DataFrame], dest: Destination, runId: String): Seq[String] = {
-    dest match {
-      case ArrowDest(cfg) =>
-        val staging = s"${cfg.path}/_staging/$runId"
-        tables.foreach { case (name, df) =>
+  final case class StagedTable(name: String, rows: Long)
+
+  /** Stage all tables of one source under the shared runId; several sources
+    * stage concurrently into the same snapshot. Returns the staged names
+    * with their observed row counts.
+    */
+  def stage(tables: Map[String, DataFrame], dest: Destination, runId: String): Seq[StagedTable] = {
+    // one Observation per table write: the count rides the write job's
+    // accumulators (exactly one action per staged table, the contract
+    // Observation requires) and is available the moment the write returns
+    def observed(df: DataFrame): (DataFrame, org.apache.spark.sql.Observation) = {
+      val obs = org.apache.spark.sql.Observation()
+      (df.observe(obs, count(lit(1)).as("rows")), obs)
+    }
+    tables.map { case (name, df) =>
+      val obs = dest match {
+        case ArrowDest(cfg) =>
+          val staging = s"${cfg.path}/_staging/$runId"
           cfg.format match {
-            case "csv" => flattenForSql(df).write.mode("overwrite")
-              .option("maxRecordsPerFile", cfg.batchSize)
-              .option("header", "true") // reference CSV carries a header [T :52]
-              .csv(s"$staging/$name")
-            case _ => df.write.mode("overwrite")
-              .option("maxRecordsPerFile", cfg.batchSize)
-              .parquet(s"$staging/$name")
+            case "csv" =>
+              val (o, obs) = observed(flattenForSql(df))
+              o.write.mode("overwrite")
+                .option("maxRecordsPerFile", cfg.batchSize)
+                .option("header", "true") // reference CSV carries a header [T :52]
+                .csv(s"$staging/$name")
+              obs
+            case _ =>
+              val (o, obs) = observed(df)
+              o.write.mode("overwrite")
+                .option("maxRecordsPerFile", cfg.batchSize)
+                .parquet(s"$staging/$name")
+              obs
           }
-        }
-      case DbDest(cfg) =>
-        tables.foreach { case (name, df) =>
-          val w = flattenForSql(df).write.mode("overwrite")
+        case DbDest(cfg) =>
+          val (o, obs) = observed(flattenForSql(df))
+          val w = o.write.mode("overwrite")
             .format("jdbc")
             .option("url", cfg.url)
             .option("dbtable", s"${name}__tmp")
@@ -67,9 +86,10 @@ object SnapshotSink {
           // or assembled — Spark forwards unknown options as JDBC properties
           cfg.args.foreach { case (k, v) => w.option(k, v) }
           w.save()
-        }
-    }
-    tables.keys.toSeq
+          obs
+      }
+      StagedTable(name, obs.get("rows").asInstanceOf[Long])
+    }.toSeq
   }
 
   /** One commit per run — called exactly once, after the global barrier.
@@ -186,7 +206,7 @@ final case class FileSnapshotCommit(base: String, runId: String) extends Snapsho
 
 final case class JdbcSnapshotCommit(cfg: JdbcDestination, tables: Seq[String]) extends SnapshotCommit {
 
-  private def family: String = cfg.dialect.takeWhile(_ != '+')
+  private[sink] def family: String = cfg.dialect.takeWhile(_ != '+')
 
   private def isMysqlFamily: Boolean = family == "mysql" || family == "mariadb"
 
@@ -196,10 +216,64 @@ final case class JdbcSnapshotCommit(cfg: JdbcDestination, tables: Seq[String]) e
   private def hasTransactionalDdl: Boolean =
     Set("postgresql", "sqlite", "derby")(family)
 
-  private def renameSql(from: String, to: String): String = family match {
+  private[sink] def renameSql(from: String, to: String): String = family match {
     case "derby"                       => s"RENAME TABLE $from TO $to"
     case "mssql"                       => s"EXEC sp_rename '$from', '$to'"
     case _                             => s"ALTER TABLE $from RENAME TO $to"
+  }
+
+  /** The complete swap as an ordered DDL script, a pure function of the
+    * pre-swap table inventory — the strategy selection (transactional
+    * DROP+RENAME vs MySQL single multi-RENAME vs move-aside) and the
+    * restore-first self-heal are all decided here, so every dialect
+    * family's exact statement sequence is unit-testable without a driver
+    * on the classpath.
+    */
+  private[sink] def swapStatements(existing: Set[String]): Seq[String] = {
+    // Self-heal, restore-first (mirrors FileSnapshotCommit): a crash
+    // between a previous swap's RENAME and its DROP can leave `t__old`
+    // behind. If `t` is also missing (crash mid-promote), `t__old` is the
+    // ONLY copy — rename it back instead of dropping it; only a stale
+    // `t__old` next to a live `t` is dropped.
+    val heal = tables.flatMap { t =>
+      if (!existing.contains(s"${t.toLowerCase}__old")) Nil
+      else if (existing.contains(t.toLowerCase)) Seq(s"DROP TABLE ${t}__old")
+      else Seq(renameSql(s"${t}__old", t))
+    }
+    val present = existing ++ tables.filter(t =>
+      existing.contains(s"${t.toLowerCase}__old") && !existing.contains(t.toLowerCase))
+      .map(_.toLowerCase)
+    val swap =
+      if (isMysqlFamily && tables.nonEmpty) {
+        // MySQL/MariaDB auto-commit DDL but DO make one multi-table RENAME
+        // atomic: old tables move aside and new ones promote in one step.
+        val renames = tables.flatMap { t =>
+          (if (present.contains(t.toLowerCase)) Seq(s"$t TO ${t}__old") else Nil) :+
+            s"${t}__tmp TO $t"
+        }
+        s"RENAME TABLE ${renames.mkString(", ")}" +:
+          tables.filter(t => present.contains(t.toLowerCase))
+            .map(t => s"DROP TABLE ${t}__old")
+      } else if (hasTransactionalDdl) {
+        // postgres/sqlite/derby: DROP + RENAME inside one transaction,
+        // rolled back wholesale on any failure
+        tables.flatMap { t =>
+          (if (present.contains(t.toLowerCase)) Seq(s"DROP TABLE $t") else Nil) :+
+            renameSql(s"${t}__tmp", t)
+        }
+      } else {
+        // auto-commit-DDL dialects without multi-RENAME (oracle/snowflake/
+        // mssql): per-table move-aside. A crash mid-sequence leaves the old
+        // table recoverable under `t__old`, never silently dropped — the
+        // per-dialect atomicity limit is inherent to those engines.
+        tables.flatMap { t =>
+          val had = present.contains(t.toLowerCase)
+          (if (had) Seq(renameSql(t, s"${t}__old")) else Nil) ++
+            Seq(renameSql(s"${t}__tmp", t)) ++
+            (if (had) Seq(s"DROP TABLE ${t}__old") else Nil)
+        }
+      }
+    heal ++ swap
   }
 
   def commit(spark: SparkSession): Unit = {
@@ -220,49 +294,7 @@ final case class JdbcSnapshotCommit(cfg: JdbcDestination, tables: Seq[String]) e
       val rs = conn.getMetaData.getTables(catalog, schema, null, Array("TABLE"))
       val existing = Iterator.continually(rs)
         .takeWhile(_.next()).map(_.getString("TABLE_NAME").toLowerCase).toSet
-      // Self-heal, restore-first (mirrors FileSnapshotCommit): a crash
-      // between a previous swap's RENAME and its DROP can leave `t__old`
-      // behind. If `t` is also missing (crash mid-promote), `t__old` is the
-      // ONLY copy — rename it back instead of dropping it; only a stale
-      // `t__old` next to a live `t` is dropped.
-      val healed = tables.flatMap { t =>
-        if (!existing.contains(s"${t.toLowerCase}__old")) None
-        else if (existing.contains(t.toLowerCase)) {
-          st.executeUpdate(s"DROP TABLE ${t}__old"); None
-        } else {
-          st.executeUpdate(renameSql(s"${t}__old", t)); Some(t.toLowerCase)
-        }
-      }.toSet
-      val present = existing ++ healed
-      if (isMysqlFamily && tables.nonEmpty) {
-        // MySQL/MariaDB auto-commit DDL but DO make one multi-table RENAME
-        // atomic: old tables move aside and new ones promote in one step.
-        val renames = tables.flatMap { t =>
-          (if (present.contains(t.toLowerCase)) Seq(s"$t TO ${t}__old") else Nil) :+
-            s"${t}__tmp TO $t"
-        }
-        st.executeUpdate(s"RENAME TABLE ${renames.mkString(", ")}")
-        tables.filter(t => present.contains(t.toLowerCase))
-          .foreach(t => st.executeUpdate(s"DROP TABLE ${t}__old"))
-      } else if (hasTransactionalDdl) {
-        // postgres/sqlite/derby: DROP + RENAME inside one transaction,
-        // rolled back wholesale on any failure
-        tables.foreach { t =>
-          if (present.contains(t.toLowerCase)) st.executeUpdate(s"DROP TABLE $t")
-          st.executeUpdate(renameSql(s"${t}__tmp", t))
-        }
-      } else {
-        // auto-commit-DDL dialects without multi-RENAME (oracle/snowflake/
-        // mssql): per-table move-aside. A crash mid-sequence leaves the old
-        // table recoverable under `t__old`, never silently dropped — the
-        // per-dialect atomicity limit is inherent to those engines.
-        tables.foreach { t =>
-          val had = present.contains(t.toLowerCase)
-          if (had) st.executeUpdate(renameSql(t, s"${t}__old"))
-          st.executeUpdate(renameSql(s"${t}__tmp", t))
-          if (had) st.executeUpdate(s"DROP TABLE ${t}__old")
-        }
-      }
+      swapStatements(existing).foreach(st.executeUpdate)
       conn.commit()
     } catch {
       case e: Throwable => conn.rollback(); throw e

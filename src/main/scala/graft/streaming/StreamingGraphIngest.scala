@@ -57,7 +57,7 @@ object StreamingGraphIngest {
             val tables = GraphNormalizer.normalize(g)
             val runId = s"s$batchId"
             val staged = SnapshotSink.stage(tables, dest, runId)
-            SnapshotSink.committer(dest, runId, staged).commit(batch.sparkSession)
+            SnapshotSink.committer(dest, runId, staged.map(_.name)).commit(batch.sparkSession)
             progress.progress("graph_export", s"snapshot $runId committed: ${staged.size} tables")
           }
         } catch {

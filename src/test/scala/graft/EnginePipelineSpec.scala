@@ -150,6 +150,50 @@ class EnginePipelineSpec extends AnyFunSuite {
     assert(p("example_nodes") == 10L && p("example_edges") == 13L)
   }
 
+  test("run report counts come from write-side metrics, not a second source pass") {
+    // a node set that COUNTS how often its rows are scanned: the full
+    // Runner.run must touch the source exactly as often as staging alone
+    // does — the old count-after-write added one more full pass per source,
+    // a second 100 TB read at scale
+    import org.apache.spark.sql.{Row, types => T}
+    import graft.model.{Kind, KindModel}
+    import spark.implicits._
+    val scans = spark.sparkContext.longAccumulator("node-scans")
+    val model = KindModel(Seq(Kind("thing", KindModel.baseProperties)))
+    val nRows = 6
+    def mkGraph(): Graph = {
+      val rows = (1 to nRows).map { i =>
+        Row(s"n$i", "thing", s"""{"id":"n$i","name":"thing $i","kind":"thing"}""")
+      }
+      val schema = T.StructType(Seq(
+        T.StructField("id", T.StringType), T.StructField("kind", T.StringType),
+        T.StructField("reported", T.StringType)))
+      val nodes = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 2).map { r => scans.add(1); r }, schema)
+      val edges = Seq(("n1", "n2"), ("n1", "n3")).toDF("from_id", "to_id")
+      Graph(nodes, edges, model)
+    }
+    val counting: Map[String, Source] = Map(
+      "c" -> new Source { val name = "c"; def collect(s: SparkSession) = mkGraph() })
+
+    // baseline: normalize + stage only (the unavoidable write passes)
+    val b1 = Files.createTempDirectory("graft-passes-a").toString
+    val before = scans.value
+    sink.SnapshotSink.stage(graft.graph.GraphNormalizer.normalize(mkGraph()),
+      ArrowDest(FileDestination("parquet", b1)), "rid")
+    val stagePasses = scans.value - before
+
+    val b2 = Files.createTempDirectory("graft-passes-b").toString
+    val mid = scans.value
+    val report = Runner.run(spark,
+      GraftConfig(Map("c" -> Map.empty), ArrowDest(FileDestination("parquet", b2))), counting)
+    val runPasses = scans.value - mid
+    assert(report.sources == Seq(engine.SourceReport("c", nRows, 2)))
+    assert(runPasses == stagePasses,
+      s"Runner.run scanned the source ${runPasses / nRows.toDouble} times vs " +
+      s"${stagePasses / nRows.toDouble} for staging alone")
+  }
+
   test("nested tags survive as MapType in parquet, degrade to JSON in csv") {
     val base = Files.createTempDirectory("graft-fidelity").toString
     Runner.run(spark, cfg(ArrowDest(FileDestination("parquet", base))), registry)

@@ -1,0 +1,83 @@
+package graft.sink
+
+import graft.config.JdbcDestination
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Driverless pin of the per-dialect swap DDL: `swapStatements` is a pure
+  * function of the pre-swap table inventory, so every family's exact
+  * statement sequence — strategy selection, rename spelling, restore-first
+  * self-heal — is asserted here without oracle/snowflake/mssql/mysql
+  * drivers on the classpath (only Derby ships in the sandbox; the other
+  * families were previously untestable end-to-end).
+  */
+class SwapStrategySpec extends AnyFunSuite {
+
+  private def commit(dialect: String, tables: Seq[String] = Seq("region", "account")) =
+    JdbcSnapshotCommit(JdbcDestination(s"jdbc:$dialect://x/db", dialect), tables)
+
+  test("dialect family strips the sqlalchemy-style driver suffix") {
+    assert(commit("postgresql+psycopg2").family == "postgresql")
+    assert(commit("mysql+pymysql").family == "mysql")
+    assert(commit("snowflake").family == "snowflake")
+  }
+
+  test("rename spelling per family") {
+    val c = commit("derby")
+    assert(c.renameSql("a", "b") == "RENAME TABLE a TO b")
+    assert(commit("mssql").renameSql("a", "b") == "EXEC sp_rename 'a', 'b'")
+    assert(commit("postgresql").renameSql("a", "b") == "ALTER TABLE a RENAME TO b")
+    assert(commit("oracle").renameSql("a", "b") == "ALTER TABLE a RENAME TO b")
+  }
+
+  test("transactional family: DROP then RENAME per table, inside one txn") {
+    assert(commit("postgresql+psycopg2").swapStatements(Set("region")) == Seq(
+      "DROP TABLE region",
+      "ALTER TABLE region__tmp RENAME TO region",
+      "ALTER TABLE account__tmp RENAME TO account"))
+  }
+
+  test("mysql family: ONE atomic multi-RENAME, then old-copy drops") {
+    assert(commit("mysql+pymysql").swapStatements(Set("region", "account")) == Seq(
+      "RENAME TABLE region TO region__old, region__tmp TO region, " +
+        "account TO account__old, account__tmp TO account",
+      "DROP TABLE region__old",
+      "DROP TABLE account__old"))
+    // first-ever run: nothing to move aside, still one RENAME statement
+    assert(commit("mariadb").swapStatements(Set.empty) == Seq(
+      "RENAME TABLE region__tmp TO region, account__tmp TO account"))
+  }
+
+  test("move-aside family (oracle/snowflake/mssql): old table is never dropped before promotion") {
+    val stmts = commit("oracle").swapStatements(Set("region"))
+    assert(stmts == Seq(
+      "ALTER TABLE region RENAME TO region__old",
+      "ALTER TABLE region__tmp RENAME TO region",
+      "DROP TABLE region__old",
+      "ALTER TABLE account__tmp RENAME TO account"))
+    // invariant: at every prefix of the script, each table's data exists
+    // under `t` or `t__old` or `t__tmp` — a crash anywhere loses nothing
+    assert(stmts.indexWhere(_.startsWith("DROP TABLE region__old")) >
+           stmts.indexWhere(_.contains("region__tmp RENAME TO region")))
+  }
+
+  test("self-heal is restore-first: orphaned __old promotes back when the live table is missing") {
+    // crash happened after `region RENAME TO region__old` but before the
+    // promote: region__old is the ONLY copy. The next swap must restore it
+    // (not drop it) and then treat it as present (move it aside again).
+    assert(commit("oracle", Seq("region")).swapStatements(Set("region__old")) == Seq(
+      "ALTER TABLE region__old RENAME TO region",
+      "ALTER TABLE region RENAME TO region__old",
+      "ALTER TABLE region__tmp RENAME TO region",
+      "DROP TABLE region__old"))
+    // stale __old NEXT TO a live table is the post-promote crash: drop it
+    assert(commit("oracle", Seq("region")).swapStatements(Set("region", "region__old")).head ==
+      "DROP TABLE region__old")
+  }
+
+  test("mysql self-heal feeds the healed table back into the atomic RENAME") {
+    assert(commit("mysql", Seq("region")).swapStatements(Set("region__old")) == Seq(
+      "ALTER TABLE region__old RENAME TO region",
+      "RENAME TABLE region TO region__old, region__tmp TO region",
+      "DROP TABLE region__old"))
+  }
+}
