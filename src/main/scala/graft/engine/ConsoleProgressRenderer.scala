@@ -6,20 +6,30 @@ import java.util.concurrent.atomic.AtomicBoolean
 import scala.jdk.CollectionConverters._
 
 /** Live progress rendering for `--show progress` — the reference's
-  * show_messages UI thread (collect.py:165-172): a transient view of the
-  * latest message per source repainted on a 1-second poll, with the final
-  * messages replayed once, in full, when the run ends.
+  * show_messages UI thread (collect.py:165-172): a TRANSIENT live view
+  * repainted on a 1-second poll, with the final messages replayed once, in
+  * plain form, when the run ends (`rendered_messages()` replay,
+  * collect.py:170-172).
   *
-  * The repaint uses ANSI cursor-up; on a non-ANSI sink only the final
-  * replay is printed (`live = false`).
+  * The live view is a rich-style table — one row per source/task with its
+  * elapsed time, latest message, and a progress bar for completion ticks —
+  * mirroring the reference's `Live(CollectInfo.render())` layout. The
+  * repaint uses ANSI cursor-up; on a non-ANSI sink only the final replay
+  * is printed (`live = false`), and the replay keeps the stable
+  * `key: message` shape scripts can parse.
   */
 final class ConsoleProgressRenderer(
     out: PrintStream = System.err,
     live: Boolean = true,
     pollMillis: Long = 1000L) extends ProgressListener with AutoCloseable {
 
-  // latest message per source/task, insertion-ordered for stable rendering
-  private val state = new ConcurrentHashMap[String, String]()
+  private final case class Entry(
+      message: String,
+      startedNanos: Long,
+      done: Option[(Int, Int)])
+
+  // latest entry per source/task, insertion-ordered for stable rendering
+  private val state = new ConcurrentHashMap[String, Entry]()
   private val order = new java.util.concurrent.CopyOnWriteArrayList[String]()
   private val ended = new AtomicBoolean(false)
   @volatile private var painted = 0
@@ -33,22 +43,51 @@ final class ConsoleProgressRenderer(
   ticker.setDaemon(true)
   ticker.start()
 
-  private def put(key: String, message: String): Unit = {
-    if (state.putIfAbsent(key, message) == null) order.add(key)
-    else state.put(key, message)
+  private def put(key: String, message: String, done: Option[(Int, Int)]): Unit = {
+    val fresh = Entry(message, System.nanoTime(), done)
+    val prev = state.putIfAbsent(key, fresh)
+    if (prev == null) order.add(key)
+    else state.put(key, fresh.copy(startedNanos = prev.startedNanos))
   }
 
-  def progress(source: String, message: String): Unit = put(source, message)
+  def progress(source: String, message: String): Unit = put(source, message, None)
 
   override def progressDone(task: String, current: Int, total: Int): Unit =
-    put(task, s"$current/$total")
+    put(task, s"$current/$total", Some((current, total)))
 
+  /** Plain replay lines — the reference's rendered_messages() shape. */
   private def lines: Seq[String] =
-    order.asScala.toSeq.map(k => s"$k: ${state.get(k)}")
+    order.asScala.toSeq.map(k => s"$k: ${state.get(k).message}")
+
+  private def bar(current: Int, total: Int, width: Int = 10): String = {
+    val filled = if (total <= 0) width else (width * current.toLong / total).toInt
+    // ASCII bar: immune to non-UTF-8 console charsets
+    "[" + "#" * filled + "-" * (width - filled) + "]"
+  }
+
+  private def elapsed(e: Entry): String = {
+    val s = (System.nanoTime() - e.startedNanos) / 1e9
+    if (s < 60) f"$s%5.1fs" else f"${(s / 60).toInt}%2dm${(s % 60).toInt}%02ds"
+  }
+
+  /** The live table: name | elapsed | bar-or-message, width-aligned. */
+  private def tableLines: Seq[String] = {
+    val keys = order.asScala.toSeq
+    if (keys.isEmpty) return Nil
+    val w = keys.map(_.length).max
+    keys.map { k =>
+      val e = state.get(k)
+      val status = e.done match {
+        case Some((c, t)) => s"${bar(c, t)} $c/$t"
+        case None         => e.message
+      }
+      s"  ${k.padTo(w, ' ')}  ${elapsed(e)}  $status"
+    }
+  }
 
   private def repaint(): Unit = synchronized {
     if (ended.get()) return // close() already replayed; don't print again
-    val ls = lines
+    val ls = tableLines
     if (painted > 0) out.print(s"\u001b[${painted}F\u001b[J") // up N + clear
     ls.foreach(out.println)
     painted = ls.size

@@ -89,6 +89,16 @@ object Dedup {
       .select("doc_a", "doc_b").distinct()
   }
 
+  /** (id, comp) cluster labels over ALL documents: transitive closure of
+    * the MinHash-LSH candidate-pair graph, comp = min doc_id reachable.
+    */
+  private def clustersDf(s: SparkSession, d: String): DataFrame = {
+    val nodes = Tables.documents(s, d).select(col("doc_id").as("id"))
+    val edges = minhashPairsDf(s, d)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    graft.operators.ConnectedComponents.run(nodes, edges)
+  }
+
   // ---------- shared oracle-SQL fragments ----------
   private def toksFrom = s"""SELECT doc_id, ${tokensSql("text")} AS toks FROM documents"""
   /** Distinct (doc_id, h48(shingle)) — mirrors [[shingleHashDf]]. */
@@ -107,6 +117,29 @@ object Dedup {
        |FROM (SELECT doc_id, h % $Mersenne31 AS h FROM ($shingleHashFrom))
        |GROUP BY doc_id""".stripMargin
   }
+  /** WITH RECURSIVE prefix computing per-doc cluster labels — mirrors
+    * [[clustersDf]]: `comp(id, comp)` is every doc with the min doc_id
+    * reachable through the minhash candidate-pair graph.
+    */
+  private def closureWithSql: String = {
+    val bandCond = (0 until 4)
+      .map(b => s"(a.sig_${2 * b} = b.sig_${2 * b} AND a.sig_${2 * b + 1} = b.sig_${2 * b + 1})")
+      .mkString(" OR ")
+    s"""WITH RECURSIVE sigs AS ($minhashSelect),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id AND ($bandCond)
+       |),
+       |edges AS (SELECT doc_a AS s, doc_b AS t FROM pairs
+       |          UNION SELECT doc_b, doc_a FROM pairs),
+       |reach(id, r) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.t, reach.r FROM reach JOIN edges e ON e.s = reach.id
+       |),
+       |comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY id)""".stripMargin
+  }
+
   private def simhashSelect = {
     val bitSums = (0 until 32).map { j =>
       s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s_$j"
@@ -158,31 +191,37 @@ object Dedup {
     // and b of c puts a,c in one cluster even if they never shared a band),
     // canonical representative = min doc_id, keep = this row IS the
     // representative. filter(keep) is the deduplicated corpus.
-    Q("q_dedup_clusters", {
-      val bandCond = (0 until 4)
-        .map(b => s"(a.sig_${2 * b} = b.sig_${2 * b} AND a.sig_${2 * b + 1} = b.sig_${2 * b + 1})")
-        .mkString(" OR ")
-      s"""WITH RECURSIVE sigs AS ($minhashSelect),
-         |pairs AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id AND ($bandCond)
-         |),
-         |edges AS (SELECT doc_a AS s, doc_b AS t FROM pairs
-         |          UNION SELECT doc_b, doc_a FROM pairs),
-         |reach(id, r) AS (
-         |  SELECT doc_id, doc_id FROM documents
-         |  UNION
-         |  SELECT e.t, reach.r FROM reach JOIN edges e ON e.s = reach.id
-         |)
-         |SELECT id AS doc_id, min(r) AS cluster_id, (id = min(r)) AS keep
-         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
-    }) { (s, d) =>
-      val nodes = Tables.documents(s, d).select(col("doc_id").as("id"))
-      val edges = minhashPairsDf(s, d)
-        .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      graft.operators.ConnectedComponents.run(nodes, edges)
+    Q("q_dedup_clusters",
+      s"""$closureWithSql
+         |SELECT id AS doc_id, comp AS cluster_id, (id = comp) AS keep
+         |FROM comp ORDER BY doc_id""".stripMargin) { (s, d) =>
+      clustersDf(s, d)
         .select(col("id").as("doc_id"), col("comp").as("cluster_id"),
                 (col("id") === col("comp")).as("keep"))
+        .orderBy("doc_id")
+    },
+
+    // ---- the deduplicated corpus: one canonical row per cluster ----
+    // End of the curation pipeline: keep only each cluster's canonical doc
+    // (min doc_id), annotated with how many near-dups it absorbed. The
+    // cluster-size aggregate shuffles (comp) keys — one row per cluster,
+    // never the text — and the documents join only rehydrates the kept ids.
+    Q("q_dedup_corpus",
+      s"""$closureWithSql,
+         |sizes AS (SELECT comp, count(*) AS n_members FROM comp GROUP BY comp)
+         |SELECT c.id AS doc_id, s.n_members, length(d.text) AS text_len
+         |FROM comp c
+         |JOIN sizes s ON s.comp = c.comp
+         |JOIN documents d ON d.doc_id = c.id
+         |WHERE c.id = c.comp ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val clusters = clustersDf(s, d)
+      val sizes = clusters.groupBy("comp").agg(count(lit(1)).as("n_members"))
+      clusters.filter(col("id") === col("comp"))
+        .join(sizes, Seq("comp"))
+        .join(Tables.documents(s, d)
+                .select(col("doc_id"), length(col("text")).as("text_len")),
+              col("id") === col("doc_id"))
+        .select(col("doc_id"), col("n_members"), col("text_len"))
         .orderBy("doc_id")
     },
 

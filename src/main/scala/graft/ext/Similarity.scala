@@ -126,12 +126,20 @@ object Similarity {
     */
   /** Centroid set as one array literal: metadata-scale (≈ sqrt(N) rows,
     * the same data a broadcast would ship), collected once driver-side.
+    * Each entry carries its pre-computed norm — sqrt of the SAME
+    * left-to-right dot accumulation the Catalyst expression evaluates, so
+    * downstream cosines are bit-identical to computing the norm per row
+    * (but ~half the per-centroid work).
     */
   private def centroidLit(vecDf: DataFrame, centroidStride: Int): Column =
     typedLit(vecDf.filter(col("vec_id") % centroidStride === 0)
       .select(col("vec_id"), col("v"))
       .collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .map { r =>
+        val v = r.getSeq[Double](1)
+        var acc = 0.0; v.foreach(x => acc += x * x)
+        (r.getLong(0), v, math.sqrt(acc))
+      }
       .sortBy(_._1)
       .toSeq)
 
@@ -139,13 +147,14 @@ object Similarity {
     * array — a pure projection. Struct ordering makes the max/descending
     * sort equal a (cos DESC, cid ASC) ranking: cos compares first, and on
     * ties the larger -cid is the smaller cid. The cosine is the same
-    * unrounded expression the windowed form ordered by — bit-identical
-    * ranking.
+    * unrounded a/(b·c) the windowed form ordered by — bit-identical
+    * ranking. `vnorm` must be the row's own norm column (computed ONCE per
+    * row, not per centroid).
     */
   private def centroidScores(cArr: Column, v: Column): Column = {
     val vnorm = sqrt(dot(v, v))
     transform(cArr, c => struct(
-      (dot(v, c("_2")) / (vnorm * sqrt(dot(c("_2"), c("_2"))))).as("cos"),
+      (dot(v, c("_2")) / (vnorm * c("_3"))).as("cos"),
       (-c("_1")).as("ncid")))
   }
 

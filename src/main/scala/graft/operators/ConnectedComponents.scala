@@ -35,6 +35,14 @@ object ConnectedComponents {
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
     var labels = nodes.select(col("id"), col("id").as("comp")).localCheckpoint()
+    // Convergence probe: labels are per-id monotone NON-INCREASING (every
+    // update takes a min over a set containing the current label), so the
+    // decimal label total strictly decreases until the fixpoint — one
+    // aggregate scan per round detects convergence with no alignment join.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("comp").cast("decimal(38,0)"))).head.getDecimal(0)
+    var prevSum = labelSum(labels)
+    if (prevSum == null) return labels // no nodes
     var round = 0
     while (round < maxIter) {
       // neighbor labels: dst learns src's current comp
@@ -48,15 +56,13 @@ object ConnectedComponents {
       val updated = labels.union(viaEdge).union(viaLabel)
         .groupBy("id").agg(min("comp").as("comp"))
         .localCheckpoint()
-      val changed = !updated.as("n")
-        .join(labels.as("o"), col("n.id") === col("o.id"))
-        .filter(col("n.comp") =!= col("o.comp"))
-        .isEmpty
+      val curSum = labelSum(updated)
       val prev = labels
       labels = updated
       prev.unpersist()
       round += 1
-      if (!changed) return labels
+      if (curSum.compareTo(prevSum) == 0) return labels
+      prevSum = curSum
     }
     throw new IllegalStateException(
       s"connected components did not converge in $maxIter rounds")

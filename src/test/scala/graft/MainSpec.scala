@@ -49,6 +49,25 @@ class MainSpec extends AnyFunSuite {
     assert(!out.contains("collect started")) // superseded message not replayed
   }
 
+  test("live progress view renders a table row with elapsed time and a progress bar") {
+    val buf = new java.io.ByteArrayOutputStream()
+    val r = new graft.engine.ConsoleProgressRenderer(
+      new java.io.PrintStream(buf, true), live = true, pollMillis = 10)
+    r.progress("aws", "collect started")
+    r.progressDone("Make latest snapshot available", 1, 2)
+    val deadline = System.nanoTime() + 2e9.toLong
+    while (!buf.toString.contains("#") && System.nanoTime() < deadline)
+      Thread.sleep(20) // wait for a ticker repaint
+    val liveOut = buf.toString
+    r.close()
+    // table row: padded key, elapsed column, latest message / half-full bar
+    assert(liveOut.contains("aws") && liveOut.contains("collect started"))
+    assert(liveOut.matches("(?s).*\\d+\\.\\d+s.*"), s"no elapsed column in: $liveOut")
+    assert(liveOut.contains("[#####-----] 1/2"), s"no progress bar in: $liveOut")
+    // the final replay stays plain (reference rendered_messages shape)
+    assert(buf.toString.contains("Make latest snapshot available: 1/2"))
+  }
+
   test("--create-config output is loadable and defaults to the sqlite destination") {
     val tree = graft.config.MiniYaml.parse(Main.createConfigYaml)
     assert(tree.contains("sources") && tree.contains("destinations"))

@@ -39,7 +39,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_dedup_jaccard", "q_dedup_minhash_pairs", "q_dedup_simhash_pairs",
     "q_agg_pricing", "q_dedup_embed", "q_embed_ivf", "q_embed_lsh",
     "q_join_range", "q_join_revenue_by_nation", "q_join_2hop",
-    "q_events_asof", "q_dedup_minhash")
+    "q_events_asof", "q_dedup_minhash", "q_dedup_clusters", "q_dedup_corpus")
 
   test("no cartesian or nested-loop join in any audited query") {
     audited.foreach { name =>
