@@ -60,7 +60,9 @@ final class ConsoleProgressRenderer(
     order.asScala.toSeq.map(k => s"$k: ${state.get(k).message}")
 
   private def bar(current: Int, total: Int, width: Int = 10): String = {
-    val filled = if (total <= 0) width else (width * current.toLong / total).toInt
+    // clamp: progressDone(t, 3, 2) must not overflow the column
+    val filled = (if (total <= 0) width else (width * current.toLong / total).toInt)
+      .max(0).min(width)
     // ASCII bar: immune to non-UTF-8 console charsets
     "[" + "#" * filled + "-" * (width - filled) + "]"
   }

@@ -87,12 +87,17 @@ object Runner {
           val tables = GraphNormalizer.normalize(graph)
           // stage all tables; promotion is deferred past the barrier.
           // Node/edge counts come from the writes' observed metrics
-          // (SnapshotSink.StagedTable) — every node lands in exactly one
-          // kind table and every resolved edge in exactly one link table,
-          // so the sums are the snapshot's counts with NO second pass over
-          // the source (at 100 TB a count-after-write re-reads everything).
+          // (SnapshotSink.StagedTable) with NO second pass over the source
+          // (at 100 TB a count-after-write re-reads everything). They are
+          // the SNAPSHOT's counts — what actually landed in the
+          // destination: a node of an undeclared/non-root kind or an edge
+          // with an unresolvable endpoint is exported to no table and so
+          // counts zero, exactly like the destination's own row counts.
+          // Tables are split by the model's kind inventory, not by name —
+          // a kind literally named `link_…` still counts as nodes.
           val staged = SnapshotSink.stage(tables, config.destination, runId)
-          val (linkT, kindT) = staged.partition(_.name.startsWith("link_"))
+          val kindNames = graph.model.kinds.filter(_.aggregateRoot).map(_.fqn).toSet
+          val (kindT, linkT) = staged.partition(t => kindNames.contains(t.name))
           val nodes = kindT.map(_.rows).sum
           val edges = linkT.map(_.rows).sum
           progress.progress(key, s"collect done: $nodes nodes, $edges edges")

@@ -68,25 +68,32 @@ object Dedup {
     agg.select(col("doc_id"), sim.cast("long").as("simhash"), col("n_tokens"))
   }
 
-  /** Distinct (doc_a < doc_b) MinHash-LSH candidate pairs. Each signature
-    * row explodes to 4 (band, k1, k2) keys and ONE self equi-join on
-    * (band, k1, k2) finds every pair agreeing on ANY band — a single
-    * shuffle instead of four band joins that each re-scan the signature
-    * table. Never an O(n²) comparison: fan-out is bounded by per-(band,key)
-    * bucket size.
+  /** ONE self equi-join over exploded (band, key) rows: all (doc_a <
+    * doc_b) pairs agreeing on ANY band — a single shuffle instead of one
+    * join per band re-scanning the input. Never an O(n²) comparison:
+    * fan-out is bounded by per-(band, key) bucket occupancy. `banded`
+    * must have columns (doc_id, band, key) plus any `carry` columns,
+    * which ride along from both sides as `<c>_a`/`<c>_b`; callers should
+    * `.cache()` it (both join sides read it).
+    */
+  private def bandedSelfJoin(banded: DataFrame, carry: Seq[String]): DataFrame = {
+    def side(tag: String) = banded.select(
+      col("doc_id").as(s"doc_$tag") +: col("band") +: col("key") +:
+        carry.map(c => col(c).as(s"${c}_$tag")): _*)
+    side("a").join(side("b"), Seq("band", "key"))
+      .filter(col("doc_a") < col("doc_b"))
+  }
+
+  /** Distinct (doc_a < doc_b) MinHash-LSH candidate pairs: 4 bands of
+    * 2 signature rows each, keyed as a (k1, k2) struct.
     */
   private def minhashPairsDf(s: SparkSession, d: String): DataFrame = {
     val banded = minhashDf(s, d)
       .select(col("doc_id"), posexplode(array((0 until 4).map { b =>
         struct(col(s"sig_${2 * b}").as("k1"), col(s"sig_${2 * b + 1}").as("k2"))
-      }: _*)).as(Seq("band", "kk")))
-      .select(col("doc_id"), col("band"), col("kk.k1").as("k1"), col("kk.k2").as("k2"))
+      }: _*)).as(Seq("band", "key")))
       .cache()
-    banded.select(col("doc_id").as("doc_a"), col("band"), col("k1"), col("k2"))
-      .join(banded.select(col("doc_id").as("doc_b"), col("band"), col("k1"), col("k2")),
-            Seq("band", "k1", "k2"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
+    bandedSelfJoin(banded, Nil).select("doc_a", "doc_b").distinct()
   }
 
   /** (id, comp) cluster labels over ALL documents: transitive closure of
@@ -242,20 +249,15 @@ object Dedup {
          |FROM sims a JOIN sims b ON a.doc_id < b.doc_id AND ($bandCond)
          |ORDER BY hamming, doc_a, doc_b LIMIT 20""".stripMargin
     }) { (s, d) =>
-      // same shape as the minhash pairs: each fingerprint explodes to 4
-      // (band, key) rows and ONE self equi-join on (band, key) yields every
-      // pair agreeing on ANY band — a single shuffle instead of four joins
-      // that each re-scan the fingerprints. Fan-out is bounded by
-      // per-(band,key) bucket occupancy, never O(n²).
+      // same single-shuffle shape as the minhash pairs (bandedSelfJoin):
+      // 4 bands of 8 simhash bits each, fingerprints carried through
       val banded = simhashDf(s, d, docFilter = col("doc_id") < 200)
-        .select(col("doc_id"), col("simhash"), posexplode(array((0 until 4).map { b =>
-          shiftright(col("simhash"), 8 * b).bitwiseAND(255)
-        }: _*)).as(Seq("band", "key")))
+        .select(col("doc_id"), col("simhash").as("sim"),
+          posexplode(array((0 until 4).map { b =>
+            shiftright(col("simhash"), 8 * b).bitwiseAND(255)
+          }: _*)).as(Seq("band", "key")))
         .cache()
-      banded.select(col("doc_id").as("doc_a"), col("simhash").as("sim_a"), col("band"), col("key"))
-        .join(banded.select(col("doc_id").as("doc_b"), col("simhash").as("sim_b"), col("band"), col("key")),
-              Seq("band", "key"))
-        .filter(col("doc_a") < col("doc_b"))
+      bandedSelfJoin(banded, Seq("sim"))
         .select("doc_a", "doc_b", "sim_a", "sim_b").distinct()
         .select(col("doc_a"), col("doc_b"),
           expr("cast(bit_count(sim_a ^ sim_b) as int)").as("hamming"))

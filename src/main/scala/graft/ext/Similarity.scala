@@ -158,8 +158,12 @@ object Similarity {
       (-c("_1")).as("ncid")))
   }
 
-  def ivfAssign(vecDf: DataFrame, centroidStride: Int): DataFrame = {
-    val cArr = centroidLit(vecDf, centroidStride)
+  def ivfAssign(vecDf: DataFrame, centroidStride: Int): DataFrame =
+    assignWith(centroidLit(vecDf, centroidStride), vecDf)
+
+  /** Assignment against an already-built centroid literal (so ivfTopK
+    * collects the centroid set once, not once per use). */
+  private def assignWith(cArr: Column, vecDf: DataFrame): DataFrame = {
     val best = array_max(centroidScores(cArr, col("v")))
     vecDf.select(col("vec_id"), (-best("ncid")).as("cid"))
   }
@@ -172,7 +176,7 @@ object Similarity {
   def ivfTopK(vecDf: DataFrame, probePred: Column, centroidStride: Int,
               nprobe: Int, k: Int): DataFrame = {
     val cArr = centroidLit(vecDf, centroidStride)
-    val asn = ivfAssign(vecDf, centroidStride)
+    val asn = assignWith(cArr, vecDf)
     val probes = vecDf.filter(probePred)
       .select(col("vec_id").as("qid"),
         explode(slice(sort_array(centroidScores(cArr, col("v")), asc = false),

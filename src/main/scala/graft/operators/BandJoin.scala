@@ -31,6 +31,8 @@ object BandJoin {
   def range(probe: DataFrame, build: DataFrame,
             probeVal: Column, buildVal: Column, radius: Double): DataFrame = {
     require(radius > 0, s"radius must be > 0, got $radius")
+    require(!(probe.columns ++ build.columns).contains("__band"),
+      "__band is reserved by BandJoin.range")
     val p = probe.withColumn("__band", floor(probeVal / radius).cast("long"))
     val b = build.withColumn("__band",
       explode(array(Seq(-1, 0, 1).map(d => floor(buildVal / radius).cast("long") + d): _*)))

@@ -26,15 +26,27 @@ object ConnectedComponents {
 
   /** Components of the undirected graph `edges` (src, dst) over `nodes`
     * (id). Returns (id, comp) with comp = min node id reachable from id;
-    * isolated nodes keep comp = id. Throws if not converged in `maxIter`
-    * rounds (each round at least halves the remaining label distance, so
-    * the default 25 covers any graph up to 2²⁵-diameter chains).
+    * isolated nodes keep comp = id. The labeled set is nodes ∪ edge
+    * endpoints — an endpoint missing from `nodes` still gets a correct
+    * row (and still links its neighbors) rather than silently corrupting
+    * the convergence probe; callers wanting exactly `nodes` filter after.
+    * Throws if not converged in `maxIter` rounds (each round at least
+    * halves the remaining label distance, so the default 25 covers any
+    * graph up to 2²⁵-diameter chains).
     */
   def run(nodes: DataFrame, edges: DataFrame, maxIter: Int = 25): DataFrame = {
+    // materialized ONCE: each round's action would otherwise re-execute
+    // the whole upstream edge derivation (for dedup, the candidate-pair
+    // join) — the loop must re-read a settled edge set, not re-plan it
     val sym = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
-    var labels = nodes.select(col("id"), col("id").as("comp")).localCheckpoint()
+      .localCheckpoint()
+    var labels = nodes.select(col("id"))
+      .union(sym.select(col("src").as("id")))
+      .distinct()
+      .select(col("id"), col("id").as("comp"))
+      .localCheckpoint()
     // Convergence probe: labels are per-id monotone NON-INCREASING (every
     // update takes a min over a set containing the current label), so the
     // decimal label total strictly decreases until the fixpoint — one
@@ -43,28 +55,36 @@ object ConnectedComponents {
       df.agg(sum(col("comp").cast("decimal(38,0)"))).head.getDecimal(0)
     var prevSum = labelSum(labels)
     if (prevSum == null) return labels // no nodes
-    var round = 0
-    while (round < maxIter) {
-      // neighbor labels: dst learns src's current comp
-      val viaEdge = sym.join(labels, sym("src") === labels("id"))
-        .select(sym("dst").as("id"), col("comp"))
-      // label-graph hop: if x points at m, x also learns m's current comp —
-      // this is what collapses chains logarithmically
-      val viaLabel = labels.as("a")
-        .join(labels.as("b"), col("a.comp") === col("b.id"))
-        .select(col("a.id").as("id"), col("b.comp").as("comp"))
-      val updated = labels.union(viaEdge).union(viaLabel)
-        .groupBy("id").agg(min("comp").as("comp"))
-        .localCheckpoint()
+    var rounds = 0
+    while (rounds < maxIter) {
+      val updated = round(labels, sym).localCheckpoint()
       val curSum = labelSum(updated)
       val prev = labels
       labels = updated
       prev.unpersist()
-      round += 1
+      rounds += 1
       if (curSum.compareTo(prevSum) == 0) return labels
       prevSum = curSum
     }
     throw new IllegalStateException(
       s"connected components did not converge in $maxIter rounds")
+  }
+
+  /** One label round, un-materialized — the plan PlanAuditSpec audits:
+    * every id's label becomes the min of its own label, its neighbors'
+    * labels (edge hop), and the label held by its current label target
+    * (label-graph hop — what collapses chains logarithmically). Both hops
+    * are equi-joins on id; nothing here may plan a cartesian product.
+    */
+  private[graft] def round(labels: DataFrame, sym: DataFrame): DataFrame = {
+    // neighbor labels: dst learns src's current comp
+    val viaEdge = sym.join(labels, sym("src") === labels("id"))
+      .select(sym("dst").as("id"), col("comp"))
+    // label-graph hop: if x points at m, x also learns m's current comp
+    val viaLabel = labels.as("a")
+      .join(labels.as("b"), col("a.comp") === col("b.id"))
+      .select(col("a.id").as("id"), col("b.comp").as("comp"))
+    labels.union(viaEdge).union(viaLabel)
+      .groupBy("id").agg(min("comp").as("comp"))
   }
 }

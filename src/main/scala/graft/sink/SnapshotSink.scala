@@ -152,7 +152,11 @@ object HadoopBucketUploader extends BucketUploader {
     val target = new Path(s"$scheme://$bucket/${tableDir.getName}")
     val srcFs = tableDir.getFileSystem(conf)
     val dstFs = target.getFileSystem(conf) // throws if no s3a/gs connector
-    replaceCopy(srcFs, tableDir, dstFs, target, conf)
+    try replaceCopy(srcFs, tableDir, dstFs, target, conf)
+    finally if (cfg.region.isDefined) dstFs.close()
+    // ^ an uncached FS owns its own thread/connection pools; leaving one
+    //   per upload alive would leak them across a streaming run's commits.
+    //   The cached default (no region) must NOT be closed — it's shared.
   }
 }
 

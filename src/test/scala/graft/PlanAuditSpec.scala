@@ -75,6 +75,19 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("connected-components label round plans equi-joins, never a cartesian") {
+    // the iterative rounds execute during DataFrame construction, so
+    // auditing q_dedup_clusters' final plan would grade only the last
+    // checkpoint scan — audit one un-materialized round directly
+    import spark.implicits._
+    val labels = spark.range(100).toDF("id").select(col("id"), col("id").as("comp"))
+    val sym = Seq((1L, 2L), (2L, 1L), (3L, 4L), (4L, 3L)).toDF("src", "dst")
+    val plan = planOf(operators.ConnectedComponents.round(labels, sym))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"CC round must equi-join on id:\n$plan")
+    assert(plan.contains("Join"), s"CC round lost its joins:\n$plan")
+  }
+
   test("small dimension tables broadcast in join queries") {
     Seq("q_join_revenue_by_nation", "q_join_2hop").foreach { name =>
       val plan = queryPlan(name)
