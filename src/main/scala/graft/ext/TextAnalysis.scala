@@ -130,6 +130,60 @@ object TextAnalysis {
         .orderBy("source", "split")
     },
 
+    // ---- sequence packing: greedy contiguous fill to a token budget,
+    // per shard. The batch assignment is a running token total inside each
+    // shard (window partitioned by shard — never a global single-partition
+    // sort), exactly how a distributed trainer packs documents into
+    // fixed-budget sequences: shards scale out, packing stays local ----
+    Q("q_pack_sequences",
+      s"""SELECT shard, batch_id, count(*) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS batch_tokens
+         |FROM (
+         |  SELECT shard,
+         |    CAST(floor((cum - n_tokens) / 2048.0) AS BIGINT) AS batch_id, n_tokens
+         |  FROM (
+         |    SELECT doc_id % 8 AS shard, n_tokens,
+         |      sum(n_tokens) OVER (PARTITION BY doc_id % 8 ORDER BY doc_id
+         |                          ROWS UNBOUNDED PRECEDING) AS cum
+         |    FROM (SELECT doc_id, len(${tokensSql("text")}) AS n_tokens FROM documents)
+         |  )
+         |) GROUP BY shard, batch_id ORDER BY shard, batch_id""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("shard").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(s, d)
+        .select(col("doc_id"), (col("doc_id") % 8).as("shard"),
+                size(tokens(col("text"))).cast("long").as("n_tokens"))
+        .withColumn("cum", sum("n_tokens").over(w))
+        .withColumn("batch_id",
+          floor((col("cum") - col("n_tokens")) / lit(2048.0)).cast("long"))
+        .groupBy("shard", "batch_id")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("batch_tokens"))
+        .orderBy("shard", "batch_id")
+    },
+
+    // ---- stratified rebalancing: per-class deterministic downsampling.
+    // The dominant class (en) keeps a hash-derived 40% while the rest pass
+    // through — content-hash gating (not rand()) so the SAME rows are kept
+    // on every engine, every run, and duplicate texts share a fate ----
+    Q("q_sample_stratified",
+      s"""SELECT lang, count(*) AS n_total,
+         |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+         |FROM (
+         |  SELECT lang, ${h48Sql("text")} % 100 <
+         |    (CASE WHEN lang = 'en' THEN 40 ELSE 100 END) AS keep
+         |  FROM documents
+         |) GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("lang"),
+          ((h48(col("text")) % 100) <
+            when(col("lang") === "en", 40).otherwise(100)).as("keep"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_total"),
+             sum(when(col("keep"), 1).otherwise(0)).as("n_kept"))
+        .orderBy("lang")
+    },
+
     // ---- PII scrubbing: regex redaction with an audit count. The corpus
     // is synthetic, so deterministic emails/phones are woven in first and
     // the scrubber must remove exactly those; the same POSIX-class regexes
