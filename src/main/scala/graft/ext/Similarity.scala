@@ -131,8 +131,8 @@ object Similarity {
     * downstream cosines are bit-identical to computing the norm per row
     * (but ~half the per-centroid work).
     */
-  private def centroidLit(vecDf: DataFrame, centroidStride: Int): Column =
-    typedLit(vecDf.filter(col("vec_id") % centroidStride === 0)
+  private def centroidSet(vecDf: DataFrame, centroidStride: Int): Seq[(Long, Seq[Double], Double)] =
+    vecDf.filter(col("vec_id") % centroidStride === 0)
       .select(col("vec_id"), col("v"))
       .collect()
       .map { r =>
@@ -141,7 +141,10 @@ object Similarity {
         (r.getLong(0), v, math.sqrt(acc))
       }
       .sortBy(_._1)
-      .toSeq)
+      .toSeq
+
+  private def centroidLit(cents: Seq[(Long, Seq[Double], Double)]): Column =
+    typedLit(cents)
 
   /** Per-centroid (cos, -cid) scores of `v` against the literal centroid
     * array — a pure projection. Struct ordering makes the max/descending
@@ -159,14 +162,18 @@ object Similarity {
   }
 
   def ivfAssign(vecDf: DataFrame, centroidStride: Int): DataFrame =
-    assignWith(centroidLit(vecDf, centroidStride), vecDf)
+    assignWith(centroidSet(vecDf, centroidStride), vecDf)
 
-  /** Assignment against an already-built centroid literal (so ivfTopK
-    * collects the centroid set once, not once per use). */
-  private def assignWith(cArr: Column, vecDf: DataFrame): DataFrame = {
-    val best = array_max(centroidScores(cArr, col("v")))
-    vecDf.select(col("vec_id"), (-best("ncid")).as("cid"))
-  }
+  /** Assignment against an already-collected centroid set (so ivfTopK
+    * collects it once, not once per use). The hot full-corpus loop is the
+    * codegen'd [[graft.functions.CentroidAssign]] expression — same
+    * projection-only plan, primitive nested loop instead of an
+    * interpreted higher-order transform.
+    */
+  private def assignWith(cents: Seq[(Long, Seq[Double], Double)],
+                         vecDf: DataFrame): DataFrame =
+    vecDf.select(col("vec_id"),
+      graft.functions.CentroidAssign.centroid_assign(col("v"), cents).as("cid"))
 
   /** Cosine top-k via IVF: probe the `nprobe` nearest cells per query.
     * Probe→cell selection is the same projection-only centroid scoring as
@@ -175,8 +182,9 @@ object Similarity {
     */
   def ivfTopK(vecDf: DataFrame, probePred: Column, centroidStride: Int,
               nprobe: Int, k: Int): DataFrame = {
-    val cArr = centroidLit(vecDf, centroidStride)
-    val asn = assignWith(cArr, vecDf)
+    val cents = centroidSet(vecDf, centroidStride)
+    val cArr = centroidLit(cents)
+    val asn = assignWith(cents, vecDf)
     val probes = vecDf.filter(probePred)
       .select(col("vec_id").as("qid"),
         explode(slice(sort_array(centroidScores(cArr, col("v")), asc = false),

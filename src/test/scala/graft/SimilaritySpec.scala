@@ -91,4 +91,40 @@ class SimilaritySpec extends AnyFunSuite {
     val disagree = joined.filter(col("bf_cand") =!= col("lsh_cand")).count()
     assert(disagree == 0)
   }
+
+  test("CentroidAssign codegen matches interpreted eval and the struct-max form") {
+    import spark.implicits._
+    import graft.functions.CentroidAssign.centroid_assign
+    val rnd = new scala.util.Random(11)
+    val dim = 8
+    def norm(v: Seq[Double]): Double = math.sqrt(v.map(x => x * x).sum)
+    val cents = (0 until 7).map { i =>
+      val v = Seq.fill(dim)(rnd.nextDouble() - 0.5)
+      (i * 10L, v, norm(v))
+    }
+    val vecs = (0 until 200).map(i => (i.toLong, Seq.fill(dim)(rnd.nextDouble() - 0.5)))
+      .toDF("vec_id", "v").withColumn("v", col("v").cast("array<double>"))
+
+    // oracle: the transform + array_max struct form the expression replaced
+    val cArr = typedLit(cents)
+    val vnorm = sqrt(Similarity.dot(col("v"), col("v")))
+    val structMax = array_max(transform(cArr, c => struct(
+      (Similarity.dot(col("v"), c("_2")) / (vnorm * c("_3"))).as("cos"),
+      (-c("_1")).as("ncid"))))
+    val expected = vecs.select(col("vec_id"), (-structMax("ncid")).as("cid"))
+    val got = vecs.select(col("vec_id"), centroid_assign(col("v"), cents).as("cid"))
+    assert(got.except(expected).isEmpty && expected.except(got).isEmpty)
+
+    // tie-break: identical centroids under different ids -> smallest cid wins
+    val dup = Seq((5L, Seq(1.0, 0.0), 1.0), (3L, Seq(1.0, 0.0), 1.0),
+                  (9L, Seq(0.0, 1.0), 1.0))
+    val one = Seq((0L, Seq(2.0, 0.0))).toDF("vec_id", "v")
+      .withColumn("v", col("v").cast("array<double>"))
+    assert(one.select(centroid_assign(col("v"), dup)).head.getLong(0) == 3L)
+
+    // null vector -> null assignment
+    val nul = Seq((0L, Option.empty[Seq[Double]])).toDF("vec_id", "v")
+      .withColumn("v", col("v").cast("array<double>"))
+    assert(nul.select(centroid_assign(col("v"), cents)).head.isNullAt(0))
+  }
 }
