@@ -130,6 +130,65 @@ object TextAnalysis {
         .orderBy("source", "split")
     },
 
+    // ---- context-window chunking: split long documents into overlapping
+    // token windows (size 64, stride 48). One generator expression per row
+    // (sequence + transform over token slices) exploded to chunk rows —
+    // per-document work, no shuffle until the output aggregate; the chunk
+    // text is re-joined so downstream tokenizers see real strings ----
+    Q("q_text_chunks",
+      s"""SELECT doc_id, chunk_id,
+         |  CAST(len(${tokensSql("chunk")}) AS BIGINT) AS n_tokens,
+         |  md5(chunk) AS chunk_md5
+         |FROM (
+         |  SELECT doc_id, i AS chunk_id,
+         |    array_to_string(toks[i * 48 + 1 : i * 48 + 64], ' ') AS chunk
+         |  FROM (SELECT doc_id, ${tokensSql("text")} AS toks FROM documents),
+         |       LATERAL (SELECT unnest(range(0, greatest(1,
+         |         CAST(ceil((len(toks) - 16) / 48.0) AS BIGINT)))) AS i)
+         |) WHERE doc_id < 50 ORDER BY doc_id, chunk_id""".stripMargin) { (s, d) =>
+      val nChunks = greatest(lit(1),
+        ceil((size(col("toks")) - lit(16)) / lit(48.0)).cast("long"))
+      Tables.documents(s, d)
+        .filter(col("doc_id") < 50)
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .select(col("doc_id"),
+          explode(sequence(lit(0L), nChunks - 1)).as("chunk_id"),
+          col("toks"))
+        .select(col("doc_id"), col("chunk_id"),
+          concat_ws(" ", slice(col("toks"),
+            (col("chunk_id") * 48 + 1).cast("int"), lit(64))).as("chunk"))
+        .select(col("doc_id"), col("chunk_id"),
+          size(tokens(col("chunk"))).cast("long").as("n_tokens"),
+          md5(col("chunk")).as("chunk_md5"))
+        .orderBy("doc_id", "chunk_id")
+    },
+
+    // ---- repetition detection (Gopher-style quality rule): fraction of a
+    // document's shingles taken by its single most-repeated 3-gram. High
+    // ratios flag boilerplate/spam for removal before training ----
+    Q("q_text_repetition",
+      s"""SELECT doc_id,
+         |  CAST(max(c) AS BIGINT) AS top_shingle_n,
+         |  CAST(sum(c) AS BIGINT) AS n_shingles,
+         |  round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS rep_ratio
+         |FROM (
+         |  SELECT doc_id, sh, count(*) AS c FROM (
+         |    SELECT doc_id, unnest(${shinglesFromTokensSql("toks", 3)}) AS sh
+         |    FROM (SELECT doc_id, ${tokensSql("text")} AS toks FROM documents)
+         |  ) GROUP BY doc_id, sh
+         |) GROUP BY doc_id ORDER BY rep_ratio DESC, doc_id LIMIT 25""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(shinglesFromTokens(tokens(col("text")), 3)).as("sh"))
+        .groupBy("doc_id", "sh").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(max("c").cast("long").as("top_shingle_n"),
+             sum("c").cast("long").as("n_shingles"),
+             round(max("c").cast("double") / sum("c"), 6).as("rep_ratio"))
+        .orderBy(col("rep_ratio").desc, col("doc_id").asc)
+        .limit(25)
+    },
+
     // ---- sequence packing: greedy contiguous fill to a token budget,
     // per shard. The batch assignment is a running token total inside each
     // shard (window partitioned by shard — never a global single-partition
