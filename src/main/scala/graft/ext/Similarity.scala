@@ -171,9 +171,14 @@ object Similarity {
     * interpreted higher-order transform.
     */
   private def assignWith(cents: Seq[(Long, Seq[Double], Double)],
-                         vecDf: DataFrame): DataFrame =
-    vecDf.select(col("vec_id"),
-      graft.functions.CentroidAssign.centroid_assign(col("v"), cents).as("cid"))
+                         vecDf: DataFrame): DataFrame = {
+    // no centroids (empty/filtered corpus): every assignment is null, the
+    // same rows the pre-expression struct-max form produced
+    val cid =
+      if (cents.isEmpty) lit(null).cast("long")
+      else graft.functions.CentroidAssign.centroid_assign(col("v"), cents)
+    vecDf.select(col("vec_id"), cid.as("cid"))
+  }
 
   /** Cosine top-k via IVF: probe the `nprobe` nearest cells per query.
     * Probe→cell selection is the same projection-only centroid scoring as

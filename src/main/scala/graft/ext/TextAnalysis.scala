@@ -142,14 +142,18 @@ object TextAnalysis {
          |FROM (
          |  SELECT doc_id, i AS chunk_id,
          |    array_to_string(toks[i * 48 + 1 : i * 48 + 64], ' ') AS chunk
-         |  FROM (SELECT doc_id, ${tokensSql("text")} AS toks FROM documents),
+         |  FROM (SELECT doc_id, ${tokensSql("text")} AS toks FROM documents
+         |        WHERE text IS NOT NULL),
          |       LATERAL (SELECT unnest(range(0, greatest(1,
          |         CAST(ceil((len(toks) - 16) / 48.0) AS BIGINT)))) AS i)
          |) WHERE doc_id < 50 ORDER BY doc_id, chunk_id""".stripMargin) { (s, d) =>
       val nChunks = greatest(lit(1),
         ceil((size(col("toks")) - lit(16)) / lit(48.0)).cast("long"))
       Tables.documents(s, d)
-        .filter(col("doc_id") < 50)
+        // NULL text is excluded in BOTH engines: Spark's concat_ws would
+        // launder a null slice into "" while DuckDB's array_to_string
+        // propagates NULL — symmetric filtering beats divergent nulls
+        .filter(col("doc_id") < 50 && col("text").isNotNull)
         .select(col("doc_id"), tokens(col("text")).as("toks"))
         .select(col("doc_id"),
           explode(sequence(lit(0L), nChunks - 1)).as("chunk_id"),
@@ -189,11 +193,14 @@ object TextAnalysis {
         .limit(25)
     },
 
-    // ---- sequence packing: greedy contiguous fill to a token budget,
-    // per shard. The batch assignment is a running token total inside each
-    // shard (window partitioned by shard — never a global single-partition
-    // sort), exactly how a distributed trainer packs documents into
-    // fixed-budget sequences: shards scale out, packing stays local ----
+    // ---- sequence packing: concat-and-split batching, per shard. Each
+    // shard's documents form one token stream (running total over doc_id
+    // order) and a document lands in the batch where it STARTS
+    // (floor(start_offset / 2048)) — the concat-then-chunk shape trainers
+    // use; a doc longer than the budget spans batches, so ids may skip and
+    // batch_tokens may exceed 2048 by up to one document. The window is
+    // partitioned by shard — never a global single-partition sort; shards
+    // scale out, packing stays local ----
     Q("q_pack_sequences",
       s"""SELECT shard, batch_id, count(*) AS n_docs,
          |  CAST(sum(n_tokens) AS BIGINT) AS batch_tokens

@@ -33,12 +33,20 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
   */
 case class CentroidAssign(
     child: Expression,
-    cids: Array[Long],
-    cents: Array[Array[Double]],
-    norms: Array[Double]) extends UnaryExpression {
+    cids: Seq[Long],
+    cents: Seq[IndexedSeq[Double]],
+    norms: Seq[Double]) extends UnaryExpression {
 
   require(cids.nonEmpty && cids.length == cents.length && cids.length == norms.length,
     "CentroidAssign needs a non-empty, aligned centroid set")
+
+  // Seq fields give the case class VALUE equality (Array fields compare by
+  // reference, which would break semanticEquals / subexpression reuse /
+  // cached-plan matching); the primitive views below are what the hot
+  // loops index — built once per (de)serialized instance.
+  @transient private lazy val cidArr: Array[Long] = cids.toArray
+  @transient private lazy val centArr: Array[Array[Double]] = cents.map(_.toArray).toArray
+  @transient private lazy val normArr: Array[Double] = norms.toArray
 
   override def dataType: DataType = LongType
 
@@ -59,15 +67,15 @@ case class CentroidAssign(
     var bestCid = 0L
     var first = true
     var c = 0
-    while (c < cents.length) {
-      val cv = cents(c)
+    while (c < centArr.length) {
+      val cv = centArr(c)
       val n = math.min(nv, cv.length)
       var dot = 0.0
       i = 0
       while (i < n) { dot += v.getDouble(i) * cv(i); i += 1 }
-      val cos = dot / (vnorm * norms(c))
+      val cos = dot / (vnorm * normArr(c))
       if (first || SQLOrderingUtil.compareDoubles(cos, best) > 0) {
-        first = false; best = cos; bestCid = cids(c)
+        first = false; best = cos; bestCid = cidArr(c)
       }
       c += 1
     }
@@ -76,9 +84,9 @@ case class CentroidAssign(
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, v => {
-      val cidsRef = ctx.addReferenceObj("cids", cids, "long[]")
-      val centsRef = ctx.addReferenceObj("cents", cents, "double[][]")
-      val normsRef = ctx.addReferenceObj("norms", norms, "double[]")
+      val cidsRef = ctx.addReferenceObj("cids", cidArr, "long[]")
+      val centsRef = ctx.addReferenceObj("cents", centArr, "double[][]")
+      val normsRef = ctx.addReferenceObj("norms", normArr, "double[]")
       val i = ctx.freshName("i")
       val c = ctx.freshName("c")
       val nv = ctx.freshName("nv")
@@ -127,8 +135,8 @@ object CentroidAssign {
     val sorted = centroids.sortBy(_._1)
     ColumnBridge.column(CentroidAssign(
       ColumnBridge.expression(v),
-      sorted.map(_._1).toArray,
-      sorted.map(_._2.toArray).toArray,
-      sorted.map(_._3).toArray))
+      sorted.map(_._1),
+      sorted.map(_._2.toIndexedSeq),
+      sorted.map(_._3)))
   }
 }

@@ -115,6 +115,19 @@ class SimilaritySpec extends AnyFunSuite {
     val got = vecs.select(col("vec_id"), centroid_assign(col("v"), cents).as("cid"))
     assert(got.except(expected).isEmpty && expected.except(got).isEmpty)
 
+    // interpreted path: nullSafeEval is a hand-written twin of the codegen
+    // template — drive it directly so the two loops can't silently drift
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val expectedMap = expected.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rows = vecs.collect().map(r => r.getLong(0) -> r.getSeq[Double](1))
+    rows.foreach { case (id, v) =>
+      val e = graft.functions.CentroidAssign(
+        Literal.create(v, ArrayType(DoubleType)),
+        cents.map(_._1), cents.map(_._2.toIndexedSeq), cents.map(_._3))
+      assert(e.eval(null) == expectedMap(id), s"interpreted eval diverges for vec $id")
+    }
+
     // tie-break: identical centroids under different ids -> smallest cid wins
     val dup = Seq((5L, Seq(1.0, 0.0), 1.0), (3L, Seq(1.0, 0.0), 1.0),
                   (9L, Seq(0.0, 1.0), 1.0))
