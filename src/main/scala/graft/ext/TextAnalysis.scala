@@ -301,6 +301,24 @@ object TextAnalysis {
         .agg(min(col("h")).as("fp_min"), max(col("h")).as("fp_max"),
              count(lit(1)).as("n_shingles"))
         .orderBy("doc_id")
+    },
+
+    // ---- vocabulary building: top tokens by document frequency (df) and
+    // raw term frequency (tf). The df/tf pair in ONE aggregate uses
+    // Spark's mixed distinct/non-distinct Expand (2 rows per input) —
+    // still a single shuffle on tok. Top-k via orderBy+limit compiles to
+    // TakeOrderedAndProject (no global sort), so the plan holds when the
+    // vocab has hundreds of millions of distinct tokens at 100 TB.
+    Q("q_text_vocab",
+      s"""SELECT tok, count(DISTINCT doc_id) AS df, count(*) AS tf
+         |FROM (SELECT doc_id, unnest(${tokensSql("text")}) AS tok FROM documents)
+         |GROUP BY tok ORDER BY df DESC, tf DESC, tok LIMIT 100""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+        .groupBy("tok")
+        .agg(countDistinct(col("doc_id")).as("df"), count(lit(1)).as("tf"))
+        .orderBy(col("df").desc, col("tf").desc, col("tok").asc)
+        .limit(100)
     }
   )
 }

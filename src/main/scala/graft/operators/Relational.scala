@@ -620,6 +620,90 @@ object Relational {
                 sum(col("o_totalprice").cast("decimal(18,4)")).over(w)
                   .cast("double").as("sum_30d"))
         .orderBy("o_custkey", "o_orderkey")
+    },
+
+    // ---- §2.D: PIVOT — orders per year × status, count + exact revenue.
+    // The pivot value list is fixed, so Spark needs no extra distinct pass
+    // and the plan is one hash aggregate (pivot compiles to CASE WHEN
+    // conditional aggregates — identical shape to the oracle's FILTER
+    // clauses, and the same shape at 100×: one shuffle on yr).
+    Q("q_pivot_status",
+      """SELECT CAST(year(o_orderdate) AS INT) AS yr,
+        |  count(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+        |  count(*) FILTER (WHERE o_orderstatus = 'F') AS n_filled,
+        |  count(*) FILTER (WHERE o_orderstatus = 'P') AS n_partial,
+        |  CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(18,4))) FILTER (WHERE o_orderstatus = 'O'), 0) AS DOUBLE) AS total_open,
+        |  CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(18,4))) FILTER (WHERE o_orderstatus = 'F'), 0) AS DOUBLE) AS total_filled,
+        |  CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(18,4))) FILTER (WHERE o_orderstatus = 'P'), 0) AS DOUBLE) AS total_partial
+        |FROM orders GROUP BY 1 ORDER BY yr""".stripMargin) { (s, d) =>
+      val zero = lit(0).cast("decimal(18,4)")
+      Tables.orders(s, d)
+        .groupBy(year(col("o_orderdate")).cast("int").as("yr"))
+        .pivot("o_orderstatus", Seq("O", "F", "P"))
+        .agg(count(lit(1)).as("n"),
+             sum(col("o_totalprice").cast("decimal(18,4)")).as("t"))
+        .select(col("yr"),
+          coalesce(col("O_n"), lit(0L)).as("n_open"),
+          coalesce(col("F_n"), lit(0L)).as("n_filled"),
+          coalesce(col("P_n"), lit(0L)).as("n_partial"),
+          coalesce(col("O_t"), zero).cast("double").as("total_open"),
+          coalesce(col("F_t"), zero).cast("double").as("total_filled"),
+          coalesce(col("P_t"), zero).cast("double").as("total_partial"))
+        .orderBy("yr")
+    },
+
+    // ---- §2.D: UNPIVOT/melt — wide per-flag aggregates to long
+    // (measure, value) form. Spark's Dataset.unpivot is a zero-shuffle
+    // Expand over the aggregated (tiny) input; the oracle is the
+    // equivalent UNION ALL.
+    Q("q_unpivot_pricing",
+      """WITH a AS (
+        |  SELECT l_returnflag,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price,
+        |    CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc
+        |  FROM lineitem GROUP BY l_returnflag
+        |)
+        |SELECT l_returnflag, measure, value FROM (
+        |  SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS value FROM a
+        |  UNION ALL SELECT l_returnflag, 'sum_price', sum_price FROM a
+        |  UNION ALL SELECT l_returnflag, 'sum_disc', sum_disc FROM a
+        |) ORDER BY l_returnflag, measure""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(dsum(col("l_quantity"), 4).as("sum_qty"),
+             dsum(col("l_extendedprice")).as("sum_price"),
+             dsum(col("l_discount")).as("sum_disc"))
+        .unpivot(Array(col("l_returnflag")),
+                 Array(col("sum_qty"), col("sum_price"), col("sum_disc")),
+                 "measure", "value")
+        .orderBy("l_returnflag", "measure")
+    },
+
+    // ---- §2.D: exact quantile profiling — per-language quartiles of
+    // document length. The percentile fractions are dyadic (.25/.5/.75),
+    // so linear interpolation between int64 neighbors is EXACT in double
+    // in both engines regardless of each engine's a+(b-a)*f vs
+    // a*(1-f)+b*f formula — no rounding shim needed. Spark's exact
+    // `percentile` is a single hash aggregate (sorted per group at
+    // finalization); scale-safe because groups are languages.
+    Q("q_quantile_profile",
+      """SELECT lang, count(*) AS n,
+        |  CAST(min(n_chars) AS BIGINT) AS min_chars,
+        |  quantile_cont(n_chars, 0.25) AS q1_chars,
+        |  quantile_cont(n_chars, 0.5)  AS med_chars,
+        |  quantile_cont(n_chars, 0.75) AS q3_chars,
+        |  CAST(max(n_chars) AS BIGINT) AS max_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"),
+             min(col("n_chars")).as("min_chars"),
+             percentile(col("n_chars"), lit(0.25)).as("q1_chars"),
+             percentile(col("n_chars"), lit(0.5)).as("med_chars"),
+             percentile(col("n_chars"), lit(0.75)).as("q3_chars"),
+             max(col("n_chars")).as("max_chars"))
+        .orderBy("lang")
     }
   )
 }
