@@ -83,10 +83,8 @@ object Main {
       |  # graph_export:
       |  #   path: /path/to/graph.jsonl
       |destinations:
-      |  # sqlite is the reference default; if no SQLite JDBC driver is on
-      |  # the classpath (this sandbox ships Derby instead), use:
-      |  #   derby:
-      |  #     url: jdbc:derby:graft.db;create=true
+      |  # sqlite is the reference default; the engine writes the database
+      |  # file natively (no JDBC driver needed)
       |  sqlite:
       |    database: cloud2sql.db
       |""".stripMargin

@@ -24,9 +24,16 @@ final case class JdbcDestination(
     password: Option[String] = None,
     args: Map[String, String] = Map.empty)
 
+/** The reference's default destination (`__main__.py:60`): a SQLite file,
+  * written natively by the sink (no JDBC driver in this sandbox — the file
+  * format is public; see graft.sink.SqliteFormat).
+  */
+final case class SqliteDestination(database: String, batchSize: Int = 5000)
+
 sealed trait Destination
 final case class ArrowDest(cfg: FileDestination) extends Destination
 final case class DbDest(cfg: JdbcDestination) extends Destination
+final case class SqliteDest(cfg: SqliteDestination) extends Destination
 
 final case class GraftConfig(sources: Map[String, Map[String, String]], destination: Destination)
 
@@ -150,6 +157,13 @@ object GraftConfig {
         ArrowDest(FileDestination(str("format").getOrElse("parquet"),
           str("path").getOrElse("/tmp/graft-stage"), int("batch_size", 100000),
           Some(bucket), None, Some("gcs")))
+      case "sqlite" =>
+        // the reference default (sqlite: {database: …}); served natively by
+        // the file-format writer, so no driver probe applies
+        SqliteDest(SqliteDestination(
+          str("database").getOrElse(
+            throw new IllegalArgumentException("Database must be defined")),
+          int("batch_size", 5000)))
       case dialect =>
         val canonical = dialectAliases.getOrElse(dialect, dialect)
         checkDbDriver(canonical)

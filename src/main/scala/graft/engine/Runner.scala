@@ -139,8 +139,9 @@ object Runner {
       // <src>_nodes, <src>_edges} in ONE "collect" event (collect.py:183-196),
       // flushed before return so a buffering sender never loses it
       val engineName = config.destination match {
-        case graft.config.DbDest(c) => c.dialect
-        case _                      => "file"
+        case graft.config.DbDest(c)     => c.dialect
+        case graft.config.SqliteDest(_) => "sqlite"
+        case _                          => "file"
       }
       val analytics: Map[String, Any] =
         Map("total" -> active.size, "engine" -> engineName) ++

@@ -1,6 +1,6 @@
 package graft.sink
 
-import graft.config.{ArrowDest, DbDest, Destination, FileDestination, JdbcDestination}
+import graft.config.{ArrowDest, DbDest, Destination, FileDestination, JdbcDestination, SqliteDest}
 import org.apache.hadoop.fs.{FileUtil, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -73,6 +73,14 @@ object SnapshotSink {
                 .parquet(s"$staging/$name")
               obs
           }
+        case SqliteDest(cfg) =>
+          // stage as parquet with the SQL-flattened schema: staging keeps
+          // full write parallelism; the single-file build happens once at
+          // commit (SqliteSnapshotCommit), after the global barrier
+          val (o, obs) = observed(flattenForSql(df))
+          o.write.mode("overwrite")
+            .parquet(s"${cfg.database}.staging/$runId/$name")
+          obs
         case DbDest(cfg) =>
           val (o, obs) = observed(flattenForSql(df))
           val w = o.write.mode("overwrite")
@@ -106,8 +114,9 @@ object SnapshotSink {
     dest match {
       case ArrowDest(cfg) if cfg.bucket.isDefined =>
         UploadingSnapshotCommit(FileSnapshotCommit(cfg.path, runId), cfg, tables, uploader)
-      case ArrowDest(cfg) => FileSnapshotCommit(cfg.path, runId)
-      case DbDest(cfg)    => JdbcSnapshotCommit(cfg, tables)
+      case ArrowDest(cfg)  => FileSnapshotCommit(cfg.path, runId)
+      case DbDest(cfg)     => JdbcSnapshotCommit(cfg, tables)
+      case SqliteDest(cfg) => SqliteSnapshotCommit(cfg, runId, tables)
     }
 }
 
@@ -177,7 +186,7 @@ final case class UploadingSnapshotCommit(
 /** Deferred promotion handle: `commit()` runs once, after the global
   * barrier (reference K2); never called on the failure path (K3).
   */
-sealed trait SnapshotCommit { def commit(spark: SparkSession): Unit }
+trait SnapshotCommit { def commit(spark: SparkSession): Unit }
 
 final case class FileSnapshotCommit(base: String, runId: String) extends SnapshotCommit {
   def commit(spark: SparkSession): Unit = {

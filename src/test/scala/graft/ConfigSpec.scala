@@ -119,7 +119,9 @@ class ConfigSpec extends AnyFunSuite {
     assert(hint("snowflake").contains("pip install cloud2sql[snowflake]"))
     assert(hint("mssql").contains("pymssql package"))
     assert(hint("oracle").contains("cx_oracle package"))
-    assert(hint("sqlite").contains("required dependencies"))
+    // sqlite is served natively (file-format writer) — no driver probe
+    val SqliteDest(sq) = dest("sqlite").destination: @unchecked
+    assert(sq.database == "x")
     // derby's driver IS on the classpath: parses fine
     val DbDest(j) = dest("derby").destination: @unchecked
     assert(j.dialect == "derby")

@@ -63,6 +63,30 @@ class EnginePipelineSpec extends AnyFunSuite {
     assert(again == 2)
   }
 
+  test("sqlite destination (reference default) writes a real database file") {
+    val db = Files.createTempDirectory("graft-sqlite").resolve("cloud2sql.db").toString
+    val report = Runner.run(spark,
+      cfg(SqliteDest(SqliteDestination(db))), registry)
+    assert(report.sources == Seq(engine.SourceReport("example", 10, 13)))
+    val r = new graft.sink.SqliteDbReader(new java.io.File(db))
+    assert(r.tableNames.toSet == ExampleSource.expectedCounts.keySet)
+    ExampleSource.expectedCounts.foreach { case (table, n) =>
+      assert(r.rows(table).size == n, s"table $table")
+    }
+    // values & schema survive: strings stay text, maps became JSON text
+    val cols = r.columns("example_instance")
+    val byName = r.rows("example_instance").map(vs => cols.zip(vs).toMap).toSeq
+    assert(byName.map(_("name")).toSet == Set("instance-1", "instance-2"))
+    assert(byName.forall(_("tags").asInstanceOf[String].startsWith("{")))
+    r.close()
+    // second run replaces the snapshot atomically (rename over the file)
+    Runner.run(spark, cfg(SqliteDest(SqliteDestination(db))), registry)
+    val r2 = new graft.sink.SqliteDbReader(new java.io.File(db))
+    assert(r2.rows("example_region").size == 2)
+    assert(!new java.io.File(s"$db.staging").exists(), "staging consumed")
+    r2.close()
+  }
+
   test("failing source aborts before the swap; previous snapshot intact") {
     val base = Files.createTempDirectory("graft-atomic").toString
     val dest = ArrowDest(FileDestination("parquet", base))
