@@ -84,15 +84,21 @@ object Dedup {
       .filter(col("doc_a") < col("doc_b"))
   }
 
+  /** (doc_id, band, key): the minhash signature exploded to its 4 LSH
+    * bands (2 signature rows per band, keyed as a struct) — the shared
+    * index shape for pair generation AND incremental lookups.
+    */
+  private def mhBandedDf(s: SparkSession, d: String): DataFrame =
+    minhashDf(s, d)
+      .select(col("doc_id"), posexplode(array((0 until 4).map { b =>
+        struct(col(s"sig_${2 * b}").as("k1"), col(s"sig_${2 * b + 1}").as("k2"))
+      }: _*)).as(Seq("band", "key")))
+
   /** Distinct (doc_a < doc_b) MinHash-LSH candidate pairs: 4 bands of
     * 2 signature rows each, keyed as a (k1, k2) struct.
     */
   private def minhashPairsDf(s: SparkSession, d: String): DataFrame = {
-    val banded = minhashDf(s, d)
-      .select(col("doc_id"), posexplode(array((0 until 4).map { b =>
-        struct(col(s"sig_${2 * b}").as("k1"), col(s"sig_${2 * b + 1}").as("k2"))
-      }: _*)).as(Seq("band", "key")))
-      .cache()
+    val banded = mhBandedDf(s, d).cache()
     bandedSelfJoin(banded, Nil).select("doc_a", "doc_b").distinct()
   }
 
@@ -109,7 +115,7 @@ object Dedup {
   // ---------- shared oracle-SQL fragments ----------
   private def toksFrom = s"""SELECT doc_id, ${tokensSql("text")} AS toks FROM documents"""
   /** Distinct (doc_id, h48(shingle)) — mirrors [[shingleHashDf]]. */
-  private def shingleHashFrom =
+  private[ext] def shingleHashFrom =
     s"""SELECT DISTINCT doc_id, h FROM (
        |  SELECT doc_id, ${h48Sql("sh")} AS h FROM (
        |    SELECT doc_id, unnest(${shinglesFromTokensSql("toks", K)}) AS sh
@@ -146,6 +152,11 @@ object Dedup {
        |),
        |comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY id)""".stripMargin
   }
+
+  /** "a and b agree on some LSH band" — the oracle-side join condition. */
+  private def bandCondSql(a: String, b: String): String = (0 until 4)
+    .map(x => s"($a.sig_${2 * x} = $b.sig_${2 * x} AND $a.sig_${2 * x + 1} = $b.sig_${2 * x + 1})")
+    .mkString(" OR ")
 
   private def simhashSelect = {
     val bitSums = (0 until 32).map { j =>
@@ -309,6 +320,69 @@ object Dedup {
           round(col("shared").cast("double") / (col("na") + col("nb") - col("shared")), 6).as("jacc"))
         .orderBy(col("jacc").desc, col("doc_a").asc, col("doc_b").asc)
         .limit(10)
+    },
+
+    // ---- edit-distance scoring of LSH candidate pairs ----
+    // Levenshtein is O(len²) per pair, so it NEVER runs on the cross
+    // product: candidates come from the banded minhash join (bounded by
+    // bucket occupancy) and the distance runs on a 400-char prefix — the
+    // rescoring pattern fuzzy dedup uses once cheap hashing has shortlisted
+    // pairs. Both engines implement the same classic DP, so the scores are
+    // exact integers and the normalized similarity is IEEE-exact.
+    Q("q_dedup_editdist",
+      s"""WITH sigs AS ($minhashSelect),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id AND (${bandCondSql("a", "b")})
+         |),
+         |t AS (SELECT doc_id, substr(text, 1, 400) AS t FROM documents)
+         |SELECT doc_a, doc_b, levenshtein(ta.t, tb.t) AS dist,
+         |  round(1 - CAST(levenshtein(ta.t, tb.t) AS DOUBLE)
+         |        / greatest(len(ta.t), len(tb.t)), 6) AS sim
+         |FROM pairs
+         |JOIN t ta ON ta.doc_id = doc_a
+         |JOIN t tb ON tb.doc_id = doc_b
+         |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+      val t = Tables.documents(s, d)
+        .select(col("doc_id"), substring(col("text"), 1, 400).as("t"))
+      minhashPairsDf(s, d)
+        .join(t.select(col("doc_id").as("doc_a"), col("t").as("t_a")), Seq("doc_a"))
+        .join(t.select(col("doc_id").as("doc_b"), col("t").as("t_b")), Seq("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          levenshtein(col("t_a"), col("t_b")).as("dist"),
+          round(lit(1) - levenshtein(col("t_a"), col("t_b")).cast("double")
+            / greatest(length(col("t_a")), length(col("t_b"))), 6).as("sim"))
+        .orderBy("doc_a", "doc_b")
+    },
+
+    // ---- incremental dedup: incoming batch vs existing corpus index ----
+    // The streaming-shaped curation step as a batch operator: the existing
+    // corpus (even doc_ids) is reduced to its DISTINCT (band, key) LSH
+    // index — the structure a production pipeline maintains incrementally —
+    // and an incoming batch (odd doc_ids) equi-joins against it; any band
+    // hit flags the document as a near-dup of something already ingested.
+    // At 100 TB only the (band, key) index shuffles (8-byte keys, one row
+    // per band per corpus doc), never the corpus text, and a small incoming
+    // batch broadcasts against it.
+    Q("q_dedup_incremental", {
+      val hit = (0 until 4).map { b =>
+        s"""(CASE WHEN EXISTS (SELECT 1 FROM sigs e WHERE e.doc_id % 2 = 0
+           |  AND e.sig_${2 * b} = i.sig_${2 * b} AND e.sig_${2 * b + 1} = i.sig_${2 * b + 1})
+           |  THEN 1 ELSE 0 END)""".stripMargin
+      }.mkString(" + ")
+      s"""WITH sigs AS ($minhashSelect)
+         |SELECT doc_id, n_bands_hit FROM (
+         |  SELECT i.doc_id, CAST($hit AS BIGINT) AS n_bands_hit
+         |  FROM sigs i WHERE i.doc_id % 2 = 1
+         |) WHERE n_bands_hit > 0 ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
+      val banded = mhBandedDf(s, d).cache()
+      val existing = banded.filter(col("doc_id") % 2 === 0)
+        .select("band", "key").distinct()
+      banded.filter(col("doc_id") % 2 === 1)
+        .join(existing, Seq("band", "key")) // existing is distinct: no fanout
+        .groupBy("doc_id").agg(count(lit(1)).as("n_bands_hit"))
+        .orderBy("doc_id")
     }
   )
 }

@@ -303,6 +303,74 @@ object TextAnalysis {
         .orderBy("doc_id")
     },
 
+    // ---- TF-IDF keyword extraction: top-5 terms per probe document ----
+    // Term frequency explodes only the PROBE subset (doc_id < 40) while
+    // document frequency aggregates the whole corpus — the asymmetric scan
+    // a real keyword extractor needs: the big side is touched once, shuffled
+    // by token, and AQE broadcasts the small tf side into the df join. The
+    // score rounds to 6dp in both engines (ln is sub-ulp in Java and libm).
+    Q("q_text_tfidf",
+      s"""WITH tok AS (SELECT doc_id, unnest(${tokensSql("text")}) AS tok FROM documents),
+         |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok WHERE doc_id < 40 GROUP BY doc_id, tok),
+         |df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM tok GROUP BY tok),
+         |n AS (SELECT count(*) AS n_docs FROM documents)
+         |SELECT doc_id, tok, tf, df, score, CAST(rk AS INT) AS rk FROM (
+         |  SELECT doc_id, tok, tf, df,
+         |    round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS score,
+         |    row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) DESC, tok) AS rk
+         |  FROM tf JOIN df USING (tok) CROSS JOIN n
+         |) WHERE rk <= 5 ORDER BY doc_id, rk""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      val tf = tok.filter(col("doc_id") < 40)
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      val dfq = tok.select("doc_id", "tok").distinct()
+        .groupBy("tok").agg(count(lit(1)).as("df"))
+      val n = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+      val score = round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6)
+      val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("tok").asc)
+      tf.join(dfq, "tok").crossJoin(broadcast(n))
+        .withColumn("score", score)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select("doc_id", "tok", "tf", "df", "score", "rk")
+        .orderBy("doc_id", "rk")
+    },
+
+    // ---- benchmark-contamination check: shingle overlap vs a held set ----
+    // Decontamination before training: every corpus document is scored by
+    // the fraction of its distinct 5-gram shingles that appear anywhere in
+    // the benchmark set (here: doc_id % 97 == 0 stands in for the eval
+    // suite). The benchmark reduces to a DISTINCT hash set — tiny next to
+    // the corpus, hence broadcast — and the corpus side streams through one
+    // no-fanout left join; nothing ever pairs documents with documents.
+    Q("q_text_contamination",
+      s"""WITH sh AS (${Dedup.shingleHashFrom}),
+         |bench AS (SELECT DISTINCT h FROM sh WHERE doc_id % 97 = 0)
+         |SELECT s.doc_id, count(*) AS n_shingles,
+         |  CAST(sum(CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+         |  round(CAST(sum(CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         |        / count(*), 6) AS contamination
+         |FROM (SELECT * FROM sh WHERE doc_id % 97 <> 0) s
+         |LEFT JOIN bench b ON b.h = s.h
+         |GROUP BY s.doc_id
+         |ORDER BY contamination DESC, doc_id LIMIT 25""".stripMargin) { (s, d) =>
+      val sh = Dedup.shingleHashDf(s, d).cache()
+      val bench = sh.filter(col("doc_id") % 97 === 0)
+        .select("h").distinct().withColumn("hit", lit(1))
+      sh.filter(col("doc_id") % 97 =!= 0)
+        .join(broadcast(bench), Seq("h"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shingles"),
+             sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hit"),
+             round(sum(coalesce(col("hit"), lit(0))).cast("double")
+               / count(lit(1)), 6).as("contamination"))
+        .orderBy(col("contamination").desc, col("doc_id").asc)
+        .limit(25)
+    },
+
     // ---- vocabulary building: top tokens by document frequency (df) and
     // raw term frequency (tf). The df/tf pair in ONE aggregate uses
     // Spark's mixed distinct/non-distinct Expand (2 rows per input) —

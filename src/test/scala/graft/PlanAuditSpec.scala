@@ -39,7 +39,11 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_dedup_jaccard", "q_dedup_minhash_pairs", "q_dedup_simhash_pairs",
     "q_agg_pricing", "q_dedup_embed", "q_embed_ivf", "q_embed_lsh",
     "q_join_range", "q_join_revenue_by_nation", "q_join_2hop",
-    "q_events_asof", "q_dedup_minhash", "q_dedup_clusters", "q_dedup_corpus")
+    "q_events_asof", "q_dedup_minhash", "q_dedup_clusters", "q_dedup_corpus",
+    "q_dedup_editdist", "q_dedup_incremental", "q_text_contamination")
+  // q_text_tfidf is NOT in the no-BNLJ list: its corpus-size scalar rides a
+  // 1-row broadcast cross join (the legitimate scalar-broadcast shape) —
+  // covered by its own assertion below instead.
 
   test("no cartesian or nested-loop join in any audited query") {
     audited.foreach { name =>
@@ -93,6 +97,23 @@ class PlanAuditSpec extends AnyFunSuite {
       val plan = queryPlan(name)
       assert(plan.contains("BroadcastHashJoin"), s"$name lost its broadcast:\n$plan")
     }
+  }
+
+  test("tfidf: only the corpus-count scalar may nested-loop (1-row broadcast)") {
+    val plan = queryPlan("q_text_tfidf")
+    assert(!plan.contains("CartesianProduct"), s"q_text_tfidf cartesian:\n$plan")
+    // the tf⋈df token join must be hash-based; the single BNLJ allowed is
+    // the 1-row n_docs scalar broadcast
+    assert(count(plan, "BroadcastNestedLoopJoin") <= 1,
+      s"q_text_tfidf grew a second NLJ:\n$plan")
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
+      s"q_text_tfidf token join must be an equi-join:\n$plan")
+  }
+
+  test("contamination benchmark set broadcasts (corpus never reshuffled twice)") {
+    val plan = queryPlan("q_text_contamination")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"benchmark hash set should broadcast:\n$plan")
   }
 
   test("filters reach the parquet scan (pushdown not regressed)") {
