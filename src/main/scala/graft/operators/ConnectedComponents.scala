@@ -42,28 +42,43 @@ object ConnectedComponents {
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .localCheckpoint()
-    var labels = nodes.select(col("id"))
-      .union(sym.select(col("src").as("id")))
-      .distinct()
-      .select(col("id"), col("id").as("comp"))
-      .localCheckpoint()
+    // Isolated nodes (no incident edge) can never change label — they keep
+    // comp = id by definition. The loop therefore iterates ONLY over edge
+    // endpoints: for dedup graphs that is the near-dup subgraph, orders of
+    // magnitude smaller than the corpus, so each round's shuffles carry a
+    // few thousand rows even when `nodes` is the full 100 TB document set.
+    // Isolated nodes are attached once, at the end, with a single left join.
+    def attach(looped: DataFrame): DataFrame =
+      nodes.select(col("id"))
+        .union(sym.select(col("src").as("id")))
+        .distinct()
+        .join(looped, Seq("id"), "left")
+        .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
     // Convergence probe: labels are per-id monotone NON-INCREASING (every
     // update takes a min over a set containing the current label), so the
-    // decimal label total strictly decreases until the fixpoint — one
-    // aggregate scan per round detects convergence with no alignment join.
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("comp").cast("decimal(38,0)"))).head.getDecimal(0)
-    var prevSum = labelSum(labels)
-    if (prevSum == null) return labels // no nodes
+    // decimal label total strictly decreases until the fixpoint. The probe
+    // rides the checkpoint job as an `observe` metric — one job per round,
+    // not a checkpoint job plus a separate aggregate scan.
+    def checkpointWithSum(df: DataFrame): (DataFrame, java.math.BigDecimal) = {
+      val obs = org.apache.spark.sql.Observation()
+      val out = df
+        .observe(obs, sum(col("comp").cast("decimal(38,0)")).as("s"))
+        .localCheckpoint()
+      (out, obs.get("s").asInstanceOf[java.math.BigDecimal])
+    }
+    var (labels, prevSum) = checkpointWithSum(
+      sym.select(col("src").as("id"))
+        .distinct()
+        .select(col("id"), col("id").as("comp")))
+    if (prevSum == null) return attach(labels) // no edges: all isolated
     var rounds = 0
     while (rounds < maxIter) {
-      val updated = round(labels, sym).localCheckpoint()
-      val curSum = labelSum(updated)
+      val (updated, curSum) = checkpointWithSum(round(labels, sym))
       val prev = labels
       labels = updated
       prev.unpersist()
       rounds += 1
-      if (curSum.compareTo(prevSum) == 0) return labels
+      if (curSum.compareTo(prevSum) == 0) return attach(labels)
       prevSum = curSum
     }
     throw new IllegalStateException(

@@ -94,6 +94,45 @@ object StreamingOps {
               col("p_ts"), col("v_ts"))
   }
 
+  /** Per-ROW minhash LSH bands for a document stream: (doc_id, band, key).
+    *
+    * The batch signature ([[graft.ext.Dedup]]) aggregates exploded shingles
+    * by doc_id — on a stream that would be unbounded keyed state. But a
+    * document arrives as ONE row with its full text, so the signature is
+    * computable inside the row: `array_min` over a `transform` of the
+    * shingle array replaces `groupBy(doc_id).agg(min(...))` exactly (min
+    * over the distinct hash set equals min over the multiset). Zero state,
+    * zero shuffle — the operator runs identically over batch and stream.
+    * A document with fewer than 5 tokens has no shingles → null signature
+    * → its band keys never match the index (same as the batch shape, where
+    * such documents produce no signature row).
+    */
+  def minhashBanded(docs: DataFrame): DataFrame = {
+    import graft.ext.TextHash._
+    val hashes = transform(
+      shinglesFromTokens(tokens(col("text")), 5),
+      sh => h48(sh) % Mersenne31)
+    val sigs = MinhashPerms.map { case (a, b) =>
+      array_min(transform(hashes, h => (h * a + b) % Mersenne31))
+    }
+    docs.select(col("doc_id"), posexplode(array((0 until 4).map { b =>
+      struct(sigs(2 * b).as("k1"), sigs(2 * b + 1).as("k2"))
+    }: _*)).as(Seq("band", "key")))
+  }
+
+  /** Streaming incremental dedup (the q_dedup_incremental shape as a
+    * stream): incoming documents equi-join the STATIC corpus band index —
+    * a stream-static broadcast/hash join, stateless on the stream side.
+    * Emits one row per (doc_id, band) hit; any emitted row flags the
+    * document as a near-dup of something already in the corpus. The index
+    * is the distinct (band, key) table a production pipeline maintains
+    * incrementally (e.g. via [[maintainSnapshot]]).
+    */
+  def incrementalDedup(incoming: DataFrame, bandIndex: DataFrame): DataFrame =
+    minhashBanded(incoming)
+      .join(bandIndex.select("band", "key").distinct(), Seq("band", "key"))
+      .select(col("doc_id"), col("band"))
+
   /** Incremental snapshot maintenance: every micro-batch of a complete-mode
     * aggregate is written to staging and promoted with the SAME atomic
     * swap the batch engine uses (K2, [[graft.sink.FileSnapshotCommit]]) —

@@ -174,4 +174,50 @@ class StreamingSpec extends AnyFunSuite {
         .as[Long].collect().sorted.toSeq == Seq(1L, 2L))
     } finally q.stop()
   }
+
+  test("per-row minhash bands equal the batch groupBy signature") {
+    // the streaming operator computes signatures inside the row; the batch
+    // dedup pipeline aggregates exploded shingles — identical bands per doc
+    import graft.ext.TextHash._
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+    val perRow = StreamingOps.minhashBanded(docs)
+      .filter(col("key.k1").isNotNull) // shingle-less docs have no batch row
+    val aggs = MinhashPerms.zipWithIndex.map { case ((a, b), i) =>
+      min((col("h") * a + b) % Mersenne31).as(s"sig_$i")
+    }
+    val batchBands = docs
+      .select(col("doc_id"), explode(shinglesFromTokens(tokens(col("text")), 5)).as("sh"))
+      .select(col("doc_id"), (h48(col("sh")) % Mersenne31).as("h"))
+      .groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+      .select(col("doc_id"), posexplode(array((0 until 4).map { b =>
+        struct(col(s"sig_${2 * b}").as("k1"), col(s"sig_${2 * b + 1}").as("k2"))
+      }: _*)).as(Seq("band", "key")))
+    assert(perRow.count() > 0)
+    assert(perRow.exceptAll(batchBands).isEmpty && batchBands.exceptAll(perRow).isEmpty)
+  }
+
+  test("streaming incremental dedup flags near-dups of the static corpus") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val corpusText = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
+    val freshText = "one two three four five six seven eight nine ten " * 5
+    val corpus = Seq((10L, corpusText), (11L, "x " + corpusText))
+      .toDF("doc_id", "text")
+    // the incrementally-maintainable structure: distinct (band, key) index
+    val index = StreamingOps.minhashBanded(corpus).select("band", "key").distinct()
+
+    val mem = MemoryStream[(Long, String)]
+    val incoming = mem.toDF.toDF("doc_id", "text")
+    val q = StreamingOps.incrementalDedup(incoming, index)
+      .writeStream.format("memory").queryName("incdedup_out")
+      .outputMode("append").start()
+    try {
+      mem.addData((100L, corpusText + " slightly changed"), (101L, freshText))
+      q.processAllAvailable()
+      val flagged = spark.table("incdedup_out")
+        .select("doc_id").distinct().as[Long].collect().sorted.toSeq
+      assert(flagged == Seq(100L)) // near-copy flagged, fresh doc passes
+    } finally q.stop()
+  }
 }
