@@ -87,6 +87,28 @@ class EnginePipelineSpec extends AnyFunSuite {
     r2.close()
   }
 
+  test("an existing sqlite database ingests back as typed DataFrames") {
+    // a cloud2sql user migrates: point the engine at their .db and query on
+    val db = Files.createTempDirectory("graft-sqlite-src").resolve("c2s.db").toString
+    Runner.run(spark, cfg(SqliteDest(SqliteDestination(db))), registry)
+    val tables = graft.sources.SqliteSource.register(spark, db)
+    assert(tables.toSet == ExampleSource.expectedCounts.keySet)
+    // declared affinities come back typed: ints as long, datetimes parsed
+    val inst = spark.table("example_instance")
+    assert(inst.schema("instance_cores").dataType.typeName == "long")
+    assert(inst.schema("ctime").dataType.typeName == "timestamp")
+    val rows = inst.orderBy("id").collect()
+    assert(rows.map(_.getAs[Long]("instance_cores")).toSeq == Seq(4L, 8L))
+    assert(rows.head.getAs[java.sql.Timestamp]("ctime").toInstant
+      == java.time.Instant.parse("2023-01-01T00:00:00Z"))
+    // the canonical exported-schema join runs over the ingested views
+    val n = spark.sql(
+      """SELECT count(*) FROM example_region r
+        |JOIN link_example_region_example_instance l ON r.id = l.from_id
+        |JOIN example_instance i ON l.to_id = i.id""".stripMargin).head.getLong(0)
+    assert(n == 2)
+  }
+
   test("failing source aborts before the swap; previous snapshot intact") {
     val base = Files.createTempDirectory("graft-atomic").toString
     val dest = ArrowDest(FileDestination("parquet", base))
