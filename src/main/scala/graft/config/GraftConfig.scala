@@ -26,9 +26,11 @@ final case class JdbcDestination(
 
 /** The reference's default destination (`__main__.py:60`): a SQLite file,
   * written natively by the sink (no JDBC driver in this sandbox — the file
-  * format is public; see graft.sink.SqliteFormat).
+  * format is public; see graft.sink.SqliteFormat). No batch-size knob: the
+  * reference's 5000-row INSERT batching is an SQLAlchemy concern; the file
+  * writer streams rows and flushes by page.
   */
-final case class SqliteDestination(database: String, batchSize: Int = 5000)
+final case class SqliteDestination(database: String)
 
 sealed trait Destination
 final case class ArrowDest(cfg: FileDestination) extends Destination
@@ -159,11 +161,12 @@ object GraftConfig {
           Some(bucket), None, Some("gcs")))
       case "sqlite" =>
         // the reference default (sqlite: {database: …}); served natively by
-        // the file-format writer, so no driver probe applies
+        // the file-format writer, so no driver probe applies. A batch_size
+        // key is accepted (reference config shape) but has no effect — the
+        // writer streams rows page by page.
         SqliteDest(SqliteDestination(
           str("database").getOrElse(
-            throw new IllegalArgumentException("Database must be defined")),
-          int("batch_size", 5000)))
+            throw new IllegalArgumentException("Database must be defined"))))
       case dialect =>
         val canonical = dialectAliases.getOrElse(dialect, dialect)
         checkDbDriver(canonical)

@@ -166,6 +166,34 @@ object SqliteFormat {
     }
   }
 
+  /** (name, declaredType) pairs from a stored CREATE TABLE statement —
+    * depth-aware comma split, so parenthesized types (`NUMERIC(10,2)`)
+    * survive; shared by the reader and [[graft.sources.SqliteSource]].
+    */
+  def columnsOf(sql: String): Seq[(String, String)] = {
+    val inner = sql.substring(sql.indexOf('(') + 1, sql.lastIndexOf(')'))
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+    var depth = 0; var start = 0
+    inner.zipWithIndex.foreach {
+      case ('(', _) => depth += 1
+      case (')', _) => depth -= 1
+      case (',', i) if depth == 0 => parts += inner.substring(start, i); start = i + 1
+      case _ =>
+    }
+    parts += inner.substring(start)
+    parts.toSeq.map(_.trim).filter(_.nonEmpty).map { colDef =>
+      val (name, rest) =
+        if (colDef.startsWith("\"")) {
+          val end = colDef.indexOf('"', 1)
+          (colDef.substring(1, end), colDef.substring(end + 1))
+        } else {
+          val sp = colDef.indexOf(' ')
+          if (sp < 0) (colDef, "") else (colDef.substring(0, sp), colDef.substring(sp))
+        }
+      (name, rest.trim)
+    }
+  }
+
   def be16(v: Int): Array[Byte] = Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
   def be32(v: Int): Array[Byte] =
     Array((v >>> 24).toByte, ((v >> 16) & 0xff).toByte, ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
@@ -211,6 +239,11 @@ final class SqliteDbWriter(file: File) {
     raf.getFD.sync()
     raf.close()
   }
+
+  /** Failure-path teardown: releases the file handle without finalizing
+    * the (incomplete) database image.
+    */
+  def abort(): Unit = try raf.close() catch { case _: Exception => () }
 
   /** Builds one leaf page image. `reserve` > 0 only for the page-1 root
     * (the 100-byte file header precedes the b-tree header).
@@ -418,9 +451,27 @@ final class SqliteDbReader(file: File) {
 
   private val raf = new RandomAccessFile(file, "r")
 
+  // The header governs the geometry — read it instead of assuming the
+  // writer's constants, so externally created databases parse correctly
+  // (or fail loudly) rather than silently misparsing.
+  private val (pageSize, usable) = {
+    val h = new Array[Byte](100)
+    raf.seek(0); raf.readFully(h)
+    require(new String(h, 0, 15, "ISO-8859-1") == "SQLite format 3" && h(15) == 0,
+      s"$file is not a SQLite database")
+    val raw = readBe16(h, 16)
+    val ps = if (raw == 1) 65536 else raw // header encodes 65536 as 1
+    require(ps >= 512 && (ps & (ps - 1)) == 0, s"invalid page size $ps")
+    val enc = readBe32(h, 56)
+    require(enc == 1, s"unsupported text encoding $enc (only UTF-8)")
+    (ps, ps - (h(20) & 0xff)) // usable = page size minus reserved tail
+  }
+  private val maxLeafLocal = usable - 35
+  private val minLeafLocal = (usable - 12) * 32 / 255 - 23
+
   private def readPage(no: Int): Array[Byte] = {
-    val b = new Array[Byte](PageSize)
-    raf.seek((no - 1).toLong * PageSize)
+    val b = new Array[Byte](pageSize)
+    raf.seek((no - 1).toLong * pageSize)
     raf.readFully(b)
     b
   }
@@ -456,18 +507,18 @@ final class SqliteDbReader(file: File) {
     val (p, n1) = getVarint(page, off); off += n1
     val (rowid, n2) = getVarint(page, off); off += n2
     val plen = p.toInt
-    if (plen <= MaxLeafLocal) {
+    if (plen <= maxLeafLocal) {
       (rowid, java.util.Arrays.copyOfRange(page, off, off + plen))
     } else {
-      val k = MinLeafLocal + (plen - MinLeafLocal) % (Usable - 4)
-      val local = if (k <= MaxLeafLocal) k else MinLeafLocal
+      val k = minLeafLocal + (plen - minLeafLocal) % (usable - 4)
+      val local = if (k <= maxLeafLocal) k else minLeafLocal
       val out = new Array[Byte](plen)
       System.arraycopy(page, off, out, 0, local)
       var written = local
       var next = readBe32(page, off + local)
       while (next != 0) {
         val op = readPage(next)
-        val take = math.min(Usable - 4, plen - written)
+        val take = math.min(usable - 4, plen - written)
         System.arraycopy(op, 4, out, written, take)
         written += take
         next = readBe32(op, 0)
@@ -477,11 +528,16 @@ final class SqliteDbReader(file: File) {
     }
   }
 
-  /** (name, rootpage, sql) for every table in sqlite_master order. */
+  /** (name, rootpage, sql) for every TABLE in sqlite_master order.
+    * Index/view/trigger rows are skipped: their roots are not table
+    * b-trees (views have rootpage 0, indexes use index pages).
+    */
   def masterRows: Seq[(String, Int, String)] =
-    walk(1).map { case (_, payload) =>
+    walk(1).flatMap { case (_, payload) =>
       val r = decodeRecord(payload)
-      (r(1).asInstanceOf[String], r(3).asInstanceOf[Long].toInt, r(4).asInstanceOf[String])
+      if (r(0) == "table" && r(3).asInstanceOf[Long] > 0)
+        Some((r(1).asInstanceOf[String], r(3).asInstanceOf[Long].toInt, r(4).asInstanceOf[String]))
+      else None
     }.toSeq
 
   def tableNames: Seq[String] = masterRows.map(_._1)
@@ -489,8 +545,14 @@ final class SqliteDbReader(file: File) {
   def rows(table: String): Iterator[Seq[Any]] = {
     val root = masterRows.find(_._1 == table)
       .getOrElse(throw new IllegalArgumentException(s"no such table: $table"))._2
-    walk(root).map { case (_, payload) => decodeRecord(payload) }
+    rowsAt(root)
   }
+
+  /** Rows of the b-tree rooted at `root` — for callers that already hold
+    * the sqlite_master triple and must not re-walk the master tree.
+    */
+  def rowsAt(root: Int): Iterator[Seq[Any]] =
+    walk(root).map { case (_, payload) => decodeRecord(payload) }
 
   /** Structural check in the spirit of PRAGMA integrity_check: every
     * interior separator key must equal the largest rowid of its left
@@ -543,8 +605,7 @@ final class SqliteDbReader(file: File) {
   /** Column names parsed back out of the stored CREATE TABLE text. */
   def columns(table: String): Seq[String] = {
     val sql = masterRows.find(_._1 == table).get._3
-    val inner = sql.substring(sql.indexOf('(') + 1, sql.lastIndexOf(')'))
-    inner.split(",").toSeq.map(_.trim.split("\\s+")(0).stripPrefix("\"").stripSuffix("\""))
+    SqliteFormat.columnsOf(sql).map(_._1)
   }
 
   def close(): Unit = raf.close()

@@ -100,7 +100,9 @@ final case class SqliteSnapshotCommit(cfg: SqliteDestination, runId: String,
       Files.move(tmp.toPath, Paths.get(cfg.database),
         StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
     } catch {
-      case e: Throwable => tmp.delete(); throw e
+      case e: Throwable =>
+        writer.abort() // release the fd BEFORE deleting the partial file
+        tmp.delete(); throw e
     } finally {
       // staging is consumed either way; the destination file is the snapshot
       val fs = new org.apache.hadoop.fs.Path(stagingDir)

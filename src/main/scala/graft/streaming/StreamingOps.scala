@@ -118,6 +118,10 @@ object StreamingOps {
     docs.select(col("doc_id"), posexplode(array((0 until 4).map { b =>
       struct(sigs(2 * b).as("k1"), sigs(2 * b + 1).as("k2"))
     }: _*)).as(Seq("band", "key")))
+      // a shingle-less doc's key is struct(null, null) — Spark's struct
+      // equi-join matches nested nulls BINARILY, so without this filter
+      // every short document would "hit" every other short document
+      .filter(col("key.k1").isNotNull)
   }
 
   /** Streaming incremental dedup (the q_dedup_incremental shape as a
