@@ -355,6 +355,66 @@ object Dedup {
         .orderBy("doc_a", "doc_b")
     },
 
+    // ---- graph centrality over the near-dup pair graph ----
+    // PageRank-style scoring of the candidate-pair graph: which documents
+    // sit at the center of duplication clusters (hubs worth auditing
+    // first). Three unrolled power iterations in FIXED-POINT INTEGER
+    // arithmetic (ranks in millionths, BIGINT `DIV`) — integer division is
+    // bit-identical across engines where double summation is
+    // order-dependent, so an iterative graph algorithm stays hash-checkable.
+    // Each iteration is one equi-join on src + one aggregate by dst —
+    // the same bounded shapes as the CC loop; nothing driver-side.
+    Q("q_graph_pagerank", {
+      // per-edge contribution rank//deg and the damping step both use
+      // FLOOR DIVISION on positive BIGINTs (`//` in DuckDB, `div` in
+      // Spark) — bit-identical in both engines, never a double
+      val iterate = (t: String) =>
+        s"""SELECT n.id,
+           |  CAST(150000 + (850000 * coalesce(sum($t.rank // d.deg), 0)) // 1000000
+           |       AS BIGINT) AS rank
+           |FROM nodes n
+           |LEFT JOIN edges e ON e.dst = n.id
+           |LEFT JOIN $t ON $t.id = e.src
+           |LEFT JOIN deg d ON d.id = e.src
+           |GROUP BY n.id""".stripMargin
+      s"""WITH sigs AS ($minhashSelect),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id AND (${bandCondSql("a", "b")})
+         |),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |nodes AS (SELECT DISTINCT src AS id FROM edges),
+         |deg AS (SELECT src AS id, count(*) AS deg FROM edges GROUP BY src),
+         |r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS rank FROM nodes),
+         |r1 AS (${iterate("r0")}),
+         |r2 AS (${iterate("r1")})
+         |SELECT id AS doc_id, rank AS rank_micros
+         |FROM r2 ORDER BY rank_micros DESC, doc_id LIMIT 20""".stripMargin
+    }) { (s, d) =>
+      val pairs = minhashPairsDf(s, d)
+      val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+        .localCheckpoint() // settle the pair join once; 2 iterations re-read it
+      val nodes = edges.select(col("src").as("nid")).distinct()
+      val deg = edges.groupBy(col("src").as("did")).agg(count(lit(1)).as("deg"))
+      // ranks carry schema (rid, srank); every name in the join is unique
+      def iterate(ranks: DataFrame): DataFrame =
+        nodes
+          .join(edges, col("dst") === col("nid"), "left")
+          .join(ranks, col("src") === col("rid"), "left")
+          .join(deg, col("src") === col("did"), "left")
+          .groupBy(col("nid"))
+          .agg(expr("cast(150000 + (850000 * coalesce(sum(srank div deg), 0)) div 1000000 as bigint)")
+            .as("srank"))
+          .select(col("nid").as("rid"), col("srank"))
+      val r0 = nodes.select(col("nid").as("rid"), lit(1000000L).as("srank"))
+      iterate(iterate(r0))
+        .select(col("rid").as("doc_id"), col("srank").as("rank_micros"))
+        .orderBy(col("rank_micros").desc, col("doc_id").asc)
+        .limit(20)
+    },
+
     // ---- incremental dedup: incoming batch vs existing corpus index ----
     // The streaming-shaped curation step as a batch operator: the existing
     // corpus (even doc_ids) is reduced to its DISTINCT (band, key) LSH
