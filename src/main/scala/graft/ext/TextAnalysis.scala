@@ -371,6 +371,37 @@ object TextAnalysis {
         .limit(25)
     },
 
+    // ---- per-source (domain) quality gating ----
+    // Curation decides at SOURCE granularity too: a domain whose aggregate
+    // stopword ratio is far from natural language gets dropped wholesale.
+    // All inputs are integer sums (exact in both engines); the single
+    // ratio division is IEEE-exact. One explode + two hash aggregations —
+    // the per-source state is one row per domain, trivially broadcastable
+    // back against the corpus as an allowlist at any scale.
+    Q("q_domain_quality",
+      s"""SELECT source, count(*) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+         |  round(CAST(sum(n_stop) AS DOUBLE) / sum(n_tokens), 6) AS stop_ratio,
+         |  CAST(sum(n_stop) AS DOUBLE) / sum(n_tokens) < 0.05 AS low_quality
+         |FROM (
+         |  SELECT source, CAST(len(toks) AS BIGINT) AS n_tokens,
+         |    CAST(list_reduce(list_transform(toks, t -> ${inSetSql("t", Stopwords)}), (x, y) -> x + y) AS BIGINT) AS n_stop
+         |  FROM (SELECT source, ${tokensSql("text")} AS toks FROM documents)
+         |) GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+      val toks = tokens(col("text"))
+      Tables.documents(s, d)
+        .select(col("source"),
+          size(toks).cast("long").as("n_tokens"),
+          aggregate(transform(toks, t => when(t.isin(Stopwords: _*), 1).otherwise(0)),
+                    lit(0), (x, y) => x + y).cast("long").as("n_stop"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+             sum("n_tokens").as("total_tokens"),
+             round(sum("n_stop").cast("double") / sum("n_tokens"), 6).as("stop_ratio"),
+             (sum("n_stop").cast("double") / sum("n_tokens") < 0.05).as("low_quality"))
+        .orderBy("source")
+    },
+
     // ---- vocabulary building: top tokens by document frequency (df) and
     // raw term frequency (tf). The df/tf pair in ONE aggregate uses
     // Spark's mixed distinct/non-distinct Expand (2 rows per input) —

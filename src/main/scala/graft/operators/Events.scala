@@ -113,6 +113,46 @@ object Events {
         .orderBy("event_id")
     },
 
+    // ---- ordered funnel: view -> click -> purchase per user ----
+    // Classic product-analytics shape the events schema serves: each stage
+    // is "first qualifying event STRICTLY AFTER the previous stage", so a
+    // user who clicked before ever viewing does not count as stage 2.
+    // Three filtered min-aggregates chained by per-user equi-joins — each
+    // stage's state is one row per surviving user (shrinking monotonically),
+    // shuffled by user_id; stage joins reuse that partitioning. No window
+    // over the full event stream, no self-join of events with events.
+    Q("q_events_funnel",
+      """WITH t1 AS (
+        |  SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id
+        |), t2 AS (
+        |  SELECT e.user_id, min(e.ts) AS t2 FROM events e
+        |  JOIN t1 ON t1.user_id = e.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > t1.t1 GROUP BY e.user_id
+        |), t3 AS (
+        |  SELECT e.user_id, min(e.ts) AS t3 FROM events e
+        |  JOIN t2 ON t2.user_id = e.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > t2.t2 GROUP BY e.user_id
+        |)
+        |SELECT (SELECT count(*) FROM t1) AS n_view,
+        |       (SELECT count(*) FROM t2) AS n_view_click,
+        |       (SELECT count(*) FROM t3) AS n_view_click_purchase""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      def stage(typ: String, prev: org.apache.spark.sql.DataFrame, prevTs: String, out: String) =
+        ev.filter(col("event_type") === typ)
+          .join(prev, Seq("user_id"))
+          .filter(col("ts") > col(prevTs))
+          .groupBy("user_id").agg(min(col("ts")).as(out))
+      val t1 = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("ts")).as("t1"))
+      val t2 = stage("click", t1, "t1", "t2")
+      val t3 = stage("purchase", t2, "t2", "t3")
+      def n(df: org.apache.spark.sql.DataFrame, name: String) =
+        df.agg(count(lit(1)).as(name))
+      n(t1, "n_view").crossJoin(n(t2, "n_view_click"))
+        .crossJoin(n(t3, "n_view_click_purchase"))
+    },
+
     // ---- §2.J6: stream-static join (events enriched by customer dim) ----
     Q("q_events_enrich",
       """SELECT c_mktsegment, event_type, count(*) AS n,

@@ -162,6 +162,38 @@ object Relational {
         .orderBy("n_name")
     },
 
+    // ---- TPC-H Q3 shape: selective filters on BOTH join sides + top-k ----
+    // The pruning-heavy classic: the segment filter cuts customers before
+    // the join, the date filters cut orders/lineitem AT THE SCAN (pushed
+    // predicates), and the top-10 compiles to TakeOrderedAndProject — at
+    // 100 TB the query reads a fraction of each table and never sorts the
+    // full aggregate.
+    Q("q_join_shipping_priority",
+      """SELECT l_orderkey,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+        |  CAST(o_orderdate AS DATE) AS o_date
+        |FROM customer
+        |JOIN orders   ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_shipdate  > TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY l_orderkey, o_date
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin) { (s, d) =>
+      Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+        .join(Tables.orders(s, d)
+          .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp")),
+          col("c_custkey") === col("o_custkey"))
+        .join(Tables.lineitem(s, d)
+          .filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate").cast("date").as("o_date"))
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+        .select(col("l_orderkey"), col("revenue"), col("o_date"))
+        .orderBy(col("revenue").desc, col("l_orderkey").asc)
+        .limit(10)
+    },
+
     // ---- §2.C2: left outer join, null-producing side aggregated ----
     Q("q_join_left_outer",
       """SELECT n_orders, count(*) AS n_customers FROM (

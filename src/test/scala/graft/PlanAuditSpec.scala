@@ -41,7 +41,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_join_range", "q_join_revenue_by_nation", "q_join_2hop",
     "q_events_asof", "q_dedup_minhash", "q_dedup_clusters", "q_dedup_corpus",
     "q_dedup_editdist", "q_dedup_incremental", "q_text_contamination",
-    "q_graph_pagerank")
+    "q_graph_pagerank", "q_join_shipping_priority", "q_domain_quality")
   // q_text_tfidf is NOT in the no-BNLJ list: its corpus-size scalar rides a
   // 1-row broadcast cross join (the legitimate scalar-broadcast shape) —
   // covered by its own assertion below instead.
@@ -115,6 +115,25 @@ class PlanAuditSpec extends AnyFunSuite {
     val plan = queryPlan("q_text_contamination")
     assert(plan.contains("BroadcastHashJoin"),
       s"benchmark hash set should broadcast:\n$plan")
+  }
+
+  test("funnel: stage joins hash on user_id; only 1-row stage counts may NLJ") {
+    val plan = queryPlan("q_events_funnel")
+    assert(!plan.contains("CartesianProduct"), s"funnel cartesian:\n$plan")
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
+      s"funnel stage joins must be equi-joins:\n$plan")
+    // the only NLJs allowed are the two crossJoins of 1-row stage counts
+    assert(count(plan, "BroadcastNestedLoopJoin") <= 2,
+      s"funnel grew a data-scale NLJ:\n$plan")
+  }
+
+  test("shipping priority: date filters pushed, top-k takes ordered project") {
+    val plan = queryPlan("q_join_shipping_priority")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-10 should not global-sort:\n$plan")
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThan(l_shipdate")
+      || plan.contains("GreaterThan(l_shipdate"),
+      s"l_shipdate filter not pushed to scan:\n$plan")
   }
 
   test("filters reach the parquet scan (pushdown not regressed)") {
