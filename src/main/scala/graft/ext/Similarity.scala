@@ -244,6 +244,45 @@ object Similarity {
         .orderBy("qid", "rn")
     },
 
+    // ---- int8 scalar quantization of embeddings + reconstruction error ----
+    // The storage-compression step an embedding corpus goes through before
+    // ANN serving (4x smaller than float32): per-vector min/max scaling to
+    // 0..255, with the quantized checksum and reconstruction-error stats
+    // as the auditable output. Everything is a PER-ROW projection over the
+    // array — zero shuffle at any corpus size — and stays hash-checkable
+    // because array folds run in array order: the double additions happen
+    // in the identical sequence in both engines (plus exact-integer q_sum).
+    Q("q_embed_quantize",
+      s"""WITH e AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         |    list_aggregate(CAST(embedding AS DOUBLE[]), 'min') AS mn,
+         |    list_aggregate(CAST(embedding AS DOUBLE[]), 'max') AS mx
+         |  FROM embeddings WHERE vec_id < 100
+         |)
+         |SELECT vec_id, CAST(len(v) AS INT) AS n_dims,
+         |  CAST(list_reduce(list_transform(v,
+         |    x -> CAST(round((x - mn) * 255 / (mx - mn)) AS INT)), (a, b) -> a + b) AS BIGINT) AS q_sum,
+         |  round(mx - mn, 6) AS vrange,
+         |  round(list_reduce(list_transform(v,
+         |    x -> abs(x - (mn + round((x - mn) * 255 / (mx - mn)) * (mx - mn) / 255))),
+         |    (a, b) -> a + b) / len(v), 6) AS mean_abs_err
+         |FROM e WHERE mx > mn ORDER BY vec_id""".stripMargin) { (s, d) =>
+      val base = vecs(s, d).filter(col("vec_id") < 100)
+        .select(col("vec_id"), col("v"),
+          array_min(col("v")).as("mn"), array_max(col("v")).as("mx"))
+        .filter(col("mx") > col("mn"))
+      def quant(x: Column) = round((x - col("mn")) * 255 / (col("mx") - col("mn")), 0)
+      base.select(col("vec_id"),
+          size(col("v")).as("n_dims"),
+          aggregate(transform(col("v"), x => quant(x).cast("int")),
+            lit(0), (a, b) => a + b).cast("long").as("q_sum"),
+          round(col("mx") - col("mn"), 6).as("vrange"),
+          round(aggregate(transform(col("v"), x =>
+              abs(x - (col("mn") + quant(x) * (col("mx") - col("mn")) / 255))),
+            lit(0.0), (a, b) => a + b) / size(col("v")), 6).as("mean_abs_err"))
+        .orderBy("vec_id")
+    },
+
     // ---- embedding-cosine near-duplicate pairs (dedup blocking pass) ----
     // All-pairs near-dup detection via the LSH index itself: candidates are
     // pairs sharing ANY (table, bucket) — an equi-join on the index, never

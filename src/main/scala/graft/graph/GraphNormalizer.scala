@@ -88,6 +88,41 @@ object GraphNormalizer {
       StructField("name", StringType), StructField("kind", StringType),
       StructField("required", BooleanType)))))))
 
+  /** Write a [[Graph]] back out as a JSON-lines export in the same record
+    * shape [[fromJsonExport]] ingests — the inverse direction: a snapshot
+    * collected here can be shipped to any consumer of the reference's
+    * remote-graph format, and `fromJsonExport(toJsonExport(g)) == g`
+    * (pinned by GraphExportSpec). Kind records ride along so the schema
+    * travels with the data; nodes and edges are written distributed
+    * (`to_json` per row, text sink) — only the metadata-scale kind records
+    * originate on the driver.
+    */
+  def toJsonExport(g: Graph, path: String): Unit = {
+    val spark = g.nodes.sparkSession
+    import spark.implicits._
+    val kindLines = g.model.kinds.map { k =>
+      val props = k.properties.map(p =>
+        s"""{"name":${q(p.name)},"kind":${q(p.kind)},"required":${p.required}}""")
+        .mkString("[", ",", "]")
+      s"""{"type":"kind","fqn":${q(k.fqn)},"properties":$props}"""
+    }
+    val kinds = spark.createDataset(kindLines).toDF("value")
+    val nodes = g.nodes.select(to_json(struct(
+      lit("node").as("type"), col("id"), col("kind"), col("reported"))).as("value"))
+    val edges = g.edges.select(to_json(struct(
+      lit("edge").as("type"), col("from_id").as("from"), col("to_id").as("to"))).as("value"))
+    kinds.unionAll(nodes).unionAll(edges)
+      .write.mode("overwrite").text(path)
+  }
+
+  private def q(s: String): String =
+    "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c    => c.toString
+    } + "\""
+
   /** Ingest a JSON-lines graph export (reference A3 remote-graph source
     * [D]): records tagged `"type":"node"` / `"type":"edge"`, plus
     * `"type":"kind"` records carrying the kind model so the schema travels

@@ -149,6 +149,27 @@ class GraphExportSpec extends AnyFunSuite {
     assert(!v.isNaN)
   }
 
+  test("toJsonExport round-trips: graph -> export -> graph -> same tables") {
+    val dir = Files.createTempDirectory("graft-export-out").toString
+    val g = graft.sources.ExampleSource.collect(spark)
+    GraphNormalizer.toJsonExport(g, s"$dir/graph")
+    val back = GraphNormalizer.fromJsonExport(spark, s"$dir/graph")
+    // model travels with the export
+    assert(back.model.kinds.map(_.fqn).toSet == g.model.kinds.map(_.fqn).toSet)
+    // normalized output identical table-for-table
+    val t1 = GraphNormalizer.normalize(g)
+    val t2 = GraphNormalizer.normalize(back)
+    assert(t1.keySet == t2.keySet)
+    t1.keySet.foreach { t =>
+      // set ops reject MapType (tags) — compare through the same canonical
+      // JSON flattening the SQL sinks use
+      val (a, b) = (graft.sink.SnapshotSink.flattenForSql(t1(t)),
+                    graft.sink.SnapshotSink.flattenForSql(t2(t)))
+      assert(b.exceptAll(a).isEmpty && a.exceptAll(b).isEmpty,
+        s"table $t differs after export round-trip")
+    }
+  }
+
   test("export without kind records is rejected unless a fallback model is given") {
     val dir = Files.createTempDirectory("graft-export-nomodel")
     val noKinds = exportLines.filterNot(_.contains("\"type\":\"kind\""))
