@@ -137,6 +137,44 @@ object StreamingOps {
       .join(bandIndex.select("band", "key").distinct(), Seq("band", "key"))
       .select(col("doc_id"), col("band"))
 
+  /** Typed rows for the custom-state operator below (case-class Encoders —
+    * the `Dataset[T]` surface SURVEY §1.3 reserves for fixed internal
+    * records).
+    */
+  final case class UserEvent(user_id: Long, event_type: String, value: Double)
+  final case class UserSpend(user_id: Long, n_purchases: Long, total: Double,
+                             crossed_100: Boolean)
+
+  /** Custom keyed state via `flatMapGroupsWithState` (SURVEY §2.J): a
+    * running per-user purchase total that flags the batch in which the
+    * cumulative spend first crosses 100 — the "emit on threshold" shape
+    * (fraud/budget alerting) that `groupBy().agg()` cannot express because
+    * the OUTPUT depends on state held ACROSS micro-batches, not on any
+    * single batch's rows. State is one (count, total) pair per user —
+    * bounded by the user population, evictable with a timeout in
+    * production; update-mode emission, one row per user per batch that
+    * touches it.
+    */
+  def runningSpend(events: org.apache.spark.sql.Dataset[UserEvent])
+      : org.apache.spark.sql.Dataset[UserSpend] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import events.sparkSession.implicits._
+    events.filter(_.event_type == "purchase")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Double), UserSpend](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        case (user, batch, state: GroupState[(Long, Double)]) =>
+          val (n0, t0) = state.getOption.getOrElse((0L, 0.0))
+          var n = n0; var t = t0
+          batch.foreach { e => n += 1; t += e.value }
+          if (n == n0) Iterator.empty // no purchases for this key this batch
+          else {
+            state.update((n, t))
+            Iterator.single(UserSpend(user, n, t, crossed_100 = t0 < 100 && t >= 100))
+          }
+      }
+  }
+
   /** Incremental snapshot maintenance: every micro-batch of a complete-mode
     * aggregate is written to staging and promoted with the SAME atomic
     * swap the batch engine uses (K2, [[graft.sink.FileSnapshotCommit]]) —

@@ -175,6 +175,33 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState keeps per-user running spend across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.StreamingOps.{UserEvent, UserSpend}
+    val mem = MemoryStream[UserEvent]
+    val q = StreamingOps.runningSpend(mem.toDS())
+      .writeStream.format("memory").queryName("spend_out")
+      .outputMode("update").start()
+    try {
+      mem.addData(UserEvent(1, "purchase", 60.0), UserEvent(1, "purchase", 20.0),
+                  UserEvent(2, "purchase", 10.0), UserEvent(1, "view", 999.0))
+      q.processAllAvailable()
+      // batch 2: user 1 crosses 100 HERE (80 -> 130); user 2 stays low
+      mem.addData(UserEvent(1, "purchase", 50.0), UserEvent(2, "purchase", 5.0))
+      q.processAllAvailable()
+      // batch 3: user 1 already crossed — no new flag
+      mem.addData(UserEvent(1, "purchase", 1.0))
+      q.processAllAvailable()
+      val out = spark.table("spend_out").as[UserSpend].collect()
+        .groupBy(_.user_id).view.mapValues(_.sortBy(_.n_purchases)).toMap
+      assert(out(1L).map(s => (s.n_purchases, s.total, s.crossed_100)) ===
+        Seq((2L, 80.0, false), (3L, 130.0, true), (4L, 131.0, false)))
+      assert(out(2L).map(s => (s.n_purchases, s.total, s.crossed_100)) ===
+        Seq((1L, 10.0, false), (2L, 15.0, false)))
+    } finally q.stop()
+  }
+
   test("per-row minhash bands equal the batch groupBy signature") {
     // the streaming operator computes signatures inside the row; the batch
     // dedup pipeline aggregates exploded shingles — identical bands per doc
