@@ -84,6 +84,8 @@ object GraphNormalizer {
     StructField("kind", StringType), StructField("reported", StringType),
     StructField("from", StringType), StructField("to", StringType),
     StructField("fqn", StringType),
+    StructField("bases", ArrayType(StringType)),
+    StructField("aggregate_root", BooleanType),
     StructField("properties", ArrayType(StructType(Seq(
       StructField("name", StringType), StructField("kind", StringType),
       StructField("required", BooleanType)))))))
@@ -104,13 +106,27 @@ object GraphNormalizer {
       val props = k.properties.map(p =>
         s"""{"name":${q(p.name)},"kind":${q(p.kind)},"required":${p.required}}""")
         .mkString("[", ",", "]")
-      s"""{"type":"kind","fqn":${q(k.fqn)},"properties":$props}"""
+      val bases = k.bases.map(q).mkString("[", ",", "]")
+      s"""{"type":"kind","fqn":${q(k.fqn)},"bases":$bases,""" +
+        s""""aggregate_root":${k.aggregateRoot},"properties":$props}"""
     }
     val kinds = spark.createDataset(kindLines).toDF("value")
-    val nodes = g.nodes.select(to_json(struct(
-      lit("node").as("type"), col("id"), col("kind"), col("reported"))).as("value"))
-    val edges = g.edges.select(to_json(struct(
-      lit("edge").as("type"), col("from_id").as("from"), col("to_id").as("to"))).as("value"))
+    // `reported` is already JSON text — splice it in RAW so the record
+    // carries an embedded object ("reported":{…}), the reference format,
+    // not a JSON-escaped string. to_json(struct(id)) JSON-escapes the id
+    // and kind scalars without hand-rolled escaping.
+    def jstr(c: org.apache.spark.sql.Column, field: String) =
+      regexp_extract(to_json(struct(c.as("v"))), "^\\{\"v\":(.*)\\}$", 1)
+        .as(field)
+    val nodes = g.nodes.select(concat(
+      lit("""{"type":"node","id":"""), jstr(col("id"), "i"),
+      lit(""","kind":"""), jstr(col("kind"), "k"),
+      lit(""","reported":"""), coalesce(col("reported"), lit("null")),
+      lit("}")).as("value"))
+    val edges = g.edges.select(concat(
+      lit("""{"type":"edge","from":"""), jstr(col("from_id"), "f"),
+      lit(""","to":"""), jstr(col("to_id"), "t"),
+      lit("}")).as("value"))
     kinds.unionAll(nodes).unionAll(edges)
       .write.mode("overwrite").text(path)
   }
@@ -148,7 +164,7 @@ object GraphNormalizer {
     // sanctioned driver-side collect, same as the kind-pair enumeration
     import org.apache.spark.sql.Row
     val embedded = raw.filter(col("type") === "kind")
-      .select("fqn", "properties").collect().toSeq.map { r =>
+      .select("fqn", "properties", "bases", "aggregate_root").collect().toSeq.map { r =>
         require(!r.isNullAt(0), "graph export: kind record without fqn")
         // a property-less kind is legal (all columns inherited/absent)
         val props = if (r.isNullAt(1)) Seq.empty[graft.model.KindProperty]
@@ -156,7 +172,11 @@ object GraphNormalizer {
           graft.model.KindProperty(p.getString(0), p.getString(1),
             !p.isNullAt(2) && p.getBoolean(2))
         }
-        graft.model.Kind(r.getString(0), props)
+        // inheritance + root-ness travel with the export (absent fields
+        // keep the Kind defaults: no bases, aggregate root)
+        val bases = if (r.isNullAt(2)) Nil else r.getSeq[String](2)
+        val root = r.isNullAt(3) || r.getBoolean(3)
+        graft.model.Kind(r.getString(0), props, bases, root)
       }
     val model =
       if (embedded.nonEmpty) KindModel(embedded)

@@ -153,6 +153,11 @@ class GraphExportSpec extends AnyFunSuite {
     val dir = Files.createTempDirectory("graft-export-out").toString
     val g = graft.sources.ExampleSource.collect(spark)
     GraphNormalizer.toJsonExport(g, s"$dir/graph")
+    // reference-format fidelity: reported is an embedded OBJECT, never a
+    // JSON-escaped string
+    val aLine = spark.read.text(s"$dir/graph")
+      .filter(col("value").contains("\"type\":\"node\"")).head.getString(0)
+    assert(aLine.contains("\"reported\":{"), s"reported not embedded: $aLine")
     val back = GraphNormalizer.fromJsonExport(spark, s"$dir/graph")
     // model travels with the export
     assert(back.model.kinds.map(_.fqn).toSet == g.model.kinds.map(_.fqn).toSet)
@@ -168,6 +173,33 @@ class GraphExportSpec extends AnyFunSuite {
       assert(b.exceptAll(a).isEmpty && a.exceptAll(b).isEmpty,
         s"table $t differs after export round-trip")
     }
+  }
+
+  test("toJsonExport preserves kind inheritance and non-root kinds") {
+    import graft.model.{Kind, KindModel, KindProperty}
+    import spark.implicits._
+    // the shapes the simple round-trip can't see: a kind inheriting its
+    // columns from resource_base, and a non-root (embedded) kind
+    val model = KindModel(Seq(
+      KindModel.resourceBase.copy(aggregateRoot = false),
+      Kind("child_thing", Seq(KindProperty("extra", "int64")),
+        bases = Seq("resource_base"))))
+    val nodes = Seq(("c1", "child_thing",
+      """{"id":"c1","name":"c","kind":"child_thing","extra":7}"""))
+      .toDF("id", "kind", "reported")
+    val edges = Seq.empty[(String, String)].toDF("from_id", "to_id")
+    val dir = Files.createTempDirectory("graft-export-bases").toString
+    GraphNormalizer.toJsonExport(graft.graph.Graph(nodes, edges, model), s"$dir/g")
+    val back = GraphNormalizer.fromJsonExport(spark, s"$dir/g")
+    val child = back.model("child_thing")
+    assert(child.bases == Seq("resource_base"))
+    assert(!back.model("resource_base").aggregateRoot)
+    // inherited columns survive: the projected table has base + own props
+    val t = GraphNormalizer.normalize(back)
+    assert(t.keySet == Set("child_thing"), s"unexpected tables: ${t.keySet}")
+    val cols = t("child_thing").columns.toSet
+    assert(Set("id", "name", "kind", "extra").subsetOf(cols), s"cols: $cols")
+    assert(t("child_thing").select("extra").head.getLong(0) == 7L)
   }
 
   test("export without kind records is rejected unless a fallback model is given") {

@@ -131,8 +131,7 @@ class PlanAuditSpec extends AnyFunSuite {
     val plan = queryPlan("q_join_shipping_priority")
     assert(plan.contains("TakeOrderedAndProject"),
       s"top-10 should not global-sort:\n$plan")
-    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThan(l_shipdate")
-      || plan.contains("GreaterThan(l_shipdate"),
+    assert(plan.contains("GreaterThan(l_shipdate"),
       s"l_shipdate filter not pushed to scan:\n$plan")
   }
 
