@@ -371,6 +371,52 @@ object TextAnalysis {
         .limit(25)
     },
 
+    // ---- corpus-LM scoring: bigram log-likelihood per document ----
+    // The perplexity-proxy quality filter: a bigram language model is just
+    // two count tables over the corpus (c(w1,w2) and its first-token
+    // marginal), and each document scores by its mean log P(w2|w1). The
+    // count tables are vocab-bounded (broadcastable / df-cappable at
+    // 100 TB); the probe side explodes only the scored subset. Each log
+    // prob is rounded to 9dp BEFORE a decimal sum, so the aggregate is
+    // order-independent and hash-identical across engines.
+    Q("q_text_lm_score",
+      s"""WITH toks AS (SELECT doc_id, ${tokensSql("text")} AS toks FROM documents),
+         |bg AS (
+         |  SELECT doc_id, sh[1] AS w1, sh[2] AS w2 FROM (
+         |    SELECT doc_id, string_split(b, ' ') AS sh FROM (
+         |      SELECT doc_id, unnest(${shinglesFromTokensSql("toks", 2)}) AS b FROM toks
+         |    )
+         |  )
+         |),
+         |c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+         |c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1)
+         |SELECT doc_id, count(*) AS n_bigrams,
+         |  round(CAST(sum(CAST(round(ln(CAST(c12 AS DOUBLE) / c1), 9) AS DECIMAL(20,9))) AS DOUBLE)
+         |        / count(*), 6) AS avg_logprob
+         |FROM (SELECT * FROM bg WHERE doc_id < 200) d
+         |JOIN c12 USING (w1, w2)
+         |JOIN c1 USING (w1)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val bg = Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(shinglesFromTokens(tokens(col("text")), 2)).as("b"))
+        .select(col("doc_id"),
+          split(col("b"), " ").getItem(0).as("w1"),
+          split(col("b"), " ").getItem(1).as("w2"))
+      val c12 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      val c1 = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
+      bg.filter(col("doc_id") < 200)
+        .join(c12, Seq("w1", "w2"))
+        .join(c1, Seq("w1"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(
+            sum(round(log(col("c12").cast("double") / col("c1")), 9)
+              .cast("decimal(20,9)")).cast("double") / count(lit(1)), 6)
+            .as("avg_logprob"))
+        .orderBy("doc_id")
+    },
+
     // ---- per-source (domain) quality gating ----
     // Curation decides at SOURCE granularity too: a domain whose aggregate
     // stopword ratio is far from natural language gets dropped wholesale.

@@ -48,6 +48,26 @@ class SqliteFileSpec extends AnyFunSuite {
     }
   }
 
+  test("property: arbitrary records round-trip the serial-type codec") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val value: Gen[Any] = Gen.oneOf(
+      Gen.const(null),
+      Gen.chooseNum(Long.MinValue, Long.MaxValue).map(l => l: Any),
+      Gen.chooseNum(-1e12, 1e12).map(d => d: Any),
+      Gen.asciiPrintableStr.map(s => s: Any),
+      Gen.listOf(Gen.chooseNum(-128, 127).map(_.toByte)).map(_.toArray: Any))
+    val row: Gen[List[Any]] = Gen.listOfN(6, value)
+    val prop = Prop.forAll(row) { r =>
+      val back = SqliteFormat.decodeRecord(SqliteFormat.encodeRecord(r))
+      back.length == r.length && r.zip(back).forall {
+        case (a: Array[Byte], b: Array[Byte]) => a.sameElements(b)
+        case (a, b)                           => a == b
+      }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(300), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("single-leaf table round-trips typed rows") {
     val f = tmpDb()
     val w = new SqliteDbWriter(f)
