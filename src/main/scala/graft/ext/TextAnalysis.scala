@@ -389,7 +389,7 @@ object TextAnalysis {
          |  )
          |),
          |c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
-         |c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1)
+         |c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c12 GROUP BY w1)
          |SELECT doc_id, count(*) AS n_bigrams,
          |  round(CAST(sum(CAST(round(ln(CAST(c12 AS DOUBLE) / c1), 9) AS DECIMAL(20,9))) AS DOUBLE)
          |        / count(*), 6) AS avg_logprob
@@ -404,7 +404,10 @@ object TextAnalysis {
           split(col("b"), " ").getItem(0).as("w1"),
           split(col("b"), " ").getItem(1).as("w2"))
       val c12 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
-      val c1 = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
+      // the first-token marginal IS the joint summed over w2 — derive it
+      // from the aggregated c12 (vocab²-sized) instead of re-exploding and
+      // re-shuffling every document's shingles a second time
+      val c1 = c12.groupBy("w1").agg(sum("c12").as("c1"))
       bg.filter(col("doc_id") < 200)
         .join(c12, Seq("w1", "w2"))
         .join(c1, Seq("w1"))

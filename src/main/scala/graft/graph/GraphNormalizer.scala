@@ -113,19 +113,26 @@ object GraphNormalizer {
     val kinds = spark.createDataset(kindLines).toDF("value")
     // `reported` is already JSON text — splice it in RAW so the record
     // carries an embedded object ("reported":{…}), the reference format,
-    // not a JSON-escaped string. to_json(struct(id)) JSON-escapes the id
-    // and kind scalars without hand-rolled escaping.
-    def jstr(c: org.apache.spark.sql.Column, field: String) =
-      regexp_extract(to_json(struct(c.as("v"))), "^\\{\"v\":(.*)\\}$", 1)
-        .as(field)
+    // not a JSON-escaped string. to_json(struct(id)) JSON-escapes the
+    // scalar without hand-rolled escaping; a NULL scalar must become the
+    // literal `null` (to_json would OMIT the field, yielding `"id":,` —
+    // an invalid line the re-import would silently drop).
+    def jstr(c: org.apache.spark.sql.Column) = when(c.isNull, lit("null"))
+      .otherwise(regexp_extract(to_json(struct(c.as("v"))), "^\\{\"v\":(.*)\\}$", 1))
+    // reported must be single-line JSON (every producer in this repo emits
+    // exactly that); an embedded newline would split the record across
+    // lines and corrupt the export — fail loudly, never corrupt silently
+    val reported = when(col("reported").rlike("[\\n\\r]"),
+        raise_error(concat(lit("toJsonExport: reported contains a newline for id "), col("id"))))
+      .otherwise(coalesce(col("reported"), lit("null")))
     val nodes = g.nodes.select(concat(
-      lit("""{"type":"node","id":"""), jstr(col("id"), "i"),
-      lit(""","kind":"""), jstr(col("kind"), "k"),
-      lit(""","reported":"""), coalesce(col("reported"), lit("null")),
+      lit("""{"type":"node","id":"""), jstr(col("id")),
+      lit(""","kind":"""), jstr(col("kind")),
+      lit(""","reported":"""), reported,
       lit("}")).as("value"))
     val edges = g.edges.select(concat(
-      lit("""{"type":"edge","from":"""), jstr(col("from_id"), "f"),
-      lit(""","to":"""), jstr(col("to_id"), "t"),
+      lit("""{"type":"edge","from":"""), jstr(col("from_id")),
+      lit(""","to":"""), jstr(col("to_id")),
       lit("}")).as("value"))
     kinds.unionAll(nodes).unionAll(edges)
       .write.mode("overwrite").text(path)

@@ -23,22 +23,32 @@ object Compaction {
   final case class CompactionReport(
       filesBefore: Int, filesAfter: Int, bytes: Long, targetFiles: Int)
 
+  /** Compacts one FLAT parquet directory. Preconditions, enforced:
+    *  - the directory holds data files at its top level (a PARTITIONED
+    *    table — only `col=value` subdirs — is rejected: compact each leaf
+    *    partition instead, preserving the pruning layout);
+    *  - no concurrent writer: a streaming query committing into `path`
+    *    must be stopped (or pointed elsewhere) first. Files that appear
+    *    between the input listing and the swap are detected and the
+    *    compaction aborts with the staging discarded — concurrent commits
+    *    are never silently deleted.
+    */
   def compact(spark: SparkSession, path: String,
               targetBytes: Long = 128L * 1024 * 1024): CompactionReport = {
     val dir = new Path(path)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val staging = new Path(s"$path.__compact_staging")
     val retired = new Path(s"$path.__compact_retired")
-    // self-heal a previous crash FIRST (before sizing the input): a
-    // leftover retired dir means the promote never finished — restore it
-    // if the table is gone, else drop the stale copy
-    if (fs.exists(retired)) {
-      if (!fs.exists(dir)) require(fs.rename(retired, dir), s"could not restore $dir")
-      else fs.delete(retired, true)
-    }
+    // self-heal a previous crash FIRST (before sizing the input)
+    graft.sink.DirSwap.heal(fs, dir, retired)
     fs.delete(staging, true)
 
-    val files = fs.listStatus(dir).filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
+    def listData() = fs.listStatus(dir)
+      .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
+    val files = listData()
+    require(files.nonEmpty,
+      s"$path has no top-level data files — a partitioned table must be " +
+        "compacted per leaf partition (the col=value layout is preserved that way)")
     val totalBytes = files.map(_.getLen).sum
     val target = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
 
@@ -46,12 +56,15 @@ object Compaction {
       .repartition(target)
       .write.parquet(staging.toString)
 
-    require(fs.rename(dir, retired), s"could not retire $dir")
-    val promoted = try fs.rename(staging, dir) catch {
-      case e: Throwable => fs.rename(retired, dir); throw e
+    // abort if anything committed into the table while we compacted —
+    // swapping now would silently delete those rows
+    val now = listData().map(f => (f.getPath.getName, f.getLen)).toSet
+    if (now != files.map(f => (f.getPath.getName, f.getLen)).toSet) {
+      fs.delete(staging, true)
+      throw new IllegalStateException(
+        s"$path changed during compaction (concurrent writer?) — aborted, table untouched")
     }
-    if (!promoted) { fs.rename(retired, dir); throw new IllegalStateException(s"promote failed for $path") }
-    fs.delete(retired, true)
+    graft.sink.DirSwap.promote(fs, staging, dir, retired)
 
     val after = fs.listStatus(dir).count(f => f.isFile && !f.getPath.getName.startsWith("_"))
     CompactionReport(files.length, after, totalBytes, target)

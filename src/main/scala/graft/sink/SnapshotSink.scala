@@ -188,32 +188,54 @@ final case class UploadingSnapshotCommit(
   */
 trait SnapshotCommit { def commit(spark: SparkSession): Unit }
 
+/** THE crash-safe directory swap, shared by every dir-shaped promotion in
+  * the engine (file snapshots, streaming snapshot maintenance, parquet
+  * compaction) so the discipline — and any future fix to it — lives once:
+  * self-heal a stranded retired dir, retire the live dir, promote staging,
+  * roll back on failure, drop the retired copy. A crash at ANY point
+  * leaves either the old or the new directory complete and recoverable.
+  */
+object DirSwap {
+  import org.apache.hadoop.fs.FileSystem
+
+  /** Recover from a previous swap's crash window: a leftover `retired`
+    * next to a MISSING live dir is the only copy — restore it; next to a
+    * live dir it is a stale duplicate — drop it.
+    */
+  def heal(fs: FileSystem, live: Path, retired: Path): Unit =
+    if (fs.exists(retired)) {
+      if (!fs.exists(live)) require(fs.rename(retired, live), s"could not restore $live")
+      else fs.delete(retired, true)
+    }
+
+  /** Retire `live` (if present), promote `staging` over it, roll the old
+    * dir back if promotion fails — the live path is never left missing.
+    */
+  def promote(fs: FileSystem, staging: Path, live: Path, retired: Path): Unit = {
+    val hadLive = fs.exists(live)
+    if (hadLive) require(fs.rename(live, retired), s"could not retire $live")
+    val promoted = try fs.rename(staging, live) catch {
+      case e: Throwable => if (hadLive) fs.rename(retired, live); throw e
+    }
+    if (!promoted) {
+      if (hadLive) fs.rename(retired, live)
+      throw new IllegalStateException(s"swap failed for $staging")
+    }
+    if (hadLive) fs.delete(retired, true)
+  }
+}
+
 final case class FileSnapshotCommit(base: String, runId: String) extends SnapshotCommit {
   def commit(spark: SparkSession): Unit = {
     val fs = new Path(base).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val staging = new Path(s"$base/_staging/$runId")
     val current = new Path(s"$base/current")
     val retired = new Path(s"$base/_retired_$runId")
-    // self-heal a prior crash of THIS runId (streaming replays reuse it):
-    // mid-swap (current gone, retired holds the old snapshot) -> restore;
-    // post-swap (both present) -> drop the stale retired copy
-    if (fs.exists(retired)) {
-      if (!fs.exists(current)) fs.rename(retired, current)
-      else fs.delete(retired, true)
-    }
-    val hadCurrent = fs.exists(current)
-    if (hadCurrent) require(fs.rename(current, retired), s"could not retire $current")
-    // If promotion fails, roll the retired snapshot back so `current` is
-    // never left missing — a failed run must leave the previous snapshot
-    // readable (K3), not stranded under _retired_.
-    val promoted = try fs.rename(staging, current) catch {
-      case e: Throwable => if (hadCurrent) fs.rename(retired, current); throw e
-    }
-    if (!promoted) {
-      if (hadCurrent) fs.rename(retired, current)
-      throw new IllegalStateException(s"snapshot swap failed for $staging")
-    }
-    if (hadCurrent) fs.delete(retired, true)
+    // self-heal covers a prior crash of THIS runId (streaming replays
+    // reuse it); then the standard retire/promote/rollback sequence (K3:
+    // a failed run leaves the previous snapshot readable)
+    DirSwap.heal(fs, current, retired)
+    DirSwap.promote(fs, staging, current, retired)
   }
 }
 
