@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+/** Snapshot-area garbage collection. The swap discipline (DirSwap /
+  * FileSnapshotCommit) consumes its staging and retired directories on
+  * every SUCCESSFUL commit — but a run that dies before its barrier leaves
+  * `_staging/<runId>` behind, and a crash inside the swap window leaves
+  * `_retired_<runId>` for the next commit's self-heal. Over months of
+  * scheduled runs those stranded directories accumulate into real storage
+  * (a crashed 100 TB run strands 100 TB).
+  *
+  * Vacuum removes stranded artifacts older than `maxAgeMs`, by
+  * modification time. Preconditions: run it when no collection is in
+  * flight against `base` (there is no cross-process run registry), and
+  * keep `maxAgeMs` comfortably above the longest plausible run so an
+  * in-flight staging dir can never look stale. `current` is never touched.
+  */
+object Vacuum {
+
+  final case class VacuumReport(removedStaging: Seq[String], removedRetired: Seq[String])
+
+  def vacuum(spark: SparkSession, base: String,
+             maxAgeMs: Long = 24L * 3600 * 1000,
+             nowMs: Long = System.currentTimeMillis()): VacuumReport = {
+    val fs = new Path(base).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def stale(p: org.apache.hadoop.fs.FileStatus): Boolean =
+      nowMs - p.getModificationTime > maxAgeMs
+
+    val stagingRoot = new Path(s"$base/_staging")
+    val staging =
+      if (!fs.exists(stagingRoot)) Seq.empty
+      else fs.listStatus(stagingRoot).filter(s => s.isDirectory && stale(s)).toSeq
+    staging.foreach(s => fs.delete(s.getPath, true))
+
+    // a STALE retired dir is only removable when `current` exists — if the
+    // swap died mid-promote, the retired copy is the only snapshot and the
+    // next commit's self-heal needs it; vacuum must never win that race
+    val current = new Path(s"$base/current")
+    val retired =
+      if (!fs.exists(new Path(base))) Seq.empty
+      else fs.listStatus(new Path(base))
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("_retired_")
+          && stale(s) && fs.exists(current)).toSeq
+    retired.foreach(s => fs.delete(s.getPath, true))
+
+    VacuumReport(staging.map(_.getPath.getName), retired.map(_.getPath.getName))
+  }
+}
