@@ -45,6 +45,10 @@ object Compaction {
 
     def listData() = fs.listStatus(dir)
       .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
+    // (name, length, mtime) — mtime catches a same-size in-place overwrite
+    // that the (name, length) pair alone would miss
+    def sig(fst: Array[org.apache.hadoop.fs.FileStatus]) =
+      fst.map(f => (f.getPath.getName, f.getLen, f.getModificationTime)).toSet
     val files = listData()
     require(files.nonEmpty,
       s"$path has no top-level data files — a partitioned table must be " +
@@ -57,9 +61,11 @@ object Compaction {
       .write.parquet(staging.toString)
 
     // abort if anything committed into the table while we compacted —
-    // swapping now would silently delete those rows
-    val now = listData().map(f => (f.getPath.getName, f.getLen)).toSet
-    if (now != files.map(f => (f.getPath.getName, f.getLen)).toSet) {
+    // swapping now would silently delete those rows. Re-listed immediately
+    // before promote to keep the check-then-act window as narrow as the
+    // filesystem allows (documented single-writer precondition still holds).
+    val now = sig(listData())
+    if (now != sig(files)) {
       fs.delete(staging, true)
       throw new IllegalStateException(
         s"$path changed during compaction (concurrent writer?) — aborted, table untouched")

@@ -47,4 +47,37 @@ object Vacuum {
 
     VacuumReport(staging.map(_.getPath.getName), retired.map(_.getPath.getName))
   }
+
+  /** GC for the native SQLite destination's work areas: a run that dies
+    * before its commit strands `<database>.staging/<runId>` (parquet
+    * stage) and possibly `<database>.tmp-<runId>` (partial db file);
+    * successful commits remove only their OWN runId, so siblings from
+    * crashed runs accumulate. Same age discipline as [[vacuum]]; the
+    * database file itself is never touched.
+    */
+  def vacuumSqlite(spark: SparkSession, database: String,
+                   maxAgeMs: Long = 24L * 3600 * 1000,
+                   nowMs: Long = System.currentTimeMillis()): VacuumReport = {
+    val fs = new Path(database).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def stale(p: org.apache.hadoop.fs.FileStatus): Boolean =
+      nowMs - p.getModificationTime > maxAgeMs
+
+    val stagingRoot = new Path(s"$database.staging")
+    val staging =
+      if (!fs.exists(stagingRoot)) Seq.empty
+      else fs.listStatus(stagingRoot).filter(s => s.isDirectory && stale(s)).toSeq
+    staging.foreach(s => fs.delete(s.getPath, true))
+    try fs.delete(stagingRoot, false) // remove the root iff now empty
+    catch { case _: java.io.IOException => () }
+
+    val parent = Option(new Path(database).getParent).getOrElse(new Path("."))
+    val tmpPrefix = new Path(database).getName + ".tmp-"
+    val tmps =
+      if (!fs.exists(parent)) Seq.empty
+      else fs.listStatus(parent)
+        .filter(s => s.isFile && s.getPath.getName.startsWith(tmpPrefix) && stale(s)).toSeq
+    tmps.foreach(s => fs.delete(s.getPath, false))
+
+    VacuumReport(staging.map(_.getPath.getName), tmps.map(_.getPath.getName))
+  }
 }

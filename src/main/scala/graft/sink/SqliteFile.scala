@@ -168,24 +168,46 @@ object SqliteFormat {
 
   /** (name, declaredType) pairs from a stored CREATE TABLE statement —
     * depth-aware comma split, so parenthesized types (`NUMERIC(10,2)`)
-    * survive; shared by the reader and [[graft.sources.SqliteSource]].
+    * survive; quote-aware, so `""`-escaped identifiers (and a `(` inside a
+    * quoted table name) parse the way sqlite3 would; shared by the reader
+    * and [[graft.sources.SqliteSource]].
     */
   def columnsOf(sql: String): Seq[(String, String)] = {
-    val inner = sql.substring(sql.indexOf('(') + 1, sql.lastIndexOf(')'))
+    // first '(' at quote-depth 0 opens the column list (a quoted table
+    // name may itself contain parens)
+    var open = -1; var inQ = false; var i = 0
+    while (open < 0 && i < sql.length) {
+      sql.charAt(i) match {
+        case '"'          => inQ = !inQ
+        case '(' if !inQ  => open = i
+        case _            =>
+      }
+      i += 1
+    }
+    val inner = sql.substring(open + 1, sql.lastIndexOf(')'))
     val parts = scala.collection.mutable.ArrayBuffer.empty[String]
-    var depth = 0; var start = 0
+    var depth = 0; var start = 0; inQ = false
     inner.zipWithIndex.foreach {
-      case ('(', _) => depth += 1
-      case (')', _) => depth -= 1
-      case (',', i) if depth == 0 => parts += inner.substring(start, i); start = i + 1
+      case ('"', _)               => inQ = !inQ
+      case ('(', _) if !inQ       => depth += 1
+      case (')', _) if !inQ       => depth -= 1
+      case (',', i) if !inQ && depth == 0 =>
+        parts += inner.substring(start, i); start = i + 1
       case _ =>
     }
     parts += inner.substring(start)
     parts.toSeq.map(_.trim).filter(_.nonEmpty).map { colDef =>
       val (name, rest) =
         if (colDef.startsWith("\"")) {
-          val end = colDef.indexOf('"', 1)
-          (colDef.substring(1, end), colDef.substring(end + 1))
+          // scan to the closing quote, un-doubling "" back to "
+          val sb = new StringBuilder
+          var j = 1; var closed = false
+          while (!closed) {
+            if (colDef.charAt(j) != '"') { sb.append(colDef.charAt(j)); j += 1 }
+            else if (j + 1 < colDef.length && colDef.charAt(j + 1) == '"') { sb.append('"'); j += 2 }
+            else { closed = true; j += 1 }
+          }
+          (sb.toString, colDef.substring(j))
         } else {
           val sp = colDef.indexOf(' ')
           if (sp < 0) (colDef, "") else (colDef.substring(0, sp), colDef.substring(sp))
@@ -464,6 +486,23 @@ final class SqliteDbReader(file: File) {
     require(ps >= 512 && (ps & (ps - 1)) == 0, s"invalid page size $ps")
     val enc = readBe32(h, 56)
     require(enc == 1, s"unsupported text encoding $enc (only UTF-8)")
+    // Reading the bare main file is only sound when no committed state
+    // lives outside it: reject versions we don't know (>2), a hot rollback
+    // journal (mid-transaction / crashed writer), and a WAL database with
+    // un-checkpointed frames — in each case the on-disk pages are stale
+    // and we would silently return missing or outdated rows.
+    val (rv, wv) = (h(18) & 0xff, h(19) & 0xff)
+    require(rv >= 1 && rv <= 2 && wv >= 1 && wv <= 2,
+      s"$file: unsupported file format version (read=$rv write=$wv)")
+    val journal = new File(file.getPath + "-journal")
+    require(!(journal.isFile && journal.length > 0),
+      s"$file has a hot rollback journal ($journal) — the last writer is " +
+        "mid-transaction or crashed; open it once with sqlite3 to recover " +
+        "before ingesting")
+    val wal = new File(file.getPath + "-wal")
+    require(!(rv == 2 && wal.isFile && wal.length > 0),
+      s"$file is a WAL-mode database with un-checkpointed frames ($wal) — " +
+        "run PRAGMA wal_checkpoint(TRUNCATE) before ingesting")
     (ps, ps - (h(20) & 0xff)) // usable = page size minus reserved tail
   }
   private val maxLeafLocal = usable - 35

@@ -34,10 +34,17 @@ object SqliteDdl {
     case _                                  => "VARCHAR"
   }
 
+  /** SQL-quote an identifier: wrap in double quotes, doubling any embedded
+    * quote — sqlite3 itself would otherwise fail to re-parse the DDL text
+    * this sink persists into sqlite_master.
+    */
+  def quoteIdent(name: String): String =
+    "\"" + name.replace("\"", "\"\"") + "\""
+
   def createTable(name: String, schema: StructType): String =
     schema.fields
-      .map(f => s""""${f.name}" ${columnType(f.dataType)}""")
-      .mkString(s"""CREATE TABLE "$name" (""", ", ", ")")
+      .map(f => s"${quoteIdent(f.name)} ${columnType(f.dataType)}")
+      .mkString(s"CREATE TABLE ${quoteIdent(name)} (", ", ", ")")
 
   // python sqlite3 stores datetimes as isoformat(sep=' '): no fractional
   // part when the value is whole-second, else microseconds
@@ -104,10 +111,17 @@ final case class SqliteSnapshotCommit(cfg: SqliteDestination, runId: String,
         writer.abort() // release the fd BEFORE deleting the partial file
         tmp.delete(); throw e
     } finally {
-      // staging is consumed either way; the destination file is the snapshot
+      // staging is consumed either way; the destination file is the snapshot.
+      // Delete ONLY this run's subdir — a concurrent run staging against the
+      // same database owns its own <runId> sibling, and stranded siblings
+      // are Vacuum.vacuumSqlite's job (same discipline as _staging/<runId>).
       val fs = new org.apache.hadoop.fs.Path(stagingDir)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      fs.delete(new org.apache.hadoop.fs.Path(s"${cfg.database}.staging"), true)
+      fs.delete(new org.apache.hadoop.fs.Path(stagingDir), true)
+      // opportunistic: remove the .staging root iff it is now empty
+      // (non-recursive delete refuses a non-empty directory)
+      try fs.delete(new org.apache.hadoop.fs.Path(s"${cfg.database}.staging"), false)
+      catch { case _: java.io.IOException => () }
     }
   }
 }

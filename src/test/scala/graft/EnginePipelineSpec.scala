@@ -87,6 +87,20 @@ class EnginePipelineSpec extends AnyFunSuite {
     r2.close()
   }
 
+  test("sqlite commit cleanup is scoped to its own runId staging") {
+    val db = Files.createTempDirectory("graft-sqlite-iso").resolve("c2s.db").toString
+    // a concurrent (or stranded) sibling run's staged tables for the SAME
+    // database must survive our commit — only Vacuum may reclaim them
+    val sibling = new java.io.File(s"$db.staging/other-run/example_region")
+    assert(sibling.mkdirs())
+    Files.writeString(sibling.toPath.resolve("part-0.parquet"), "x")
+    Runner.run(spark, cfg(SqliteDest(SqliteDestination(db))), registry)
+    assert(sibling.exists(), "sibling run's staging must not be destroyed")
+    val r = new graft.sink.SqliteDbReader(new java.io.File(db))
+    assert(r.rows("example_region").size == 2)
+    r.close()
+  }
+
   test("an existing sqlite database ingests back as typed DataFrames") {
     // a cloud2sql user migrates: point the engine at their .db and query on
     val db = Files.createTempDirectory("graft-sqlite-src").resolve("c2s.db").toString

@@ -42,4 +42,27 @@ class VacuumSpec extends AnyFunSuite {
     assert(new java.io.File(s"$base/_retired_crashed").exists(),
       "sole surviving snapshot must be preserved for self-heal")
   }
+
+  test("sqlite staging GC removes stale runs and tmp files, keeps the rest") {
+    val base = Files.createTempDirectory("graft-vacuum-sqlite").toString
+    val db = s"$base/resoto.db"
+    Files.writeString(new java.io.File(db).toPath, "SQLite format 3")
+    mkdir(s"$db.staging/deadrun/t")
+    mkdir(s"$db.staging/liverun/t")
+    Files.writeString(new java.io.File(s"$db.tmp-deadrun").toPath, "partial")
+    val now = System.currentTimeMillis()
+    new java.io.File(s"$db.staging/deadrun").setLastModified(now - 7L * 86400_000)
+    new java.io.File(s"$db.tmp-deadrun").setLastModified(now - 7L * 86400_000)
+
+    val report = Vacuum.vacuumSqlite(spark, db, maxAgeMs = 86400_000, nowMs = now)
+    assert(report.removedStaging == Seq("deadrun"))
+    assert(report.removedRetired == Seq("resoto.db.tmp-deadrun"))
+    assert(new java.io.File(s"$db.staging/liverun/t").exists(), "fresh staging kept")
+    assert(new java.io.File(db).exists(), "database file never touched")
+
+    // once liverun is also stale, the .staging root itself disappears
+    new java.io.File(s"$db.staging/liverun").setLastModified(now - 7L * 86400_000)
+    Vacuum.vacuumSqlite(spark, db, maxAgeMs = 86400_000, nowMs = now)
+    assert(!new java.io.File(s"$db.staging").exists(), "empty staging root removed")
+  }
 }

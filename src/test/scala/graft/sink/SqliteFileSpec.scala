@@ -132,7 +132,7 @@ class SqliteFileSpec extends AnyFunSuite {
     val f = tmpDb()
     val w = new SqliteDbWriter(f)
     (1 to 300).foreach { i =>
-      val t = w.table(f"t_$i%03d", s"""CREATE TABLE "t_$i%03d" ("v" INTEGER)""")
+      val t = w.table(f"t_$i%03d", f"""CREATE TABLE "t_$i%03d" ("v" INTEGER)""")
       if (i % 3 == 0) t.addRow(Seq(i.toLong))
     }
     w.close()
@@ -142,6 +142,63 @@ class SqliteFileSpec extends AnyFunSuite {
     assert(r.rows("t_001").toSeq == Seq.empty) // empty table: empty-leaf root
     r.verifyAll()
     r.close()
+  }
+
+  test("identifiers with embedded quotes and parens survive DDL round-trip") {
+    import org.apache.spark.sql.types._
+    val tbl = """we"ird (tbl)"""
+    val schema = StructType(Seq(
+      StructField("""va"l""", LongType), StructField("plain", StringType)))
+    val ddl = SqliteDdl.createTable(tbl, schema)
+    assert(ddl.contains("\"we\"\"ird (tbl)\""), "quote doubled in stored DDL")
+    val cols = SqliteFormat.columnsOf(ddl)
+    assert(cols.map(_._1) == Seq("""va"l""", "plain"))
+    assert(cols.map(_._2) == Seq("BIGINT", "VARCHAR"))
+
+    val f = tmpDb()
+    val w = new SqliteDbWriter(f)
+    val t = w.table(tbl, ddl)
+    t.addRow(Seq(1L, "x"))
+    w.close()
+    val r = new SqliteDbReader(f)
+    assert(r.tableNames.contains(tbl))
+    assert(r.rows(tbl).toSeq == Seq(Seq(1L, "x")))
+    r.verifyAll()
+    r.close()
+  }
+
+  test("reader rejects hot journal, un-checkpointed WAL, unknown versions") {
+    val f = tmpDb()
+    val w = new SqliteDbWriter(f)
+    val t = w.table("t", """CREATE TABLE "t" ("v" INTEGER)""")
+    t.addRow(Seq(1L))
+    w.close()
+
+    // hot rollback journal: committed state may live outside the main file
+    val j = new File(f.getPath + "-journal")
+    Files.write(j.toPath, Array[Byte](1, 2, 3))
+    val e1 = intercept[IllegalArgumentException](new SqliteDbReader(f))
+    assert(e1.getMessage.contains("journal"))
+    assert(j.delete())
+
+    // WAL format-version bytes + a non-empty -wal sibling
+    val raf = new java.io.RandomAccessFile(f, "rw")
+    raf.seek(18); raf.write(2); raf.write(2); raf.close()
+    val wal = new File(f.getPath + "-wal")
+    Files.write(wal.toPath, Array[Byte](1))
+    val e2 = intercept[IllegalArgumentException](new SqliteDbReader(f))
+    assert(e2.getMessage.contains("wal_checkpoint"))
+    assert(wal.delete())
+
+    // fully checkpointed WAL database (no -wal sibling) reads fine
+    val r = new SqliteDbReader(f)
+    assert(r.rows("t").toSeq == Seq(Seq(1L)))
+    r.close()
+
+    // future format versions are rejected, not misparsed
+    val raf2 = new java.io.RandomAccessFile(f, "rw")
+    raf2.seek(18); raf2.write(3); raf2.close()
+    intercept[IllegalArgumentException](new SqliteDbReader(f))
   }
 
   test("file header is well-formed") {
