@@ -11,6 +11,7 @@ object SparkEntry {
 
   private def modules: Seq[Q] =
     operators.Relational.queries ++
+    operators.ZOrder.queries ++
     operators.Events.queries ++
     functions.Scalars.queries ++
     ext.Dedup.queries ++
