@@ -206,6 +206,96 @@ object Similarity {
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
   }
 
+  // ---------------- product quantization (PQ) ----------------
+  val PqM = 8       // subspaces
+  val PqSub = 8     // dims per subspace (PqM * PqSub = Dim)
+  val PqK = 16      // codewords per subspace -> 4-bit codes
+
+  /** Codebook(m)(k) = subspace m of training vector k (vec_id < PqK) — the
+    * deterministic no-training baseline (sampled codewords), collected once
+    * driver-side (metadata-scale: PqK vectors). A k-means-refined codebook
+    * drops in behind the same interface.
+    */
+  private def pqCodebook(vecDf: DataFrame): Seq[Seq[Seq[Double]]] = {
+    val train = vecDf.filter(col("vec_id") < PqK)
+      .select(col("vec_id"), col("v")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1)
+    (0 until PqM).map(m => train.toSeq.map {
+      case (_, v) => v.slice(m * PqSub, (m + 1) * PqSub)
+    })
+  }
+
+  /** (vec_id, pq_code): every vector encoded to ONE packed long (4 bits
+    * per subspace code) — 8 bytes instead of 512, the 64× compression an
+    * ADC scan exploits. Pure projection via the codegen'd [[
+    * graft.functions.PqEncode]] expression: no join, no shuffle, at any
+    * corpus size.
+    */
+  def pqCodes(vecDf: DataFrame): DataFrame = {
+    val cb = pqCodebook(vecDf)
+    vecDf.select(col("vec_id"),
+      graft.functions.PqEncode.pq_encode(col("v"), cb, PqSub).as("pq_code"))
+  }
+
+  /** ADC (asymmetric distance) top-k: probes keep their raw vectors, the
+    * corpus is scanned as packed codes only. Each (probe, candidate, m)
+    * contributes the exact L2 distance between the probe's subvector and
+    * the candidate's subspace codeword; per-term rounding to 9dp + a
+    * DECIMAL sum keeps the total order-independent, so the ranking is
+    * hash-identical across engines (same trick as q_text_lm_score).
+    */
+  def pqTopK(vecDf: DataFrame, probePred: Column, k: Int): DataFrame = {
+    val cb = pqCodebook(vecDf)
+    val cbRows = for {
+      m <- 0 until PqM; kk <- 0 until PqK
+    } yield (m, kk, cb(m)(kk))
+    val spark = vecDf.sparkSession
+    import spark.implicits._
+    val cbDf = cbRows.toDF("m", "k", "sub")
+    val probes = vecDf.filter(probePred)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val pm = pqCodes(vecDf)
+      .join(broadcast(probes), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("cand"), col("pq_code"), col("qv"),
+        explode(sequence(lit(0), lit(PqM - 1))).as("m"))
+      .withColumn("k", expr("cast(shiftright(pq_code, 4 * m) & 15 as int)"))
+      .join(broadcast(cbDf), Seq("m", "k"))
+      .select(col("qid"), col("cand"),
+        round(aggregate(
+          zip_with(expr(s"slice(qv, m * $PqSub + 1, $PqSub)"), col("sub"),
+                   (x, c) => (x - c) * (x - c)),
+          lit(0.0), (a, t) => a + t), 9).cast("decimal(28,12)").as("d2r"))
+    val adc = pm.groupBy("qid", "cand").agg(sum("d2r").as("adc"))
+    val w = Window.partitionBy("qid").orderBy(col("adc").asc, col("cand").asc)
+    adc.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select(col("qid"), col("rn"), col("cand"),
+              round(col("adc").cast("double"), 6).as("adc_r"))
+  }
+
+  /** Shared oracle fragments: codebook, per-subspace encoding, packed
+    * codes — the SQL mirror of [[pqCodes]].
+    */
+  private val pqCodeSql = {
+    val d2 = "list_reduce(list_transform(range(8), j -> " +
+      "(x.v[c.m*8+j+1] - c.sub[j+1]) * (x.v[c.m*8+j+1] - c.sub[j+1])), (a, t) -> a + t)"
+    s"""cb AS (
+       |  SELECT vec_id AS k, m, v[m*8+1 : m*8+8] AS sub
+       |  FROM e, range($PqM) r(m) WHERE vec_id < $PqK
+       |),
+       |enc AS (
+       |  SELECT vec_id, m, k FROM (
+       |    SELECT x.vec_id, c.m, c.k,
+       |      row_number() OVER (PARTITION BY x.vec_id, c.m
+       |        ORDER BY $d2 ASC, c.k ASC) AS rn
+       |    FROM e x, cb c
+       |  ) WHERE rn = 1
+       |),
+       |code AS (
+       |  SELECT vec_id, CAST(sum(k << (4*m)) AS BIGINT) AS pq_code
+       |  FROM enc GROUP BY vec_id
+       |)""".stripMargin
+  }
+
   /** The same plane/signature/probe pipeline as DuckDB SQL fragments. */
   private val planesSql =
     s"""SELECT i, j,
@@ -363,6 +453,46 @@ object Similarity {
       ivfTopK(vecs(s, d), col("vec_id") < 20, centroidStride = 25, nprobe = 2, k = 1)
         .select("qid", "cand", "cos_r")
         .orderBy("qid")
+    },
+
+    // ---- PQ encoding: 64 floats -> one packed 8-byte code ----
+    // The compression step of a PQ index, checked end-to-end: every
+    // vector's 8 subspace codes (nearest of 16 sampled codewords each,
+    // exact left-to-right L2 folds) packed 4 bits apiece into a single
+    // BIGINT. Spark side is one codegen'd projection (PqEncode), so
+    // encoding streams map-side at any corpus size.
+    Q("q_embed_pq_codes",
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |$pqCodeSql
+         |SELECT vec_id, pq_code FROM code ORDER BY vec_id""".stripMargin) { (s, d) =>
+      pqCodes(vecs(s, d)).orderBy("vec_id")
+    },
+
+    // ---- PQ/ADC search: probes scan CODES, never raw vectors ----
+    // Asymmetric distance: the probe keeps its raw subvectors, every
+    // candidate is represented by its 8-byte code; distance is the sum of
+    // per-subspace (probe-subvector ↔ codeword) L2 terms. Per-term 9dp
+    // rounding + DECIMAL summation keeps the total exact and
+    // order-independent, so both engines rank identically.
+    Q("q_embed_pq",
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |$pqCodeSql,
+         |probes AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+         |pm AS (
+         |  SELECT p.qid, c.vec_id AS cand,
+         |    CAST(round(list_reduce(list_transform(range(8), j ->
+         |      (p.qv[w.m*8+j+1] - w.sub[j+1]) * (p.qv[w.m*8+j+1] - w.sub[j+1])),
+         |      (a, t) -> a + t), 9) AS DECIMAL(28,12)) AS d2r
+         |  FROM probes p, code c, cb w
+         |  WHERE c.vec_id <> p.qid AND w.k = (c.pq_code >> (4*w.m)) & 15
+         |),
+         |adc AS (SELECT qid, cand, sum(d2r) AS adc FROM pm GROUP BY qid, cand)
+         |SELECT qid, rn, cand, adc_r FROM (
+         |  SELECT qid, cand, round(CAST(adc AS DOUBLE), 6) AS adc_r,
+         |    row_number() OVER (PARTITION BY qid ORDER BY adc ASC, cand ASC) AS rn
+         |  FROM adc
+         |) WHERE rn <= 3 ORDER BY qid, rn""".stripMargin) { (s, d) =>
+      pqTopK(vecs(s, d), col("vec_id") < 10, 3).orderBy("qid", "rn")
     },
 
     // ---- multi-table multi-probe sign-LSH top-1 ----

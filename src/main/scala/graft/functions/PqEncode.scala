@@ -1,0 +1,132 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
+
+/** Product-quantization encoder as ONE codegen'd expression: the input
+  * vector is split into M contiguous subspaces; each subspace is assigned
+  * its L2-nearest codeword (of K per subspace) from a codebook baked in
+  * as a reference object, and the M code indices are packed into a single
+  * long, 4 bits per code (K ≤ 16) — the 64-dim float vector compresses to
+  * 8 bytes, the representation a PQ/ADC index scans instead of raw
+  * embeddings.
+  *
+  * Parity contract (pinned by the q_embed_pq* oracles): per-subspace
+  * distance is Σ (x−c)·(x−c) accumulated left-to-right — the identical
+  * IEEE sequence DuckDB's `list_reduce` fold performs — and only a
+  * STRICTLY smaller distance replaces the incumbent while codewords scan
+  * in ascending-k order, so ties pick the smallest k (`ORDER BY d2, k`).
+  *
+  * Null contract: null vector → null; the codebook must be non-empty and
+  * rectangular (same K per subspace, K ≤ 16).
+  */
+case class PqEncode(
+    child: Expression,
+    codebook: Seq[Seq[IndexedSeq[Double]]], // (m)(k)(j)
+    subDim: Int) extends UnaryExpression {
+
+  require(codebook.nonEmpty && codebook.forall(_.nonEmpty), "empty codebook")
+  require(codebook.forall(_.length == codebook.head.length), "ragged codebook")
+  require(codebook.head.length <= 16, "K must be <= 16 (4-bit codes)")
+  require(codebook.length * 4 <= 64, "too many subspaces to pack")
+
+  // Seq fields give VALUE equality (semanticEquals / cached-plan reuse);
+  // the primitive view is what the hot loop indexes.
+  @transient private lazy val cbArr: Array[Array[Array[Double]]] =
+    codebook.map(_.map(_.toArray).toArray).toArray
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"pq_encode needs array<double>, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val nv = v.numElements()
+    var packed = 0L
+    var m = 0
+    while (m < cbArr.length) {
+      val ks = cbArr(m)
+      val off = m * subDim
+      var bestK = 0
+      var bestD = Double.NaN
+      var k = 0
+      while (k < ks.length) {
+        val cw = ks(k)
+        val n = math.min(subDim, math.max(nv - off, 0))
+        var d = 0.0
+        var j = 0
+        while (j < n) {
+          val t = v.getDouble(off + j) - cw(j); d += t * t; j += 1
+        }
+        if (k == 0 || d < bestD) { bestD = d; bestK = k }
+        k += 1
+      }
+      packed |= bestK.toLong << (4 * m)
+      m += 1
+    }
+    packed
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val cbRef = ctx.addReferenceObj("cb", cbArr, "double[][][]")
+      val sd = ctx.freshName("sd")
+      val nv = ctx.freshName("nv")
+      val packed = ctx.freshName("packed")
+      val m = ctx.freshName("m")
+      val k = ctx.freshName("k")
+      val j = ctx.freshName("j")
+      val off = ctx.freshName("off")
+      val ks = ctx.freshName("ks")
+      val cw = ctx.freshName("cw")
+      val n = ctx.freshName("n")
+      val d = ctx.freshName("d")
+      val t = ctx.freshName("t")
+      val bestK = ctx.freshName("bestK")
+      val bestD = ctx.freshName("bestD")
+      s"""
+         |final int $sd = $subDim;
+         |int $nv = $v.numElements();
+         |long $packed = 0L;
+         |for (int $m = 0; $m < $cbRef.length; $m++) {
+         |  double[][] $ks = $cbRef[$m];
+         |  int $off = $m * $sd;
+         |  int $bestK = 0; double $bestD = Double.NaN;
+         |  for (int $k = 0; $k < $ks.length; $k++) {
+         |    double[] $cw = $ks[$k];
+         |    int $n = java.lang.Math.min($sd, java.lang.Math.max($nv - $off, 0));
+         |    double $d = 0.0;
+         |    for (int $j = 0; $j < $n; $j++) {
+         |      double $t = $v.getDouble($off + $j) - $cw[$j]; $d += $t * $t;
+         |    }
+         |    if ($k == 0 || $d < $bestD) { $bestD = $d; $bestK = $k; }
+         |  }
+         |  $packed |= ((long) $bestK) << (4 * $m);
+         |}
+         |${ev.value} = $packed;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object PqEncode {
+  import org.apache.spark.sql.graftbridge.ColumnBridge
+
+  /** `pq_encode(v)` against codebook(m)(k) = the k-th codeword of
+    * subspace m, each of length `subDim`. */
+  def pq_encode(v: Column, codebook: Seq[Seq[Seq[Double]]], subDim: Int): Column =
+    ColumnBridge.column(PqEncode(
+      ColumnBridge.expression(v),
+      codebook.map(_.map(_.toIndexedSeq)),
+      subDim))
+}

@@ -140,4 +140,52 @@ class SimilaritySpec extends AnyFunSuite {
       .withColumn("v", col("v").cast("array<double>"))
     assert(nul.select(centroid_assign(col("v"), cents)).head.isNullAt(0))
   }
+
+  test("PqEncode: self-codes, codegen/interpreted agreement, tie-break, null") {
+    import spark.implicits._
+    import graft.functions.PqEncode
+    val rnd = new scala.util.Random(13)
+    val M = 4; val S = 4; val K = 8
+    // codebook(m)(k): distinct random codewords
+    val cb: Seq[Seq[Seq[Double]]] =
+      Seq.fill(M)(Seq.fill(K)(Seq.fill(S)(rnd.nextDouble() - 0.5)))
+    // a vector assembled FROM codeword k in every subspace must encode to
+    // (k, k, k, k): every subspace distance is exactly 0 to its own word
+    val self = (0 until K).map { k =>
+      (k.toLong, (0 until M).flatMap(m => cb(m)(k)))
+    }.toDF("vec_id", "v").withColumn("v", col("v").cast("array<double>"))
+    val selfCodes = self.select(col("vec_id"),
+      PqEncode.pq_encode(col("v"), cb, S).as("code")).collect()
+    selfCodes.foreach { r =>
+      val k = r.getLong(0)
+      val expected = (0 until M).map(m => k << (4 * m)).sum
+      assert(r.getLong(1) == expected, s"self-code of $k")
+    }
+
+    // interpreted eval (nullSafeEval) is a hand-written twin of the
+    // codegen template — drive it directly on random vectors
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val vecs = (0 until 100).map(i => (i.toLong, Seq.fill(M * S)(rnd.nextDouble() - 0.5)))
+    val viaDf = vecs.toDF("vec_id", "v")
+      .withColumn("v", col("v").cast("array<double>"))
+      .select(col("vec_id"), PqEncode.pq_encode(col("v"), cb, S).as("code"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    vecs.foreach { case (id, v) =>
+      val e = PqEncode(Literal.create(v, ArrayType(DoubleType)),
+        cb.map(_.map(_.toIndexedSeq)), S)
+      assert(e.eval(null) == viaDf(id), s"interpreted eval diverges for vec $id")
+    }
+
+    // tie-break: duplicate codewords -> the smaller k wins
+    val dupCb = Seq(Seq(Seq(1.0, 0.0), Seq(5.0, 5.0), Seq(1.0, 0.0)))
+    val one = Seq((0L, Seq(1.0, 0.0))).toDF("vec_id", "v")
+      .withColumn("v", col("v").cast("array<double>"))
+    assert(one.select(PqEncode.pq_encode(col("v"), dupCb, 2)).head.getLong(0) == 0L)
+
+    // null vector -> null code
+    val nul = Seq((0L, Option.empty[Seq[Double]])).toDF("vec_id", "v")
+      .withColumn("v", col("v").cast("array<double>"))
+    assert(nul.select(PqEncode.pq_encode(col("v"), dupCb, 2)).head.isNullAt(0))
+  }
 }
