@@ -428,6 +428,73 @@ object Dedup {
         .limit(20)
     },
 
+    // ---- sub-document dedup: content-defined chunks shared across docs ----
+    // Whole-document hashing misses the dominant duplication mode in web
+    // corpora: shared boilerplate paragraphs inside otherwise-distinct
+    // pages. Content-defined chunking splits each document at tokens whose
+    // hash lands in a fixed residue class (expected chunk ≈ 16 tokens) —
+    // boundaries depend only on LOCAL content, so the same paragraph
+    // chunks identically wherever it appears, unlike fixed-size windows.
+    // Chunks are then hashed and grouped: any hash held by >1 document is
+    // shared boilerplate. The boundary hashes the BIGRAM ending at each
+    // token (a 2-token rolling window) — a lone token's hash over a small
+    // vocabulary can miss the residue class entirely, and a wider context
+    // is what makes boundaries stable under single-token edits. Scale
+    // shape: one window partitioned by doc_id (lag + boundary prefix-sum),
+    // a per-(doc, chunk) aggregate that reuses the same partitioning (no
+    // second exchange), and a final aggregate that shuffles one 8-byte
+    // hash row per chunk — no self-joins, nothing O(n²) anywhere.
+    Q("q_dedup_chunks",
+      s"""WITH toks AS ($toksFrom),
+         |tok AS (SELECT doc_id, generate_subscripts(toks, 1) AS pos,
+         |               unnest(toks) AS tok FROM toks),
+         |lagd AS (SELECT doc_id, pos, tok,
+         |           lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+         |         FROM tok),
+         |chunked AS (
+         |  SELECT doc_id, pos, tok,
+         |    sum(CASE WHEN prev IS NOT NULL
+         |             AND ${h31Sql("prev || ' ' || tok")} % 16 = 0
+         |        THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY doc_id ORDER BY pos) AS chunk
+         |  FROM lagd
+         |),
+         |chunks0 AS (
+         |  SELECT doc_id, chunk, count(*) AS n_toks,
+         |    string_agg(tok, ' ' ORDER BY pos) AS ctext
+         |  FROM chunked GROUP BY doc_id, chunk
+         |),
+         |chunks AS (SELECT doc_id, n_toks, ${h48Sql("ctext")} AS h
+         |           FROM chunks0 WHERE n_toks >= 4)
+         |SELECT h, count(*) AS n_occ, count(DISTINCT doc_id) AS n_docs,
+         |  min(n_toks) AS n_toks
+         |FROM chunks GROUP BY h HAVING count(DISTINCT doc_id) > 1
+         |ORDER BY n_docs DESC, n_occ DESC, h LIMIT 25""".stripMargin) { (s, d) =>
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      val chunked = tok
+        .withColumn("prev", lag("tok", 1).over(w))
+        .withColumn("chunk",
+          sum(when(col("prev").isNotNull &&
+                   h31(concat_ws(" ", col("prev"), col("tok"))) % 16 === 0, 1)
+            .otherwise(0)).over(w))
+      // chunk text reassembled in token order; the (doc_id, chunk) group
+      // runs on the window's existing doc_id partitioning — no re-shuffle
+      val chunks = chunked.groupBy("doc_id", "chunk")
+        .agg(count(lit(1)).as("n_toks"),
+             h48(concat_ws(" ",
+               transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+                         st => st.getField("tok")))).as("h"))
+        .filter(col("n_toks") >= 4)
+      chunks.groupBy("h")
+        .agg(count(lit(1)).as("n_occ"), countDistinct("doc_id").as("n_docs"),
+             min("n_toks").as("n_toks"))
+        .filter(col("n_docs") > 1)
+        .orderBy(col("n_docs").desc, col("n_occ").desc, col("h").asc)
+        .limit(25)
+    },
+
     // ---- incremental dedup: incoming batch vs existing corpus index ----
     // The streaming-shaped curation step as a batch operator: the existing
     // corpus (even doc_ids) is reduced to its DISTINCT (band, key) LSH
