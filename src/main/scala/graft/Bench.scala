@@ -60,7 +60,11 @@ object Bench {
       val n = times.size
       // true median: average the middle pair for even rep counts (picking
       // the upper-middle would report the WORSE of 2 runs as the "median")
-      name -> (if (n % 2 == 1) times(n / 2) else (times(n / 2 - 1) + times(n / 2)) / 2)
+      val med = if (n % 2 == 1) times(n / 2) else (times(n / 2 - 1) + times(n / 2)) / 2
+      // per-query progress on stderr: a killed/timed-out run still leaves
+      // every finished median on record (the stdout JSON line would be lost)
+      System.err.println(f"[bench] $name $med%.3f s (reps=${times.map(t => f"$t%.2f").mkString(",")})")
+      name -> med
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")

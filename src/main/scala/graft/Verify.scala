@@ -22,10 +22,22 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Dump the oracle SQL FIRST: if the query loop below is killed partway
+    // through, the driver can still score every query that did finish.
+    writeOracleJson(outDir, keep)
+    val total = SparkEntry.queries.count(kv => keep(kv._1))
+    var done = 0
     SparkEntry.queries.filter(kv => keep(kv._1)).foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        done += 1
+        // one line per query so a partial/timed-out driver run leaves a
+        // diagnosable trail instead of an empty CORRECTNESS json
+        System.err.println(
+          f"[verify] ok $name ${(System.nanoTime() - t0) / 1e9}%.2f s ($done/$total)")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // the LSH/minhash/jaccard queries cache index tables by design;
@@ -33,9 +45,13 @@ object Verify {
       // across the run (Bench clears between queries for the same reason)
       finally spark.catalog.clearCache()
     }
-    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-    // — a tab or CR in builder-authored SQL would otherwise make the
-    // driver's json.load fail and silently zero the round's correctness.
+    spark.stop()
+  }
+
+  // JSON string escape: backslash, quote, and ALL control chars (<0x20)
+  // — a tab or CR in builder-authored SQL would otherwise make the
+  // driver's json.load fail and silently zero the round's correctness.
+  private def writeOracleJson(outDir: String, keep: String => Boolean): Unit = {
     def q(s: String): String = "\"" + s.flatMap {
       case '"'  => "\\\""
       case '\\' => "\\\\"
@@ -48,6 +64,5 @@ object Verify {
     val json = SparkEntry.oracleSql.filter(kv => keep(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    spark.stop()
   }
 }
