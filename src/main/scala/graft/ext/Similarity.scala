@@ -37,6 +37,8 @@ object Similarity {
   private val DotSql = "list_dot_product"
   private def cosSql(a: String, b: String): String =
     s"round($DotSql($a, $b) / (sqrt($DotSql($a, $a)) * sqrt($DotSql($b, $b))), 6)"
+  private def cosRawSql(a: String, b: String): String =
+    s"$DotSql($a, $b) / (sqrt($DotSql($a, $a)) * sqrt($DotSql($b, $b)))"
 
   // ---------------- sign-LSH: seeded hyperplanes ----------------
   val Tables_L = 4  // hash tables
@@ -237,39 +239,74 @@ object Similarity {
       graft.functions.PqEncode.pq_encode(col("v"), cb, PqSub).as("pq_code"))
   }
 
-  /** ADC (asymmetric distance) top-k: probes keep their raw vectors, the
-    * corpus is scanned as packed codes only. Each (probe, candidate, m)
-    * contributes the exact L2 distance between the probe's subvector and
-    * the candidate's subspace codeword; per-term rounding to 9dp + a
-    * DECIMAL sum keeps the total order-independent, so the ranking is
-    * hash-identical across engines (same trick as q_text_lm_score).
+  /** ADC (asymmetric distance) top-k over the FULL corpus: probes keep
+    * their raw vectors, every candidate is scanned as its packed 8-byte
+    * code. Scoring is the codegen'd [[graft.functions.PqAdc]] kernel — one
+    * projection per (probe, candidate) row with a FIXED accumulation order
+    * (per-subspace inner fold, outer fold over subspaces), so rankings are
+    * bit-identical to the oracle's nested `list_reduce` without decimal
+    * order-independence tricks, and the old explode(m)+codebook-join+
+    * groupBy shape (an extra shuffle per probe batch) is gone.
+    *
+    * This remains the exhaustive-ADC BASELINE (every probe scores every
+    * code): correct at any size but O(|Q|·N) compute. The scale path is
+    * [[ivfPqTopK]], which restricts the same kernel to `nprobe` IVF cells.
     */
   def pqTopK(vecDf: DataFrame, probePred: Column, k: Int): DataFrame = {
     val cb = pqCodebook(vecDf)
-    val cbRows = for {
-      m <- 0 until PqM; kk <- 0 until PqK
-    } yield (m, kk, cb(m)(kk))
-    val spark = vecDf.sparkSession
-    import spark.implicits._
-    val cbDf = cbRows.toDF("m", "k", "sub")
     val probes = vecDf.filter(probePred)
       .select(col("vec_id").as("qid"), col("v").as("qv"))
-    val pm = pqCodes(vecDf)
+    val scored = pqCodes(vecDf)
       .join(broadcast(probes), col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id").as("cand"), col("pq_code"), col("qv"),
-        explode(sequence(lit(0), lit(PqM - 1))).as("m"))
-      .withColumn("k", expr("cast(shiftright(pq_code, 4 * m) & 15 as int)"))
-      .join(broadcast(cbDf), Seq("m", "k"))
-      .select(col("qid"), col("cand"),
-        round(aggregate(
-          zip_with(expr(s"slice(qv, m * $PqSub + 1, $PqSub)"), col("sub"),
-                   (x, c) => (x - c) * (x - c)),
-          lit(0.0), (a, t) => a + t), 9).cast("decimal(28,12)").as("d2r"))
-    val adc = pm.groupBy("qid", "cand").agg(sum("d2r").as("adc"))
+      .select(col("qid"), col("vec_id").as("cand"),
+        graft.functions.PqAdc.pq_adc(col("qv"), col("pq_code"), cb, PqSub).as("adc"))
     val w = Window.partitionBy("qid").orderBy(col("adc").asc, col("cand").asc)
-    adc.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
       .select(col("qid"), col("rn"), col("cand"),
-              round(col("adc").cast("double"), 6).as("adc_r"))
+              round(col("adc"), 6).as("adc_r"))
+  }
+
+  /** IVF-PQ (IVFADC) top-k — the composition of the coarse quantizer with
+    * the PQ code scan, the industry-standard billion-scale ANN plan:
+    *
+    *  - Index build is ONE projection over the corpus: coarse cell id
+    *    (codegen'd [[graft.functions.CentroidAssign]]) + packed 8-byte code
+    *    (codegen'd [[graft.functions.PqEncode]]) per row — no join, no
+    *    shuffle, at any corpus size. At rest the index is stored
+    *    partitioned by `cid`, so probing maps to partition pruning.
+    *  - Probe→cell selection is the same projection-only centroid scoring
+    *    as [[ivfTopK]] (top `nprobe` cells per probe).
+    *  - Candidates come from an EQUI-join on `cid` (broadcast probes): work
+    *    per probe scales with `nprobe` × cell size (≈ nprobe·√N), never the
+    *    corpus — the fix for the exhaustive-ADC shape of [[pqTopK]].
+    *  - Scoring reads candidate CODES only ([[graft.functions.PqAdc]], one
+    *    codegen'd projection); raw vectors never leave the probe side.
+    */
+  def ivfPqTopK(vecDf: DataFrame, probePred: Column, centroidStride: Int,
+                nprobe: Int, k: Int): DataFrame = {
+    val cents = centroidSet(vecDf, centroidStride)
+    val cArr = centroidLit(cents)
+    val cb = pqCodebook(vecDf)
+    val cid =
+      if (cents.isEmpty) lit(null).cast("long")
+      else graft.functions.CentroidAssign.centroid_assign(col("v"), cents)
+    val index = vecDf.select(col("vec_id"), cid.as("cid"),
+      graft.functions.PqEncode.pq_encode(col("v"), cb, PqSub).as("pq_code"))
+    val probes = vecDf.filter(probePred)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        explode(slice(sort_array(centroidScores(cArr, col("v")), asc = false),
+                      1, nprobe)).as("sc"))
+      .select(col("qid"), col("qv"), (-col("sc.ncid")).as("cid"))
+    // each candidate lives in exactly one cell and a probe's nprobe cells
+    // are distinct, so (qid, cand) pairs need no dedup
+    val scored = index.join(broadcast(probes), Seq("cid"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("cand"),
+        graft.functions.PqAdc.pq_adc(col("qv"), col("pq_code"), cb, PqSub).as("adc"))
+    val w = Window.partitionBy("qid").orderBy(col("adc").asc, col("cand").asc)
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select(col("qid"), col("rn"), col("cand"),
+              round(col("adc"), 6).as("adc_r"))
   }
 
   /** Shared oracle fragments: codebook, per-subspace encoding, packed
@@ -295,6 +332,25 @@ object Similarity {
        |  FROM enc GROUP BY vec_id
        |)""".stripMargin
   }
+
+  /** Reconstructed vector per packed code — the concatenation of its
+    * PqM subspace codewords — plus the nested-fold ADC distance, the SQL
+    * mirror of [[graft.functions.PqAdc]]: inner fold per subspace, outer
+    * fold over subspaces, both left-to-right, so the IEEE accumulation
+    * sequence matches the expression exactly and rankings agree without
+    * decimal tricks.
+    */
+  private val reconSql =
+    s"""recon AS (
+       |  SELECT c.vec_id, flatten(list(w.sub ORDER BY w.m)) AS rv
+       |  FROM code c JOIN cb w ON w.k = (c.pq_code >> (4*w.m)) & 15
+       |  GROUP BY c.vec_id
+       |)""".stripMargin
+  private def adcSql(qv: String, rv: String): String =
+    s"list_reduce(list_transform(range($PqM), m -> " +
+      s"list_reduce(list_transform(range($PqSub), j -> " +
+      s"($qv[m*$PqSub+j+1] - $rv[m*$PqSub+j+1]) * ($qv[m*$PqSub+j+1] - $rv[m*$PqSub+j+1])), " +
+      s"(a, t) -> a + t)), (a, t) -> a + t)"
 
   /** The same plane/signature/probe pipeline as DuckDB SQL fragments. */
   private val planesSql =
@@ -471,28 +527,67 @@ object Similarity {
     // ---- PQ/ADC search: probes scan CODES, never raw vectors ----
     // Asymmetric distance: the probe keeps its raw subvectors, every
     // candidate is represented by its 8-byte code; distance is the sum of
-    // per-subspace (probe-subvector ↔ codeword) L2 terms. Per-term 9dp
-    // rounding + DECIMAL summation keeps the total exact and
-    // order-independent, so both engines rank identically.
+    // per-subspace (probe-subvector ↔ codeword) L2 terms, accumulated in
+    // the same nested left-to-right order in both engines (PqAdc kernel ↔
+    // nested list_reduce over the reconstructed codeword vector).
     Q("q_embed_pq",
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |$pqCodeSql,
+         |$reconSql,
          |probes AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
-         |pm AS (
-         |  SELECT p.qid, c.vec_id AS cand,
-         |    CAST(round(list_reduce(list_transform(range(8), j ->
-         |      (p.qv[w.m*8+j+1] - w.sub[j+1]) * (p.qv[w.m*8+j+1] - w.sub[j+1])),
-         |      (a, t) -> a + t), 9) AS DECIMAL(28,12)) AS d2r
-         |  FROM probes p, code c, cb w
-         |  WHERE c.vec_id <> p.qid AND w.k = (c.pq_code >> (4*w.m)) & 15
-         |),
-         |adc AS (SELECT qid, cand, sum(d2r) AS adc FROM pm GROUP BY qid, cand)
+         |scored AS (
+         |  SELECT p.qid, r.vec_id AS cand, ${adcSql("p.qv", "r.rv")} AS adc
+         |  FROM probes p JOIN recon r ON r.vec_id <> p.qid
+         |)
          |SELECT qid, rn, cand, adc_r FROM (
-         |  SELECT qid, cand, round(CAST(adc AS DOUBLE), 6) AS adc_r,
+         |  SELECT qid, cand, round(adc, 6) AS adc_r,
          |    row_number() OVER (PARTITION BY qid ORDER BY adc ASC, cand ASC) AS rn
-         |  FROM adc
+         |  FROM scored
          |) WHERE rn <= 3 ORDER BY qid, rn""".stripMargin) { (s, d) =>
       pqTopK(vecs(s, d), col("vec_id") < 10, 3).orderBy("qid", "rn")
+    },
+
+    // ---- IVF-PQ (IVFADC): the billion-scale ANN composition ----
+    // Candidates come from the probe's nprobe=3 nearest IVF cells via an
+    // equi-join on cid (work per probe ≈ nprobe·√N, never the corpus), and
+    // are scored from packed 8-byte codes only (PqAdc). The index is one
+    // projection per row (cell id + code, both codegen'd).
+    Q("q_embed_ivfpq",
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 25 = 0),
+         |$pqCodeSql,
+         |$reconSql,
+         |asn AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT e.vec_id, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${cosRawSql("e.v", "c.cv")} DESC, c.cid) AS rn
+         |    FROM e, c
+         |  ) WHERE rn = 1
+         |),
+         |pc AS (
+         |  SELECT qid, cid FROM (
+         |    SELECT e.vec_id AS qid, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${cosRawSql("e.v", "c.cv")} DESC, c.cid) AS rn
+         |    FROM e, c WHERE e.vec_id < 10
+         |  ) WHERE rn <= 3
+         |),
+         |scored AS (
+         |  SELECT p.qid, a.vec_id AS cand, ${adcSql("q.v", "r.rv")} AS adc
+         |  FROM pc p
+         |  JOIN asn a ON a.cid = p.cid AND a.vec_id <> p.qid
+         |  JOIN recon r ON r.vec_id = a.vec_id
+         |  JOIN e q ON q.vec_id = p.qid
+         |)
+         |SELECT qid, rn, cand, adc_r FROM (
+         |  SELECT qid, cand, round(adc, 6) AS adc_r,
+         |    row_number() OVER (PARTITION BY qid ORDER BY adc ASC, cand ASC) AS rn
+         |  FROM scored
+         |) WHERE rn <= 3 ORDER BY qid, rn""".stripMargin) { (s, d) =>
+      ivfPqTopK(vecs(s, d), col("vec_id") < 10,
+                centroidStride = 25, nprobe = 3, k = 3)
+        .orderBy("qid", "rn")
     },
 
     // ---- multi-table multi-probe sign-LSH top-1 ----

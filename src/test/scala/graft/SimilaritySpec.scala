@@ -66,6 +66,72 @@ class SimilaritySpec extends AnyFunSuite {
     assert(maxCell <= nBase, s"max IVF cell $maxCell")
   }
 
+  test("planted near-duplicates: IVF-PQ top-1 recall, equi-join plan, codes-only scan") {
+    val probePred = col("vec_id") % 2 === 0
+    val df = Similarity.ivfPqTopK(planted, probePred, centroidStride = 4, nprobe = 2, k = 1)
+    df.collect()
+    // plan shape: candidates come from a broadcast-hash EQUI-join on cid —
+    // never a nested-loop scan of the corpus (the q_embed_pq baseline shape)
+    val plan = {
+      val s = df.queryExecution.executedPlan.toString
+      val i = s.indexOf("== Initial Plan =="); if (i >= 0) s.take(i) else s
+    }
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      "IVF-PQ must join candidates on cid, not scan the corpus")
+    assert(plan.contains("BroadcastHashJoin"), "expected broadcast equi-join on cid")
+
+    // recall@1: ADC over 4-bit codes is lossy (16 sampled codewords per
+    // subspace), so the bound is looser than IVF-flat's 0.6 — but the twin
+    // must still surface for the majority of probes
+    val hits = df.select(col("qid"), col("cand")).collect()
+      .count(r => r.getLong(1) == r.getLong(0) + 1)
+    assert(hits >= (nBase * 0.5).toInt, s"IVF-PQ recall@1 = $hits/$nBase")
+
+    // cell containment: IVF-PQ candidates are exactly the IVF candidates
+    // for the same (stride, nprobe) — PQ changes scoring, never the
+    // candidate set
+    val ivfCands = Similarity.ivfTopK(planted, probePred, 4, 2, Int.MaxValue)
+      .select(col("qid"), col("cand"))
+    val pqCands = Similarity.ivfPqTopK(planted, probePred, 4, 2, Int.MaxValue)
+      .select(col("qid"), col("cand"))
+    assert(pqCands.except(ivfCands).isEmpty && ivfCands.except(pqCands).isEmpty,
+      "IVF-PQ and IVF-flat must probe identical candidate sets")
+  }
+
+  test("PqAdc equals the exact distance to the reconstructed codeword vector") {
+    import spark.implicits._
+    import graft.functions.{PqAdc, PqEncode}
+    val rnd = new scala.util.Random(17)
+    val M = 8; val S = 8; val K = 16
+    val cb: Seq[Seq[Seq[Double]]] =
+      Seq.fill(M)(Seq.fill(K)(Seq.fill(S)(rnd.nextDouble() - 0.5)))
+    val vecs = (0 until 50).map(i => (i.toLong, Seq.fill(M * S)(rnd.nextDouble() - 0.5)))
+      .toDF("vec_id", "v").withColumn("v", col("v").cast("array<double>"))
+    val q = Seq.fill(M * S)(rnd.nextDouble() - 0.5)
+    val got = vecs
+      .select(col("vec_id"), PqEncode.pq_encode(col("v"), cb, S).as("code"))
+      .select(col("vec_id"), col("code"),
+        PqAdc.pq_adc(typedLit(q), col("code"), cb, S).as("adc"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    got.foreach { case (id, code, adc) =>
+      // reference: decode the packed code, rebuild the codeword vector, and
+      // accumulate in the same nested order as the kernel
+      var expected = 0.0
+      (0 until M).foreach { m =>
+        val cw = cb(m)(((code >>> (4 * m)) & 15L).toInt)
+        var d = 0.0
+        (0 until S).foreach { j => val t = q(m * S + j) - cw(j); d += t * t }
+        expected += d
+      }
+      assert(adc == expected, s"PqAdc diverges for vec $id")
+    }
+    // null inputs -> null
+    val nul = Seq((Option.empty[Seq[Double]], Option.empty[Long])).toDF("v", "code")
+      .withColumn("v", col("v").cast("array<double>"))
+    assert(nul.select(PqAdc.pq_adc(col("v"), lit(0L), cb, S)).head.isNullAt(0))
+    assert(nul.select(PqAdc.pq_adc(typedLit(q), col("code"), cb, S)).head.isNullAt(0))
+  }
+
   test("LSH agrees with brute force whenever the true top-1 is a candidate") {
     import spark.implicits._
     val probePred = col("vec_id") % 2 === 0
