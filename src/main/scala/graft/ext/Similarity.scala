@@ -148,6 +148,30 @@ object Similarity {
   private def centroidLit(cents: Seq[(Long, Seq[Double], Double)]): Column =
     typedLit(cents)
 
+  /** Max centroids carried by one expression / literal. Past this the
+    * assignment and probe-side selection switch to the chunked forms
+    * (per-chunk argmax, then max-of-maxima) — still projection-only and
+    * bit-identical (SimilaritySpec property-tests both). √N centroids at
+    * billion-vector scale is ~3·10⁴: a handful of chunks.
+    */
+  private[ext] val CentroidChunk = 4096
+
+  /** Top-`nprobe` (cos, −cid) cells for a probe vector — per-chunk
+    * top-nprobe then a merge when the centroid set is chunked (top-n of
+    * the union of per-chunk top-n IS the global top-n).
+    */
+  private[graft] def topCells(cents: Seq[(Long, Seq[Double], Double)], v: Column,
+                              nprobe: Int, chunk: Int = CentroidChunk): Column = {
+    val chunks = cents.grouped(chunk).toSeq
+    if (chunks.lengthCompare(1) <= 0)
+      slice(sort_array(centroidScores(centroidLit(cents), v), asc = false), 1, nprobe)
+    else {
+      val merged = concat(chunks.map(ch =>
+        slice(sort_array(centroidScores(centroidLit(ch), v), asc = false), 1, nprobe)): _*)
+      slice(sort_array(merged, asc = false), 1, nprobe)
+    }
+  }
+
   /** Per-centroid (cos, -cid) scores of `v` against the literal centroid
     * array — a pure projection. Struct ordering makes the max/descending
     * sort equal a (cos DESC, cid ASC) ranking: cos compares first, and on
@@ -176,11 +200,16 @@ object Similarity {
                          vecDf: DataFrame): DataFrame = {
     // no centroids (empty/filtered corpus): every assignment is null, the
     // same rows the pre-expression struct-max form produced
-    val cid =
-      if (cents.isEmpty) lit(null).cast("long")
-      else graft.functions.CentroidAssign.centroid_assign(col("v"), cents)
-    vecDf.select(col("vec_id"), cid.as("cid"))
+    vecDf.select(col("vec_id"), cidExpr(cents).as("cid"))
   }
+
+  /** Nearest-centroid id expression, auto-chunked past [[CentroidChunk]]. */
+  private def cidExpr(cents: Seq[(Long, Seq[Double], Double)]): Column =
+    if (cents.isEmpty) lit(null).cast("long")
+    else if (cents.lengthCompare(CentroidChunk) <= 0)
+      graft.functions.CentroidAssign.centroid_assign(col("v"), cents)
+    else
+      graft.functions.CentroidAssign.centroid_assign_chunked(col("v"), cents, CentroidChunk)
 
   /** Cosine top-k via IVF: probe the `nprobe` nearest cells per query.
     * Probe→cell selection is the same projection-only centroid scoring as
@@ -190,12 +219,10 @@ object Similarity {
   def ivfTopK(vecDf: DataFrame, probePred: Column, centroidStride: Int,
               nprobe: Int, k: Int): DataFrame = {
     val cents = centroidSet(vecDf, centroidStride)
-    val cArr = centroidLit(cents)
     val asn = assignWith(cents, vecDf)
     val probes = vecDf.filter(probePred)
       .select(col("vec_id").as("qid"),
-        explode(slice(sort_array(centroidScores(cArr, col("v")), asc = false),
-                      1, nprobe)).as("sc"))
+        explode(topCells(cents, col("v"), nprobe)).as("sc"))
       .select(col("qid"), (-col("sc.ncid")).as("cid"))
     val cands = probes.join(asn, Seq("cid"))
       .filter(col("vec_id") =!= col("qid"))
@@ -285,17 +312,12 @@ object Similarity {
   def ivfPqTopK(vecDf: DataFrame, probePred: Column, centroidStride: Int,
                 nprobe: Int, k: Int): DataFrame = {
     val cents = centroidSet(vecDf, centroidStride)
-    val cArr = centroidLit(cents)
     val cb = pqCodebook(vecDf)
-    val cid =
-      if (cents.isEmpty) lit(null).cast("long")
-      else graft.functions.CentroidAssign.centroid_assign(col("v"), cents)
-    val index = vecDf.select(col("vec_id"), cid.as("cid"),
+    val index = vecDf.select(col("vec_id"), cidExpr(cents).as("cid"),
       graft.functions.PqEncode.pq_encode(col("v"), cb, PqSub).as("pq_code"))
     val probes = vecDf.filter(probePred)
       .select(col("vec_id").as("qid"), col("v").as("qv"),
-        explode(slice(sort_array(centroidScores(cArr, col("v")), asc = false),
-                      1, nprobe)).as("sc"))
+        explode(topCells(cents, col("v"), nprobe)).as("sc"))
       .select(col("qid"), col("qv"), (-col("sc.ncid")).as("cid"))
     // each candidate lives in exactly one cell and a probe's nprobe cells
     // are distinct, so (qid, cand) pairs need no dedup

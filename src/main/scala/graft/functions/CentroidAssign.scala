@@ -3,9 +3,9 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, SQLOrderingUtil}
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StructField, StructType}
 
 /** Nearest-centroid assignment as ONE codegen'd expression: for an input
   * vector, returns the id of the cosine-nearest centroid from a fixed
@@ -126,8 +126,114 @@ case class CentroidAssign(
     copy(child = newChild)
 }
 
+/** The best (cosine, −cid) of a centroid CHUNK as a struct — the building
+  * block of the chunked assignment path for centroid sets too large to
+  * scan as one reference object. Struct ordering makes `greatest` over
+  * per-chunk bests equal the global (cos DESC, cid ASC) winner: cos
+  * compares first (Spark's struct comparison uses the same NaN-greatest
+  * total order as SQLOrderingUtil), and on cos ties the larger −cid is
+  * the smaller cid — identical to [[CentroidAssign]]'s scan, which keeps
+  * the first (smallest-cid) incumbent on ties. Same loop, same
+  * accumulation order, so per-chunk argmax + max-of-maxima is
+  * bit-identical to the single-chunk form.
+  */
+case class CentroidBest(
+    child: Expression,
+    cids: Seq[Long],
+    cents: Seq[IndexedSeq[Double]],
+    norms: Seq[Double]) extends UnaryExpression {
+
+  require(cids.nonEmpty && cids.length == cents.length && cids.length == norms.length,
+    "CentroidBest needs a non-empty, aligned centroid set")
+
+  @transient private lazy val cidArr: Array[Long] = cids.toArray
+  @transient private lazy val centArr: Array[Array[Double]] = cents.map(_.toArray).toArray
+  @transient private lazy val normArr: Array[Double] = norms.toArray
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("cos", DoubleType, nullable = false),
+    StructField("ncid", LongType, nullable = false)))
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"centroid_best needs array<double>, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val nv = v.numElements()
+    var vsq = 0.0
+    var i = 0
+    while (i < nv) { val x = v.getDouble(i); vsq += x * x; i += 1 }
+    val vnorm = math.sqrt(vsq)
+    var best = 0.0
+    var bestCid = 0L
+    var first = true
+    var c = 0
+    while (c < centArr.length) {
+      val cv = centArr(c)
+      val n = math.min(nv, cv.length)
+      var dot = 0.0
+      i = 0
+      while (i < n) { dot += v.getDouble(i) * cv(i); i += 1 }
+      val cos = dot / (vnorm * normArr(c))
+      if (first || SQLOrderingUtil.compareDoubles(cos, best) > 0) {
+        first = false; best = cos; bestCid = cidArr(c)
+      }
+      c += 1
+    }
+    new GenericInternalRow(Array[Any](best, -bestCid))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val cidsRef = ctx.addReferenceObj("cids", cidArr, "long[]")
+      val centsRef = ctx.addReferenceObj("cents", centArr, "double[][]")
+      val normsRef = ctx.addReferenceObj("norms", normArr, "double[]")
+      val i = ctx.freshName("i")
+      val c = ctx.freshName("c")
+      val nv = ctx.freshName("nv")
+      val n = ctx.freshName("n")
+      val vsq = ctx.freshName("vsq")
+      val vnorm = ctx.freshName("vnorm")
+      val dot = ctx.freshName("dot")
+      val cos = ctx.freshName("cos")
+      val best = ctx.freshName("best")
+      val bestCid = ctx.freshName("bestCid")
+      val first = ctx.freshName("first")
+      val cv = ctx.freshName("cv")
+      val x = ctx.freshName("x")
+      s"""
+         |int $nv = $v.numElements();
+         |double $vsq = 0.0;
+         |for (int $i = 0; $i < $nv; $i++) {
+         |  double $x = $v.getDouble($i); $vsq += $x * $x;
+         |}
+         |double $vnorm = java.lang.Math.sqrt($vsq);
+         |double $best = 0.0; long $bestCid = 0L; boolean $first = true;
+         |for (int $c = 0; $c < $centsRef.length; $c++) {
+         |  double[] $cv = $centsRef[$c];
+         |  int $n = java.lang.Math.min($nv, $cv.length);
+         |  double $dot = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) { $dot += $v.getDouble($i) * $cv[$i]; }
+         |  double $cos = $dot / ($vnorm * $normsRef[$c]);
+         |  if ($first || org.apache.spark.sql.catalyst.util.SQLOrderingUtil.compareDoubles($cos, $best) > 0) {
+         |    $first = false; $best = $cos; $bestCid = $cidsRef[$c];
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+         |  new Object[]{ $best, -$bestCid });
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object CentroidAssign {
   import org.apache.spark.sql.graftbridge.ColumnBridge
+  import org.apache.spark.sql.functions.greatest
 
   /** `centroid_assign(v)` over centroids given as (cid, vector, norm),
     * pre-sorted here by cid to pin the tie-break order. */
@@ -138,5 +244,28 @@ object CentroidAssign {
       sorted.map(_._1),
       sorted.map(_._2.toIndexedSeq),
       sorted.map(_._3)))
+  }
+
+  /** Chunked assignment for centroid sets past what one expression should
+    * carry (≈√N grows to 10⁵+ at billion-vector scale): the set is split
+    * into `chunkSize` chunks, each scanned by its own [[CentroidBest]],
+    * and the global winner is `greatest` over the per-chunk (cos, −cid)
+    * structs — still ONE projection, no join/shuffle, and bit-identical
+    * to [[centroid_assign]] (pinned by the SimilaritySpec property test).
+    */
+  def centroid_assign_chunked(v: Column, centroids: Seq[(Long, Seq[Double], Double)],
+                              chunkSize: Int): Column = {
+    require(chunkSize > 0, "chunkSize must be positive")
+    val sorted = centroids.sortBy(_._1)
+    val chunks = sorted.grouped(chunkSize).toSeq
+    if (chunks.lengthCompare(1) <= 0) centroid_assign(v, centroids)
+    else {
+      val bests = chunks.map { ch =>
+        ColumnBridge.column(CentroidBest(
+          ColumnBridge.expression(v),
+          ch.map(_._1), ch.map(_._2.toIndexedSeq), ch.map(_._3)))
+      }
+      -greatest(bests: _*).getField("ncid")
+    }
   }
 }

@@ -26,13 +26,15 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
   */
 case class PqEncode(
     child: Expression,
-    codebook: Seq[Seq[IndexedSeq[Double]]], // (m)(k)(j)
-    subDim: Int) extends UnaryExpression {
+    codebook: Seq[Seq[IndexedSeq[Double]]], // (m)(k)(j) — subspaces mOffset until mOffset+len
+    subDim: Int,
+    mOffset: Int = 0) extends UnaryExpression {
 
   require(codebook.nonEmpty && codebook.forall(_.nonEmpty), "empty codebook")
   require(codebook.forall(_.length == codebook.head.length), "ragged codebook")
   require(codebook.head.length <= 16, "K must be <= 16 (4-bit codes)")
-  require(codebook.length * 4 <= 64, "too many subspaces to pack")
+  require(mOffset >= 0 && (mOffset + codebook.length) * 4 <= 64,
+    "too many subspaces to pack")
 
   // Seq fields give VALUE equality (semanticEquals / cached-plan reuse);
   // the primitive view is what the hot loop indexes.
@@ -54,7 +56,7 @@ case class PqEncode(
     var m = 0
     while (m < cbArr.length) {
       val ks = cbArr(m)
-      val off = m * subDim
+      val off = (mOffset + m) * subDim
       var bestK = 0
       var bestD = Double.NaN
       var k = 0
@@ -69,7 +71,7 @@ case class PqEncode(
         if (k == 0 || d < bestD) { bestD = d; bestK = k }
         k += 1
       }
-      packed |= bestK.toLong << (4 * m)
+      packed |= bestK.toLong << (4 * (mOffset + m))
       m += 1
     }
     packed
@@ -98,7 +100,7 @@ case class PqEncode(
          |long $packed = 0L;
          |for (int $m = 0; $m < $cbRef.length; $m++) {
          |  double[][] $ks = $cbRef[$m];
-         |  int $off = $m * $sd;
+         |  int $off = ($mOffset + $m) * $sd;
          |  int $bestK = 0; double $bestD = Double.NaN;
          |  for (int $k = 0; $k < $ks.length; $k++) {
          |    double[] $cw = $ks[$k];
@@ -109,7 +111,7 @@ case class PqEncode(
          |    }
          |    if ($k == 0 || $d < $bestD) { $bestD = $d; $bestK = $k; }
          |  }
-         |  $packed |= ((long) $bestK) << (4 * $m);
+         |  $packed |= ((long) $bestK) << (4 * ($mOffset + $m));
          |}
          |${ev.value} = $packed;
        """.stripMargin
@@ -129,4 +131,25 @@ object PqEncode {
       ColumnBridge.expression(v),
       codebook.map(_.map(_.toIndexedSeq)),
       subDim))
+
+  /** Chunked encoder for codebooks past what one expression should carry:
+    * subspaces are split into groups of `mChunk`, each group encodes its
+    * own bit range (the `mOffset` shift), and the packed results combine
+    * with bitwise OR — disjoint bits, so the composition is bit-identical
+    * to [[pq_encode]] (pinned by the SimilaritySpec property test). Still
+    * ONE projection, no join/shuffle.
+    */
+  def pq_encode_chunked(v: Column, codebook: Seq[Seq[Seq[Double]]], subDim: Int,
+                        mChunk: Int): Column = {
+    require(mChunk > 0, "mChunk must be positive")
+    val groups = codebook.zipWithIndex.grouped(mChunk).toSeq
+    if (groups.lengthCompare(1) <= 0) pq_encode(v, codebook, subDim)
+    else groups.map { g =>
+      ColumnBridge.column(PqEncode(
+        ColumnBridge.expression(v),
+        g.map(_._1.map(_.toIndexedSeq)),
+        subDim,
+        mOffset = g.head._2)): Column
+    }.reduce(_.bitwiseOR(_))
+  }
 }

@@ -132,6 +132,61 @@ class SimilaritySpec extends AnyFunSuite {
     assert(nul.select(PqAdc.pq_adc(typedLit(q), col("code"), cb, S)).head.isNullAt(0))
   }
 
+  test("chunked centroid/codebook forms are bit-identical to the single-shot forms") {
+    import spark.implicits._
+    import graft.functions.{CentroidAssign, PqEncode}
+    val rnd = new scala.util.Random(23)
+    val dim = Similarity.Dim
+    def norm(v: Seq[Double]): Double = {
+      var acc = 0.0; v.foreach(x => acc += x * x); math.sqrt(acc)
+    }
+    // 37 centroids (deliberately not a multiple of any chunk size below)
+    val cents = (0 until 37).map { i =>
+      val v = Seq.fill(dim)(rnd.nextDouble() - 0.5)
+      (i * 3L, v, norm(v))
+    }
+    val vecs = (0 until 300).map(i => (i.toLong, Seq.fill(dim)(rnd.nextDouble() - 0.5)))
+      .toDF("vec_id", "v").withColumn("v", col("v").cast("array<double>"))
+      .cache()
+
+    // assignment: per-chunk argmax + greatest-of-maxima == global scan,
+    // at chunk sizes that leave 1-element tails, even splits, and a
+    // single-chunk degenerate case
+    val single = vecs.select(col("vec_id"),
+      CentroidAssign.centroid_assign(col("v"), cents).as("cid"))
+    Seq(4, 9, 10, 36, 37, 100).foreach { cs =>
+      val chunked = vecs.select(col("vec_id"),
+        CentroidAssign.centroid_assign_chunked(col("v"), cents, cs).as("cid"))
+      assert(chunked.except(single).isEmpty && single.except(chunked).isEmpty,
+        s"chunked assignment diverges at chunkSize=$cs")
+    }
+
+    // probe-side top-nprobe cells: per-chunk top-n + merge == global top-n
+    val singleCells = vecs.select(col("vec_id"),
+      Similarity.topCells(cents, col("v"), 3, chunk = cents.size + 1).as("sc"))
+    Seq(4, 9, 36, 37).foreach { cs =>
+      val chunkedCells = vecs.select(col("vec_id"),
+        Similarity.topCells(cents, col("v"), 3, chunk = cs).as("sc"))
+      assert(chunkedCells.except(singleCells).isEmpty
+          && singleCells.except(chunkedCells).isEmpty,
+        s"chunked cell selection diverges at chunk=$cs")
+    }
+
+    // PQ: per-subspace-group encode + bitwise OR == one-shot encode
+    val M = 8; val S = 8; val K = 16
+    val cb: Seq[Seq[Seq[Double]]] =
+      Seq.fill(M)(Seq.fill(K)(Seq.fill(S)(rnd.nextDouble() - 0.5)))
+    val oneShot = vecs.select(col("vec_id"),
+      PqEncode.pq_encode(col("v"), cb, S).as("code"))
+    Seq(1, 3, 5, 8).foreach { mc =>
+      val chunked = vecs.select(col("vec_id"),
+        PqEncode.pq_encode_chunked(col("v"), cb, S, mc).as("code"))
+      assert(chunked.except(oneShot).isEmpty && oneShot.except(chunked).isEmpty,
+        s"chunked PQ encode diverges at mChunk=$mc")
+    }
+    vecs.unpersist()
+  }
+
   test("LSH agrees with brute force whenever the true top-1 is a candidate") {
     import spark.implicits._
     val probePred = col("vec_id") % 2 === 0
