@@ -217,8 +217,13 @@ object Similarity {
     * shuffle, on either side of the cell assignment.
     */
   def ivfTopK(vecDf: DataFrame, probePred: Column, centroidStride: Int,
-              nprobe: Int, k: Int): DataFrame = {
-    val cents = centroidSet(vecDf, centroidStride)
+              nprobe: Int, k: Int): DataFrame =
+    ivfTopKWith(vecDf, centroidSet(vecDf, centroidStride), probePred, nprobe, k)
+
+  /** [[ivfTopK]] against an explicit centroid set — the entry point for
+    * k-means-refined centroids ([[refineCentroids]]). */
+  def ivfTopKWith(vecDf: DataFrame, cents: Seq[(Long, Seq[Double], Double)],
+                  probePred: Column, nprobe: Int, k: Int): DataFrame = {
     val asn = assignWith(cents, vecDf)
     val probes = vecDf.filter(probePred)
       .select(col("vec_id").as("qid"),
@@ -235,6 +240,57 @@ object Similarity {
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
   }
 
+  // ---------------- k-means (Lloyd) centroid refinement ----------------
+
+  /** A few Lloyd rounds over the corpus, as DataFrame iterations:
+    *
+    *  - assign: the codegen'd [[graft.functions.CentroidAssign]] projection
+    *    (auto-chunked) — no join, no shuffle;
+    *  - update: per-cell element-wise mean via `Dim` decimal sums + a
+    *    count — ONE map-side-combined shuffle of #cells × Dim partial
+    *    aggregates per round, then a #cells-row collect (metadata-scale,
+    *    the same data the next round's expression would broadcast anyway).
+    *
+    * Determinism: elements are rounded to 9dp then summed as
+    * DECIMAL(28,12) (order-independent), and the mean is
+    * `round(sum/count, 9)` computed IN the engine — so the DuckDB oracle's
+    * unrolled rounds derive bit-identical centroids, and reruns are exact.
+    * Empty cells keep their previous centroid (standard Lloyd). Each
+    * round's plan is re-rooted at `vecDf` with the new centroids as plain
+    * reference data — no growing lineage, nothing to checkpoint.
+    */
+  def refineCentroids(vecDf: DataFrame, init: Seq[(Long, Seq[Double], Double)],
+                      rounds: Int): Seq[(Long, Seq[Double], Double)] = {
+    var cents = init
+    var r = 0
+    while (r < rounds && cents.nonEmpty) {
+      val sums = (0 until Dim).map(j =>
+        sum(round(col("v")(j), 9).cast("decimal(28,12)")).as(s"s$j"))
+      val means = (0 until Dim).map(j =>
+        round(col(s"s$j").cast("double") / col("n"), 9).as(s"m$j"))
+      val rows = vecDf
+        .select(cidExpr(cents).as("cid"), col("v"))
+        .groupBy("cid")
+        .agg(count(lit(1)).as("n"), sums: _*)
+        .select(col("cid") +: means: _*)
+        .collect()
+      val upd = rows.map(row =>
+        row.getLong(0) -> (1 to Dim).map(row.getDouble).toIndexedSeq).toMap
+      cents = cents.map { case (cid, v, nrm) =>
+        upd.get(cid) match {
+          case Some(mu) =>
+            // same left-to-right accumulation as list_dot_product / the
+            // CentroidAssign kernel, so the stored norm is bit-exact
+            var acc = 0.0; mu.foreach(x => acc += x * x)
+            (cid, mu, math.sqrt(acc))
+          case None => (cid, v, nrm)
+        }
+      }
+      r += 1
+    }
+    cents
+  }
+
   // ---------------- product quantization (PQ) ----------------
   val PqM = 8       // subspaces
   val PqSub = 8     // dims per subspace (PqM * PqSub = Dim)
@@ -245,7 +301,7 @@ object Similarity {
     * driver-side (metadata-scale: PqK vectors). A k-means-refined codebook
     * drops in behind the same interface.
     */
-  private def pqCodebook(vecDf: DataFrame): Seq[Seq[Seq[Double]]] = {
+  private[graft] def pqCodebook(vecDf: DataFrame): Seq[Seq[Seq[Double]]] = {
     val train = vecDf.filter(col("vec_id") < PqK)
       .select(col("vec_id"), col("v")).collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1)
@@ -253,6 +309,48 @@ object Similarity {
       case (_, v) => v.slice(m * PqSub, (m + 1) * PqSub)
     })
   }
+
+  /** Per-subspace Lloyd rounds for the PQ codebook: assign is the
+    * codegen'd [[graft.functions.PqEncode]] projection (each subspace's
+    * 4-bit code IS its cluster id), update is the per-(m, k) subvector
+    * mean — one map-side-combined shuffle of ≤ PqM·PqK·PqSub partial
+    * aggregates per round, then a ≤ PqM·PqK-row collect. Same
+    * 9dp-round/decimal-sum determinism as [[refineCentroids]]; empty
+    * codewords keep their previous value.
+    */
+  def refinePqCodebook(vecDf: DataFrame, init: Seq[Seq[Seq[Double]]],
+                       rounds: Int): Seq[Seq[Seq[Double]]] = {
+    var cb = init
+    var r = 0
+    while (r < rounds) {
+      val coded = vecDf
+        .select(col("v"),
+          graft.functions.PqEncode.pq_encode(col("v"), cb, PqSub).as("code"))
+        .select(col("v"), explode(sequence(lit(0), lit(PqM - 1))).as("m"), col("code"))
+        .select(col("m"),
+          expr("cast(shiftright(code, 4 * m) & 15 as int)").as("k"), col("v"))
+      val sums = (0 until PqSub).map(j =>
+        sum(round(expr(s"v[m * $PqSub + $j]"), 9).cast("decimal(28,12)")).as(s"s$j"))
+      val means = (0 until PqSub).map(j =>
+        round(col(s"s$j").cast("double") / col("n"), 9).as(s"u$j"))
+      val rows = coded.groupBy("m", "k")
+        .agg(count(lit(1)).as("n"), sums: _*)
+        .select(col("m") +: col("k") +: means: _*)
+        .collect()
+      val upd = rows.map(row => (row.getInt(0), row.getInt(1)) ->
+        (0 until PqSub).map(j => row.getDouble(2 + j))).toMap
+      cb = cb.zipWithIndex.map { case (ks, m) =>
+        ks.zipWithIndex.map { case (cw, k) => upd.getOrElse((m, k), cw.toSeq) }
+      }
+      r += 1
+    }
+    cb
+  }
+
+  /** [[pqCodes]] against an explicit codebook (for refined codebooks). */
+  def pqCodesWith(vecDf: DataFrame, cb: Seq[Seq[Seq[Double]]]): DataFrame =
+    vecDf.select(col("vec_id"),
+      graft.functions.PqEncode.pq_encode(col("v"), cb, PqSub).as("pq_code"))
 
   /** (vec_id, pq_code): every vector encoded to ONE packed long (4 bits
     * per subspace code) — 8 bytes instead of 512, the 64× compression an
@@ -373,6 +471,36 @@ object Similarity {
       s"list_reduce(list_transform(range($PqSub), j -> " +
       s"($qv[m*$PqSub+j+1] - $rv[m*$PqSub+j+1]) * ($qv[m*$PqSub+j+1] - $rv[m*$PqSub+j+1])), " +
       s"(a, t) -> a + t)), (a, t) -> a + t)"
+
+  /** One unrolled Lloyd round as DuckDB CTEs — the SQL mirror of a
+    * [[refineCentroids]] iteration: assign every vector to its
+    * cosine-nearest centroid of `prevC`, then `newC` = per-cell
+    * element-wise mean (9dp-rounded decimal sums, mean re-rounded to 9dp —
+    * the identical arithmetic the Spark side performs in-engine), with
+    * empty cells keeping their previous centroid.
+    */
+  private def lloydRoundSql(prevC: String, tag: String, newC: String): String =
+    s"""a$tag AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT e.vec_id, c.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cosRawSql("e.v", "c.cv")} DESC, c.cid) AS rn
+       |    FROM e, $prevC c
+       |  ) WHERE rn = 1
+       |),
+       |u$tag AS (
+       |  SELECT a.cid, r.j,
+       |    round(CAST(sum(CAST(round(e.v[r.j+1], 9) AS DECIMAL(28,12))) AS DOUBLE)
+       |          / count(*), 9) AS mu
+       |  FROM a$tag a JOIN e USING (vec_id) CROSS JOIN range($Dim) r(j)
+       |  GROUP BY a.cid, r.j
+       |),
+       |$newC AS (
+       |  SELECT c.cid, coalesce(u.cv, c.cv) AS cv
+       |  FROM $prevC c LEFT JOIN (
+       |    SELECT cid, list(mu ORDER BY j) AS cv FROM u$tag GROUP BY cid
+       |  ) u USING (cid)
+       |)""".stripMargin
 
   /** The same plane/signature/probe pipeline as DuckDB SQL fragments. */
   private val planesSql =
@@ -529,6 +657,55 @@ object Similarity {
       // doubles, left-to-right dot accumulation) — rounding first would
       // manufacture rank ties
       ivfTopK(vecs(s, d), col("vec_id") < 20, centroidStride = 25, nprobe = 2, k = 1)
+        .select("qid", "cand", "cos_r")
+        .orderBy("qid")
+    },
+
+    // ---- IVF with k-means-refined centroids: 2 Lloyd rounds then search ----
+    // The training step a real IVF index runs before serving: assign is the
+    // same projection-only CentroidAssign, the update is Dim decimal sums
+    // per cell (map-side combined, metadata-scale collect), and the search
+    // is identical to q_embed_ivf against the refined cells. The oracle
+    // unrolls both Lloyd rounds as CTEs with the identical 9dp/decimal
+    // arithmetic, so centroids — and therefore cells, candidates, and
+    // ranking — match bit-for-bit.
+    Q("q_embed_ivf_kmeans",
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 25 = 0),
+         |${lloydRoundSql("c0", "1", "c1")},
+         |${lloydRoundSql("c1", "2", "c2")},
+         |asn AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT e.vec_id, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${cosRawSql("e.v", "c.cv")} DESC, c.cid) AS rn
+         |    FROM e, c2 c
+         |  ) WHERE rn = 1
+         |),
+         |probes AS (
+         |  SELECT qid, cid FROM (
+         |    SELECT e.vec_id AS qid, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${cosRawSql("e.v", "c.cv")} DESC, c.cid) AS rn
+         |    FROM e, c2 c WHERE e.vec_id < 20
+         |  ) WHERE rn <= 2
+         |),
+         |cand AS (
+         |  SELECT DISTINCT p.qid, a.vec_id AS cand
+         |  FROM probes p JOIN asn a ON a.cid = p.cid AND a.vec_id <> p.qid
+         |),
+         |scored AS (
+         |  SELECT qid, cand, ${cosSql("x.v", "y.v")} AS cos_r
+         |  FROM cand JOIN e x ON x.vec_id = qid JOIN e y ON y.vec_id = cand
+         |)
+         |SELECT qid, cand, cos_r FROM (
+         |  SELECT qid, cand, cos_r,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cos_r DESC, cand) AS rn
+         |  FROM scored
+         |) WHERE rn = 1 ORDER BY qid""".stripMargin) { (s, d) =>
+      val v = vecs(s, d)
+      val refined = refineCentroids(v, centroidSet(v, 25), rounds = 2)
+      ivfTopKWith(v, refined, col("vec_id") < 20, nprobe = 2, k = 1)
         .select("qid", "cand", "cos_r")
         .orderBy("qid")
     },

@@ -132,6 +132,55 @@ class SimilaritySpec extends AnyFunSuite {
     assert(nul.select(PqAdc.pq_adc(typedLit(q), col("code"), cb, S)).head.isNullAt(0))
   }
 
+  test("k-means refinement: recall at least matches the strided baseline, cells stay balanced") {
+    import spark.implicits._
+    val probePred = col("vec_id") % 2 === 0
+    val corpus = planted.cache()
+    val init = corpus.filter(col("vec_id") % 4 === 0)
+      .select(col("vec_id"), col("v")).collect()
+      .map { r =>
+        val v = r.getSeq[Double](1)
+        var acc = 0.0; v.foreach(x => acc += x * x)
+        (r.getLong(0), v, math.sqrt(acc))
+      }.sortBy(_._1).toSeq
+    val refined = Similarity.refineCentroids(corpus, init, rounds = 3)
+    assert(refined.size == init.size, "Lloyd must preserve the centroid count")
+
+    def recall(cents: Seq[(Long, Seq[Double], Double)]): Int =
+      Similarity.ivfTopKWith(corpus, cents, probePred, nprobe = 2, k = 1)
+        .select(col("qid"), col("cand")).collect()
+        .count(r => r.getLong(1) == r.getLong(0) + 1)
+    val base = recall(init)
+    val ref = recall(refined)
+    // Lloyd tightens cells around the data, so twin-recall must not regress
+    // (and the strided baseline itself must clear the IVF test's 0.6 bar)
+    assert(ref >= base, s"k-means recall $ref regressed below strided $base")
+    assert(ref >= (nBase * 0.6).toInt, s"k-means recall@1 = $ref/$nBase")
+    corpus.unpersist()
+  }
+
+  test("PQ codebook refinement: reconstruction error never regresses") {
+    import graft.functions.{PqAdc, PqEncode}
+    val corpus = planted.cache()
+    val init = Similarity.pqCodebook(corpus) // first-16-vectors baseline
+    val refined = Similarity.refinePqCodebook(corpus, init, rounds = 2)
+    assert(refined.length == init.length && refined.head.length == init.head.length,
+      "Lloyd must preserve codebook shape")
+
+    // mean ||v - recon(v)||^2 over the corpus: PqAdc against a vector's OWN
+    // code is exactly the quantization error; Lloyd must not increase it
+    def err(cb: Seq[Seq[Seq[Double]]]): Double = corpus
+      .select(PqAdc.pq_adc(col("v"),
+        PqEncode.pq_encode(col("v"), cb, Similarity.PqSub), cb, Similarity.PqSub).as("e"))
+      .agg(avg("e")).head().getDouble(0)
+    val e0 = err(init)
+    val e1 = err(refined)
+    assert(e1 <= e0 + 1e-9, s"refined codebook error $e1 above baseline $e0")
+    // and on this corpus the improvement is substantial, not epsilon
+    assert(e1 < e0 * 0.9, s"expected >10% error reduction, got $e0 -> $e1")
+    corpus.unpersist()
+  }
+
   test("chunked centroid/codebook forms are bit-identical to the single-shot forms") {
     import spark.implicits._
     import graft.functions.{CentroidAssign, PqEncode}
