@@ -202,6 +202,54 @@ class GraphExportSpec extends AnyFunSuite {
     assert(t("child_thing").select("extra").head.getLong(0) == 7L)
   }
 
+  test("contract conformance: docs/GRAPH_EXPORT.md clauses hold") {
+    val dir = Files.createTempDirectory("graft-export-contract")
+    val lines = Seq(
+      // kind with every optional field ABSENT: defaults are no bases,
+      // aggregate_root=true, no properties
+      """{"type":"kind","fqn":"bare_kind"}""",
+      // kind exercising the documented defaults on properties
+      """{"type":"kind","fqn":"thing","properties":[{"name":"id","kind":"string"},{"name":"n","kind":"int64"}]}""",
+      // unknown record type: ignored, not fatal
+      """{"type":"metric","name":"collect_seconds","value":12}""",
+      // malformed line: dropped, not fatal
+      """{"type":"node","id":"broken""",
+      // node with reported ABSENT, and one with reported null
+      """{"type":"node","id":"t0","kind":"thing"}""",
+      """{"type":"node","id":"t1","kind":"thing","reported":null}""",
+      // node with an embedded object carrying an UNDECLARED property
+      // (ignored) and a declared one
+      """{"type":"node","id":"t2","kind":"thing","reported":{"id":"t2","n":5,"undeclared":"x"}}""",
+      """{"type":"node","id":"b0","kind":"bare_kind"}""",
+      // dangling edge (endpoint never exported): dropped by resolution
+      """{"type":"edge","from":"t2","to":"ghost"}""",
+      """{"type":"edge","from":"t2","to":"t1"}""",
+      // record order is insignificant: a kind AFTER its nodes
+      """{"type":"kind","fqn":"late_kind","aggregate_root":false}""")
+    Files.write(dir.resolve("graph.jsonl"), lines.asJava)
+
+    val g = GraphNormalizer.fromJsonExport(spark, dir.toString)
+    // defaults per the contract table
+    val bare = g.model("bare_kind")
+    assert(bare.bases.isEmpty && bare.aggregateRoot && bare.properties.isEmpty)
+    assert(!g.model("late_kind").aggregateRoot)
+
+    val tables = GraphNormalizer.normalize(g)
+    // non-root late_kind gets no table; property-less bare_kind projects an
+    // empty schema and is counted by its rows
+    assert(tables.keySet == Set("bare_kind", "thing", "link_thing_thing"),
+      s"tables: ${tables.keySet}")
+    val thing = tables("thing").orderBy("id").collect()
+    assert(thing.map(_.getString(0)).toSeq == Seq(null, null, "t2"),
+      "absent/null reported -> all-NULL projection; object reported -> values")
+    assert(thing.map(r => Option(r.get(1))).toSeq == Seq(None, None, Some(5L)))
+    // the malformed node line vanished (3 thing rows, not 4)
+    assert(tables("thing").count() == 3)
+    // dangling edge dropped; the resolvable one survived
+    val links = tables("link_thing_thing").collect()
+    assert(links.map(r => (r.getString(0), r.getString(1))).toSeq == Seq(("t2", "t1")))
+  }
+
   test("export without kind records is rejected unless a fallback model is given") {
     val dir = Files.createTempDirectory("graft-export-nomodel")
     val noKinds = exportLines.filterNot(_.contains("\"type\":\"kind\""))
