@@ -97,6 +97,37 @@ object Dedup {
       .filter(col("doc_a") < col("doc_b"))
   }
 
+  /** Content-defined chunks of (doc_id, text): one row per chunk with its
+    * token count and 48-bit content hash. A chunk boundary falls BEFORE
+    * token i exactly when the bigram hash h31(tok[i−1] ⧺ ' ' ⧺ tok[i]) lands
+    * in the residue class ≡ 0 (mod 16) — expected chunk ≈ 16 tokens.
+    * Because the rule reads only the two adjacent tokens, boundaries are a
+    * LOCAL property of the text: the same paragraph chunks identically
+    * wherever it appears (CdcChunkSpec pins the two selling points —
+    * position invariance and single-token-edit locality). Scale shape: one
+    * window partitioned by doc_id (lag + boundary prefix-sum), then a
+    * per-(doc, chunk) aggregate on the SAME partitioning — no extra
+    * exchange, no self-join.
+    */
+  def cdcChunks(docs: DataFrame): DataFrame = {
+    val tok = docs
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val chunked = tok
+      .withColumn("prev", lag("tok", 1).over(w))
+      .withColumn("chunk",
+        sum(when(col("prev").isNotNull &&
+                 h31(concat_ws(" ", col("prev"), col("tok"))) % 16 === 0, 1)
+          .otherwise(0)).over(w))
+    // chunk text reassembled in token order; the (doc_id, chunk) group
+    // runs on the window's existing doc_id partitioning — no re-shuffle
+    chunked.groupBy("doc_id", "chunk")
+      .agg(count(lit(1)).as("n_toks"),
+           h48(concat_ws(" ",
+             transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+                       st => st.getField("tok")))).as("h"))
+  }
+
   /** (doc_id, band, key): the minhash signature exploded to its 4 LSH
     * bands (2 signature rows per band, keyed as a struct) — the shared
     * index shape for pair generation AND incremental lookups.
@@ -470,22 +501,7 @@ object Dedup {
          |  min(n_toks) AS n_toks
          |FROM chunks GROUP BY h HAVING count(DISTINCT doc_id) > 1
          |ORDER BY n_docs DESC, n_occ DESC, h LIMIT 25""".stripMargin) { (s, d) =>
-      val tok = Tables.documents(s, d)
-        .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
-      val w = Window.partitionBy("doc_id").orderBy("pos")
-      val chunked = tok
-        .withColumn("prev", lag("tok", 1).over(w))
-        .withColumn("chunk",
-          sum(when(col("prev").isNotNull &&
-                   h31(concat_ws(" ", col("prev"), col("tok"))) % 16 === 0, 1)
-            .otherwise(0)).over(w))
-      // chunk text reassembled in token order; the (doc_id, chunk) group
-      // runs on the window's existing doc_id partitioning — no re-shuffle
-      val chunks = chunked.groupBy("doc_id", "chunk")
-        .agg(count(lit(1)).as("n_toks"),
-             h48(concat_ws(" ",
-               transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
-                         st => st.getField("tok")))).as("h"))
+      val chunks = cdcChunks(Tables.documents(s, d).select(col("doc_id"), col("text")))
         .filter(col("n_toks") >= 4)
       chunks.groupBy("h")
         .agg(count(lit(1)).as("n_occ"), countDistinct("doc_id").as("n_docs"),
