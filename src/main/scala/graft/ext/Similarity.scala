@@ -133,7 +133,7 @@ object Similarity {
     * downstream cosines are bit-identical to computing the norm per row
     * (but ~half the per-centroid work).
     */
-  private def centroidSet(vecDf: DataFrame, centroidStride: Int): Seq[(Long, Seq[Double], Double)] =
+  private[graft] def centroidSet(vecDf: DataFrame, centroidStride: Int): Seq[(Long, Seq[Double], Double)] =
     vecDf.filter(col("vec_id") % centroidStride === 0)
       .select(col("vec_id"), col("v"))
       .collect()
@@ -204,7 +204,7 @@ object Similarity {
   }
 
   /** Nearest-centroid id expression, auto-chunked past [[CentroidChunk]]. */
-  private def cidExpr(cents: Seq[(Long, Seq[Double], Double)]): Column =
+  private[graft] def cidExpr(cents: Seq[(Long, Seq[Double], Double)]): Column =
     if (cents.isEmpty) lit(null).cast("long")
     else if (cents.lengthCompare(CentroidChunk) <= 0)
       graft.functions.CentroidAssign.centroid_assign(col("v"), cents)

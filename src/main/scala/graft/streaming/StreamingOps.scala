@@ -137,6 +137,49 @@ object StreamingOps {
       .join(bandIndex.select("band", "key").distinct(), Seq("band", "key"))
       .select(col("doc_id"), col("band"))
 
+  /** Streaming ANN index maintenance — the embedding analogue of the
+    * (band, key) dedup index. An IVF-PQ index row (vec_id, cell id,
+    * packed 8-byte code) is a PURE PER-ROW PROJECTION (the codegen'd
+    * CentroidAssign + PqEncode expressions), so appending to the index
+    * from a stream is stateless: each micro-batch produces exactly the
+    * rows a batch rebuild would produce for those vectors (batch ≡
+    * streaming, pinned by StreamingSpec). Maintain the table with
+    * [[maintainSnapshot]]-style appends; it is keyed by vec_id, and the
+    * centroids/codebook are the frozen training artifacts a production
+    * index versions separately (re-training ⇒ re-encode, a batch job).
+    */
+  def annIndexRows(vecs: DataFrame,
+                   cents: Seq[(Long, Seq[Double], Double)],
+                   cb: Seq[Seq[Seq[Double]]]): DataFrame =
+    vecs.select(col("vec_id"), graft.ext.Similarity.cidExpr(cents).as("cid"),
+      graft.functions.PqEncode.pq_encode(col("v"), cb, graft.ext.Similarity.PqSub)
+        .as("pq_code"))
+
+  /** Streaming ANN probe (the q_embed_ivfpq shape as a stream): each
+    * incoming probe vector selects its `nprobe` nearest cells
+    * (projection-only), equi-joins the STATIC IVF-PQ index on cid — a
+    * stream-static hash join, stateless on the stream side — and scores
+    * candidate CODES with the PqAdc kernel. Emits (qid, cand, adc) for
+    * candidates within `maxDist` — the flag-shaped output a stateless
+    * stream can produce; per-probe top-k needs a downstream batch/window
+    * finisher, exactly like the dedup flags feed a batch closure job.
+    */
+  def incrementalAnn(incoming: DataFrame, index: DataFrame,
+                     cents: Seq[(Long, Seq[Double], Double)],
+                     cb: Seq[Seq[Seq[Double]]],
+                     nprobe: Int, maxDist: Double): DataFrame = {
+    val probes = incoming
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        explode(graft.ext.Similarity.topCells(cents, col("v"), nprobe)).as("sc"))
+      .select(col("qid"), col("qv"), (-col("sc.ncid")).as("cid"))
+    probes.join(index, Seq("cid"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("cand"),
+        graft.functions.PqAdc.pq_adc(col("qv"), col("pq_code"), cb,
+          graft.ext.Similarity.PqSub).as("adc"))
+      .filter(col("adc") <= maxDist)
+  }
+
   /** Typed rows for the custom-state operator below (case-class Encoders —
     * the `Dataset[T]` surface SURVEY §1.3 reserves for fixed internal
     * records).

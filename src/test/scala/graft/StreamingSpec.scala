@@ -224,6 +224,66 @@ class StreamingSpec extends AnyFunSuite {
     assert(perRow.exceptAll(batchBands).isEmpty && batchBands.exceptAll(perRow).isEmpty)
   }
 
+  test("streaming ANN index rows equal a batch rebuild, micro-batch by micro-batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.ext.Similarity
+    val corpus = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val cents = Similarity.centroidSet(corpus, 10)
+    val cb = Similarity.pqCodebook(corpus)
+    val rows = corpus.select(col("vec_id"), col("v")).as[(Long, Seq[Double])].collect()
+
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val incoming = mem.toDF.toDF("vec_id", "v")
+    val q = StreamingOps.annIndexRows(incoming, cents, cb)
+      .writeStream.format("memory").queryName("annidx_out")
+      .outputMode("append").start()
+    try {
+      // three uneven micro-batches: the upsert is per-row, so batching
+      // must not change a single index row
+      val (b1, rest) = rows.splitAt(rows.length / 3)
+      val (b2, b3) = rest.splitAt(rest.length / 2)
+      Seq(b1, b2, b3).foreach { b => mem.addData(b.toSeq: _*); q.processAllAvailable() }
+      val streamed = spark.table("annidx_out")
+      val batch = StreamingOps.annIndexRows(corpus, cents, cb)
+      assert(streamed.count() == rows.length)
+      assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+        "streaming index rows diverge from the batch rebuild")
+    } finally q.stop()
+  }
+
+  test("streaming ANN probe flags the same neighbors as the batch operator") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.ext.Similarity
+    val corpus = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val cents = Similarity.centroidSet(corpus, 10)
+    val cb = Similarity.pqCodebook(corpus)
+    val index = StreamingOps.annIndexRows(corpus, cents, cb).cache()
+    val probeRows = corpus.filter(col("vec_id") < 8)
+      .as[(Long, Seq[Double])].collect()
+    // threshold wide enough to flag real candidates on random vectors
+    val maxDist = 2.5
+
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val incoming = mem.toDF.toDF("vec_id", "v")
+    val q = StreamingOps.incrementalAnn(incoming, index, cents, cb, nprobe = 2, maxDist)
+      .writeStream.format("memory").queryName("annprobe_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(probeRows.toSeq: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("annprobe_out")
+      val batch = StreamingOps.incrementalAnn(
+        corpus.filter(col("vec_id") < 8), index, cents, cb, 2, maxDist)
+      assert(batch.count() > 0, "test threshold flags nothing — widen maxDist")
+      assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+        "streaming probe output diverges from the batch operator")
+    } finally { q.stop(); index.unpersist() }
+  }
+
   test("streaming incremental dedup flags near-dups of the static corpus") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
