@@ -84,6 +84,10 @@ object GraftConfig {
     * (util.py:70-87) instead of at write time deep inside a Spark job.
     */
   private val driverClasses: Map[String, Seq[String]] = Map(
+    // derby is NOT a reference dialect — it stays because it is the one
+    // JDBC database that can run embedded in this sandbox, making it the
+    // e2e vehicle for the generic JdbcSnapshotCommit path (README
+    // "Derby stays, deliberately")
     "derby"      -> Seq("org.apache.derby.iapi.jdbc.AutoloadedDriver",
                         "org.apache.derby.jdbc.EmbeddedDriver"),
     "sqlite"     -> Seq("org.sqlite.JDBC"),
