@@ -616,6 +616,52 @@ object Similarity {
         .limit(20)
     },
 
+    // ---- semantic dedup (SemDeDup shape): within-IVF-cell cosine pruning ----
+    // The embedding-cluster dedup pass of a curation pipeline: cluster the
+    // corpus with the IVF coarse quantizer (projection-only assignment),
+    // compare vectors ONLY within their cell (the quadratic is bounded by
+    // cell size ≈ √N — the same cost envelope the SemDeDup paper's
+    // per-cluster scan accepts), and drop every vector that has a
+    // lower-id in-cell neighbor above the similarity threshold. Output is
+    // the audit table: each dropped id with its lowest-id retained
+    // near-duplicate and the strongest similarity that doomed it. One
+    // shuffle (by cid) for the self-join; nothing corpus-quadratic.
+    Q("q_dedup_semdedup", {
+      def cosRaw(a: String, b: String) =
+        s"$DotSql($a, $b) / (sqrt($DotSql($a, $a)) * sqrt($DotSql($b, $b)))"
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 25 = 0),
+         |asn AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT e.vec_id, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${cosRaw("e.v", "c.cv")} DESC, c.cid) AS rn
+         |    FROM e, c
+         |  ) WHERE rn = 1
+         |),
+         |p AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, ${cosSql("x.v", "y.v")} AS cos_r
+         |  FROM asn a JOIN asn b ON a.cid = b.cid AND a.vec_id < b.vec_id
+         |  JOIN e x ON x.vec_id = a.vec_id JOIN e y ON y.vec_id = b.vec_id
+         |)
+         |SELECT id_b AS dropped, min(id_a) AS kept, max(cos_r) AS max_cos
+         |FROM p WHERE cos_r >= 0.2 GROUP BY id_b ORDER BY dropped""".stripMargin
+    }) { (s, d) =>
+      val v = vecs(s, d)
+      val cents = centroidSet(v, 25)
+      val asn = v.select(col("vec_id"), col("v"), cidExpr(cents).as("cid"))
+      asn.select(col("cid"), col("vec_id").as("id_a"), col("v").as("va"))
+        .join(asn.select(col("cid"), col("vec_id").as("id_b"), col("v").as("vb")),
+              Seq("cid"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+                round(cosine(col("va"), col("vb")), 6).as("cos_r"))
+        .filter(col("cos_r") >= 0.2)
+        .groupBy(col("id_b").as("dropped"))
+        .agg(min("id_a").as("kept"), max("cos_r").as("max_cos"))
+        .orderBy("dropped")
+    },
+
     // ---- IVF-quantized cosine top-1: centroid-literal projection for
     // assignment (no Exchange), nprobe=2 cells scanned per probe ----
     Q("q_embed_ivf", {
