@@ -408,9 +408,17 @@ object Similarity {
     *    codegen'd projection); raw vectors never leave the probe side.
     */
   def ivfPqTopK(vecDf: DataFrame, probePred: Column, centroidStride: Int,
-                nprobe: Int, k: Int): DataFrame = {
-    val cents = centroidSet(vecDf, centroidStride)
-    val cb = pqCodebook(vecDf)
+                nprobe: Int, k: Int): DataFrame =
+    ivfPqTopKWith(vecDf, centroidSet(vecDf, centroidStride), pqCodebook(vecDf),
+                  probePred, nprobe, k)
+
+  /** [[ivfPqTopK]] against explicit (possibly k-means-refined) centroids
+    * and codebook — the production composition: train once
+    * ([[refineCentroids]] / [[refinePqCodebook]]), index + probe many.
+    */
+  def ivfPqTopKWith(vecDf: DataFrame, cents: Seq[(Long, Seq[Double], Double)],
+                    cb: Seq[Seq[Seq[Double]]], probePred: Column,
+                    nprobe: Int, k: Int): DataFrame = {
     val index = vecDf.select(col("vec_id"), cidExpr(cents).as("cid"),
       graft.functions.PqEncode.pq_encode(col("v"), cb, PqSub).as("pq_code"))
     val probes = vecDf.filter(probePred)

@@ -159,6 +159,34 @@ class SimilaritySpec extends AnyFunSuite {
     corpus.unpersist()
   }
 
+  test("trained IVF-PQ composition: refined artifacts drop in, recall holds") {
+    val probePred = col("vec_id") % 2 === 0
+    val corpus = planted.cache()
+    val initCents = Similarity.centroidSet(corpus, 4)
+    val cents = Similarity.refineCentroids(corpus, initCents, rounds = 2)
+    val cb = Similarity.refinePqCodebook(corpus, Similarity.pqCodebook(corpus), rounds = 2)
+
+    // candidate sets are governed by the centroids alone: IVF-PQ with the
+    // refined artifacts probes exactly the cells IVF-flat probes
+    val pqCands = Similarity.ivfPqTopKWith(corpus, cents, cb, probePred, 2, Int.MaxValue)
+      .select(col("qid"), col("cand"))
+    val ivfCands = Similarity.ivfTopKWith(corpus, cents, probePred, 2, Int.MaxValue)
+      .select(col("qid"), col("cand"))
+    assert(pqCands.except(ivfCands).isEmpty && ivfCands.except(pqCands).isEmpty)
+
+    // end-to-end recall of the trained composition at least matches the
+    // untrained one (better cells + tighter codewords)
+    def hits(df: org.apache.spark.sql.DataFrame): Int =
+      df.select(col("qid"), col("cand")).collect()
+        .count(r => r.getLong(1) == r.getLong(0) + 1)
+    val trained = hits(Similarity.ivfPqTopKWith(corpus, cents, cb, probePred, 2, 1))
+    val untrained = hits(Similarity.ivfPqTopK(corpus, probePred, 4, 2, 1))
+    assert(trained >= untrained,
+      s"trained IVF-PQ recall $trained below untrained $untrained")
+    assert(trained >= (nBase * 0.5).toInt, s"trained IVF-PQ recall@1 = $trained/$nBase")
+    corpus.unpersist()
+  }
+
   test("PQ codebook refinement: reconstruction error never regresses") {
     import graft.functions.{PqAdc, PqEncode}
     val corpus = planted.cache()
