@@ -158,6 +158,31 @@ object Dedup {
 
   // ---------- shared oracle-SQL fragments ----------
   private def toksFrom = s"""SELECT doc_id, ${tokensSql("text")} AS toks FROM documents"""
+
+  /** The CDC chunk CTEs (SQL mirror of [[cdcChunks]] + the n_toks >= 4
+    * floor), shared by q_dedup_chunks and q_dedup_boilerplate. */
+  private def chunkCtes =
+    s"""toks AS ($toksFrom),
+       |tok AS (SELECT doc_id, generate_subscripts(toks, 1) AS pos,
+       |               unnest(toks) AS tok FROM toks),
+       |lagd AS (SELECT doc_id, pos, tok,
+       |           lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+       |         FROM tok),
+       |chunked AS (
+       |  SELECT doc_id, pos, tok,
+       |    sum(CASE WHEN prev IS NOT NULL
+       |             AND ${h31Sql("prev || ' ' || tok")} % 16 = 0
+       |        THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY doc_id ORDER BY pos) AS chunk
+       |  FROM lagd
+       |),
+       |chunks0 AS (
+       |  SELECT doc_id, chunk, count(*) AS n_toks,
+       |    string_agg(tok, ' ' ORDER BY pos) AS ctext
+       |  FROM chunked GROUP BY doc_id, chunk
+       |),
+       |chunks AS (SELECT doc_id, n_toks, ${h48Sql("ctext")} AS h
+       |           FROM chunks0 WHERE n_toks >= 4)""".stripMargin
   /** Distinct (doc_id, h48(shingle)) — mirrors [[shingleHashDf]]. */
   private[ext] def shingleHashFrom =
     s"""SELECT DISTINCT doc_id, h FROM (
@@ -476,27 +501,7 @@ object Dedup {
     // second exchange), and a final aggregate that shuffles one 8-byte
     // hash row per chunk — no self-joins, nothing O(n²) anywhere.
     Q("q_dedup_chunks",
-      s"""WITH toks AS ($toksFrom),
-         |tok AS (SELECT doc_id, generate_subscripts(toks, 1) AS pos,
-         |               unnest(toks) AS tok FROM toks),
-         |lagd AS (SELECT doc_id, pos, tok,
-         |           lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
-         |         FROM tok),
-         |chunked AS (
-         |  SELECT doc_id, pos, tok,
-         |    sum(CASE WHEN prev IS NOT NULL
-         |             AND ${h31Sql("prev || ' ' || tok")} % 16 = 0
-         |        THEN 1 ELSE 0 END)
-         |      OVER (PARTITION BY doc_id ORDER BY pos) AS chunk
-         |  FROM lagd
-         |),
-         |chunks0 AS (
-         |  SELECT doc_id, chunk, count(*) AS n_toks,
-         |    string_agg(tok, ' ' ORDER BY pos) AS ctext
-         |  FROM chunked GROUP BY doc_id, chunk
-         |),
-         |chunks AS (SELECT doc_id, n_toks, ${h48Sql("ctext")} AS h
-         |           FROM chunks0 WHERE n_toks >= 4)
+      s"""WITH $chunkCtes
          |SELECT h, count(*) AS n_occ, count(DISTINCT doc_id) AS n_docs,
          |  min(n_toks) AS n_toks
          |FROM chunks GROUP BY h HAVING count(DISTINCT doc_id) > 1
@@ -509,6 +514,49 @@ object Dedup {
         .filter(col("n_docs") > 1)
         .orderBy(col("n_docs").desc, col("n_occ").desc, col("h").asc)
         .limit(25)
+    },
+
+    // ---- per-document boilerplate fraction from the shared-chunk set ----
+    // The actionable curation signal on top of q_dedup_chunks: what share
+    // of each document's (chunked) tokens sits in chunks that also appear
+    // in OTHER documents. High bp_ratio = template/mirror page, a
+    // drop-or-strip candidate. Same scale shape as the chunk query plus
+    // one groupBy(h) and one equi-join back on the 8-byte hash — nothing
+    // leaves the hash domain, no self-join.
+    Q("q_dedup_boilerplate",
+      s"""WITH $chunkCtes,
+         |shared AS (
+         |  SELECT h FROM chunks GROUP BY h HAVING count(DISTINCT doc_id) > 1
+         |),
+         |per_doc AS (
+         |  SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+         |    CAST(sum(c.n_toks) AS BIGINT) AS n_toks_total,
+         |    CAST(sum(CASE WHEN s.h IS NOT NULL THEN c.n_toks ELSE 0 END) AS BIGINT)
+         |      AS n_toks_shared
+         |  FROM chunks c LEFT JOIN shared s ON s.h = c.h
+         |  GROUP BY c.doc_id
+         |)
+         |SELECT doc_id, n_chunks, n_toks_total, n_toks_shared,
+         |  round(CAST(n_toks_shared AS DOUBLE) / n_toks_total, 4) AS bp_ratio
+         |FROM per_doc WHERE n_toks_shared > 0
+         |ORDER BY bp_ratio DESC, doc_id LIMIT 30""".stripMargin) { (s, d) =>
+      val chunks = cdcChunks(Tables.documents(s, d).select(col("doc_id"), col("text")))
+        .filter(col("n_toks") >= 4)
+        .cache() // both the shared-hash aggregate and the per-doc join read it
+      val shared = chunks.groupBy("h")
+        .agg(countDistinct("doc_id").as("n_docs"))
+        .filter(col("n_docs") > 1)
+        .select(col("h"), lit(1).as("is_sh"))
+      chunks.join(shared, Seq("h"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_chunks"),
+             sum("n_toks").as("n_toks_total"),
+             sum(when(col("is_sh") === 1, col("n_toks")).otherwise(0)).as("n_toks_shared"))
+        .filter(col("n_toks_shared") > 0)
+        .select(col("doc_id"), col("n_chunks"), col("n_toks_total"), col("n_toks_shared"),
+                round(col("n_toks_shared").cast("double") / col("n_toks_total"), 4).as("bp_ratio"))
+        .orderBy(col("bp_ratio").desc, col("doc_id").asc)
+        .limit(30)
     },
 
     // ---- incremental dedup: incoming batch vs existing corpus index ----
