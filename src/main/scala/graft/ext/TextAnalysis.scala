@@ -467,6 +467,59 @@ object TextAnalysis {
         .agg(countDistinct(col("doc_id")).as("df"), count(lit(1)).as("tf"))
         .orderBy(col("df").desc, col("tf").desc, col("tok").asc)
         .limit(100)
+    },
+
+    // ---- Count-Min-Sketch heavy hitters: bounded-memory frequency ----
+    // The 100 TB alternative to exact vocabulary counting: d=3 hash rows of
+    // w=1024 counters bound sketch state at 3·1024 longs NO MATTER the
+    // vocabulary size (exact counting shuffles one row per distinct token —
+    // web-scale vocabularies run to billions). Each row's counters are a
+    // map-side-combined groupBy on h48(seed # tok) % w; a point estimate is
+    // the MIN across rows, which can only OVER-count (collisions add) —
+    // audited here against the exact counts for the true top-15: the
+    // oracle-checked invariant est >= exact rides in the output. Hashes are
+    // the deterministic shared h48, so both engines build the identical
+    // sketch cell-for-cell.
+    Q("q_text_cms_heavy", {
+      val w = 1024
+      def bSql(i: Int) = s"(${h48Sql(s"'r$i#' || tok")} % $w)"
+      val cmsRows = (0 until 3).map(i =>
+        s"SELECT $i AS r, ${bSql(i)} AS b, count(*) AS c FROM toks GROUP BY 2")
+        .mkString(" UNION ALL ")
+      s"""WITH toks AS (
+         |  SELECT unnest(${tokensSql("text")}) AS tok FROM documents
+         |),
+         |cms AS ($cmsRows),
+         |exact AS (
+         |  SELECT tok, count(*) AS exact_n FROM toks GROUP BY tok
+         |  ORDER BY exact_n DESC, tok LIMIT 15
+         |)
+         |SELECT e.tok, e.exact_n, least(c0.c, c1.c, c2.c) AS cms_est
+         |FROM exact e
+         |JOIN cms c0 ON c0.r = 0 AND c0.b = (${h48Sql("'r0#' || e.tok")} % $w)
+         |JOIN cms c1 ON c1.r = 1 AND c1.b = (${h48Sql("'r1#' || e.tok")} % $w)
+         |JOIN cms c2 ON c2.r = 2 AND c2.b = (${h48Sql("'r2#' || e.tok")} % $w)
+         |ORDER BY exact_n DESC, tok""".stripMargin
+    }) { (s, d) =>
+      val w = 1024
+      val toks = Tables.documents(s, d)
+        .select(explode(tokens(col("text"))).as("tok"))
+        .cache() // sketch rows and the exact top-15 both scan it
+      def bucket(i: Int, tok: org.apache.spark.sql.Column) =
+        h48(concat(lit(s"r$i#"), tok)) % w
+      val cms = (0 until 3).map { i =>
+        toks.groupBy(bucket(i, col("tok")).as("b"))
+          .agg(count(lit(1)).as("c")).withColumn("r", lit(i))
+      }.reduce(_ unionByName _) // <= 3*1024 rows total
+      val exact = toks.groupBy("tok").agg(count(lit(1)).as("exact_n"))
+        .orderBy(col("exact_n").desc, col("tok").asc).limit(15)
+      (0 until 3).foldLeft(exact) { (df, i) =>
+        df.join(broadcast(cms.filter(col("r") === i).select(col("b"), col("c").as(s"c$i"))),
+                bucket(i, col("tok")) === col("b")).drop("b")
+      }
+        .select(col("tok"), col("exact_n"),
+                least(col("c0"), col("c1"), col("c2")).as("cms_est"))
+        .orderBy(col("exact_n").desc, col("tok").asc)
     }
   )
 }
