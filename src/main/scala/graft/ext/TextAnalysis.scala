@@ -371,6 +371,70 @@ object TextAnalysis {
         .limit(25)
     },
 
+    // ---- Bloom-filter decontamination: bounded-size benchmark set ----
+    // q_text_contamination broadcasts the benchmark's exact hash set,
+    // which grows with the benchmark. This variant compresses it to a
+    // Bloom filter — k=3 deterministic hash bits in an m=8192-bit space —
+    // so the shipped side is <= m bits NO MATTER how large the eval suite
+    // is, at the price of deterministic (same in both engines, hence
+    // oracle-checkable) false positives. A corpus shingle counts as a hit
+    // only when ALL 3 of its bit positions are set; per-document output
+    // mirrors the exact variant, with bloom_hits >= the exact n_hit by
+    // construction. Plan shape: the bit set is a <= m-row broadcast,
+    // corpus shingles explode x3 to (shingle, bit) rows, and a
+    // count==3 group per shingle replaces the membership join — still no
+    // doc-doc pairing anywhere.
+    Q("q_text_bloom_decontam", {
+      val m = 8192
+      def bitSql(i: Int, e: String) = s"(${h48Sql(s"'b$i#' || $e")} % $m)"
+      val benchBits = (0 until 3).map(i =>
+        s"SELECT DISTINCT ${bitSql(i, "CAST(h AS VARCHAR)")} AS bit FROM bench")
+        .mkString(" UNION ")
+      val probeBits = (0 until 3).map(i =>
+        s"SELECT doc_id, h, ${bitSql(i, "CAST(h AS VARCHAR)")} AS bit FROM corp")
+        .mkString(" UNION ALL ")
+      s"""WITH sh AS (${Dedup.shingleHashFrom}),
+         |bench AS (SELECT DISTINCT h FROM sh WHERE doc_id % 97 = 0),
+         |corp AS (SELECT doc_id, h FROM sh WHERE doc_id % 97 <> 0),
+         |bits AS ($benchBits),
+         |probe AS ($probeBits),
+         |hits AS (
+         |  SELECT p.doc_id, p.h,
+         |    CASE WHEN count(b.bit) = 3 THEN 1 ELSE 0 END AS hit
+         |  FROM probe p LEFT JOIN bits b ON b.bit = p.bit
+         |  GROUP BY p.doc_id, p.h
+         |)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+         |  CAST(sum(hit) AS BIGINT) AS bloom_hits,
+         |  round(CAST(sum(hit) AS DOUBLE) / count(*), 6) AS contamination
+         |FROM hits GROUP BY doc_id
+         |HAVING sum(hit) > 0
+         |ORDER BY contamination DESC, doc_id LIMIT 25""".stripMargin
+    }) { (s, d) =>
+      val m = 8192
+      def bit(i: Int, h: org.apache.spark.sql.Column) =
+        h48(concat(lit(s"b$i#"), h.cast("string"))) % m
+      val sh = Dedup.shingleHashDf(s, d).cache()
+      val bench = sh.filter(col("doc_id") % 97 === 0).select("h").distinct()
+      val bits = (0 until 3).map(i => bench.select(bit(i, col("h")).as("bit")))
+        .reduce(_ union _).distinct() // <= m rows, the entire shipped filter
+      val probe = sh.filter(col("doc_id") % 97 =!= 0)
+      val probeBits = (0 until 3).map(i =>
+        probe.select(col("doc_id"), col("h"), bit(i, col("h")).as("bit")))
+        .reduce(_ unionByName _)
+      val hits = probeBits
+        .join(broadcast(bits.withColumn("set_", lit(1))), Seq("bit"), "left")
+        .groupBy("doc_id", "h")
+        .agg((sum(coalesce(col("set_"), lit(0))) === 3).cast("int").as("hit"))
+      hits.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shingles"),
+             sum("hit").cast("long").as("bloom_hits"),
+             round(sum("hit").cast("double") / count(lit(1)), 6).as("contamination"))
+        .filter(col("bloom_hits") > 0)
+        .orderBy(col("contamination").desc, col("doc_id").asc)
+        .limit(25)
+    },
+
     // ---- corpus-LM scoring: bigram log-likelihood per document ----
     // The perplexity-proxy quality filter: a bigram language model is just
     // two count tables over the corpus (c(w1,w2) and its first-token
