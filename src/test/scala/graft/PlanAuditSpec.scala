@@ -41,7 +41,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_embed_ivfpq", "q_embed_lsh",
     "q_join_range", "q_join_revenue_by_nation", "q_join_2hop",
     "q_events_asof", "q_dedup_minhash", "q_dedup_clusters", "q_dedup_corpus",
-    "q_dedup_editdist", "q_dedup_incremental", "q_text_contamination",
+    "q_dedup_editdist", "q_dedup_incremental", "q_dedup_boilerplate",
+    "q_text_cms_heavy", "q_text_bloom_decontam", "q_text_contamination",
     "q_graph_pagerank", "q_join_shipping_priority", "q_domain_quality",
     "q_text_lm_score")
   // q_text_tfidf is NOT in the no-BNLJ list: its corpus-size scalar rides a
