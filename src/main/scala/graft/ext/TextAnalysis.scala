@@ -386,23 +386,34 @@ object TextAnalysis {
     // doc-doc pairing anywhere.
     Q("q_text_bloom_decontam", {
       val m = 8192
-      def bitSql(i: Int, e: String) = s"(${h48Sql(s"'b$i#' || $e")} % $m)"
+      // k=3 probe positions derived ARITHMETICALLY from the one existing
+      // 48-bit shingle hash (double-hashing, the standard Bloom trick) —
+      // no extra md5 per row, and exact integer parity across engines.
+      // h is reduced mod 2^31-1 first so the affine products fit BIGINT.
+      def bitSql(i: Int, e: String) = {
+        val (a, b) = MinhashPerms(i)
+        s"(((($e % $Mersenne31) * $a + $b) % $Mersenne31) % $m)"
+      }
       val benchBits = (0 until 3).map(i =>
-        s"SELECT DISTINCT ${bitSql(i, "CAST(h AS VARCHAR)")} AS bit FROM bench")
+        s"SELECT DISTINCT ${bitSql(i, "h")} AS bit FROM bench")
         .mkString(" UNION ")
-      val probeBits = (0 until 3).map(i =>
-        s"SELECT doc_id, h, ${bitSql(i, "CAST(h AS VARCHAR)")} AS bit FROM corp")
-        .mkString(" UNION ALL ")
       s"""WITH sh AS (${Dedup.shingleHashFrom}),
          |bench AS (SELECT DISTINCT h FROM sh WHERE doc_id % 97 = 0),
-         |corp AS (SELECT doc_id, h FROM sh WHERE doc_id % 97 <> 0),
          |bits AS ($benchBits),
-         |probe AS ($probeBits),
+         |probe AS (
+         |  SELECT doc_id, h, ${bitSql(0, "h")} AS bit0,
+         |    ${bitSql(1, "h")} AS bit1,
+         |    ${bitSql(2, "h")} AS bit2
+         |  FROM sh WHERE doc_id % 97 <> 0
+         |),
          |hits AS (
-         |  SELECT p.doc_id, p.h,
-         |    CASE WHEN count(b.bit) = 3 THEN 1 ELSE 0 END AS hit
-         |  FROM probe p LEFT JOIN bits b ON b.bit = p.bit
-         |  GROUP BY p.doc_id, p.h
+         |  SELECT p.doc_id,
+         |    CASE WHEN b0.bit IS NOT NULL AND b1.bit IS NOT NULL
+         |              AND b2.bit IS NOT NULL THEN 1 ELSE 0 END AS hit
+         |  FROM probe p
+         |  LEFT JOIN bits b0 ON b0.bit = p.bit0
+         |  LEFT JOIN bits b1 ON b1.bit = p.bit1
+         |  LEFT JOIN bits b2 ON b2.bit = p.bit2
          |)
          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
          |  CAST(sum(hit) AS BIGINT) AS bloom_hits,
@@ -412,21 +423,31 @@ object TextAnalysis {
          |ORDER BY contamination DESC, doc_id LIMIT 25""".stripMargin
     }) { (s, d) =>
       val m = 8192
-      def bit(i: Int, h: org.apache.spark.sql.Column) =
-        h48(concat(lit(s"b$i#"), h.cast("string"))) % m
+      def bit(i: Int, h: org.apache.spark.sql.Column) = {
+        val (a, b) = MinhashPerms(i)
+        ((h % Mersenne31) * a + b) % Mersenne31 % m
+      }
       val sh = Dedup.shingleHashDf(s, d).cache()
       val bench = sh.filter(col("doc_id") % 97 === 0).select("h").distinct()
       val bits = (0 until 3).map(i => bench.select(bit(i, col("h")).as("bit")))
         .reduce(_ union _).distinct() // <= m rows, the entire shipped filter
-      val probe = sh.filter(col("doc_id") % 97 =!= 0)
-      val probeBits = (0 until 3).map(i =>
-        probe.select(col("doc_id"), col("h"), bit(i, col("h")).as("bit")))
-        .reduce(_ unionByName _)
-      val hits = probeBits
-        .join(broadcast(bits.withColumn("set_", lit(1))), Seq("bit"), "left")
-        .groupBy("doc_id", "h")
-        .agg((sum(coalesce(col("set_"), lit(0))) === 3).cast("int").as("hit"))
-      hits.groupBy("doc_id")
+        .cache() // three broadcast builds read it; without this each one
+                 // re-derives the bench set
+      // the 3 bit positions ride the shingle row as columns and membership
+      // is 3 no-fanout broadcast joins (bits are distinct) — the corpus
+      // side never re-shuffles; the only exchange is the per-doc aggregate
+      val marked = (0 until 3).foldLeft(
+        sh.filter(col("doc_id") % 97 =!= 0)
+          .select(col("doc_id") +: (0 until 3).map(i => bit(i, col("h")).as(s"bit$i")): _*)) {
+        (df, i) =>
+          df.join(broadcast(bits.select(col("bit").as(s"bit$i"), lit(1).as(s"set$i"))),
+                  Seq(s"bit$i"), "left")
+      }
+      marked
+        .select(col("doc_id"),
+          (coalesce(col("set0"), lit(0)) + coalesce(col("set1"), lit(0))
+            + coalesce(col("set2"), lit(0)) === 3).cast("int").as("hit"))
+        .groupBy("doc_id")
         .agg(count(lit(1)).as("n_shingles"),
              sum("hit").cast("long").as("bloom_hits"),
              round(sum("hit").cast("double") / count(lit(1)), 6).as("contamination"))
