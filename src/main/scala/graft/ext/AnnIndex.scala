@@ -1,0 +1,72 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The IVF-PQ index AT REST — the piece that turns the in-memory equi-join
+  * plan of [[Similarity.ivfPqTopKWith]] into a disk layout where a probe
+  * reads only its cells:
+  *
+  *  - [[write]] stores one row per vector (vec_id, pq_code) PARTITIONED BY
+  *    `cid` (`…/cid=<c>/part-*.parquet`). Cells are directories, so cell
+  *    selectivity becomes file-listing selectivity — at 10⁹ vectors and
+  *    √N cells, a probe touching `nprobe` cells reads `nprobe`·√N rows of
+  *    8-byte codes, not the corpus.
+  *  - [[probe]] joins the stored index against a broadcast probe set on
+  *    `cid`. Spark's dynamic partition pruning turns the broadcast side
+  *    into a runtime partition filter on the scan (AnnIndexSpec asserts
+  *    `dynamicpruning` in the plan), so only the probed cell directories
+  *    are read — the disk analogue of the equi-join candidate generation.
+  *  - [[probeCells]] is the static variant for KNOWN cells: a literal
+  *    `cid IN (…)` predicate that prunes at planning time
+  *    (`PartitionFilters` in the scan, also asserted by the spec).
+  *
+  * The centroids/codebook are training artifacts versioned NEXT TO the
+  * index by the caller (re-training ⇒ re-encode): [[probe]] takes them as
+  * arguments, exactly like [[graft.streaming.StreamingOps.incrementalAnn]].
+  */
+object AnnIndex {
+
+  /** Build and persist the index: one projection over the corpus
+    * (codegen'd cell assignment + PQ encode), written partitioned by cell.
+    */
+  def write(vecDf: DataFrame, cents: Seq[(Long, Seq[Double], Double)],
+            cb: Seq[Seq[Seq[Double]]], path: String): Unit =
+    vecDf.select(col("vec_id"), Similarity.cidExpr(cents).as("cid"),
+        graft.functions.PqEncode.pq_encode(col("v"), cb, Similarity.PqSub)
+          .as("pq_code"))
+      .write.mode("overwrite").partitionBy("cid").parquet(path)
+
+  def load(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** ADC top-k of `probeVecs` (vec_id, v) against the stored index: cell
+    * selection is projection-only, candidates come from the cid join
+    * (dynamic partition pruning restricts the scan to probed cells), and
+    * scoring reads stored codes only.
+    */
+  def probe(index: DataFrame, probeVecs: DataFrame,
+            cents: Seq[(Long, Seq[Double], Double)],
+            cb: Seq[Seq[Seq[Double]]], nprobe: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val probes = probeVecs
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        explode(Similarity.topCells(cents, col("v"), nprobe)).as("sc"))
+      .select(col("qid"), col("qv"), (-col("sc.ncid")).as("cid"))
+    val scored = index.join(broadcast(probes), Seq("cid"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("cand"),
+        graft.functions.PqAdc.pq_adc(col("qv"), col("pq_code"), cb,
+          Similarity.PqSub).as("adc"))
+    val w = Window.partitionBy("qid").orderBy(col("adc").asc, col("cand").asc)
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select(col("qid"), col("rn"), col("cand"), round(col("adc"), 6).as("adc_r"))
+  }
+
+  /** Static-pruning scan of known cells: the literal IN-predicate reaches
+    * the scan as a `PartitionFilters` entry, so unprobed cell directories
+    * are never listed.
+    */
+  def probeCells(index: DataFrame, cids: Seq[Long]): DataFrame =
+    index.filter(col("cid").isin(cids: _*))
+}

@@ -1,0 +1,62 @@
+package graft
+
+import graft.ext.{AnnIndex, Similarity}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** The IVF-PQ index at rest: the docstring claim "stored partitioned by
+  * cid, so probing maps to partition pruning" made executable. Results
+  * from the stored index must equal the in-memory operator, and the scan
+  * must actually prune — dynamically under the probe join, statically
+  * under a literal cell predicate.
+  */
+class AnnIndexSpec extends AnyFunSuite {
+  private lazy val spark = SparkSuite.spark
+
+  private def corpus = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+
+  test("stored index equals the in-memory operator and prunes partitions") {
+    val dir = Files.createTempDirectory("graft-annidx").toString
+    val c = corpus.cache()
+    val cents = Similarity.centroidSet(c, 10)
+    val cb = Similarity.pqCodebook(c)
+    AnnIndex.write(c, cents, cb, dir)
+
+    val index = AnnIndex.load(spark, dir)
+    // one directory per cell on disk
+    val cells = index.select("cid").distinct().count()
+    val dirs = new java.io.File(dir).listFiles().count(_.getName.startsWith("cid="))
+    assert(dirs == cells, s"$dirs cell dirs for $cells cells")
+
+    // probing the stored index reproduces the in-memory plan's results
+    val probeVecs = c.filter(col("vec_id") < 8)
+    val fromDisk = AnnIndex.probe(index, probeVecs, cents, cb, nprobe = 2, k = 3)
+    val inMemory = Similarity.ivfPqTopKWith(c, cents, cb, col("vec_id") < 8, 2, 3)
+    assert(fromDisk.exceptAll(inMemory).isEmpty && inMemory.exceptAll(fromDisk).isEmpty,
+      "stored-index probe diverges from the in-memory operator")
+
+    // dynamic partition pruning: the probe join plants a runtime partition
+    // filter on the index scan — only probed cell directories are read
+    val dpPlan = {
+      val df = AnnIndex.probe(index, probeVecs, cents, cb, 2, 3)
+      df.collect()
+      df.queryExecution.executedPlan.toString
+    }
+    assert(dpPlan.contains("dynamicpruning"),
+      s"expected dynamic partition pruning on the index scan:\n${dpPlan.take(2000)}")
+
+    // static pruning: a literal cell predicate shows up as PartitionFilters
+    // the partition column reads back as the narrowest inferred type
+    // (int for small cell ids) — normalize via Number
+    val someCids = index.select("cid").distinct().limit(2)
+      .collect().map(_.getAs[Number](0).longValue).toSeq
+    val stPlan = AnnIndex.probeCells(index, someCids)
+      .queryExecution.executedPlan.toString
+    assert(stPlan.contains("PartitionFilters: [cid"),
+      s"expected static partition filters:\n${stPlan.take(2000)}")
+    c.unpersist()
+  }
+}
