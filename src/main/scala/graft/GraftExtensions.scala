@@ -1,8 +1,8 @@
 package graft
 
-import graft.functions.DotProduct
+import graft.functions.{CentroidAssign, DotProduct, PqAdc, PqEncode}
 import org.apache.spark.sql.SparkSessionExtensions
-import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.{CatalystTypeConverters, FunctionIdentifier}
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 /** SparkSessionExtensions entry point: surfaces graft's custom Catalyst
@@ -10,10 +10,18 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * next to the DataFrame API — the documented injection route for engine
   * extensions (no session-state hacking).
   *
+  * The ANN kernels carry their trained artifacts (centroids/codebook) as
+  * reference objects; their SQL forms take those as LITERAL arguments —
+  * resolved once at plan time ([[GraftExtensions.foldedScala]]), so the
+  * per-row execution is the identical codegen'd primitive loop as the
+  * DataFrame API, never a per-row literal walk.
+  *
   * Activate with `--conf spark.sql.extensions=graft.GraftExtensions` or
   * `SparkSession.builder().withExtensions(new GraftExtensions)`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  import GraftExtensions.foldedScala
+
   def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       new FunctionIdentifier("dot_product"),
@@ -22,10 +30,62 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 2, "dot_product takes exactly 2 arguments")
         DotProduct(children.head, children(1))
       }))
+
+    // pq_encode(v, codebook, sub_dim): codebook = array(array(array(double)))
+    ext.injectFunction((
+      new FunctionIdentifier("pq_encode"),
+      new ExpressionInfo(classOf[PqEncode].getName, "pq_encode"),
+      (children: Seq[Expression]) => {
+        require(children.size == 3, "pq_encode(v, codebook, sub_dim)")
+        val cb = foldedScala(children(1), "codebook")
+          .asInstanceOf[Seq[Seq[Seq[Double]]]]
+        val sd = foldedScala(children(2), "sub_dim").asInstanceOf[Number].intValue
+        PqEncode(children.head, cb.map(_.map(_.toIndexedSeq)), sd)
+      }))
+
+    // pq_adc(qv, code, codebook, sub_dim)
+    ext.injectFunction((
+      new FunctionIdentifier("pq_adc"),
+      new ExpressionInfo(classOf[PqAdc].getName, "pq_adc"),
+      (children: Seq[Expression]) => {
+        require(children.size == 4, "pq_adc(qv, code, codebook, sub_dim)")
+        val cb = foldedScala(children(2), "codebook")
+          .asInstanceOf[Seq[Seq[Seq[Double]]]]
+        val sd = foldedScala(children(3), "sub_dim").asInstanceOf[Number].intValue
+        PqAdc(children.head, children(1), cb.map(_.map(_.toIndexedSeq)), sd)
+      }))
+
+    // centroid_assign(v, cents): cents = array(struct(cid bigint,
+    // vec array(double), norm double)) — named_struct or struct() both fine
+    ext.injectFunction((
+      new FunctionIdentifier("centroid_assign"),
+      new ExpressionInfo(classOf[CentroidAssign].getName, "centroid_assign"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "centroid_assign(v, centroids)")
+        val cents = foldedScala(children(1), "centroids")
+          .asInstanceOf[Seq[org.apache.spark.sql.Row]]
+          .map { r =>
+            (r.getAs[Number](0).longValue,
+             r.getAs[Seq[Double]](1),
+             r.getAs[Number](2).doubleValue)
+          }
+        val sorted = cents.sortBy(_._1)
+        CentroidAssign(children.head, sorted.map(_._1),
+          sorted.map(_._2.toIndexedSeq), sorted.map(_._3))
+      }))
   }
 }
 
 object GraftExtensions {
+  /** Evaluate a foldable argument at resolution time and convert it to
+    * plain Scala structures (the trained-artifact arguments of the ANN
+    * kernels must be constants, not per-row expressions).
+    */
+  private[graft] def foldedScala(e: Expression, what: String): Any = {
+    require(e.foldable, s"$what must be a literal (constant-foldable) expression")
+    CatalystTypeConverters.convertToScala(e.eval(), e.dataType)
+  }
+
   /** Install on an already-running session (the builder conf only applies
     * at session construction).
     */

@@ -39,6 +39,28 @@ class OperatorSpec extends AnyFunSuite {
     assert(e.getMessage.contains("dot_product") || e.getMessage.contains("DATATYPE_MISMATCH"))
   }
 
+  test("GraftExtensions surfaces the ANN kernels in SQL with literal artifacts") {
+    GraftExtensions.install(spark)
+    // 1-subspace, 2-codeword codebook: v=[1,0] is codeword 0, [5,5] is 1
+    val cb = "array(array(array(1.0d, 0.0d), array(5.0d, 5.0d)))"
+    val code = spark.sql(s"SELECT pq_encode(array(4.9d, 5.1d), $cb, 2) AS c")
+      .head().getLong(0)
+    assert(code == 1L)
+    val adc = spark.sql(s"SELECT pq_adc(array(1.0d, 0.0d), 1L, $cb, 2) AS d")
+      .head().getDouble(0)
+    assert(adc == (1.0 - 5.0) * (1.0 - 5.0) + (0.0 - 5.0) * (0.0 - 5.0))
+    val cid = spark.sql(
+      "SELECT centroid_assign(array(0.0d, 9.0d), array(" +
+        "struct(10L, array(1.0d, 0.0d), 1.0d), " +
+        "struct(20L, array(0.0d, 1.0d), 1.0d))) AS cid")
+      .head().getLong(0)
+    assert(cid == 20L)
+    // trained artifacts must be constants: a per-row codebook is rejected
+    val e = intercept[Exception](
+      spark.sql(s"SELECT pq_encode(array(1.0d), array(array(array(rand()))), 1)").collect())
+    assert(e.getMessage.contains("literal") || e.getMessage.contains("foldable"))
+  }
+
   test("salted skew join equals the plain join on heavy-hitter data") {
     // 90% of fact rows share one key — the salting must spread the shuffle
     // without changing a single output row
