@@ -264,6 +264,10 @@ object Similarity {
     var cents = init
     var r = 0
     while (r < rounds && cents.nonEmpty) {
+      // Dim parallel decimal buffers beat the oracle's unnest/GROUP BY(j)
+      // shape in-engine (measured 2.3 s vs 3.0 s at sf0.1: the x64 explode
+      // costs more row overhead than wide aggregation buffers save); both
+      // shuffle the same <= #cells x Dim partials
       val sums = (0 until Dim).map(j =>
         sum(round(col("v")(j), 9).cast("decimal(28,12)")).as(s"s$j"))
       val means = (0 until Dim).map(j =>
