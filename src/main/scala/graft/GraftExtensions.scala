@@ -20,7 +20,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * `SparkSession.builder().withExtensions(new GraftExtensions)`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  import GraftExtensions.foldedScala
+  import GraftExtensions.{centroidsShape, codebookShape, foldedScala, intShape}
 
   def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
@@ -37,9 +37,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[PqEncode].getName, "pq_encode"),
       (children: Seq[Expression]) => {
         require(children.size == 3, "pq_encode(v, codebook, sub_dim)")
-        val cb = foldedScala(children(1), "codebook")
-          .asInstanceOf[Seq[Seq[Seq[Double]]]]
-        val sd = foldedScala(children(2), "sub_dim").asInstanceOf[Number].intValue
+        val cb = foldedScala(children(1), "codebook", codebookShape,
+            "array<array<array<double>>>").asInstanceOf[Seq[Seq[Seq[Double]]]]
+        val sd = foldedScala(children(2), "sub_dim", intShape, "int")
+          .asInstanceOf[Number].intValue
         PqEncode(children.head, cb.map(_.map(_.toIndexedSeq)), sd)
       }))
 
@@ -49,9 +50,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[PqAdc].getName, "pq_adc"),
       (children: Seq[Expression]) => {
         require(children.size == 4, "pq_adc(qv, code, codebook, sub_dim)")
-        val cb = foldedScala(children(2), "codebook")
-          .asInstanceOf[Seq[Seq[Seq[Double]]]]
-        val sd = foldedScala(children(3), "sub_dim").asInstanceOf[Number].intValue
+        val cb = foldedScala(children(2), "codebook", codebookShape,
+            "array<array<array<double>>>").asInstanceOf[Seq[Seq[Seq[Double]]]]
+        val sd = foldedScala(children(3), "sub_dim", intShape, "int")
+          .asInstanceOf[Number].intValue
         PqAdc(children.head, children(1), cb.map(_.map(_.toIndexedSeq)), sd)
       }))
 
@@ -62,7 +64,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[CentroidAssign].getName, "centroid_assign"),
       (children: Seq[Expression]) => {
         require(children.size == 2, "centroid_assign(v, centroids)")
-        val cents = foldedScala(children(1), "centroids")
+        val cents = foldedScala(children(1), "centroids", centroidsShape,
+            "array<struct<bigint, array<double>, double>>")
           .asInstanceOf[Seq[org.apache.spark.sql.Row]]
           .map { r =>
             (r.getAs[Number](0).longValue,
@@ -77,13 +80,41 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 }
 
 object GraftExtensions {
+  import org.apache.spark.sql.types._
+
   /** Evaluate a foldable argument at resolution time and convert it to
     * plain Scala structures (the trained-artifact arguments of the ANN
-    * kernels must be constants, not per-row expressions).
+    * kernels must be constants, not per-row expressions). The declared
+    * type is checked BEFORE the unchecked casts at the call sites, so a
+    * wrong-typed literal (an integer codebook, a malformed centroid
+    * struct) fails with the argument name instead of a downstream
+    * ClassCastException from executor code.
     */
-  private[graft] def foldedScala(e: Expression, what: String): Any = {
+  private[graft] def foldedScala(e: Expression, what: String,
+                                 shape: DataType => Boolean,
+                                 expectedDesc: String): Any = {
     require(e.foldable, s"$what must be a literal (constant-foldable) expression")
+    require(shape(e.dataType),
+      s"$what must have type $expectedDesc, got ${e.dataType.simpleString}")
     CatalystTypeConverters.convertToScala(e.eval(), e.dataType)
+  }
+
+  private[graft] val codebookShape: DataType => Boolean = {
+    case ArrayType(ArrayType(ArrayType(DoubleType, _), _), _) => true
+    case _ => false
+  }
+  // struct field NAMES are free (struct() or named_struct both work);
+  // only the (bigint, array<double>, double) shape is required
+  private[graft] val centroidsShape: DataType => Boolean = {
+    case ArrayType(StructType(fs), _) if fs.length == 3 =>
+      fs(0).dataType == LongType &&
+        (fs(1).dataType match { case ArrayType(DoubleType, _) => true; case _ => false }) &&
+        fs(2).dataType == DoubleType
+    case _ => false
+  }
+  private[graft] val intShape: DataType => Boolean = {
+    case ByteType | ShortType | IntegerType | LongType => true
+    case _ => false
   }
 
   /** Install on an already-running session (the builder conf only applies

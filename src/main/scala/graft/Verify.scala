@@ -28,13 +28,13 @@ object Verify {
     val selected = SparkEntry.queries.filter(kv => keep(kv._1)).toSeq
     val total = selected.size
     val done = new java.util.concurrent.atomic.AtomicInteger(0)
-    // Queries run on a small driver-side pool: they are independent (each
-    // writes its own output dir; Spark schedules concurrent jobs safely;
-    // the one shared conf set in Tables.events is idempotent), and wall
-    // time is what kills a round on a loaded driver box — the round-5
-    // artifacts were zeroed by exactly that. Cache clearing between
-    // queries stays: dropping another in-flight query's cached blocks is
-    // correctness-transparent (Spark recomputes), it only bounds memory.
+    // Queries run on a small driver-side pool: they are independent — each
+    // writes its own output dir, Spark schedules concurrent jobs safely,
+    // the one shared conf set in Tables.events is idempotent, and the one
+    // NON-idempotent conf a query needs (q_agg_rollup's ambiguous-self-join
+    // toggle) is isolated on its own newSession(). Wall time is what kills
+    // a round on a loaded driver box — the round-5 artifacts were zeroed by
+    // exactly that.
     val par = sys.env.getOrElse("SPARK_GRAFT_VERIFY_PAR", "4").toInt.max(1)
     val pool = java.util.concurrent.Executors.newFixedThreadPool(par)
     implicit val ec: scala.concurrent.ExecutionContext =
@@ -56,8 +56,11 @@ object Verify {
         // execute corrupts their in-flight plans (observed: a concurrent
         // clearCache made distinct() emit per-band duplicates — unpersist
         // of a shared InMemoryRelation mid-execution). Parallel runs let
-        // the cache accumulate instead; at the sf0.01 gate that is tiny,
-        // and memory-bounded callers can set SPARK_GRAFT_VERIFY_PAR=1 to
+        // the cache accumulate instead — bounded risk, not unbounded
+        // growth: Dataset.cache() is MEMORY_AND_DISK, so under pressure
+        // blocks evict/spill rather than OOM, degrading speed only. At
+        // the sf0.01 correctness gate the total is tiny; callers running
+        // big scale factors should set SPARK_GRAFT_VERIFY_PAR=1 to
         // restore the per-query clear.
         finally if (par == 1) spark.catalog.clearCache()
       }

@@ -32,9 +32,7 @@ object AnnIndex {
     */
   def write(vecDf: DataFrame, cents: Seq[(Long, Seq[Double], Double)],
             cb: Seq[Seq[Seq[Double]]], path: String): Unit =
-    vecDf.select(col("vec_id"), Similarity.cidExpr(cents).as("cid"),
-        graft.functions.PqEncode.pq_encode(col("v"), cb, Similarity.PqSub)
-          .as("pq_code"))
+    Similarity.indexRows(vecDf, cents, cb)
       .write.mode("overwrite").partitionBy("cid").parquet(path)
 
   def load(spark: SparkSession, path: String): DataFrame =
@@ -47,21 +45,8 @@ object AnnIndex {
     */
   def probe(index: DataFrame, probeVecs: DataFrame,
             cents: Seq[(Long, Seq[Double], Double)],
-            cb: Seq[Seq[Seq[Double]]], nprobe: Int, k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val probes = probeVecs
-      .select(col("vec_id").as("qid"), col("v").as("qv"),
-        explode(Similarity.topCells(cents, col("v"), nprobe)).as("sc"))
-      .select(col("qid"), col("qv"), (-col("sc.ncid")).as("cid"))
-    val scored = index.join(broadcast(probes), Seq("cid"))
-      .filter(col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id").as("cand"),
-        graft.functions.PqAdc.pq_adc(col("qv"), col("pq_code"), cb,
-          Similarity.PqSub).as("adc"))
-    val w = Window.partitionBy("qid").orderBy(col("adc").asc, col("cand").asc)
-    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
-      .select(col("qid"), col("rn"), col("cand"), round(col("adc"), 6).as("adc_r"))
-  }
+            cb: Seq[Seq[Seq[Double]]], nprobe: Int, k: Int): DataFrame =
+    Similarity.probeIndex(index, probeVecs, cents, cb, nprobe, k)
 
   /** Static-pruning scan of known cells: the literal IN-predicate reaches
     * the scan as a `PartitionFilters` entry, so unprobed cell directories

@@ -422,10 +422,33 @@ object Similarity {
     */
   def ivfPqTopKWith(vecDf: DataFrame, cents: Seq[(Long, Seq[Double], Double)],
                     cb: Seq[Seq[Seq[Double]]], probePred: Column,
-                    nprobe: Int, k: Int): DataFrame = {
-    val index = vecDf.select(col("vec_id"), cidExpr(cents).as("cid"),
+                    nprobe: Int, k: Int): DataFrame =
+    probeIndex(indexRows(vecDf, cents, cb), vecDf.filter(probePred), cents, cb,
+               nprobe, k)
+
+  /** THE IVF-PQ index row — (vec_id, cell id, packed 8-byte code), one
+    * codegen'd projection per vector. The single definition behind the
+    * in-memory operator ([[ivfPqTopKWith]]), the at-rest index
+    * ([[AnnIndex.write]]), and the streaming maintainer
+    * ([[graft.streaming.StreamingOps.annIndexRows]]) — asserted equivalent
+    * by their specs, so they must share this code.
+    */
+  def indexRows(vecDf: DataFrame, cents: Seq[(Long, Seq[Double], Double)],
+                cb: Seq[Seq[Seq[Double]]]): DataFrame =
+    vecDf.select(col("vec_id"), cidExpr(cents).as("cid"),
       graft.functions.PqEncode.pq_encode(col("v"), cb, PqSub).as("pq_code"))
-    val probes = vecDf.filter(probePred)
+
+  /** The shared scoring/ranking tail of every IVF-PQ probe path
+    * (in-memory, at-rest, batch side of streaming): projection-only cell
+    * selection for the probes, broadcast equi-join on cid, PqAdc scoring
+    * of codes, (adc ASC, cand ASC) top-k. One definition so the tie-break
+    * and rounding contract cannot drift between the variants.
+    */
+  private[graft] def probeIndex(index: DataFrame, probeVecs: DataFrame,
+                                cents: Seq[(Long, Seq[Double], Double)],
+                                cb: Seq[Seq[Seq[Double]]],
+                                nprobe: Int, k: Int): DataFrame = {
+    val probes = probeVecs
       .select(col("vec_id").as("qid"), col("v").as("qv"),
         explode(topCells(cents, col("v"), nprobe)).as("sc"))
       .select(col("qid"), col("qv"), (-col("sc.ncid")).as("cid"))
@@ -635,19 +658,19 @@ object Similarity {
     // cell size ≈ √N — the same cost envelope the SemDeDup paper's
     // per-cluster scan accepts), and drop every vector that has a
     // lower-id in-cell neighbor above the similarity threshold. Output is
-    // the audit table: each dropped id with its lowest-id retained
-    // near-duplicate and the strongest similarity that doomed it. One
-    // shuffle (by cid) for the self-join; nothing corpus-quadratic.
+    // the audit table: each dropped id with its LOWEST-ID lower neighbor
+    // (which may itself be dropped further up a similarity chain — resolve
+    // chains to surviving representatives with the q_dedup_clusters
+    // closure when that matters) and the strongest similarity that doomed
+    // it. One shuffle (by cid) for the self-join; nothing corpus-quadratic.
     Q("q_dedup_semdedup", {
-      def cosRaw(a: String, b: String) =
-        s"$DotSql($a, $b) / (sqrt($DotSql($a, $a)) * sqrt($DotSql($b, $b)))"
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 25 = 0),
          |asn AS (
          |  SELECT vec_id, cid FROM (
          |    SELECT e.vec_id, c.cid,
          |      row_number() OVER (PARTITION BY e.vec_id
-         |        ORDER BY ${cosRaw("e.v", "c.cv")} DESC, c.cid) AS rn
+         |        ORDER BY ${cosRawSql("e.v", "c.cv")} DESC, c.cid) AS rn
          |    FROM e, c
          |  ) WHERE rn = 1
          |),
@@ -677,15 +700,13 @@ object Similarity {
     // ---- IVF-quantized cosine top-1: centroid-literal projection for
     // assignment (no Exchange), nprobe=2 cells scanned per probe ----
     Q("q_embed_ivf", {
-      def cosRaw(a: String, b: String) =
-        s"$DotSql($a, $b) / (sqrt($DotSql($a, $a)) * sqrt($DotSql($b, $b)))"
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 25 = 0),
          |asn AS (
          |  SELECT vec_id, cid FROM (
          |    SELECT e.vec_id, c.cid,
          |      row_number() OVER (PARTITION BY e.vec_id
-         |        ORDER BY ${cosRaw("e.v", "c.cv")} DESC, c.cid) AS rn
+         |        ORDER BY ${cosRawSql("e.v", "c.cv")} DESC, c.cid) AS rn
          |    FROM e, c
          |  ) WHERE rn = 1
          |),
@@ -693,7 +714,7 @@ object Similarity {
          |  SELECT qid, cid FROM (
          |    SELECT e.vec_id AS qid, c.cid,
          |      row_number() OVER (PARTITION BY e.vec_id
-         |        ORDER BY ${cosRaw("e.v", "c.cv")} DESC, c.cid) AS rn
+         |        ORDER BY ${cosRawSql("e.v", "c.cv")} DESC, c.cid) AS rn
          |    FROM e, c WHERE e.vec_id < 20
          |  ) WHERE rn <= 2
          |),

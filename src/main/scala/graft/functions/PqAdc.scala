@@ -58,7 +58,12 @@ case class PqAdc(
     var total = 0.0
     var m = 0
     while (m < cbArr.length) {
-      val cw = cbArr(m)(((c >>> (4 * m)) & 15L).toInt)
+      val kk = ((c >>> (4 * m)) & 15L).toInt
+      // codes are user-suppliable via the SQL surface — fail with the
+      // input contract, not an executor AIOOBE
+      if (kk >= cbArr(m).length) throw new IllegalArgumentException(
+        s"pq_adc: subspace $m code $kk exceeds codebook size ${cbArr(m).length}")
+      val cw = cbArr(m)(kk)
       val off = m * subDim
       val n = math.min(subDim, math.max(nv - off, 0))
       var d = 0.0
@@ -88,7 +93,12 @@ case class PqAdc(
          |int $nv = $v.numElements();
          |double $total = 0.0;
          |for (int $m = 0; $m < $cbRef.length; $m++) {
-         |  double[] $cw = $cbRef[$m][(int) (($c >>> (4 * $m)) & 15L)];
+         |  int ${m}_k = (int) (($c >>> (4 * $m)) & 15L);
+         |  if (${m}_k >= $cbRef[$m].length) {
+         |    throw new IllegalArgumentException("pq_adc: subspace " + $m +
+         |      " code " + ${m}_k + " exceeds codebook size " + $cbRef[$m].length);
+         |  }
+         |  double[] $cw = $cbRef[$m][${m}_k];
          |  int $off = $m * $sd;
          |  int $n = java.lang.Math.min($sd, java.lang.Math.max($nv - $off, 0));
          |  double $d = 0.0;

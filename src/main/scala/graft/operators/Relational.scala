@@ -274,21 +274,22 @@ object Relational {
         |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin) { (s, d) =>
       // Expand (rollup) duplicates the joined grouping attrs, which trips
       // Spark's ambiguous-self-join heuristic on a plan that has no self
-      // join; the check is a false positive here. Dataset analysis is eager,
-      // so the conf can be restored as soon as the plan is built — nothing
-      // leaks into later queries on the shared session.
-      val key = "spark.sql.analyzer.failAmbiguousSelfJoin"
-      val saved = s.conf.getOption(key)
-      s.conf.set(key, "false")
-      try {
-        Tables.customer(s, d)
-          .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
-          .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
-          .select("r_name", "n_name", "c_acctbal")
-          .rollup("r_name", "n_name")
-          .agg(count(lit(1)).as("n_cust"), dsum(col("c_acctbal"), 4).as("bal"))
-          .orderBy(asc_nulls_first("r_name"), asc_nulls_first("n_name"))
-      } finally saved.fold(s.conf.unset(key))(s.conf.set(key, _))
+      // join; the check is a false positive here and must be disabled for
+      // THIS analysis only. The conf is session-global, and Verify analyzes
+      // queries concurrently on a thread pool — toggling it on the shared
+      // session would silently disable the guard for sibling queries in
+      // the same window. newSession() shares the SparkContext (and the
+      // SparkConf-sourced settings) but owns its SessionState, so the
+      // toggle is invisible outside this builder.
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.analyzer.failAmbiguousSelfJoin", "false")
+      Tables.customer(s2, d)
+        .join(broadcast(Tables.nation(s2, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s2, d)), col("n_regionkey") === col("r_regionkey"))
+        .select("r_name", "n_name", "c_acctbal")
+        .rollup("r_name", "n_name")
+        .agg(count(lit(1)).as("n_cust"), dsum(col("c_acctbal"), 4).as("bal"))
+        .orderBy(asc_nulls_first("r_name"), asc_nulls_first("n_name"))
     },
 
     // ---- §2.D5: CUBE ----

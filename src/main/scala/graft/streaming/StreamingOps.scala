@@ -151,9 +151,7 @@ object StreamingOps {
   def annIndexRows(vecs: DataFrame,
                    cents: Seq[(Long, Seq[Double], Double)],
                    cb: Seq[Seq[Seq[Double]]]): DataFrame =
-    vecs.select(col("vec_id"), graft.ext.Similarity.cidExpr(cents).as("cid"),
-      graft.functions.PqEncode.pq_encode(col("v"), cb, graft.ext.Similarity.PqSub)
-        .as("pq_code"))
+    graft.ext.Similarity.indexRows(vecs, cents, cb)
 
   /** Streaming ANN probe (the q_embed_ivfpq shape as a stream): each
     * incoming probe vector selects its `nprobe` nearest cells

@@ -59,6 +59,15 @@ class OperatorSpec extends AnyFunSuite {
     val e = intercept[Exception](
       spark.sql(s"SELECT pq_encode(array(1.0d), array(array(array(rand()))), 1)").collect())
     assert(e.getMessage.contains("literal") || e.getMessage.contains("foldable"))
+    // wrong-typed artifacts fail with the argument name, not a downstream
+    // ClassCastException from executor code
+    val t = intercept[Exception](
+      spark.sql("SELECT pq_encode(array(1.0d), array(array(array(1, 0))), 1)").collect())
+    assert(t.getMessage.contains("codebook"), t.getMessage)
+    // out-of-range code nibbles name the input contract, not an AIOOBE
+    val o = intercept[Exception](
+      spark.sql(s"SELECT pq_adc(array(1.0d, 0.0d), 3L, $cb, 2)").collect())
+    assert(o.getMessage.contains("exceeds codebook size"), o.getMessage)
   }
 
   test("salted skew join equals the plain join on heavy-hitter data") {

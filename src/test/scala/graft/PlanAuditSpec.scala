@@ -38,7 +38,7 @@ class PlanAuditSpec extends AnyFunSuite {
   private val audited = Seq(
     "q_dedup_jaccard", "q_dedup_minhash_pairs", "q_dedup_simhash_pairs",
     "q_agg_pricing", "q_dedup_embed", "q_dedup_semdedup", "q_embed_ivf",
-    "q_embed_ivfpq", "q_embed_lsh",
+    "q_embed_ivf_kmeans", "q_embed_ivfpq", "q_embed_lsh",
     "q_join_range", "q_join_revenue_by_nation", "q_join_2hop",
     "q_events_asof", "q_dedup_minhash", "q_dedup_clusters", "q_dedup_corpus",
     "q_dedup_editdist", "q_dedup_incremental", "q_dedup_boilerplate",
