@@ -96,7 +96,25 @@ object GraftExtensions {
     require(e.foldable, s"$what must be a literal (constant-foldable) expression")
     require(shape(e.dataType),
       s"$what must have type $expectedDesc, got ${e.dataType.simpleString}")
-    CatalystTypeConverters.convertToScala(e.eval(), e.dataType)
+    val v = CatalystTypeConverters.convertToScala(e.eval(), e.dataType)
+    requireNoNulls(v, what)
+    v
+  }
+
+  /** The type check above passes nullable array/struct elements, so a
+    * literal like `array(struct(1L, array(1.0d, NULL), 1.0d))` would
+    * survive it and die later with an unboxing NPE inside plan
+    * construction. Walk the converted value and fail here, with the
+    * argument name, instead.
+    */
+  private def requireNoNulls(v: Any, what: String): Unit = v match {
+    case null =>
+      throw new IllegalArgumentException(
+        s"$what must not contain nulls (null element found in literal)")
+    case s: Seq[_] => s.foreach(requireNoNulls(_, what))
+    case r: org.apache.spark.sql.Row =>
+      r.toSeq.foreach(requireNoNulls(_, what))
+    case _ => ()
   }
 
   private[graft] val codebookShape: DataType => Boolean = {

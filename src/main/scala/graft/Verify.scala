@@ -42,7 +42,14 @@ object Verify {
     val runs = selected.map { case (name, fn) =>
       scala.concurrent.Future {
         val t0 = System.nanoTime()
-        try {
+        // CacheTracker.scope releases EXACTLY the caches this query's
+        // builder created, once its write finishes — safe under
+        // concurrency, unlike a global clearCache (observed: a concurrent
+        // clearCache made distinct() emit per-band duplicates — unpersist
+        // of a shared InMemoryRelation mid-execution). Builders route
+        // their caches through CacheTracker.cached on THIS thread, so the
+        // scope sees them all; sibling queries' scopes are disjoint.
+        try CacheTracker.scope {
           fn(spark, sfDir).coalesce(1).write.mode("overwrite")
             .parquet(s"$outDir/$name")
           // one line per query so a partial/timed-out driver run leaves a
@@ -52,17 +59,6 @@ object Verify {
         } catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }
-        // clearCache ONLY when sequential: clearing while sibling queries
-        // execute corrupts their in-flight plans (observed: a concurrent
-        // clearCache made distinct() emit per-band duplicates — unpersist
-        // of a shared InMemoryRelation mid-execution). Parallel runs let
-        // the cache accumulate instead — bounded risk, not unbounded
-        // growth: Dataset.cache() is MEMORY_AND_DISK, so under pressure
-        // blocks evict/spill rather than OOM, degrading speed only. At
-        // the sf0.01 correctness gate the total is tiny; callers running
-        // big scale factors should set SPARK_GRAFT_VERIFY_PAR=1 to
-        // restore the per-query clear.
-        finally if (par == 1) spark.catalog.clearCache()
       }
     }
     scala.concurrent.Await.result(

@@ -35,8 +35,13 @@ object AnnIndex {
     Similarity.indexRows(vecDf, cents, cb)
       .write.mode("overwrite").partitionBy("cid").parquet(path)
 
+  /** The partition column comes back through directory-name inference,
+    * which types small cell ids as int — cast it back to long so the
+    * at-rest schema is identical to the in-memory [[Similarity.indexRows]]
+    * one and probe joins never lean on implicit int/long casts.
+    */
   def load(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(path)
+    spark.read.parquet(path).withColumn("cid", col("cid").cast("long"))
 
   /** ADC top-k of `probeVecs` (vec_id, v) against the stored index: cell
     * selection is projection-only, candidates come from the cid join

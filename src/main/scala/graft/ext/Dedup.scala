@@ -1,6 +1,6 @@
 package graft.ext
 
-import graft.{Q, Tables}
+import graft.{CacheTracker, Q, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -142,7 +142,7 @@ object Dedup {
     * 2 signature rows each, keyed as a (k1, k2) struct.
     */
   private def minhashPairsDf(s: SparkSession, d: String): DataFrame = {
-    val banded = mhBandedDf(s, d).cache()
+    val banded = mhBandedDf(s, d).transform(CacheTracker.cached)
     bandedSelfJoin(banded, Nil).select("doc_a", "doc_b").distinct()
   }
 
@@ -336,7 +336,7 @@ object Dedup {
           posexplode(array((0 until 4).map { b =>
             shiftright(col("simhash"), 8 * b).bitwiseAND(255)
           }: _*)).as(Seq("band", "key")))
-        .cache()
+        .transform(CacheTracker.cached)
       bandedSelfJoin(banded, Seq("sim"))
         .select("doc_a", "doc_b", "sim_a", "sim_b").distinct()
         .select(col("doc_a"), col("doc_b"),
@@ -376,7 +376,7 @@ object Dedup {
         .withColumn("df", count(lit(1)).over(Window.partitionBy("h")))
         .filter(col("df") <= MaxShingleDf)
         .drop("df")
-        .cache()
+        .transform(CacheTracker.cached)
       val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val pairs = sh.select(col("doc_id").as("doc_a"), col("h"))
         .join(sh.select(col("doc_id").as("doc_b"), col("h")), Seq("h"))
@@ -542,7 +542,7 @@ object Dedup {
          |ORDER BY bp_ratio DESC, doc_id LIMIT 30""".stripMargin) { (s, d) =>
       val chunks = cdcChunks(Tables.documents(s, d).select(col("doc_id"), col("text")))
         .filter(col("n_toks") >= 4)
-        .cache() // both the shared-hash aggregate and the per-doc join read it
+        .transform(CacheTracker.cached) // both the shared-hash aggregate and the per-doc join read it
       val shared = chunks.groupBy("h")
         .agg(countDistinct("doc_id").as("n_docs"))
         .filter(col("n_docs") > 1)
@@ -580,7 +580,7 @@ object Dedup {
          |  FROM sigs i WHERE i.doc_id % 2 = 1
          |) WHERE n_bands_hit > 0 ORDER BY doc_id""".stripMargin
     }) { (s, d) =>
-      val banded = mhBandedDf(s, d).cache()
+      val banded = mhBandedDf(s, d).transform(CacheTracker.cached)
       val existing = banded.filter(col("doc_id") % 2 === 0)
         .select("band", "key").distinct()
       banded.filter(col("doc_id") % 2 === 1)

@@ -1,6 +1,6 @@
 package graft.ext
 
-import graft.{Q, Tables}
+import graft.{CacheTracker, Q, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -101,7 +101,7 @@ object Similarity {
     // cached: probe side and index side of the candidate join share these
     // signature rows; at cluster scale this materialization is the LSH
     // index build (write once, probe many)
-    val sigs = lshSignatures(vecDf).cache()
+    val sigs = lshSignatures(vecDf).transform(CacheTracker.cached)
     val cands = lshCandidates(sigs, probePred)
     val scored = cands
       .join(vecDf.select(col("vec_id").as("qid"), col("v").as("qv")), Seq("qid"))
@@ -636,7 +636,7 @@ object Similarity {
       val v = vecs(s, d)
       // cached: both sides of the self-join read the same 64-dot-product
       // signature set — without the cache the planes are evaluated twice
-      val sigs = lshSignatures(v).cache()
+      val sigs = lshSignatures(v).transform(CacheTracker.cached)
       val pairs = sigs.select(col("vec_id").as("id_a"), col("tbl"), col("bucket"))
         .join(sigs.select(col("vec_id").as("id_b"), col("tbl"), col("bucket")),
               Seq("tbl", "bucket"))

@@ -1,6 +1,6 @@
 package graft.ext
 
-import graft.{Q, Tables}
+import graft.{CacheTracker, Q, Tables}
 import org.apache.spark.sql.functions._
 import TextHash._
 
@@ -357,7 +357,7 @@ object TextAnalysis {
          |LEFT JOIN bench b ON b.h = s.h
          |GROUP BY s.doc_id
          |ORDER BY contamination DESC, doc_id LIMIT 25""".stripMargin) { (s, d) =>
-      val sh = Dedup.shingleHashDf(s, d).cache()
+      val sh = Dedup.shingleHashDf(s, d).transform(CacheTracker.cached)
       val bench = sh.filter(col("doc_id") % 97 === 0)
         .select("h").distinct().withColumn("hit", lit(1))
       sh.filter(col("doc_id") % 97 =!= 0)
@@ -427,11 +427,11 @@ object TextAnalysis {
         val (a, b) = MinhashPerms(i)
         ((h % Mersenne31) * a + b) % Mersenne31 % m
       }
-      val sh = Dedup.shingleHashDf(s, d).cache()
+      val sh = Dedup.shingleHashDf(s, d).transform(CacheTracker.cached)
       val bench = sh.filter(col("doc_id") % 97 === 0).select("h").distinct()
       val bits = (0 until 3).map(i => bench.select(bit(i, col("h")).as("bit")))
         .reduce(_ union _).distinct() // <= m rows, the entire shipped filter
-        .cache() // three broadcast builds read it; without this each one
+        .transform(CacheTracker.cached) // three broadcast builds read it; without this each one
                  // re-derives the bench set
       // the 3 bit positions ride the shingle row as columns and membership
       // is 3 no-fanout broadcast joins (bits are distinct) — the corpus
@@ -589,7 +589,7 @@ object TextAnalysis {
       val w = 1024
       val toks = Tables.documents(s, d)
         .select(explode(tokens(col("text"))).as("tok"))
-        .cache() // sketch rows and the exact top-15 both scan it
+        .transform(CacheTracker.cached) // sketch rows and the exact top-15 both scan it
       def bucket(i: Int, tok: org.apache.spark.sql.Column) =
         h48(concat(lit(s"r$i#"), tok)) % w
       val cms = (0 until 3).map { i =>

@@ -39,6 +39,8 @@ case class CentroidAssign(
 
   require(cids.nonEmpty && cids.length == cents.length && cids.length == norms.length,
     "CentroidAssign needs a non-empty, aligned centroid set")
+  require(cents.forall(_.length == cents.head.length),
+    "CentroidAssign needs centroids of uniform dimension")
 
   // Seq fields give the case class VALUE equality (Array fields compare by
   // reference, which would break semanticEquals / subexpression reuse /
@@ -59,6 +61,10 @@ case class CentroidAssign(
   override def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
     val nv = v.numElements()
+    // a mismatched vector would otherwise silently dot only the shared
+    // prefix — a quietly wrong cosine, not an error
+    if (nv != centArr(0).length) throw new IllegalArgumentException(
+      s"centroid_assign: vector has $nv elements, centroids have ${centArr(0).length}")
     var vsq = 0.0
     var i = 0
     while (i < nv) { val x = v.getDouble(i); vsq += x * x; i += 1 }
@@ -69,10 +75,9 @@ case class CentroidAssign(
     var c = 0
     while (c < centArr.length) {
       val cv = centArr(c)
-      val n = math.min(nv, cv.length)
       var dot = 0.0
       i = 0
-      while (i < n) { dot += v.getDouble(i) * cv(i); i += 1 }
+      while (i < nv) { dot += v.getDouble(i) * cv(i); i += 1 }
       val cos = dot / (vnorm * normArr(c))
       if (first || SQLOrderingUtil.compareDoubles(cos, best) > 0) {
         first = false; best = cos; bestCid = cidArr(c)
@@ -102,6 +107,10 @@ case class CentroidAssign(
       val x = ctx.freshName("x")
       s"""
          |int $nv = $v.numElements();
+         |if ($nv != $centsRef[0].length) {
+         |  throw new IllegalArgumentException("centroid_assign: vector has " +
+         |    $nv + " elements, centroids have " + $centsRef[0].length);
+         |}
          |double $vsq = 0.0;
          |for (int $i = 0; $i < $nv; $i++) {
          |  double $x = $v.getDouble($i); $vsq += $x * $x;
@@ -110,9 +119,8 @@ case class CentroidAssign(
          |double $best = 0.0; long $bestCid = 0L; boolean $first = true;
          |for (int $c = 0; $c < $centsRef.length; $c++) {
          |  double[] $cv = $centsRef[$c];
-         |  int $n = java.lang.Math.min($nv, $cv.length);
          |  double $dot = 0.0;
-         |  for (int $i = 0; $i < $n; $i++) { $dot += $v.getDouble($i) * $cv[$i]; }
+         |  for (int $i = 0; $i < $nv; $i++) { $dot += $v.getDouble($i) * $cv[$i]; }
          |  double $cos = $dot / ($vnorm * $normsRef[$c]);
          |  if ($first || org.apache.spark.sql.catalyst.util.SQLOrderingUtil.compareDoubles($cos, $best) > 0) {
          |    $first = false; $best = $cos; $bestCid = $cidsRef[$c];
@@ -145,6 +153,8 @@ case class CentroidBest(
 
   require(cids.nonEmpty && cids.length == cents.length && cids.length == norms.length,
     "CentroidBest needs a non-empty, aligned centroid set")
+  require(cents.forall(_.length == cents.head.length),
+    "CentroidBest needs centroids of uniform dimension")
 
   @transient private lazy val cidArr: Array[Long] = cids.toArray
   @transient private lazy val centArr: Array[Array[Double]] = cents.map(_.toArray).toArray
@@ -163,6 +173,8 @@ case class CentroidBest(
   override def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
     val nv = v.numElements()
+    if (nv != centArr(0).length) throw new IllegalArgumentException(
+      s"centroid_best: vector has $nv elements, centroids have ${centArr(0).length}")
     var vsq = 0.0
     var i = 0
     while (i < nv) { val x = v.getDouble(i); vsq += x * x; i += 1 }
@@ -173,10 +185,9 @@ case class CentroidBest(
     var c = 0
     while (c < centArr.length) {
       val cv = centArr(c)
-      val n = math.min(nv, cv.length)
       var dot = 0.0
       i = 0
-      while (i < n) { dot += v.getDouble(i) * cv(i); i += 1 }
+      while (i < nv) { dot += v.getDouble(i) * cv(i); i += 1 }
       val cos = dot / (vnorm * normArr(c))
       if (first || SQLOrderingUtil.compareDoubles(cos, best) > 0) {
         first = false; best = cos; bestCid = cidArr(c)
@@ -206,6 +217,10 @@ case class CentroidBest(
       val x = ctx.freshName("x")
       s"""
          |int $nv = $v.numElements();
+         |if ($nv != $centsRef[0].length) {
+         |  throw new IllegalArgumentException("centroid_assign: vector has " +
+         |    $nv + " elements, centroids have " + $centsRef[0].length);
+         |}
          |double $vsq = 0.0;
          |for (int $i = 0; $i < $nv; $i++) {
          |  double $x = $v.getDouble($i); $vsq += $x * $x;
@@ -214,9 +229,8 @@ case class CentroidBest(
          |double $best = 0.0; long $bestCid = 0L; boolean $first = true;
          |for (int $c = 0; $c < $centsRef.length; $c++) {
          |  double[] $cv = $centsRef[$c];
-         |  int $n = java.lang.Math.min($nv, $cv.length);
          |  double $dot = 0.0;
-         |  for (int $i = 0; $i < $n; $i++) { $dot += $v.getDouble($i) * $cv[$i]; }
+         |  for (int $i = 0; $i < $nv; $i++) { $dot += $v.getDouble($i) * $cv[$i]; }
          |  double $cos = $dot / ($vnorm * $normsRef[$c]);
          |  if ($first || org.apache.spark.sql.catalyst.util.SQLOrderingUtil.compareDoubles($cos, $best) > 0) {
          |    $first = false; $best = $cos; $bestCid = $cidsRef[$c];

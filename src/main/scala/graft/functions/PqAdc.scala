@@ -24,7 +24,9 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
   * order-independence tricks.
   *
   * Null contract: null if either input is null; the codebook must be
-  * non-empty, rectangular, K ≤ 16 (4-bit codes).
+  * non-empty, rectangular, K ≤ 16 (4-bit codes). The query vector must
+  * have exactly M·subDim elements — a shorter vector is an error, not a
+  * truncated (silently wrong) distance.
   */
 case class PqAdc(
     left: Expression,  // query vector: array<double>
@@ -54,7 +56,11 @@ case class PqAdc(
   override def nullSafeEval(q: Any, code: Any): Any = {
     val v = q.asInstanceOf[ArrayData]
     val c = code.asInstanceOf[Long]
-    val nv = v.numElements()
+    // a short query vector would otherwise silently score only the
+    // subspaces it covers — wrong distance, not an error
+    if (v.numElements() != cbArr.length * subDim) throw new IllegalArgumentException(
+      s"pq_adc: query vector has ${v.numElements()} elements, expected " +
+        s"${cbArr.length * subDim} (M=${cbArr.length} x subDim=$subDim)")
     var total = 0.0
     var m = 0
     while (m < cbArr.length) {
@@ -65,10 +71,9 @@ case class PqAdc(
         s"pq_adc: subspace $m code $kk exceeds codebook size ${cbArr(m).length}")
       val cw = cbArr(m)(kk)
       val off = m * subDim
-      val n = math.min(subDim, math.max(nv - off, 0))
       var d = 0.0
       var j = 0
-      while (j < n) { val t = v.getDouble(off + j) - cw(j); d += t * t; j += 1 }
+      while (j < subDim) { val t = v.getDouble(off + j) - cw(j); d += t * t; j += 1 }
       total += d
       m += 1
     }
@@ -91,6 +96,10 @@ case class PqAdc(
       s"""
          |final int $sd = $subDim;
          |int $nv = $v.numElements();
+         |if ($nv != $cbRef.length * $sd) {
+         |  throw new IllegalArgumentException("pq_adc: query vector has " + $nv +
+         |    " elements, expected " + ($cbRef.length * $sd));
+         |}
          |double $total = 0.0;
          |for (int $m = 0; $m < $cbRef.length; $m++) {
          |  int ${m}_k = (int) (($c >>> (4 * $m)) & 15L);
@@ -100,9 +109,8 @@ case class PqAdc(
          |  }
          |  double[] $cw = $cbRef[$m][${m}_k];
          |  int $off = $m * $sd;
-         |  int $n = java.lang.Math.min($sd, java.lang.Math.max($nv - $off, 0));
          |  double $d = 0.0;
-         |  for (int $j = 0; $j < $n; $j++) {
+         |  for (int $j = 0; $j < $sd; $j++) {
          |    double $t = $v.getDouble($off + $j) - $cw[$j]; $d += $t * $t;
          |  }
          |  $total += $d;

@@ -22,7 +22,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
   * in ascending-k order, so ties pick the smallest k (`ORDER BY d2, k`).
   *
   * Null contract: null vector → null; the codebook must be non-empty and
-  * rectangular (same K per subspace, K ≤ 16).
+  * rectangular (same K per subspace, K ≤ 16). The vector must cover every
+  * subspace this expression scores — numElements ≥ (mOffset+M)·subDim; a
+  * shorter vector is an error, not a silently truncated encoding (in the
+  * chunked composition the LAST chunk's bound equals the full M·subDim,
+  * so full coverage is always enforced).
   */
 case class PqEncode(
     child: Expression,
@@ -52,6 +56,10 @@ case class PqEncode(
   override def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
     val nv = v.numElements()
+    if (nv < (mOffset + cbArr.length) * subDim) throw new IllegalArgumentException(
+      s"pq_encode: vector has $nv elements, needs at least " +
+        s"${(mOffset + cbArr.length) * subDim} to cover subspaces " +
+        s"[$mOffset, ${mOffset + cbArr.length}) x subDim=$subDim")
     var packed = 0L
     var m = 0
     while (m < cbArr.length) {
@@ -62,10 +70,9 @@ case class PqEncode(
       var k = 0
       while (k < ks.length) {
         val cw = ks(k)
-        val n = math.min(subDim, math.max(nv - off, 0))
         var d = 0.0
         var j = 0
-        while (j < n) {
+        while (j < subDim) {
           val t = v.getDouble(off + j) - cw(j); d += t * t; j += 1
         }
         if (k == 0 || d < bestD) { bestD = d; bestK = k }
@@ -97,6 +104,10 @@ case class PqEncode(
       s"""
          |final int $sd = $subDim;
          |int $nv = $v.numElements();
+         |if ($nv < ($mOffset + $cbRef.length) * $sd) {
+         |  throw new IllegalArgumentException("pq_encode: vector has " + $nv +
+         |    " elements, needs at least " + (($mOffset + $cbRef.length) * $sd));
+         |}
          |long $packed = 0L;
          |for (int $m = 0; $m < $cbRef.length; $m++) {
          |  double[][] $ks = $cbRef[$m];
@@ -104,9 +115,8 @@ case class PqEncode(
          |  int $bestK = 0; double $bestD = Double.NaN;
          |  for (int $k = 0; $k < $ks.length; $k++) {
          |    double[] $cw = $ks[$k];
-         |    int $n = java.lang.Math.min($sd, java.lang.Math.max($nv - $off, 0));
          |    double $d = 0.0;
-         |    for (int $j = 0; $j < $n; $j++) {
+         |    for (int $j = 0; $j < $sd; $j++) {
          |      double $t = $v.getDouble($off + $j) - $cw[$j]; $d += $t * $t;
          |    }
          |    if ($k == 0 || $d < $bestD) { $bestD = $d; $bestK = $k; }

@@ -1,5 +1,6 @@
 package graft.graph
 
+import graft.CacheTracker
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -29,7 +30,7 @@ object GraphTraversal {
     // would cost Θ(h²) join executions); `visited` is a union of cached
     // nodes, cheap to scan at the end. Caches stay alive for the returned
     // plan — callers drop them with spark.catalog.clearCache() / unpersist.
-    var visited = starts.select(col("id")).distinct().withColumn("hops", lit(0)).cache()
+    var visited = starts.select(col("id")).distinct().withColumn("hops", lit(0)).transform(CacheTracker.cached)
     var frontier = visited
     var hop = 0
     while (hop < maxHops && !frontier.isEmpty) {
@@ -38,7 +39,7 @@ object GraphTraversal {
         .select(col("to_id").as("id")).distinct()
         .join(visited.select("id"), Seq("id"), "left_anti")
         .withColumn("hops", lit(hop))
-        .cache()
+        .transform(CacheTracker.cached)
       visited = visited.unionByName(next)
       frontier = next // isEmpty materializes the cache on the next loop test
     }
