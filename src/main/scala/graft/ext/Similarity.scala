@@ -211,6 +211,66 @@ object Similarity {
     else
       graft.functions.CentroidAssign.centroid_assign_chunked(col("v"), cents, CentroidChunk)
 
+  /** Default occupancy cap for [[semDedup]]'s within-cell pair scan. */
+  val SemDedupCellCap = 64
+
+  /** Semantic dedup (SemDeDup shape) with a skew guard: vectors are
+    * clustered by the IVF coarse quantizer (projection-only assignment),
+    * pairs are scored ONLY within a cell, and any vector with a lower-id
+    * neighbor at cosine ≥ `simThreshold` is reported dropped, with its
+    * lowest-id lower neighbor and the strongest similarity.
+    *
+    * Skew guard: the within-cell self-join is quadratic in CELL size, and
+    * a dense embedding cluster — exactly the corpus region semantic dedup
+    * exists to prune — can inflate one cell far past the balanced ≈√N
+    * envelope, making a single partition do O(cell²) work. So any cell
+    * above `cellCap` is split into ⌈cnt/cellCap⌉ sub-cells before the
+    * pairwise pass, and pairs join on (cid, sub): per-sub-cell occupancy
+    * is HARD-bounded by `cellCap` (round-robin on the within-cell
+    * row_number, not a hash — no probabilistic tail), so per-cell pair
+    * work is ≤ ⌈cnt/cap⌉·cap² ≈ cnt·cap, linear in the dense cluster's
+    * size instead of quadratic. Cells at or under the cap get exactly one
+    * sub-cell — the guard is a no-op on balanced data. Splitting a
+    * cluster costs recall only across sub-cell boundaries of oversized
+    * cells, the same granularity/recall trade the coarse quantizer itself
+    * makes; the split is deterministic (row_number ordered by vec_id), so
+    * results are reproducible and the DuckDB oracle reproduces them
+    * exactly.
+    *
+    * Plan shape: assignment is the codegen'd projection; the sub split
+    * rides the SAME cid window pass (row_number + per-cell count — one
+    * corpus shuffle by cid, reused by both join legs since
+    * HashPartitioning(cid) satisfies the (cid, sub) clustering); the
+    * report is one aggregate on the surviving pairs. Nothing
+    * corpus-quadratic, no new Exchange vs the unguarded form.
+    */
+  def semDedup(vecDf: DataFrame, cents: Seq[(Long, Seq[Double], Double)],
+               simThreshold: Double, cellCap: Int = SemDedupCellCap): DataFrame = {
+    val cells = semDedupCells(vecDf, cents, cellCap)
+    cells.select(col("cid"), col("sub"), col("vec_id").as("id_a"), col("v").as("va"))
+      .join(cells.select(col("cid"), col("sub"), col("vec_id").as("id_b"), col("v").as("vb")),
+            Seq("cid", "sub"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+              round(cosine(col("va"), col("vb")), 6).as("cos_r"))
+      .filter(col("cos_r") >= simThreshold)
+      .groupBy(col("id_b").as("dropped"))
+      .agg(min("id_a").as("kept"), max("cos_r").as("max_cos"))
+  }
+
+  /** (vec_id, v, cid, sub) — the guarded cell assignment behind
+    * [[semDedup]], exposed for the occupancy-bound spec. */
+  private[graft] def semDedupCells(vecDf: DataFrame,
+                                   cents: Seq[(Long, Seq[Double], Double)],
+                                   cellCap: Int): DataFrame = {
+    require(cellCap > 0, "cellCap must be positive")
+    val wp = Window.partitionBy("cid")
+    val nsub = ceil(count(lit(1)).over(wp) / lit(cellCap.toDouble))
+    val rn = row_number().over(wp.orderBy("vec_id")).cast("long")
+    vecDf.select(col("vec_id"), col("v"), cidExpr(cents).as("cid"))
+      .withColumn("sub", pmod(rn - 1, nsub))
+  }
+
   /** Cosine top-k via IVF: probe the `nprobe` nearest cells per query.
     * Probe→cell selection is the same projection-only centroid scoring as
     * [[ivfAssign]] (sort the scored array, keep `nprobe`) — no join, no
@@ -654,15 +714,17 @@ object Similarity {
     // ---- semantic dedup (SemDeDup shape): within-IVF-cell cosine pruning ----
     // The embedding-cluster dedup pass of a curation pipeline: cluster the
     // corpus with the IVF coarse quantizer (projection-only assignment),
-    // compare vectors ONLY within their cell (the quadratic is bounded by
-    // cell size ≈ √N — the same cost envelope the SemDeDup paper's
-    // per-cluster scan accepts), and drop every vector that has a
-    // lower-id in-cell neighbor above the similarity threshold. Output is
-    // the audit table: each dropped id with its LOWEST-ID lower neighbor
-    // (which may itself be dropped further up a similarity chain — resolve
-    // chains to surviving representatives with the q_dedup_clusters
+    // compare vectors ONLY within their cell, and drop every vector that
+    // has a lower-id in-cell neighbor above the similarity threshold.
+    // Output is the audit table: each dropped id with its LOWEST-ID lower
+    // neighbor (which may itself be dropped further up a similarity chain —
+    // resolve chains to surviving representatives with the q_dedup_clusters
     // closure when that matters) and the strongest similarity that doomed
-    // it. One shuffle (by cid) for the self-join; nothing corpus-quadratic.
+    // it. Cells above [[Similarity.SemDedupCellCap]] are split into
+    // sub-cells ([[Similarity.semDedup]] skew guard), so per-cell pair work
+    // is ≤ cap² regardless of how dense one embedding cluster is; the
+    // oracle models the identical split, so the comparison stays exact at
+    // any scale factor.
     Q("q_dedup_semdedup", {
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 25 = 0),
@@ -674,27 +736,23 @@ object Similarity {
          |    FROM e, c
          |  ) WHERE rn = 1
          |),
+         |cells AS (
+         |  SELECT vec_id, cid,
+         |    (row_number() OVER (PARTITION BY cid ORDER BY vec_id) - 1)
+         |      % CAST(CEIL((COUNT(*) OVER (PARTITION BY cid)) / $SemDedupCellCap.0) AS BIGINT) AS sub
+         |  FROM asn
+         |),
          |p AS (
          |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, ${cosSql("x.v", "y.v")} AS cos_r
-         |  FROM asn a JOIN asn b ON a.cid = b.cid AND a.vec_id < b.vec_id
+         |  FROM cells a JOIN cells b
+         |    ON a.cid = b.cid AND a.sub = b.sub AND a.vec_id < b.vec_id
          |  JOIN e x ON x.vec_id = a.vec_id JOIN e y ON y.vec_id = b.vec_id
          |)
          |SELECT id_b AS dropped, min(id_a) AS kept, max(cos_r) AS max_cos
          |FROM p WHERE cos_r >= 0.2 GROUP BY id_b ORDER BY dropped""".stripMargin
     }) { (s, d) =>
       val v = vecs(s, d)
-      val cents = centroidSet(v, 25)
-      val asn = v.select(col("vec_id"), col("v"), cidExpr(cents).as("cid"))
-      asn.select(col("cid"), col("vec_id").as("id_a"), col("v").as("va"))
-        .join(asn.select(col("cid"), col("vec_id").as("id_b"), col("v").as("vb")),
-              Seq("cid"))
-        .filter(col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b"),
-                round(cosine(col("va"), col("vb")), 6).as("cos_r"))
-        .filter(col("cos_r") >= 0.2)
-        .groupBy(col("id_b").as("dropped"))
-        .agg(min("id_a").as("kept"), max("cos_r").as("max_cos"))
-        .orderBy("dropped")
+      semDedup(v, centroidSet(v, 25), simThreshold = 0.2).orderBy("dropped")
     },
 
     // ---- IVF-quantized cosine top-1: centroid-literal projection for

@@ -66,6 +66,66 @@ class SimilaritySpec extends AnyFunSuite {
     assert(maxCell <= nBase, s"max IVF cell $maxCell")
   }
 
+  test("semDedup skew guard: a planted dense cluster splits, occupancy and pair work stay bounded") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    def unit(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    // 300 near-copies of one direction — the dense semantic cluster
+    // SemDeDup exists to prune, and exactly the shape that inflates one
+    // IVF cell — plus scattered background vectors
+    val hub = unit(Array.fill(Similarity.Dim)(rnd.nextGaussian()))
+    val dense = (0 until 300).map { i =>
+      (i.toLong, unit(hub.zip(Array.fill(Similarity.Dim)(rnd.nextGaussian() * 0.02))
+        .map { case (b, e) => b + e }).toSeq)
+    }
+    val bg = (300 until 360).map(i =>
+      (i.toLong, unit(Array.fill(Similarity.Dim)(rnd.nextGaussian())).toSeq))
+    val corpus = (dense ++ bg).toDF("vec_id", "v")
+    // stride 300 -> centroids are vec 0 (the hub) and vec 300 (background):
+    // the whole dense cluster lands in cid 0
+    val cents = Similarity.centroidSet(corpus, 300)
+    val cap = 16
+
+    val cells = Similarity.semDedupCells(corpus, cents, cap).cache()
+    try {
+      val occ = cells.groupBy("cid", "sub").agg(count(lit(1)).as("n")).cache()
+      // hard occupancy bound: no (cell, sub) group exceeds the cap even
+      // though cid 0 holds ~300 vectors
+      val maxOcc = occ.agg(max("n")).head().getLong(0)
+      assert(maxOcc <= cap, s"sub-cell occupancy $maxOcc exceeds cap $cap")
+      val denseCell = cells.filter(col("vec_id") < 300)
+        .groupBy("cid").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc).head()
+      assert(denseCell.getLong(1) >= 290, "planting failed: dense cluster scattered")
+      // pair work is linear in N, not quadratic in the dense cell:
+      // sum n_i(n_i-1) <= N*(cap-1) << cnt_dense^2
+      val pairsDoubled = occ.agg(sum(col("n") * (col("n") - 1))).head().getLong(0)
+      assert(pairsDoubled <= 360L * (cap - 1),
+        s"pair work $pairsDoubled exceeds the linear bound ${360L * (cap - 1)}")
+
+      // semantics survive the split: within every sub-cell of the dense
+      // cluster all but the lowest id drop (pairwise cos ~0.99 >= 0.9).
+      // Survivors are at most one per sub-cell: 300/16 -> <= 19 + slack.
+      val res = Similarity.semDedup(corpus, cents, simThreshold = 0.9, cellCap = cap)
+      val droppedDense = res.filter(col("dropped") < 300).count()
+      assert(droppedDense >= 270, s"only $droppedDense of ~300 dense near-dups dropped")
+    } finally { cells.unpersist(); () }
+  }
+
+  test("semDedup skew guard is a no-op on balanced data") {
+    // every cell at or under the cap -> one sub-cell each -> identical
+    // report to the unguarded (effectively-infinite-cap) form
+    val cents = Similarity.centroidSet(planted, 4)
+    val guarded = Similarity.semDedup(planted, cents, 0.5)
+      .orderBy("dropped").collect().toSeq
+    val unguarded = Similarity.semDedup(planted, cents, 0.5, cellCap = Int.MaxValue)
+      .orderBy("dropped").collect().toSeq
+    assert(guarded == unguarded)
+    assert(guarded.nonEmpty, "planted twins should produce drops")
+  }
+
   test("planted near-duplicates: IVF-PQ top-1 recall, equi-join plan, codes-only scan") {
     val probePred = col("vec_id") % 2 === 0
     val df = Similarity.ivfPqTopK(planted, probePred, centroidStride = 4, nprobe = 2, k = 1)
