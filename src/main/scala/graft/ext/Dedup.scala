@@ -132,7 +132,7 @@ object Dedup {
     * bands (2 signature rows per band, keyed as a struct) — the shared
     * index shape for pair generation AND incremental lookups.
     */
-  private def mhBandedDf(s: SparkSession, d: String): DataFrame =
+  private[graft] def mhBandedDf(s: SparkSession, d: String): DataFrame =
     minhashDf(s, d)
       .select(col("doc_id"), posexplode(array((0 until 4).map { b =>
         struct(col(s"sig_${2 * b}").as("k1"), col(s"sig_${2 * b + 1}").as("k2"))
@@ -563,11 +563,14 @@ object Dedup {
     // The streaming-shaped curation step as a batch operator: the existing
     // corpus (even doc_ids) is reduced to its DISTINCT (band, key) LSH
     // index — the structure a production pipeline maintains incrementally —
-    // and an incoming batch (odd doc_ids) equi-joins against it; any band
-    // hit flags the document as a near-dup of something already ingested.
-    // At 100 TB only the (band, key) index shuffles (8-byte keys, one row
-    // per band per corpus doc), never the corpus text, and a small incoming
-    // batch broadcasts against it.
+    // persisted AT REST through [[DedupIndex]] (partitioned by
+    // (band, bucket)), and an incoming batch (odd doc_ids) probes it; any
+    // band hit flags the document as a near-dup of something already
+    // ingested. At 100 TB only the (band, key) index shuffles (8-byte
+    // keys, one row per band per corpus doc), never the corpus text; the
+    // small incoming batch broadcasts, and dynamic partition pruning
+    // restricts the stored-index scan to the batch's (band, bucket)
+    // directories (DedupIndexSpec asserts the plan).
     Q("q_dedup_incremental", {
       val hit = (0 until 4).map { b =>
         s"""(CASE WHEN EXISTS (SELECT 1 FROM sigs e WHERE e.doc_id % 2 = 0
@@ -581,11 +584,10 @@ object Dedup {
          |) WHERE n_bands_hit > 0 ORDER BY doc_id""".stripMargin
     }) { (s, d) =>
       val banded = mhBandedDf(s, d).transform(CacheTracker.cached)
-      val existing = banded.filter(col("doc_id") % 2 === 0)
-        .select("band", "key").distinct()
-      banded.filter(col("doc_id") % 2 === 1)
-        .join(existing, Seq("band", "key")) // existing is distinct: no fanout
-        .groupBy("doc_id").agg(count(lit(1)).as("n_bands_hit"))
+      val dir = java.nio.file.Files.createTempDirectory("graft-dedupidx").toString
+      DedupIndex.write(banded.filter(col("doc_id") % 2 === 0), dir)
+      DedupIndex.probe(DedupIndex.load(s, dir),
+                       banded.filter(col("doc_id") % 2 === 1))
         .orderBy("doc_id")
     }
   )

@@ -1,0 +1,87 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The MinHash-LSH band index AT REST — the dedup analogue of
+  * [[AnnIndex]]: the distinct (band, key) rows a production pipeline
+  * maintains incrementally, stored so a probe reads only the directories
+  * its own keys can live in, instead of re-reading the full index.
+  *
+  *  - [[write]] stores the DISTINCT index rows partitioned by
+  *    `(band, bucket)` where `bucket = pmod(hash(k1, k2), Buckets)` —
+  *    a deterministic function of the key, so a probe computes the same
+  *    bucket for its keys and bucket equality is implied by key equality.
+  *    Band and bucket are directories; at corpus scale each holds
+  *    ≈ |index|/(4·Buckets) 16-byte key rows.
+  *  - [[probe]] equi-joins the stored index against a broadcast incoming
+  *    batch on (band, bucket, k1, k2). The two partition columns are join
+  *    keys, so Spark's dynamic partition pruning turns the broadcast
+  *    batch into a runtime partition filter on the index scan
+  *    (DedupIndexSpec asserts `dynamicpruning` in the executed plan) —
+  *    a small batch touching b distinct buckets reads b directories, not
+  *    the corpus index.
+  *  - [[probeBand]] is the static variant: a literal band predicate
+  *    prunes at planning time (`PartitionFilters` in the scan).
+  *
+  * The index is key-only (no doc ids): a band hit means "near-dup of
+  * something already ingested", which is the incremental-dedup contract
+  * (cf. q_dedup_incremental and the streaming variant in
+  * [[graft.streaming.StreamingOps]]). Keeping doc ids per key is a
+  * one-line change (drop the distinct) the audit-table variant would use.
+  */
+object DedupIndex {
+
+  /** Partition fan per band. 4 bands × 64 buckets = 256 directories —
+    * coarse enough that sf-scale files stay chunky, fine enough that a
+    * small batch prunes to a handful of directories. At larger corpus
+    * scale raise it so a directory stays ≤ one HDFS-block-ish file.
+    */
+  val Buckets = 64
+
+  /** Distinct (band, k1, k2, bucket) index rows of a banded corpus
+    * ((doc_id, band, key struct) — the [[Dedup]] LSH shape). */
+  def indexRows(banded: DataFrame): DataFrame =
+    banded
+      .select(col("band"), col("key.k1").as("k1"), col("key.k2").as("k2"))
+      .distinct()
+      .withColumn("bucket", pmod(hash(col("k1"), col("k2")), lit(Buckets)))
+
+  def write(banded: DataFrame, path: String): Unit =
+    indexRows(banded).write.mode("overwrite")
+      .partitionBy("band", "bucket").parquet(path)
+
+  /** Partition columns come back through directory-name inference — pin
+    * them to int so the at-rest schema matches [[indexRows]] exactly
+    * (same rule as [[AnnIndex.load]]).
+    */
+  def load(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+      .withColumn("band", col("band").cast("int"))
+      .withColumn("bucket", col("bucket").cast("int"))
+
+  /** (doc_id, n_bands_hit) for every incoming document that shares at
+    * least one band key with the stored corpus: any hit flags the doc as
+    * a near-dup of something already ingested. The batch is broadcast
+    * (incremental batches are small by definition); the index side is
+    * the partitioned scan that dynamic partition pruning restricts to
+    * the batch's (band, bucket) directories. The index rows are
+    * distinct, so the join cannot fan out and the count IS the number of
+    * bands hit.
+    */
+  def probe(index: DataFrame, batchBanded: DataFrame): DataFrame = {
+    val batch = batchBanded
+      .select(col("doc_id"), col("band"),
+              col("key.k1").as("k1"), col("key.k2").as("k2"))
+      .withColumn("bucket", pmod(hash(col("k1"), col("k2")), lit(Buckets)))
+    index.join(broadcast(batch), Seq("band", "bucket", "k1", "k2"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_bands_hit"))
+  }
+
+  /** Static-pruning scan of one band's directories: the literal predicate
+    * reaches the scan as `PartitionFilters`, so other bands are never
+    * listed.
+    */
+  def probeBand(index: DataFrame, band: Int): DataFrame =
+    index.filter(col("band") === band)
+}
