@@ -1,6 +1,7 @@
 package graft.ext
 
 import graft.{CacheTracker, Q, Tables}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import TextHash._
 
@@ -17,6 +18,92 @@ object TextAnalysis {
   // definition, no drift (POSIX classes behave identically in Java and RE2)
   private val EmailRe = "[a-z0-9._]+@[a-z0-9.-]+[.][a-z]+"
   private val PhoneRe = "[+][0-9]{2}-[0-9]{3}-[0-9]{4}"
+
+  /** How [[contaminationScore]] ships the benchmark set to the corpus. */
+  sealed trait ContamStrategy
+  object ContamStrategy {
+    /** Broadcast the exact distinct hash set — exact counts, shipped size
+      * grows with the benchmark. */
+    case object Exact extends ContamStrategy
+    /** Compress the benchmark to a Bloom filter (k=3 arithmetic probe
+      * bits in an m=8192-bit space): the shipped side is ≤ m bits no
+      * matter how large the eval suite is, at the price of deterministic
+      * (engine-reproducible) false positives — hits over-count, never
+      * under-count. */
+    case object Bloom extends ContamStrategy
+    /** Size-based switch: count the benchmark's distinct hashes once
+      * (driver-side action at build time, benchmark-scale work) and pick
+      * [[Exact]] while it fits under `maxExactHashes`, [[Bloom]] past it
+      * — users get the bounded plan automatically when the eval suite
+      * outgrows a sane broadcast. */
+    final case class Auto(maxExactHashes: Long = 1L << 20) extends ContamStrategy
+  }
+
+  /** Per-document benchmark-contamination score, ONE operator for both
+    * shipping strategies: every corpus document is scored by the fraction
+    * of its shingle hashes that appear in the benchmark set. Inputs are
+    * (doc_id, h) shingle-hash rows (the [[Dedup.shingleHashDf]] shape) for
+    * the corpus and the benchmark; output is (doc_id, n_shingles, n_hit,
+    * contamination). Under [[ContamStrategy.Bloom]], n_hit counts Bloom
+    * hits (≥ the exact count, deterministically).
+    *
+    * Plan shape, both strategies: the benchmark reduces to a broadcast
+    * build side (exact hash set, or ≤8192 distinct bit positions), the
+    * corpus streams through no-fanout broadcast joins, and the only
+    * exchange is the per-document aggregate — nothing ever pairs
+    * documents with documents, and the corpus never re-shuffles.
+    */
+  def contaminationScore(corpusSh: DataFrame, benchSh: DataFrame,
+                         strategy: ContamStrategy = ContamStrategy.Auto()): DataFrame = {
+    val bench = benchSh.select("h").distinct()
+    val chosen = strategy match {
+      case ContamStrategy.Auto(maxExact) =>
+        val b = CacheTracker.cached(bench) // counted here, reused below
+        if (b.count() <= maxExact) ContamStrategy.Exact else ContamStrategy.Bloom
+      case s => s
+    }
+    chosen match {
+      case ContamStrategy.Exact | ContamStrategy.Auto(_) =>
+        corpusSh
+          .join(broadcast(bench.withColumn("hit", lit(1))), Seq("h"), "left")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_shingles"),
+               sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hit"),
+               round(sum(coalesce(col("hit"), lit(0))).cast("double")
+                 / count(lit(1)), 6).as("contamination"))
+      case ContamStrategy.Bloom =>
+        val m = 8192
+        // k=3 probe positions derived arithmetically from the one existing
+        // 48-bit shingle hash (double-hashing) — no extra digest per row,
+        // and exact integer parity with the SQL oracle. h is reduced mod
+        // 2^31-1 first so the affine products fit a long.
+        def bit(i: Int, h: org.apache.spark.sql.Column) = {
+          val (a, b) = MinhashPerms(i)
+          ((h % Mersenne31) * a + b) % Mersenne31 % m
+        }
+        val bits = (0 until 3).map(i => bench.select(bit(i, col("h")).as("bit")))
+          .reduce(_ union _).distinct() // <= m rows, the entire shipped filter
+          .transform(CacheTracker.cached) // three broadcast builds read it;
+                   // without this each one re-derives the bench set
+        // the 3 bit positions ride the shingle row as columns and
+        // membership is 3 no-fanout broadcast joins (bits are distinct)
+        val marked = (0 until 3).foldLeft(
+          corpusSh.select(col("doc_id") +:
+            (0 until 3).map(i => bit(i, col("h")).as(s"bit$i")): _*)) {
+          (df, i) =>
+            df.join(broadcast(bits.select(col("bit").as(s"bit$i"), lit(1).as(s"set$i"))),
+                    Seq(s"bit$i"), "left")
+        }
+        marked
+          .select(col("doc_id"),
+            (coalesce(col("set0"), lit(0)) + coalesce(col("set1"), lit(0))
+              + coalesce(col("set2"), lit(0)) === 3).cast("int").as("hit"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_shingles"),
+               sum("hit").cast("long").as("n_hit"),
+               round(sum("hit").cast("double") / count(lit(1)), 6).as("contamination"))
+    }
+  }
 
   private def inSetSql(e: String, set: Seq[String]): String =
     s"CASE WHEN $e IN (${set.map(w => s"'$w'").mkString(", ")}) THEN 1 ELSE 0 END"
@@ -343,9 +430,11 @@ object TextAnalysis {
     // Decontamination before training: every corpus document is scored by
     // the fraction of its distinct 5-gram shingles that appear anywhere in
     // the benchmark set (here: doc_id % 97 == 0 stands in for the eval
-    // suite). The benchmark reduces to a DISTINCT hash set — tiny next to
-    // the corpus, hence broadcast — and the corpus side streams through one
-    // no-fanout left join; nothing ever pairs documents with documents.
+    // suite). Both this and q_text_bloom_decontam run through ONE operator,
+    // [[contaminationScore]]; this entry uses the Auto strategy, which
+    // resolves to the exact broadcast set while the benchmark is small
+    // (always true at driver scale — the oracle is the exact variant) and
+    // to the bounded Bloom plan past the size threshold.
     Q("q_text_contamination",
       s"""WITH sh AS (${Dedup.shingleHashFrom}),
          |bench AS (SELECT DISTINCT h FROM sh WHERE doc_id % 97 = 0)
@@ -358,15 +447,8 @@ object TextAnalysis {
          |GROUP BY s.doc_id
          |ORDER BY contamination DESC, doc_id LIMIT 25""".stripMargin) { (s, d) =>
       val sh = Dedup.shingleHashDf(s, d).transform(CacheTracker.cached)
-      val bench = sh.filter(col("doc_id") % 97 === 0)
-        .select("h").distinct().withColumn("hit", lit(1))
-      sh.filter(col("doc_id") % 97 =!= 0)
-        .join(broadcast(bench), Seq("h"), "left")
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_shingles"),
-             sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hit"),
-             round(sum(coalesce(col("hit"), lit(0))).cast("double")
-               / count(lit(1)), 6).as("contamination"))
+      contaminationScore(sh.filter(col("doc_id") % 97 =!= 0),
+                         sh.filter(col("doc_id") % 97 === 0))
         .orderBy(col("contamination").desc, col("doc_id").asc)
         .limit(25)
     },
@@ -422,35 +504,13 @@ object TextAnalysis {
          |HAVING sum(hit) > 0
          |ORDER BY contamination DESC, doc_id LIMIT 25""".stripMargin
     }) { (s, d) =>
-      val m = 8192
-      def bit(i: Int, h: org.apache.spark.sql.Column) = {
-        val (a, b) = MinhashPerms(i)
-        ((h % Mersenne31) * a + b) % Mersenne31 % m
-      }
+      // strategy PINNED to Bloom: this query's oracle models the filter's
+      // deterministic false positives, which only the bloom plan produces
       val sh = Dedup.shingleHashDf(s, d).transform(CacheTracker.cached)
-      val bench = sh.filter(col("doc_id") % 97 === 0).select("h").distinct()
-      val bits = (0 until 3).map(i => bench.select(bit(i, col("h")).as("bit")))
-        .reduce(_ union _).distinct() // <= m rows, the entire shipped filter
-        .transform(CacheTracker.cached) // three broadcast builds read it; without this each one
-                 // re-derives the bench set
-      // the 3 bit positions ride the shingle row as columns and membership
-      // is 3 no-fanout broadcast joins (bits are distinct) — the corpus
-      // side never re-shuffles; the only exchange is the per-doc aggregate
-      val marked = (0 until 3).foldLeft(
-        sh.filter(col("doc_id") % 97 =!= 0)
-          .select(col("doc_id") +: (0 until 3).map(i => bit(i, col("h")).as(s"bit$i")): _*)) {
-        (df, i) =>
-          df.join(broadcast(bits.select(col("bit").as(s"bit$i"), lit(1).as(s"set$i"))),
-                  Seq(s"bit$i"), "left")
-      }
-      marked
-        .select(col("doc_id"),
-          (coalesce(col("set0"), lit(0)) + coalesce(col("set1"), lit(0))
-            + coalesce(col("set2"), lit(0)) === 3).cast("int").as("hit"))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_shingles"),
-             sum("hit").cast("long").as("bloom_hits"),
-             round(sum("hit").cast("double") / count(lit(1)), 6).as("contamination"))
+      contaminationScore(sh.filter(col("doc_id") % 97 =!= 0),
+                         sh.filter(col("doc_id") % 97 === 0),
+                         ContamStrategy.Bloom)
+        .withColumnRenamed("n_hit", "bloom_hits")
         .filter(col("bloom_hits") > 0)
         .orderBy(col("contamination").desc, col("doc_id").asc)
         .limit(25)

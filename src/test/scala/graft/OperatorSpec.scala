@@ -126,6 +126,35 @@ class OperatorSpec extends AnyFunSuite {
     assert(got == Seq(0, 2))
   }
 
+  test("contaminationScore Auto picks the strategy by benchmark size") {
+    import graft.ext.TextAnalysis
+    import graft.ext.TextAnalysis.ContamStrategy
+    // synthetic (doc_id, h) shingle rows: docs 1-3 each carry 4 hashes,
+    // the benchmark covers half of doc 1's and one of doc 2's
+    val corpus = Seq(
+      (1L, 10L), (1L, 11L), (1L, 12L), (1L, 13L),
+      (2L, 20L), (2L, 21L), (2L, 22L), (2L, 11L),
+      (3L, 30L), (3L, 31L), (3L, 32L), (3L, 33L)).toDF("doc_id", "h")
+    val bench = Seq(10L, 11L, 99L).map(Tuple1(_)).toDF("h")
+
+    def collect(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").collect().toSeq
+    val exact = collect(TextAnalysis.contaminationScore(corpus, bench, ContamStrategy.Exact))
+    val bloom = collect(TextAnalysis.contaminationScore(corpus, bench, ContamStrategy.Bloom))
+
+    // a small benchmark resolves Auto to the exact plan
+    assert(collect(TextAnalysis.contaminationScore(corpus, bench)) == exact)
+    // past the threshold Auto resolves to the bounded bloom plan
+    assert(collect(TextAnalysis.contaminationScore(corpus, bench,
+      ContamStrategy.Auto(maxExactHashes = 2))) == bloom)
+    // bloom hits dominate exact hits (false positives only over-count)
+    val exactHits = exact.map(r => r.getLong(0) -> r.getLong(2)).toMap
+    bloom.foreach(r => assert(r.getLong(2) >= exactHits(r.getLong(0))))
+    // exact counts are right: doc 1 hits 2 of 4, doc 2 hits 1, doc 3 none
+    assert(exact.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))) ==
+      Seq((1L, 4L, 2L), (2L, 4L, 1L), (3L, 4L, 0L)))
+  }
+
   test("multimodal featurizer is deterministic and normalized") {
     val media = Seq((1L, "hello world"), (2L, "")).toDF("doc_id", "text")
       .select(col("doc_id"), col("text").cast("binary").as("blob"))
