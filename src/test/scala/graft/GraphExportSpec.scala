@@ -250,6 +250,77 @@ class GraphExportSpec extends AnyFunSuite {
     assert(links.map(r => (r.getString(0), r.getString(1))).toSeq == Seq(("t2", "t1")))
   }
 
+  test("reference-shaped export reproduces the 13-table oracle byte-for-byte through the native SQLite sink") {
+    import graft.config.{SqliteDest, SqliteDestination}
+    import graft.sink.SnapshotSink
+    import scala.sys.process._
+
+    // A producer-shaped export of the example graph: the SAME logical
+    // content as toJsonExport, but written the way a third-party exporter
+    // may per the contract — field order scrambled (order is
+    // insignificant), optional fields OMITTED where docs/GRAPH_EXPORT.md
+    // declares defaults (bases=[], aggregate_root=true, required=false),
+    // tolerated noise records present, and record order inverted (edges
+    // before nodes before kinds).
+    val g = ExampleSource.collect(spark)
+    val kindLines = ExampleSource.model.kinds.map { k =>
+      val props = k.properties.map { p =>
+        val req = if (p.required) s""","required":true""" else "" // default false omitted
+        s"""{"kind":"${p.kind}","name":"${p.name}"$req}"""
+      }.mkString("[", ",", "]")
+      s"""{"properties":$props,"fqn":"${k.fqn}","type":"kind"}"""
+    }
+    val nodeLines = g.nodes.collect().toSeq.map { r =>
+      s"""{"reported":${r.getString(2)},"type":"node","kind":"${r.getString(1)}","id":"${r.getString(0)}"}"""
+    }
+    val edgeLines = g.edges.collect().toSeq.map { r =>
+      s"""{"to":"${r.getString(1)}","type":"edge","from":"${r.getString(0)}"}"""
+    }
+    val noise = Seq(
+      """{"type":"metric","name":"collect_seconds","value":12}""",
+      """{"type":"node","id":"broken""")
+    val dir = Files.createTempDirectory("graft-parity")
+    Files.write(dir.resolve("graph.jsonl"),
+      (edgeLines ++ nodeLines ++ noise ++ kindLines).asJava)
+
+    // both databases go through the NATIVE sqlite sink: one from the
+    // directly-collected graph, one from the cold-ingested export
+    def writeDb(gr: graft.graph.Graph, db: String): Unit = {
+      val tables = GraphNormalizer.normalize(gr)
+      val staged = SnapshotSink.stage(tables,
+        SqliteDest(SqliteDestination(db)), "parity")
+      SnapshotSink.committer(SqliteDest(SqliteDestination(db)), "parity",
+        staged.map(_.name).toSeq).commit(spark)
+    }
+    val base = Files.createTempDirectory("graft-parity-db").toString
+    val (dbDirect, dbIngest) = (s"$base/direct.db", s"$base/ingest.db")
+    writeDb(g, dbDirect)
+    writeDb(GraphNormalizer.fromJsonExport(spark, dir.toString), dbIngest)
+
+    // the check runs through the real sqlite3 CLI, not our own reader
+    def sq(db: String, sql: String): String = Seq("sqlite3", db, sql).!!
+    assert(sq(dbIngest, "PRAGMA integrity_check;").trim == "ok")
+
+    // 13-table oracle via sqlite3
+    val names = sq(dbIngest,
+      "SELECT name FROM sqlite_master WHERE type='table' ORDER BY name;")
+      .trim.split("\n").toSeq
+    assert(names.toSet == ExampleSource.expectedCounts.keySet)
+    ExampleSource.expectedCounts.foreach { case (t, n) =>
+      assert(sq(dbIngest, s"""SELECT count(*) FROM "$t";""").trim == n.toString, s"count $t")
+    }
+
+    // byte-for-byte content parity: schema DDL and fully-ordered rows of
+    // every table print identically for the ingested and the direct path
+    names.foreach { t =>
+      val ddl = s"SELECT sql FROM sqlite_master WHERE name = '$t';"
+      assert(sq(dbIngest, ddl) == sq(dbDirect, ddl), s"DDL of $t differs")
+      val nCols = sq(dbDirect, s"""PRAGMA table_info("$t");""").trim.split("\n").length
+      val rows = s"""SELECT * FROM "$t" ORDER BY ${(1 to nCols).mkString(",")};"""
+      assert(sq(dbIngest, rows) == sq(dbDirect, rows), s"rows of $t differ")
+    }
+  }
+
   test("export without kind records is rejected unless a fallback model is given") {
     val dir = Files.createTempDirectory("graft-export-nomodel")
     val noKinds = exportLines.filterNot(_.contains("\"type\":\"kind\""))
