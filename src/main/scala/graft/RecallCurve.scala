@@ -1,0 +1,132 @@
+package graft
+
+import graft.ext.Similarity
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Recall-vs-cost curves for the ANN stack — the auditable artifact behind
+  * the tuning claims (LSH multiprobe tables, IVF `nprobe`, IVF-PQ
+  * `nprobe` × raw/refined artifacts). For each configuration it reports:
+  *
+  *  - `recall`: mean recall@k against the exact cosine top-k (brute
+  *    force over the corpus, the declared correctness baseline);
+  *  - `cand_frac`: mean fraction of the corpus scored per probe — the
+  *    scan-cost axis (the work an at-rest probe actually pays after
+  *    partition pruning is proportional to this).
+  *
+  * Probes are the first `NProbes` corpus vectors; recall counts a
+  * retrieved candidate as a hit iff it is in the probe's true top-k
+  * (self excluded). The driver-testdata embeddings are near-orthogonal
+  * random vectors — the HARDEST case for sublinear search (no cluster
+  * structure to exploit), so these curves are lower bounds; planted
+  * near-dup recall is property-tested separately in SimilaritySpec.
+  *
+  * Usage: `sbt "runMain graft.RecallCurve [sfDir]"` — one JSON line on
+  * stdout (saved as RECALL.json in the repo root; regenerate with
+  * `sbt -batch "runMain graft.RecallCurve" | tail -1 > RECALL.json`).
+  */
+object RecallCurve {
+  private val K = 10
+  private val NProbes = 50
+  private val Stride = 25
+  private val NProbeGrid = Seq(1, 2, 4, 8)
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-recall-curve")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val v = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .cache()
+    val corpusN = v.count()
+    val probePred = col("vec_id") < NProbes
+
+    // exact cosine top-k per probe: the ground truth every curve scores
+    // against
+    val truth: Map[Long, Set[Long]] = {
+      val probes = v.filter(probePred)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      val w = Window.partitionBy("qid")
+        .orderBy(col("cos").desc, col("cand").asc)
+      v.join(broadcast(probes), col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("cand"),
+                Similarity.cosine(col("qv"), col("v")).as("cos"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= K)
+        .select("qid", "cand").collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    }
+    def recallOf(topk: DataFrame): Double = {
+      val got = topk.select("qid", "cand").collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+      truth.map { case (q, t) =>
+        got.getOrElse(q, Set.empty).count(t).toDouble / t.size
+      }.sum / truth.size
+    }
+    def frac(candidatesPerProbe: Double): Double = candidatesPerProbe / corpusN
+
+    val points = scala.collection.mutable.ArrayBuffer[String]()
+    def record(method: String, param: String, recall: Double, candFrac: Double): Unit = {
+      System.err.println(f"[recall] $method $param recall=$recall%.3f cand_frac=$candFrac%.4f")
+      points += f"""{"method":"$method","param":"$param","recall":$recall%.4f,"cand_frac":$candFrac%.4f}"""
+    }
+    record("brute_force", "-", 1.0, (corpusN - 1).toDouble / corpusN)
+
+    // LSH: 4×16-bit tables with 1-bit multiprobe (fixed structure; the
+    // b-grows-with-log2 N rule is the scale knob, documented in
+    // Similarity). Cost = distinct candidates surfaced per probe.
+    val sigs = Similarity.lshSignatures(v).cache()
+    val lshCands = Similarity.lshCandidates(sigs, probePred).cache()
+    val lshCost = lshCands.count().toDouble / truth.size
+    record("lsh", "4tbl_1bit", recallOf(Similarity.lshTopK(v, probePred, K)),
+      frac(lshCost))
+    lshCands.unpersist(); sigs.unpersist()
+
+    // IVF (exact cosine inside probed cells), raw strided centroids
+    val cents = Similarity.centroidSet(v, Stride)
+    val asn = v.select(col("vec_id"), Similarity.cidExpr(cents).as("cid")).cache()
+    def ivfCost(cs: Seq[(Long, Seq[Double], Double)], asnDf: DataFrame, nprobe: Int): Double = {
+      val probeCells = v.filter(probePred)
+        .select(col("vec_id").as("qid"),
+          explode(Similarity.topCells(cs, col("v"), nprobe)).as("sc"))
+        .select(col("qid"), (-col("sc.ncid")).as("cid"))
+      probeCells.join(asnDf, Seq("cid")).count().toDouble / truth.size
+    }
+    NProbeGrid.foreach { np =>
+      record("ivf", s"nprobe=$np",
+        recallOf(Similarity.ivfTopKWith(v, cents, probePred, np, K)),
+        frac(ivfCost(cents, asn, np)))
+    }
+
+    // IVF-PQ, raw artifacts (strided centroids, corpus-sample codebook)
+    val cb = Similarity.pqCodebook(v)
+    NProbeGrid.foreach { np =>
+      record("ivfpq_raw", s"nprobe=$np",
+        recallOf(Similarity.ivfPqTopKWith(v, cents, cb, probePred, np, K)),
+        frac(ivfCost(cents, asn, np)))
+    }
+
+    // IVF-PQ, trained artifacts (Lloyd-refined centroids + codebook)
+    val rCents = Similarity.refineCentroids(v, cents, rounds = 2)
+    val rCb = Similarity.refinePqCodebook(v, cb, rounds = 2)
+    val rAsn = v.select(col("vec_id"), Similarity.cidExpr(rCents).as("cid")).cache()
+    NProbeGrid.foreach { np =>
+      record("ivfpq_refined", s"nprobe=$np",
+        recallOf(Similarity.ivfPqTopKWith(v, rCents, rCb, probePred, np, K)),
+        frac(ivfCost(rCents, rAsn, np)))
+    }
+
+    println(s"""{"sf":"$sfDir","k":$K,"n_probes":${truth.size},"corpus":$corpusN,""" +
+      s""""points":[${points.mkString(",")}]}""")
+    spark.stop()
+  }
+}

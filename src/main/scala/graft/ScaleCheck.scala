@@ -1,0 +1,146 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Empirical scale validation: the 100×-safety story of the heavy corpus
+  * operators is analytical (plan-shape audits); this main checks it with
+  * data. It synthesizes N× the sf0.1 documents/embeddings tables,
+  * measures the heaviest queries at 1× and N×, and prints the measured
+  * scaling exponent per query (t ∝ size^exp ⇒ exp = ln(tN/t1)/ln(N)).
+  *
+  * Synthesis keeps the DUPLICATION DENSITY constant instead of naively
+  * replicating rows: every copy tags each token (so shingles, minhash
+  * keys and candidate pairs reproduce the original corpus's structure
+  * WITHIN a copy but never collide across copies), and every copy
+  * perturbs its embeddings deterministically. Naive replication would
+  * make each document a near-dup of its 9 clones — pair count would grow
+  * N², which is a property of that degenerate corpus, not of the plans.
+  * Doc/vec ids offset per copy; copy 0 is the original bytes.
+  *
+  * The reported statistic is the MIN of reps — the right estimator for a
+  * scaling exponent on a host with documented multi-second outlier reps
+  * (BASELINE.md): noise only ever ADDS time.
+  *
+  * q_embed_ivf_kmeans is special-cased: the QUERY pins centroids to the
+  * vec_id%25 stride, so at N× data it scans N× centroids per row —
+  * deliberately super-linear (O(N·C) with C ∝ N). The documented scaling
+  * rule (Similarity.scala IVF notes) is C ≈ √N; the check therefore also
+  * measures the same operator with the stride √N-scaled, which is the
+  * configuration a 10× corpus would actually run.
+  *
+  * Usage: `sbt "runMain graft.ScaleCheck [srcDir] [workDir]"`, knobs
+  * SPARK_GRAFT_SCALE_COPIES (default 10), SPARK_GRAFT_REPS (default 2),
+  * SPARK_GRAFT_CPUS. Results land on stdout as one JSON line (saved as
+  * SCALING.json in the repo root).
+  */
+object ScaleCheck {
+  private val Queries = Seq(
+    "q_dedup_clusters", "q_text_bloom_decontam", "q_dedup_jaccard",
+    "q_embed_ivf_kmeans", "q_graph_pagerank", "q_dedup_corpus")
+
+  def main(args: Array[String]): Unit = {
+    val src = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val base = if (args.length > 1) args(1) else "/tmp/graft-scale"
+    val copies = sys.env.getOrElse("SPARK_GRAFT_SCALE_COPIES", "10").toInt
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-scale-check")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val d1 = s"$base/x1"
+    val dN = s"$base/x$copies"
+    gen(spark, src, d1, 1)
+    gen(spark, src, dN, copies)
+    // warmup outside every timed region
+    Tables.documents(spark, dN).count()
+    Tables.embeddings(spark, dN).count()
+
+    def timeMin(body: => Unit): Double =
+      (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        body
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+        System.gc()
+        dt
+      }.min
+
+    def run(name: String, dir: String): Double = {
+      val fn = SparkEntry.queries(name)
+      timeMin(fn(spark, dir).write.format("noop").mode("overwrite").save())
+    }
+
+    val perQuery = Queries.map { q =>
+      val t1 = run(q, d1)
+      val tN = run(q, dN)
+      val exp = math.log(tN / t1) / math.log(copies.toDouble)
+      System.err.println(f"[scale] $q t1=$t1%.2f s t$copies=$tN%.2f s exp=$exp%.2f")
+      q -> (t1, tN, exp)
+    }
+
+    // the documented-configuration kmeans point: stride √N-scaled so the
+    // centroid count follows the C ≈ √N rule at N× data
+    def kmeansAt(dir: String, stride: Int): Double = timeMin {
+      val v = Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val refined = ext.Similarity.refineCentroids(
+        v, ext.Similarity.centroidSet(v, stride), rounds = 2)
+      ext.Similarity.ivfTopKWith(v, refined, col("vec_id") < 20, nprobe = 2, k = 1)
+        .write.format("noop").mode("overwrite").save()
+    }
+    val k1 = kmeansAt(d1, 25)
+    val kN = kmeansAt(dN, (25 * math.sqrt(copies.toDouble)).round.toInt)
+    val kExp = math.log(kN / k1) / math.log(copies.toDouble)
+    System.err.println(f"[scale] kmeans_sqrt_stride t1=$k1%.2f s tN=$kN%.2f s exp=$kExp%.2f")
+
+    val qj = perQuery.map { case (q, (t1, tN, e)) =>
+      f""""$q":{"t1":$t1%.3f,"tN":$tN%.3f,"exp":$e%.2f}"""
+    }.mkString(",")
+    println(s"""{"copies":$copies,"reps":$reps,"stat":"min","queries":{$qj},""" +
+      f""""kmeans_sqrt_stride":{"t1":$k1%.3f,"tN":$kN%.3f,"exp":$kExp%.2f}}""")
+    spark.stop()
+  }
+
+  /** Write `c` tagged copies of documents+embeddings under `out`
+    * (idempotent: skipped when the directory already exists). */
+  private def gen(spark: SparkSession, src: String, out: String, c: Int): Unit = {
+    if (new java.io.File(s"$out/documents.parquet").exists()) return
+    val docs = Tables.documents(spark, src)
+    val emb = Tables.embeddings(spark, src)
+    val docCopies = (0 until c).map { i =>
+      if (i == 0) docs
+      else docs.select(
+        (col("doc_id") + lit(i * 10000000L)).as("doc_id"),
+        // per-copy token tag: intra-copy shingle/minhash structure is the
+        // original's, cross-copy shingles can never match
+        regexp_replace(col("text"), "(^|\\s)", s"$$1c${i}q").as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }
+    docCopies.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    val embCopies = (0 until c).map { i =>
+      if (i == 0) emb
+      else emb.select(
+        (col("vec_id") + lit(i * 10000000L)).as("vec_id"),
+        // deterministic per-copy perturbation: rotate mass between
+        // dimensions so copies occupy distinct regions
+        transform(col("embedding"),
+          (x, j) => (x * (lit(1.0f) + lit(0.002f * i)) +
+            (cos(j.cast("double") * lit(0.7) + lit(i.toDouble)) * lit(0.05))
+              .cast("float")).cast("float")).as("embedding"),
+        col("label"))
+    }
+    embCopies.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+  }
+}
