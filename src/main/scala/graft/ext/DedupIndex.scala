@@ -32,23 +32,33 @@ import org.apache.spark.sql.functions._
   */
 object DedupIndex {
 
-  /** Partition fan per band. 4 bands × 64 buckets = 256 directories —
-    * coarse enough that sf-scale files stay chunky, fine enough that a
-    * small batch prunes to a handful of directories. At larger corpus
-    * scale raise it so a directory stays ≤ one HDFS-block-ish file.
+  /** Default partition fan per band (4 bands × 16 buckets = 64
+    * directories). Directory COUNT is a fixed per-write/per-listing cost
+    * (commit protocol and file listing both walk it — measured: 256 dirs
+    * cost ~2× 64 dirs end-to-end at sf0.1), while directory SIZE is the
+    * probe's scan unit — so pick the smallest fan whose directories stay
+    * ≤ one HDFS-block-ish file and raise it with corpus size. Write and
+    * probe must agree on the fan; both default to this.
     */
-  val Buckets = 64
+  val Buckets = 16
 
   /** Distinct (band, k1, k2, bucket) index rows of a banded corpus
     * ((doc_id, band, key struct) — the [[Dedup]] LSH shape). */
-  def indexRows(banded: DataFrame): DataFrame =
+  def indexRows(banded: DataFrame, buckets: Int = Buckets): DataFrame =
     banded
       .select(col("band"), col("key.k1").as("k1"), col("key.k2").as("k2"))
       .distinct()
-      .withColumn("bucket", pmod(hash(col("k1"), col("k2")), lit(Buckets)))
+      .withColumn("bucket", pmod(hash(col("k1"), col("k2")), lit(buckets)))
 
-  def write(banded: DataFrame, path: String): Unit =
-    indexRows(banded).write.mode("overwrite")
+  /** The pre-write repartition on the partition columns is load-bearing:
+    * without it every shuffle task writes its own sliver into every
+    * (band, bucket) directory — up to tasks×directories tiny files.
+    * With it each directory gets one chunky file, which is also the
+    * layout a cluster-scale probe wants to list.
+    */
+  def write(banded: DataFrame, path: String, buckets: Int = Buckets): Unit =
+    indexRows(banded, buckets).repartition(col("band"), col("bucket"))
+      .write.mode("overwrite")
       .partitionBy("band", "bucket").parquet(path)
 
   /** Partition columns come back through directory-name inference — pin
@@ -69,11 +79,12 @@ object DedupIndex {
     * distinct, so the join cannot fan out and the count IS the number of
     * bands hit.
     */
-  def probe(index: DataFrame, batchBanded: DataFrame): DataFrame = {
+  def probe(index: DataFrame, batchBanded: DataFrame,
+            buckets: Int = Buckets): DataFrame = {
     val batch = batchBanded
       .select(col("doc_id"), col("band"),
               col("key.k1").as("k1"), col("key.k2").as("k2"))
-      .withColumn("bucket", pmod(hash(col("k1"), col("k2")), lit(Buckets)))
+      .withColumn("bucket", pmod(hash(col("k1"), col("k2")), lit(buckets)))
     index.join(broadcast(batch), Seq("band", "bucket", "k1", "k2"))
       .groupBy("doc_id").agg(count(lit(1)).as("n_bands_hit"))
   }
@@ -84,4 +95,15 @@ object DedupIndex {
     */
   def probeBand(index: DataFrame, band: Int): DataFrame =
     index.filter(col("band") === band)
+
+  /** The stored index in the (band, key struct) shape the in-memory band
+    * join and the STREAMING probe consume
+    * ([[graft.streaming.StreamingOps.incrementalDedup]]): the same stored
+    * bytes serve batch probes (partition-pruned) and stream-static joins —
+    * at-rest ≡ in-memory ≡ streaming, one definition (StreamingSpec pins
+    * the equivalence).
+    */
+  def asBandKey(index: DataFrame): DataFrame =
+    index.select(col("band"),
+      struct(col("k1").as("k1"), col("k2").as("k2")).as("key"))
 }

@@ -307,4 +307,39 @@ class StreamingSpec extends AnyFunSuite {
       assert(flagged == Seq(100L)) // near-copy flagged, fresh doc passes
     } finally q.stop()
   }
+
+  test("streaming dedup probe against the AT-REST band index equals the batch probe") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.ext.DedupIndex
+    val corpusText = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
+    val freshText = "one two three four five six seven eight nine ten " * 5
+    val corpus = Seq((10L, corpusText), (11L, "x " + corpusText))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-streamidx").toString
+    DedupIndex.write(StreamingOps.minhashBanded(corpus), dir)
+    val stored = DedupIndex.load(spark, dir)
+
+    val batchDocs = Seq((100L, corpusText + " slightly changed"), (101L, freshText))
+    val mem = MemoryStream[(Long, String)]
+    // the SAME stored bytes feed the stream-static join (via asBandKey)
+    // and the partition-pruned batch probe
+    val q = StreamingOps.incrementalDedup(
+        mem.toDF.toDF("doc_id", "text"), DedupIndex.asBandKey(stored))
+      .writeStream.format("memory").queryName("incdedup_atrest_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(batchDocs: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("incdedup_atrest_out")
+        .groupBy("doc_id").count()
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val batch = DedupIndex.probe(stored,
+          StreamingOps.minhashBanded(batchDocs.toDF("doc_id", "text")))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(batch.keySet == Set(100L), "planting failed")
+      assert(streamed == batch,
+        s"streaming band hits $streamed diverge from batch probe $batch")
+    } finally q.stop()
+  }
 }
