@@ -15,6 +15,8 @@ object SparkEntry {
     operators.Events.queries ++
     functions.Scalars.queries ++
     ext.Dedup.queries ++
+    ext.SubstringDedup.queries ++
+    ext.MixtureSample.queries ++
     ext.Similarity.queries ++
     ext.TextAnalysis.queries ++
     ext.Multimodal.queries

@@ -1,0 +1,193 @@
+package graft.ext
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact substring-level deduplication: find every maximal character span
+  * that occurs (at least) twice across the corpus — the published
+  * suffix-array ExactSubstr technique (Lee et al. 2022, "Deduplicating
+  * Training Data Makes Language Models Better", arXiv:2107.06499),
+  * re-expressed as a Spark inverted-index plan instead of a single-machine
+  * suffix array.
+  *
+  * Plan shape (all equi-joins / hash aggregates, no pair explosion):
+  *
+  *  1. window hashes — one codegen'd projection emits
+  *     `(doc_id, pos, md5(text[pos, pos+k)))` for every window start at the
+  *     configured stride. Only the 16-byte hash leaves the stage; the
+  *     document text itself is never shuffled.
+  *  2. duplicated hashes — hash aggregate on `h` keeps hashes seen ≥2
+  *     times (and in ≥ `minDocs` distinct docs). Map-side partial combine
+  *     bounds the exchange at one row per distinct window hash.
+  *  3. hits — LEFT SEMI equi-join of the position table against the
+  *     duplicated-hash set, partitioned by `h`.
+  *  4. span merge — one window per document: positions whose windows
+  *     overlap or touch (gap ≤ k) coalesce into maximal spans via the
+  *     classic lag/running-sum island trick.
+  *
+  * Scale: the position table is O(total_chars / sample) rows of
+  * (long, long, 16B) — the same asymptotic cost a suffix array pays, but
+  * embarrassingly partitioned. At 100 TB run detection with `sample` s > 1:
+  * windows are kept iff a hash of their CONTENT ≡ 0 (mod s) — the
+  * winnowing/MOSS fingerprint-selection idea (Schleimer et al. 2003,
+  * "Winnowing: Local Algorithms for Document Fingerprinting"). Because
+  * selection depends only on window content, every copy of a duplicated
+  * span selects the SAME windows — detection is alignment-invariant, which
+  * a fixed positional stride is not (two copies at offsets differing by a
+  * non-multiple of s would never align). A span with m = L − k + 1 windows
+  * is missed only if none of its m content hashes ≡ 0 (mod s),
+  * probability ≈ (1 − 1/s)^m — negligible for spans ≳ a few s. The
+  * verify/extend step stays local to each doc. Boilerplate amplification
+  * is bounded: a window repeated p times contributes p rows (posting
+  * list), never p² — no self-join happens on `h`.
+  *
+  * The reference (cloud2sql) has no text curation surface; this extends
+  * the LLM-pipeline family (SURVEY.md §2.I3).
+  */
+object SubstringDedup {
+
+  /** Window width (chars) for the flagship query — spans shorter than K
+    * cannot be detected, matching ExactSubstr's minimum-match-length knob.
+    */
+  val K = 32
+
+  /** Static upper bound for the oracle's generate_series; any document
+    * longer than this at oracle scale would make the oracle silently
+    * incomplete, so keep it generously above testdata's max (~600 chars).
+    */
+  private val OracleMaxLen = 100000
+
+  /** `(doc_id, pos, h)` — md5 of each k-char window starting at 1-based
+    * `pos`. With `sample` > 1, keeps only windows whose content hash
+    * ≡ 0 (mod sample) — content-defined, so identical windows are kept or
+    * dropped identically in every document. Documents shorter than k emit
+    * nothing (`sequence` would otherwise descend for negative spans).
+    */
+  private[ext] def windowHashes(docs: DataFrame, k: Int, sample: Int): DataFrame = {
+    val all = docs
+      .filter(length(col("text")) >= k)
+      .select(
+        col("doc_id"),
+        explode(sequence(lit(1L), (length(col("text")) - k + 1).cast("long"))).as("pos"),
+        col("text"))
+      .select(col("doc_id"), col("pos"), md5(col("text").substr(col("pos").cast("int"), lit(k))).as("h"))
+    if (sample == 1) all
+    else all.filter(pmod(xxhash64(col("h")), lit(sample.toLong)) === 0)
+  }
+
+  /** Maximal duplicated spans: `(doc_id, span_start, span_end)` (1-based,
+    * inclusive) for every character range covered by at least one window
+    * whose content appears ≥2 times corpus-wide in ≥ `minDocs` distinct
+    * documents. `minDocs = 1` also surfaces within-document repetition.
+    *
+    * `sample` > 1 is the corpus-scale mode (see object doc): span extents
+    * become approximate (selected windows are ~`sample` apart inside a
+    * true span), so islands merge at gap ≤ `mergeGap`, defaulting to
+    * `k * sample` — ≈ P(gap > k·s) = (1−1/s)^{k·s} ≈ e^{−k} of adjacent
+    * selected windows inside one true span splitting apart.
+    */
+  def duplicatedSpans(docs: DataFrame, k: Int = K, sample: Int = 1,
+                      minDocs: Int = 2, mergeGap: Int = -1): DataFrame = {
+    require(k > 0, "k must be positive")
+    require(sample > 0, "sample must be positive")
+    require(minDocs > 0, "minDocs must be positive")
+    val gap = if (mergeGap > 0) mergeGap else k * sample
+    val pos = windowHashes(docs, k, sample)
+    val dup = pos
+      .groupBy("h")
+      .agg(count(lit(1)).as("cnt"), countDistinct(col("doc_id")).as("nd"))
+      .filter(col("cnt") >= 2 && col("nd") >= minDocs)
+      .select("h")
+    val hits = pos.join(dup, Seq("h"), "leftsemi").select("doc_id", "pos")
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    // dense mode: windows overlap/touch iff start gap ≤ k (interior
+    // windows of a true span sit at consecutive positions); sampled mode
+    // merges at the looser content-defined gap bound
+    val brk = when(col("pos") - lag(col("pos"), 1).over(w) <= gap, 0).otherwise(1)
+    hits
+      .withColumn("brk", brk)
+      .withColumn("g",
+        sum(col("brk")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("g"))
+      .agg(min(col("pos")).as("span_start"), (max(col("pos")) + k - 1).as("span_end"))
+      .select("doc_id", "span_start", "span_end")
+  }
+
+  /** Per-document duplication profile: how many duplicated spans, how many
+    * characters they cover, and the covered fraction — the rank signal the
+    * ExactSubstr paper cuts on (drop/trim docs that are mostly duplicated
+    * text). LEFT join keeps clean documents with zero coverage. The
+    * fraction is reported in parts-per-million via INTEGRAL division so the
+    * Spark and DuckDB values are bit-identical (float `round` half-way
+    * behavior differs between engines).
+    */
+  def duplicationProfile(docs: DataFrame, k: Int = K,
+                         minDocs: Int = 2): DataFrame = {
+    val spans = duplicatedSpans(docs, k, minDocs = minDocs)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+           sum(col("span_end") - col("span_start") + 1).cast("long").as("dup_chars"))
+    docs
+      .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"))
+      .join(spans, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("dup_chars"), lit(0L)).as("dup_chars"),
+        expr("coalesce(dup_chars, 0L) * 1000000L div n_chars").as("dup_ppm"))
+  }
+
+  private def oracleSpansSql(k: Int): String =
+    s"""WITH pos AS (
+       |  SELECT d.doc_id, t.i AS pos, md5(substr(d.text, t.i::int, $k)) AS h
+       |  FROM documents d
+       |  JOIN generate_series(1, $OracleMaxLen) t(i)
+       |    ON t.i <= length(d.text) - $k + 1
+       |),
+       |dup AS (
+       |  SELECT h FROM pos GROUP BY h
+       |  HAVING count(*) >= 2 AND count(DISTINCT doc_id) >= 2
+       |),
+       |hits AS (SELECT p.doc_id, p.pos FROM pos p WHERE p.h IN (SELECT h FROM dup)),
+       |flagged AS (
+       |  SELECT doc_id, pos,
+       |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= $k
+       |         THEN 0 ELSE 1 END AS brk
+       |  FROM hits
+       |),
+       |grp AS (
+       |  SELECT doc_id, pos,
+       |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS g
+       |  FROM flagged
+       |)
+       |SELECT doc_id, min(pos) AS span_start, max(pos) + $k - 1 AS span_end
+       |FROM grp GROUP BY doc_id, g""".stripMargin
+
+  val queries: Seq[Q] = Seq(
+    // ---- maximal cross-document duplicated spans (ExactSubstr) ----
+    Q("q_dedup_substring",
+      s"""${oracleSpansSql(K)}
+         |ORDER BY doc_id, span_start""".stripMargin) { (s, d) =>
+      duplicatedSpans(Tables.documents(s, d)).orderBy("doc_id", "span_start")
+    },
+
+    // ---- per-document duplicated-character profile ----
+    Q("q_dedup_substring_profile",
+      s"""WITH spans AS (${oracleSpansSql(K)}),
+         |agg AS (
+         |  SELECT doc_id, count(*) AS n_spans,
+         |         CAST(sum(span_end - span_start + 1) AS BIGINT) AS dup_chars
+         |  FROM spans GROUP BY doc_id
+         |)
+         |SELECT d.doc_id,
+         |       coalesce(a.n_spans, 0) AS n_spans,
+         |       coalesce(a.dup_chars, 0) AS dup_chars,
+         |       coalesce(a.dup_chars, 0) * 1000000 // length(d.text) AS dup_ppm
+         |FROM documents d LEFT JOIN agg a USING (doc_id)
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      duplicationProfile(Tables.documents(s, d)).orderBy("doc_id")
+    }
+  )
+}

@@ -1,0 +1,76 @@
+package graft
+
+import graft.ext.MixtureSample
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Deterministic mixture sampling: copies land on floor(w)/ceil(w), the
+  * draw is a pure function of (doc_id, salt), and realized rates track the
+  * weights.
+  */
+class MixtureSampleSpec extends AnyFunSuite {
+  private lazy val spark = SparkSuite.spark
+
+  private def corpus(n: Int) = {
+    import spark.implicits._
+    (0 until n).map(i => (i.toLong, s"src${i % 4}", s"text $i"))
+      .toDF("doc_id", "source", "text")
+  }
+
+  test("per-doc copy count is floor(w) or ceil(w), never anything else") {
+    val w = Map("src0" -> 2.5, "src1" -> 0.25, "src2" -> 0.0)
+    val counts = MixtureSample.mixtureSample(corpus(400), w)
+      .groupBy("doc_id", "source").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(1), r.getLong(2)))
+    assert(counts.nonEmpty)
+    counts.foreach {
+      case ("src0", n) => assert(n == 2L || n == 3L)
+      case ("src1", n) => assert(n == 1L) // kept docs have exactly 1 copy
+      case ("src3", n) => assert(n == 1L) // default weight 1.0, no extra
+      case (s, n)      => fail(s"unexpected ($s, $n)")
+    }
+    // src2 dropped entirely
+    assert(!counts.exists(_._1 == "src2"))
+  }
+
+  test("realized rates track the weights (law of large numbers, fixed hash)") {
+    val w = Map("src0" -> 2.5, "src1" -> 0.25, "src2" -> 0.0)
+    val n = 2000 // 500 docs per source
+    val byScr = MixtureSample.mixtureSample(corpus(n), w)
+      .groupBy("source").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(math.abs(byScr("src0") - 1250.0) / 1250.0 < 0.15)
+    assert(math.abs(byScr("src1") - 125.0) / 125.0 < 0.30)
+    assert(byScr("src3") == 500L)
+    assert(!byScr.contains("src2"))
+  }
+
+  test("sample is a pure function of (doc_id, salt): rerun identical, salt redraws") {
+    val w = Map("src0" -> 0.5)
+    def ids(salt: String): Set[Long] =
+      MixtureSample.mixtureSample(corpus(300).filter(col("source") === "src0"), w, salt = salt)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    val a = ids("mix"); val b = ids("mix"); val c = ids("other-salt")
+    assert(a == b)
+    assert(c != a) // an independent draw almost surely differs
+    // growth stability: adding docs never changes an existing doc's fate
+    val bigger = MixtureSample.mixtureSample(
+      corpus(600).filter(col("source") === "src0"), w, salt = "mix")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(bigger.filter(_ < 300) == a.filter(_ < 300))
+  }
+
+  test("copy index is dense 1..copies") {
+    val w = Map("src0" -> 3.0)
+    val rows = MixtureSample.mixtureSample(corpus(40).filter(col("source") === "src0"), w)
+      .groupBy("doc_id").agg(sort_array(collect_list(col("copy"))).as("cs"))
+      .collect().map(_.getSeq[Long](1))
+    assert(rows.nonEmpty && rows.forall(_ == Seq(1L, 2L, 3L)))
+  }
+
+  test("negative weights are rejected") {
+    intercept[IllegalArgumentException] {
+      MixtureSample.mixtureSample(corpus(4), Map("src0" -> -0.1))
+    }
+  }
+}

@@ -44,7 +44,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_dedup_editdist", "q_dedup_incremental", "q_dedup_boilerplate",
     "q_text_cms_heavy", "q_text_bloom_decontam", "q_text_contamination",
     "q_graph_pagerank", "q_join_shipping_priority", "q_domain_quality",
-    "q_text_lm_score")
+    "q_text_lm_score", "q_dedup_substring", "q_dedup_substring_profile",
+    "q_sample_mixture")
   // q_text_tfidf is NOT in the no-BNLJ list: its corpus-size scalar rides a
   // 1-row broadcast cross join (the legitimate scalar-broadcast shape) —
   // covered by its own assertion below instead.
@@ -94,6 +95,21 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       s"CC round must equi-join on id:\n$plan")
     assert(plan.contains("Join"), s"CC round lost its joins:\n$plan")
+  }
+
+  test("mixture sampling is a pure map stage: no Exchange, no Join") {
+    import spark.implicits._
+    val docs = (0 until 100).map(i => (i.toLong, s"src${i % 3}", "t"))
+      .toDF("doc_id", "source", "text")
+    val plan = planOf(ext.MixtureSample.mixtureSample(docs, Map("src0" -> 2.5)))
+    assert(!plan.contains("Exchange"), s"mixtureSample shuffles:\n$plan")
+    assert(!plan.contains("Join"), s"mixtureSample joins:\n$plan")
+  }
+
+  test("substring dedup: posting-list semi-join is hash-partitioned on h") {
+    val plan = queryPlan("q_dedup_substring")
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
+      s"q_dedup_substring hit-join must be an equi-join on h:\n$plan")
   }
 
   test("small dimension tables broadcast in join queries") {

@@ -1,0 +1,110 @@
+package graft
+
+import graft.ext.SubstringDedup
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Exact substring dedup (ExactSubstr shape): planted duplicated spans are
+  * recovered maximally, clean text yields nothing, and the stride
+  * trade-off detects exactly the spans its length bound promises.
+  */
+class SubstringDedupSpec extends AnyFunSuite {
+  private lazy val spark = SparkSuite.spark
+
+  private val rnd = new scala.util.Random(1031)
+  /** Random alphanumeric text — 36^n distinct n-grams, so accidental
+    * 16-char window collisions across a few-hundred-char corpus are
+    * impossible in practice.
+    */
+  private def noise(n: Int): String =
+    Seq.fill(n)("abcdefghijklmnopqrstuvwxyz0123456789".charAt(rnd.nextInt(36))).mkString
+
+  private def spansOf(texts: Seq[String], k: Int, sample: Int = 1,
+                      minDocs: Int = 2): Seq[(Long, Long, Long)] = {
+    import spark.implicits._
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    SubstringDedup.duplicatedSpans(df, k, sample, minDocs)
+      .orderBy("doc_id", "span_start")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+  }
+
+  test("planted cross-doc duplicate is recovered as one maximal span in each doc") {
+    val shared = noise(80)
+    val a = noise(40) + shared + noise(30)
+    val b = noise(55) + shared + noise(10)
+    val spans = spansOf(Seq(a, b, noise(120)), k = 16)
+    // maximal span = exactly the 80 shared chars, at each doc's offset
+    assert(spans === Seq((0L, 41L, 120L), (1L, 56L, 135L)))
+  }
+
+  test("unique text produces no spans; docs shorter than k are ignored") {
+    assert(spansOf(Seq(noise(200), noise(200), "short"), k = 16).isEmpty)
+  }
+
+  test("two disjoint shared regions in one doc stay two spans (gap > k)") {
+    val s1 = noise(40); val s2 = noise(40)
+    val a = s1 + noise(50) + s2
+    val b = noise(20) + s1 + noise(33) + s2 + noise(9)
+    val spans = spansOf(Seq(a, b), k = 16)
+    assert(spans === Seq(
+      (0L, 1L, 40L), (0L, 91L, 130L),
+      (1L, 21L, 60L), (1L, 94L, 133L)))
+  }
+
+  test("abutting regions shared with DIFFERENT partners merge into one span") {
+    val x = noise(40); val y = noise(40)
+    val a = x + y              // x shared with doc1, y with doc2, adjacent
+    val b = noise(20) + x + noise(30)
+    val c = noise(33) + y + noise(9)
+    val spans = spansOf(Seq(a, b, c), k = 16)
+    // doc 0: x-windows end at pos 25, y-windows start at 41 — gap 16 ≤ k,
+    // so the two regions coalesce into the single maximal duplicated range
+    assert(spans === Seq(
+      (0L, 1L, 80L),
+      (1L, 21L, 60L),
+      (2L, 34L, 73L)))
+  }
+
+  test("content-defined sampling detects copies at ANY relative alignment") {
+    val shared = noise(300)
+    // offsets 37 vs 0 differ by a non-multiple of sample=4: a positional
+    // stride would never align the two copies' windows; content-defined
+    // selection keeps the same windows in both docs by construction
+    val a = noise(37) + shared + noise(20)
+    val b = shared + noise(60)
+    val spans = spansOf(Seq(a, b), k = 16, sample = 4)
+    val d0 = spans.filter(_._1 == 0L); val d1 = spans.filter(_._1 == 1L)
+    assert(d0.nonEmpty && d1.nonEmpty)
+    // all reported spans sit inside the true copies (+k−1 window tail)
+    assert(d0.forall { case (_, s, e) => s >= 38L && e <= 37L + 300L })
+    assert(d1.forall { case (_, s, e) => s >= 1L && e <= 300L })
+    // and both docs select the SAME within-copy offsets: doc0 positions
+    // minus 37 must equal doc1 positions
+    assert(d0.map { case (_, s, e) => (s - 37, e - 37) } === d1.map { case (_, s, e) => (s, e) })
+  }
+
+  test("minDocs=1 surfaces within-document repetition that minDocs=2 hides") {
+    val rep = noise(30)
+    val a = rep + noise(40) + rep
+    val only = Seq(a, noise(100))
+    assert(spansOf(only, k = 16, minDocs = 2).isEmpty)
+    val within = spansOf(only, k = 16, minDocs = 1)
+    assert(within === Seq((0L, 1L, 30L), (0L, 71L, 100L)))
+  }
+
+  test("duplication profile: ppm fraction and zero rows for clean docs") {
+    import spark.implicits._
+    val shared = noise(50)
+    val a = shared + noise(50) // 100 chars, 50 duplicated → 500000 ppm
+    val b = noise(25) + shared + noise(25)
+    val df = Seq((0L, a), (1L, b), (2L, noise(80)))
+      .toDF("doc_id", "text")
+    val prof = SubstringDedup.duplicationProfile(df, k = 16)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(prof === Seq(
+      (0L, 1L, 50L, 500000L),
+      (1L, 1L, 50L, 500000L),
+      (2L, 0L, 0L, 0L)))
+  }
+}
