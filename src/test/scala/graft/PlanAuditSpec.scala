@@ -106,10 +106,14 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.contains("Join"), s"mixtureSample joins:\n$plan")
   }
 
-  test("substring dedup: posting-list semi-join is hash-partitioned on h") {
+  test("substring dedup: single-scan window shape — no joins at all") {
     val plan = queryPlan("q_dedup_substring")
-    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
-      s"q_dedup_substring hit-join must be an equi-join on h:\n$plan")
+    assert(!plan.contains("Join"), s"q_dedup_substring grew a join:\n$plan")
+    // one exchange on (h1,h2) for duplicate marking, one on doc_id for the
+    // span merge, one range exchange for the final orderBy — a regression
+    // to the agg+semi-join shape would re-scan the corpus and add a fourth
+    assert(count(plan, "Exchange") <= 3,
+      s"q_dedup_substring should shuffle at most 3×:\n$plan")
   }
 
   test("small dimension tables broadcast in join queries") {
