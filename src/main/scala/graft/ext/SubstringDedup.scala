@@ -126,10 +126,17 @@ object SubstringDedup {
           .withColumn("nd", max(col("dr")).over(byH))
           .filter(col("nd") >= m)
     }).select("doc_id", "pos")
+    mergeSpans(hits, k, gap)
+  }
+
+  /** Island merge: `(doc_id, pos)` window starts → maximal
+    * `(doc_id, span_start, span_end)` ranges, coalescing starts whose gap
+    * is ≤ `gap`. Dense mode: windows overlap/touch iff start gap ≤ k
+    * (interior windows of a true span sit at consecutive positions);
+    * sampled mode merges at the looser content-defined gap bound.
+    */
+  private def mergeSpans(hits: DataFrame, k: Int, gap: Int): DataFrame = {
     val w = Window.partitionBy("doc_id").orderBy("pos")
-    // dense mode: windows overlap/touch iff start gap ≤ k (interior
-    // windows of a true span sit at consecutive positions); sampled mode
-    // merges at the looser content-defined gap bound
     val brk = when(col("pos") - lag(col("pos"), 1).over(w) <= gap, 0).otherwise(1)
     hits
       .withColumn("brk", brk)
@@ -138,6 +145,35 @@ object SubstringDedup {
       .groupBy(col("doc_id"), col("g"))
       .agg(min(col("pos")).as("span_start"), (max(col("pos")) + k - 1).as("span_end"))
       .select("doc_id", "span_start", "span_end")
+  }
+
+  /** Span-level decontamination: maximal spans of `corpus` documents whose
+    * text appears VERBATIM (≥ k chars) anywhere in `probe` — the
+    * substring-overlap eval-set check (exact-match decontamination as in
+    * the ExactSubstr family), sharper than shingle-fraction contamination
+    * scores: it returns the exact character ranges to cut.
+    *
+    * Same single-scan shape as [[duplicatedSpans]]: both sides' window
+    * hashes union (probe rows carry a side flag), one window pass over
+    * (h1, h2) marks corpus positions whose hash also occurs probe-side,
+    * and the island merge emits ranges. The probe is typically tiny next
+    * to the corpus, so the exchange is dominated by the corpus hash rows —
+    * same asymptotics as self-dedup, and `sample` applies to both sides
+    * symmetrically (content-defined selection keeps them consistent).
+    */
+  def crossCorpusSpans(corpus: DataFrame, probe: DataFrame, k: Int = K,
+                       sample: Int = 1, mergeGap: Int = -1): DataFrame = {
+    require(k > 0, "k must be positive")
+    require(sample > 0, "sample must be positive")
+    val gap = if (mergeGap > 0) mergeGap else k * sample
+    val c = windowHashes(corpus, k, sample).withColumn("side", lit(0))
+    val p = windowHashes(probe, k, sample).withColumn("side", lit(1))
+    val byH = Window.partitionBy("h1", "h2")
+    val hits = c.unionByName(p)
+      .withColumn("hit", max(col("side")).over(byH))
+      .filter(col("side") === 0 && col("hit") === 1)
+      .select("doc_id", "pos")
+    mergeSpans(hits, k, gap)
   }
 
   /** Per-document duplication profile: how many duplicated spans, how many
@@ -213,6 +249,47 @@ object SubstringDedup {
          |FROM documents d LEFT JOIN agg a USING (doc_id)
          |ORDER BY doc_id""".stripMargin) { (s, d) =>
       duplicationProfile(Tables.documents(s, d)).orderBy("doc_id")
+    },
+
+    // ---- span-level eval-set decontamination (exact substring overlap) ----
+    // Benchmark = the doc_id % 7 == 0 held-out slice (the %97 slice used by
+    // the shingle contamination queries shares no 32-char window with the
+    // corpus at oracle scale, which would make this a trivial 0-row check).
+    Q("q_text_decontam_spans",
+      s"""WITH cpos AS (
+         |  SELECT d.doc_id, t.i AS pos, md5(substr(d.text, t.i::int, $K)) AS h
+         |  FROM documents d
+         |  JOIN generate_series(1, $OracleMaxLen) t(i)
+         |    ON t.i <= length(d.text) - $K + 1
+         |  WHERE d.doc_id % 7 <> 0
+         |),
+         |ppos AS (
+         |  SELECT DISTINCT md5(substr(d.text, t.i::int, $K)) AS h
+         |  FROM documents d
+         |  JOIN generate_series(1, $OracleMaxLen) t(i)
+         |    ON t.i <= length(d.text) - $K + 1
+         |  WHERE d.doc_id % 7 = 0
+         |),
+         |hits AS (SELECT c.doc_id, c.pos FROM cpos c WHERE c.h IN (SELECT h FROM ppos)),
+         |flagged AS (
+         |  SELECT doc_id, pos,
+         |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= $K
+         |         THEN 0 ELSE 1 END AS brk
+         |  FROM hits
+         |),
+         |grp AS (
+         |  SELECT doc_id, pos,
+         |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS g
+         |  FROM flagged
+         |)
+         |SELECT doc_id, min(pos) AS span_start, max(pos) + $K - 1 AS span_end
+         |FROM grp GROUP BY doc_id, g
+         |ORDER BY doc_id, span_start""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      crossCorpusSpans(
+        docs.filter(col("doc_id") % 7 =!= 0),
+        docs.filter(col("doc_id") % 7 === 0))
+        .orderBy("doc_id", "span_start")
     }
   )
 }

@@ -92,6 +92,30 @@ class SubstringDedupSpec extends AnyFunSuite {
     assert(within === Seq((0L, 1L, 30L), (0L, 71L, 100L)))
   }
 
+  test("cross-corpus spans: probe text located in corpus docs, probe side never reported") {
+    import spark.implicits._
+    val evalQ = noise(60) // a "benchmark question" leaked into training text
+    val corpus = Seq(
+      (10L, noise(30) + evalQ + noise(25)), // contaminated
+      (11L, noise(150)),                    // clean
+      (12L, evalQ)                          // the leak verbatim
+    ).toDF("doc_id", "text")
+    val probe = Seq((900L, noise(20) + evalQ + noise(5))).toDF("doc_id", "text")
+    val spans = graft.ext.SubstringDedup.crossCorpusSpans(corpus, probe, k = 16)
+      .orderBy("doc_id", "span_start").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(spans === Seq((10L, 31L, 90L), (12L, 1L, 60L)))
+  }
+
+  test("cross-corpus spans: corpus-internal duplication alone is NOT flagged") {
+    import spark.implicits._
+    val dup = noise(50)
+    val corpus = Seq((0L, dup + noise(20)), (1L, noise(10) + dup))
+      .toDF("doc_id", "text") // duplicated between corpus docs only
+    val probe = Seq((9L, noise(100))).toDF("doc_id", "text")
+    assert(graft.ext.SubstringDedup.crossCorpusSpans(corpus, probe, k = 16).count() === 0L)
+  }
+
   test("duplication profile: ppm fraction and zero rows for clean docs") {
     import spark.implicits._
     val shared = noise(50)
