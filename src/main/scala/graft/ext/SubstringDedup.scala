@@ -135,7 +135,7 @@ object SubstringDedup {
     * (interior windows of a true span sit at consecutive positions);
     * sampled mode merges at the looser content-defined gap bound.
     */
-  private def mergeSpans(hits: DataFrame, k: Int, gap: Int): DataFrame = {
+  private[ext] def mergeSpans(hits: DataFrame, k: Int, gap: Int): DataFrame = {
     val w = Window.partitionBy("doc_id").orderBy("pos")
     val brk = when(col("pos") - lag(col("pos"), 1).over(w) <= gap, 0).otherwise(1)
     hits

@@ -1,0 +1,85 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The exact-substring window index AT REST — the [[SubstringDedup]]
+  * analogue of [[DedupIndex]]/[[AnnIndex]], completing the same
+  * batch ≡ at-rest lifecycle: a production corpus maintains the distinct
+  * window-hash set incrementally, and each incoming batch is checked for
+  * verbatim overlap against the stored corpus WITHOUT re-scanning it.
+  *
+  *  - [[write]] stores DISTINCT (h1, h2) window hashes partitioned by
+  *    `bucket = pmod(h1, Buckets)` — a deterministic function of the key,
+  *    so a probe computes the same bucket and bucket equality is implied
+  *    by key equality. The index is O(total_chars / sample) 16-byte rows:
+  *    the price a suffix-array pipeline also pays, here horizontally
+  *    partitioned and probed via partition pruning.
+  *  - [[probe]] equi-joins the stored index against the broadcast window
+  *    hashes of an incoming batch on (bucket, h1, h2); the partition
+  *    column is a join key, so dynamic partition pruning restricts the
+  *    index scan to the batch's buckets (SubstringIndexSpec asserts
+  *    `dynamicpruning` in the executed plan). Hit positions island-merge
+  *    into the SAME maximal spans [[SubstringDedup.crossCorpusSpans]]
+  *    yields against the full corpus — one definition, two storage
+  *    layouts (equivalence pinned by spec).
+  *
+  * The index is key-only: a window hit means "this k-gram exists in the
+  * ingested corpus", which is exactly the incremental-dedup /
+  * decontamination contract. `k` and `sample` must match between write
+  * and probe — content-defined sampling keeps the two sides consistent
+  * at any alignment.
+  */
+object SubstringIndex {
+
+  /** Default partition fan. Same trade-off as [[DedupIndex.Buckets]]:
+    * directory count is a fixed per-write cost, directory size is the
+    * probe's scan unit — raise with corpus size.
+    */
+  val Buckets = 16
+
+  private def bucketOf(buckets: Int) =
+    pmod(col("h1"), lit(buckets.toLong)).cast("int")
+
+  /** Distinct (h1, h2, bucket) window-hash rows of a corpus. */
+  def indexRows(docs: DataFrame, k: Int = SubstringDedup.K, sample: Int = 1,
+                buckets: Int = Buckets): DataFrame =
+    SubstringDedup.windowHashes(docs, k, sample)
+      .select("h1", "h2").distinct()
+      .withColumn("bucket", bucketOf(buckets))
+
+  /** The pre-write repartition on the partition column is load-bearing —
+    * without it every shuffle task writes a sliver into every bucket
+    * directory (tasks × buckets tiny files).
+    */
+  def write(docs: DataFrame, path: String, k: Int = SubstringDedup.K,
+            sample: Int = 1, buckets: Int = Buckets): Unit =
+    indexRows(docs, k, sample, buckets)
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(path)
+
+  /** Partition columns come back through directory-name inference — pin
+    * bucket to int so the at-rest schema matches [[indexRows]] exactly.
+    */
+  def load(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path).withColumn("bucket", col("bucket").cast("int"))
+
+  /** Maximal spans of `batch` documents whose text occurs verbatim in the
+    * indexed corpus — identical output to
+    * `SubstringDedup.crossCorpusSpans(batch, corpusDocs)`, but the corpus
+    * side is the partition-pruned stored scan instead of a re-scan.
+    * Incremental batches are small by definition, so their window hashes
+    * broadcast.
+    */
+  def probe(index: DataFrame, batch: DataFrame, k: Int = SubstringDedup.K,
+            sample: Int = 1, buckets: Int = Buckets,
+            mergeGap: Int = -1): DataFrame = {
+    val gap = if (mergeGap > 0) mergeGap else k * sample
+    val bw = SubstringDedup.windowHashes(batch, k, sample)
+      .withColumn("bucket", bucketOf(buckets))
+    val hits = index
+      .join(broadcast(bw), Seq("bucket", "h1", "h2"))
+      .select("doc_id", "pos")
+    SubstringDedup.mergeSpans(hits, k, gap)
+  }
+}

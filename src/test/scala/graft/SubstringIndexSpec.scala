@@ -1,0 +1,63 @@
+package graft
+
+import graft.ext.{SubstringDedup, SubstringIndex}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** The substring window index at rest: probing the stored index must equal
+  * the in-memory cross-corpus span scan, and the probe must actually prune
+  * the stored scan (dynamic partition pruning from the broadcast batch) —
+  * the SubstringDedup counterpart of DedupIndexSpec.
+  */
+class SubstringIndexSpec extends AnyFunSuite {
+  private lazy val spark = SparkSuite.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("stored window index equals the in-memory cross-corpus scan and prunes") {
+    val docs = Tables.documents(spark, sf)
+    val corpus = docs.filter(col("doc_id") % 7 =!= 0)
+    val batch = docs.filter(col("doc_id") % 7 === 0)
+    val dir = Files.createTempDirectory("graft-subidx").toString
+
+    SubstringIndex.write(corpus, dir)
+    val index = SubstringIndex.load(spark, dir)
+
+    // layout: bucket directories with one chunky file each
+    val bucketDirs = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("bucket=")).toSeq
+    assert(bucketDirs.nonEmpty, "no bucket= directories written")
+
+    // stored probe ≡ in-memory cross-corpus span scan
+    val fromDisk = SubstringIndex.probe(index, batch)
+    val inMemory = SubstringDedup.crossCorpusSpans(batch, corpus)
+    assert(fromDisk.exceptAll(inMemory).isEmpty && inMemory.exceptAll(fromDisk).isEmpty,
+      "stored-index probe diverges from crossCorpusSpans")
+    // and it finds something at this sf (non-vacuous equivalence)
+    assert(fromDisk.count() > 0, "fixture produced no cross-corpus spans")
+
+    // dynamic partition pruning: the broadcast batch plants a runtime
+    // partition filter on the index scan
+    val dpPlan = {
+      val df = SubstringIndex.probe(index, batch)
+      df.collect()
+      df.queryExecution.executedPlan.toString
+    }
+    assert(dpPlan.contains("dynamicpruning"),
+      s"expected dynamic partition pruning on the index scan:\n${dpPlan.take(2000)}")
+  }
+
+  test("sampled mode: index and probe stay consistent (content-defined both sides)") {
+    val docs = Tables.documents(spark, sf)
+    val corpus = docs.filter(col("doc_id") % 7 =!= 0)
+    val batch = docs.filter(col("doc_id") % 7 === 0)
+    val dir = Files.createTempDirectory("graft-subidx-s").toString
+    SubstringIndex.write(corpus, dir, sample = 4)
+    val index = SubstringIndex.load(spark, dir)
+    val fromDisk = SubstringIndex.probe(index, batch, sample = 4)
+    val inMemory = SubstringDedup.crossCorpusSpans(batch, corpus, sample = 4)
+    assert(fromDisk.exceptAll(inMemory).isEmpty && inMemory.exceptAll(fromDisk).isEmpty,
+      "sampled stored-index probe diverges from sampled crossCorpusSpans")
+  }
+}
