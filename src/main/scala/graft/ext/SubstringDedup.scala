@@ -73,7 +73,7 @@ object SubstringDedup {
     * descend for negative spans). Codegen computes the substring once for
     * both hashes (subexpression elimination).
     */
-  private[ext] def windowHashes(docs: DataFrame, k: Int, sample: Int): DataFrame = {
+  private[graft] def windowHashes(docs: DataFrame, k: Int, sample: Int): DataFrame = {
     val win = col("text").substr(col("pos").cast("int"), lit(k))
     val all = docs
       .filter(length(col("text")) >= k)

@@ -41,6 +41,13 @@ object SubstringIndex {
   private def bucketOf(buckets: Int) =
     pmod(col("h1"), lit(buckets.toLong)).cast("int")
 
+  /** Attach the partition-bucket column to a window-hash frame — the one
+    * definition write, batch probe, and streaming probe all derive the
+    * bucket from.
+    */
+  def withBucket(windowHashes: DataFrame, buckets: Int = Buckets): DataFrame =
+    windowHashes.withColumn("bucket", bucketOf(buckets))
+
   /** Distinct (h1, h2, bucket) window-hash rows of a corpus. */
   def indexRows(docs: DataFrame, k: Int = SubstringDedup.K, sample: Int = 1,
                 buckets: Int = Buckets): DataFrame =
@@ -75,8 +82,7 @@ object SubstringIndex {
             sample: Int = 1, buckets: Int = Buckets,
             mergeGap: Int = -1): DataFrame = {
     val gap = if (mergeGap > 0) mergeGap else k * sample
-    val bw = SubstringDedup.windowHashes(batch, k, sample)
-      .withColumn("bucket", bucketOf(buckets))
+    val bw = withBucket(SubstringDedup.windowHashes(batch, k, sample), buckets)
     val hits = index
       .join(broadcast(bw), Seq("bucket", "h1", "h2"))
       .select("doc_id", "pos")

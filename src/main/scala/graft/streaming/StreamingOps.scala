@@ -137,6 +137,26 @@ object StreamingOps {
       .join(bandIndex.select("band", "key").distinct(), Seq("band", "key"))
       .select(col("doc_id"), col("band"))
 
+  /** Streaming exact-substring probe — the [[graft.ext.SubstringIndex]]
+    * consumed as a stream-static join. The window-hash projection
+    * (filter + explode + two xxhash64) is stateless, so each micro-batch
+    * emits exactly the hit positions the batch probe computes for those
+    * documents (pinned by StreamingSpec); the island merge into maximal
+    * spans needs per-document ordering — a non-time window, unavailable
+    * on an unbounded stream — and stays the downstream batch finisher,
+    * exactly like the ANN probe's top-k. Emits (doc_id, pos) per window
+    * of an incoming doc whose k-gram already exists in the corpus; any
+    * row flags verbatim overlap.
+    */
+  def incrementalSubstring(incoming: DataFrame, index: DataFrame,
+                           k: Int = graft.ext.SubstringDedup.K,
+                           sample: Int = 1,
+                           buckets: Int = graft.ext.SubstringIndex.Buckets): DataFrame = {
+    val bw = graft.ext.SubstringIndex.withBucket(
+      graft.ext.SubstringDedup.windowHashes(incoming, k, sample), buckets)
+    bw.join(index, Seq("bucket", "h1", "h2")).select("doc_id", "pos")
+  }
+
   /** Streaming ANN index maintenance — the embedding analogue of the
     * (band, key) dedup index. An IVF-PQ index row (vec_id, cell id,
     * packed 8-byte code) is a PURE PER-ROW PROJECTION (the codegen'd

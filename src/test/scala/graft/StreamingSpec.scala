@@ -342,4 +342,43 @@ class StreamingSpec extends AnyFunSuite {
         s"streaming band hits $streamed diverge from batch probe $batch")
     } finally q.stop()
   }
+
+  test("streaming substring probe against the AT-REST window index equals batch hits") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.ext.{SubstringDedup, SubstringIndex}
+    val corpusText =
+      "the quick brown fox jumps over the lazy dog while the band plays on " * 3
+    val corpus = Seq((10L, corpusText), (11L, "zzz " + corpusText.take(90)))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-streamsubidx").toString
+    SubstringIndex.write(corpus, dir)
+    val stored = SubstringIndex.load(spark, dir)
+
+    // doc 100 embeds a verbatim 60-char corpus substring; doc 101 is fresh
+    val batchDocs = Seq(
+      (100L, "prefix words here " + corpusText.substring(10, 70) + " suffix tail"),
+      (101L, "completely novel content with no overlap against anything stored x1"))
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamingOps.incrementalSubstring(
+        mem.toDF.toDF("doc_id", "text"), stored)
+      .writeStream.format("memory").queryName("incsub_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(batchDocs: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("incsub_out")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // batch equivalent: the same stored bytes, same hash derivation
+      val batch = SubstringIndex.withBucket(
+          SubstringDedup.windowHashes(batchDocs.toDF("doc_id", "text"),
+            SubstringDedup.K, 1))
+        .join(stored, Seq("bucket", "h1", "h2"))
+        .select("doc_id", "pos")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(batch.nonEmpty && batch.forall(_._1 == 100L), "planting failed")
+      assert(streamed == batch,
+        s"streaming substring hits diverge from batch (${streamed.size} vs ${batch.size})")
+    } finally q.stop()
+  }
 }
