@@ -37,7 +37,11 @@ import org.apache.spark.sql.functions._
 object ScaleCheck {
   private val Queries = Seq(
     "q_dedup_clusters", "q_text_bloom_decontam", "q_dedup_jaccard",
-    "q_embed_ivf_kmeans", "q_graph_pagerank", "q_dedup_corpus")
+    "q_embed_ivf_kmeans", "q_graph_pagerank", "q_dedup_corpus",
+    // round-7 additions: the substring family is O(total_chars) window
+    // rows; the synthesizer's per-copy token tagging keeps cross-copy
+    // char windows distinct, so duplication density is constant here too
+    "q_dedup_substring", "q_text_decontam_spans")
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")

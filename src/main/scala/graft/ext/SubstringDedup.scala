@@ -176,6 +176,48 @@ object SubstringDedup {
     mergeSpans(hits, k, gap)
   }
 
+  /** Cut the given spans out of each document — the ACTIONABLE half of
+    * decontamination / ExactSubstr dedup: feed it
+    * [[crossCorpusSpans]] (cut every verbatim eval-set leak) or a
+    * keep-one-copy selection of [[duplicatedSpans]]. Documents without
+    * spans pass through verbatim.
+    *
+    * Relational, UDF-free: each span contributes the kept piece BEFORE it
+    * (`lag` gives the previous span's end; spans are maximal ⇒ disjoint
+    * and non-adjacent), a per-doc tail piece covers after the last span,
+    * and the pieces re-concatenate in order. Work is O(#spans) rows plus
+    * one join against the affected docs — the untouched corpus majority
+    * never shuffles its text (LEFT join keeps it in place).
+    */
+  def trimSpans(docs: DataFrame, spans: DataFrame): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy("span_start")
+    val mid = spans
+      .withColumn("prev_end", coalesce(lag(col("span_end"), 1).over(w), lit(0L)))
+      .select(col("doc_id"), (col("prev_end") + 1).as("a"),
+              (col("span_start") - 1).as("b"))
+    val tail = spans.groupBy("doc_id")
+      .agg((max(col("span_end")) + 1).as("a"))
+      .join(docs.select(col("doc_id"), length(col("text")).cast("long").as("len")), Seq("doc_id"))
+      .select(col("doc_id"), col("a"), col("len").as("b"))
+    val pieces = mid.unionByName(tail).filter(col("a") <= col("b"))
+    val glued = pieces
+      .join(docs.select("doc_id", "text"), Seq("doc_id"))
+      .select(col("doc_id"), col("a"),
+              col("text").substr(col("a").cast("int"), (col("b") - col("a") + 1).cast("int")).as("piece"))
+      .groupBy("doc_id")
+      .agg(array_join(transform(array_sort(collect_list(struct(col("a"), col("piece")))),
+             x => x.getField("piece")), "").as("clean"))
+    // a doc fully covered by spans has no pieces at all — it must come
+    // back EMPTY, not fall through to its original text, so the affected
+    // set (not the piece set) decides who gets rebuilt
+    val rebuilt = spans.select("doc_id").distinct()
+      .join(glued, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("clean"), lit("")).as("clean"))
+    docs
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("clean"), col("text")).as("text_clean"))
+  }
+
   /** Per-document duplication profile: how many duplicated spans, how many
     * characters they cover, and the covered fraction — the rank signal the
     * ExactSubstr paper cuts on (drop/trim docs that are mostly duplicated
@@ -290,6 +332,70 @@ object SubstringDedup {
         docs.filter(col("doc_id") % 7 =!= 0),
         docs.filter(col("doc_id") % 7 === 0))
         .orderBy("doc_id", "span_start")
+    },
+
+    // ---- the actionable cut: corpus text with every leaked range removed ----
+    Q("q_text_decontam_trim",
+      s"""WITH cpos AS (
+         |  SELECT d.doc_id, t.i AS pos, md5(substr(d.text, t.i::int, $K)) AS h
+         |  FROM documents d
+         |  JOIN generate_series(1, $OracleMaxLen) t(i)
+         |    ON t.i <= length(d.text) - $K + 1
+         |  WHERE d.doc_id % 7 <> 0
+         |),
+         |ppos AS (
+         |  SELECT DISTINCT md5(substr(d.text, t.i::int, $K)) AS h
+         |  FROM documents d
+         |  JOIN generate_series(1, $OracleMaxLen) t(i)
+         |    ON t.i <= length(d.text) - $K + 1
+         |  WHERE d.doc_id % 7 = 0
+         |),
+         |hits AS (SELECT c.doc_id, c.pos FROM cpos c WHERE c.h IN (SELECT h FROM ppos)),
+         |flagged AS (
+         |  SELECT doc_id, pos,
+         |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= $K
+         |         THEN 0 ELSE 1 END AS brk
+         |  FROM hits
+         |),
+         |grp AS (
+         |  SELECT doc_id, pos,
+         |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS g
+         |  FROM flagged
+         |),
+         |spans AS (
+         |  SELECT doc_id, min(pos) AS span_start, max(pos) + $K - 1 AS span_end
+         |  FROM grp GROUP BY doc_id, g
+         |),
+         |bounds AS (
+         |  SELECT doc_id, span_start, span_end,
+         |    coalesce(lag(span_end) OVER (PARTITION BY doc_id ORDER BY span_start), 0) AS prev_end
+         |  FROM spans
+         |),
+         |mid AS (SELECT doc_id, prev_end + 1 AS a, span_start - 1 AS b FROM bounds),
+         |tails AS (
+         |  SELECT s.doc_id, max(s.span_end) + 1 AS a, length(d.text) AS b
+         |  FROM spans s JOIN documents d USING (doc_id)
+         |  GROUP BY s.doc_id, length(d.text)
+         |),
+         |pieces AS (SELECT * FROM mid UNION ALL SELECT * FROM tails),
+         |glued AS (
+         |  SELECT p.doc_id,
+         |    string_agg(substr(d.text, p.a::int, (p.b - p.a + 1)::int), '' ORDER BY p.a) AS clean
+         |  FROM pieces p JOIN documents d USING (doc_id)
+         |  WHERE p.a <= p.b GROUP BY p.doc_id
+         |),
+         |affected AS (SELECT DISTINCT doc_id FROM spans)
+         |SELECT d.doc_id,
+         |  CASE WHEN a.doc_id IS NULL THEN d.text ELSE coalesce(g2.clean, '') END AS text_clean
+         |FROM documents d
+         |LEFT JOIN affected a USING (doc_id)
+         |LEFT JOIN glued g2 USING (doc_id)
+         |WHERE d.doc_id % 7 <> 0
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val corpus = docs.filter(col("doc_id") % 7 =!= 0)
+      val probe = docs.filter(col("doc_id") % 7 === 0)
+      trimSpans(corpus, crossCorpusSpans(corpus, probe)).orderBy("doc_id")
     }
   )
 }

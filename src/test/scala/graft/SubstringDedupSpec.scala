@@ -1,6 +1,7 @@
 package graft
 
 import graft.ext.SubstringDedup
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Exact substring dedup (ExactSubstr shape): planted duplicated spans are
@@ -114,6 +115,48 @@ class SubstringDedupSpec extends AnyFunSuite {
       .toDF("doc_id", "text") // duplicated between corpus docs only
     val probe = Seq((9L, noise(100))).toDF("doc_id", "text")
     assert(graft.ext.SubstringDedup.crossCorpusSpans(corpus, probe, k = 16).count() === 0L)
+  }
+
+  test("trimSpans cuts exactly the spans: interior, prefix, full-doc, untouched") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "aaaaaXXXXXbbbbb"), // interior span
+      (1L, "YYYYYccccc"),      // prefix span
+      (2L, "ZZZZZZZZZZ"),      // fully covered -> empty
+      (3L, "untouched doc")    // no spans
+    ).toDF("doc_id", "text")
+    val spans = Seq(
+      (0L, 6L, 10L), (1L, 1L, 5L), (2L, 1L, 10L)
+    ).toDF("doc_id", "span_start", "span_end")
+    val out = graft.ext.SubstringDedup.trimSpans(docs, spans)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(out === Seq(
+      (0L, "aaaaabbbbb"), (1L, "ccccc"), (2L, ""), (3L, "untouched doc")))
+  }
+
+  test("trimSpans with multiple spans per doc keeps the between-pieces in order") {
+    import spark.implicits._
+    val docs = Seq((7L, "11AAA22BBB33")).toDF("doc_id", "text")
+    val spans = Seq((7L, 3L, 5L), (7L, 8L, 10L)).toDF("doc_id", "span_start", "span_end")
+    val out = graft.ext.SubstringDedup.trimSpans(docs, spans).collect()
+    assert(out.map(r => (r.getLong(0), r.getString(1))).toSeq === Seq((7L, "112233")))
+  }
+
+  test("trim of crossCorpusSpans removes every leaked window end-to-end") {
+    import spark.implicits._
+    val leak = noise(60)
+    val corpus = Seq((0L, noise(30) + leak + noise(20)), (1L, noise(90)))
+      .toDF("doc_id", "text")
+    val probe = Seq((9L, leak)).toDF("doc_id", "text")
+    val spans = graft.ext.SubstringDedup.crossCorpusSpans(corpus, probe, k = 16)
+    val cleaned = graft.ext.SubstringDedup.trimSpans(corpus, spans)
+    // no 16-char window of the cleaned corpus may exist in the probe
+    val residual = graft.ext.SubstringDedup.crossCorpusSpans(
+      cleaned.withColumnRenamed("text_clean", "text"), probe, k = 16)
+    assert(residual.count() === 0L)
+    // and the clean doc is untouched
+    val d1 = cleaned.filter(col("doc_id") === 1L).collect()(0).getString(1)
+    assert(d1.length === 90)
   }
 
   test("duplication profile: ppm fraction and zero rows for clean docs") {
