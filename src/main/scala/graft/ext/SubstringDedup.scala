@@ -176,6 +176,30 @@ object SubstringDedup {
     mergeSpans(hits, k, gap)
   }
 
+  /** Corpus self-dedup with keep-first semantics — the ExactSubstr paper's
+    * actual training-data action: every duplicated region survives ONLY at
+    * its first occurrence (least (doc_id, pos) corpus-wide) and is cut
+    * everywhere else. One window pass: a position is cut iff its content
+    * hash's `row_number` ordered by (doc_id, pos) exceeds 1 — no counts,
+    * no joins; occurrence 1 is untouched by construction, so exactly one
+    * copy of every duplicated k-gram remains. Cut positions island-merge
+    * and [[trimSpans]] rebuilds the text.
+    *
+    * Returns `(doc_id, text_clean)` for the whole corpus (clean docs pass
+    * through verbatim and never shuffle their text).
+    */
+  def selfDedupCut(docs: DataFrame, k: Int = K, sample: Int = 1,
+                   mergeGap: Int = -1): DataFrame = {
+    require(k > 0, "k must be positive")
+    require(sample > 0, "sample must be positive")
+    val gap = if (mergeGap > 0) mergeGap else k * sample
+    val pos = windowHashes(docs, k, sample)
+    val rn = row_number().over(
+      Window.partitionBy("h1", "h2").orderBy("doc_id", "pos"))
+    val cut = pos.withColumn("rn", rn).filter(col("rn") > 1).select("doc_id", "pos")
+    trimSpans(docs, mergeSpans(cut, k, gap))
+  }
+
   /** Cut the given spans out of each document — the ACTIONABLE half of
     * decontamination / ExactSubstr dedup: feed it
     * [[crossCorpusSpans]] (cut every verbatim eval-set leak) or a
@@ -267,6 +291,57 @@ object SubstringDedup {
        |)
        |SELECT doc_id, min(pos) AS span_start, max(pos) + $k - 1 AS span_end
        |FROM grp GROUP BY doc_id, g""".stripMargin
+
+  /** flagged→grp→spans island-merge CTEs (expects a `hits(doc_id, pos)`
+    * CTE upstream) — the SQL mirror of [[mergeSpans]].
+    */
+  private def mergeSqlCtes(k: Int): String =
+    s"""flagged AS (
+       |  SELECT doc_id, pos,
+       |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= $k
+       |         THEN 0 ELSE 1 END AS brk
+       |  FROM hits
+       |),
+       |grp AS (
+       |  SELECT doc_id, pos,
+       |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS g
+       |  FROM flagged
+       |),
+       |spans AS (
+       |  SELECT doc_id, min(pos) AS span_start, max(pos) + $k - 1 AS span_end
+       |  FROM grp GROUP BY doc_id, g
+       |)""".stripMargin
+
+  /** bounds→…→final-SELECT trim CTEs (expects a `spans` CTE upstream) —
+    * the SQL mirror of [[trimSpans]]. `where` filters the emitted docs.
+    */
+  private def trimSqlTail(where: String): String =
+    s"""bounds AS (
+       |  SELECT doc_id, span_start, span_end,
+       |    coalesce(lag(span_end) OVER (PARTITION BY doc_id ORDER BY span_start), 0) AS prev_end
+       |  FROM spans
+       |),
+       |mid AS (SELECT doc_id, prev_end + 1 AS a, span_start - 1 AS b FROM bounds),
+       |tails AS (
+       |  SELECT s.doc_id, max(s.span_end) + 1 AS a, length(d.text) AS b
+       |  FROM spans s JOIN documents d USING (doc_id)
+       |  GROUP BY s.doc_id, length(d.text)
+       |),
+       |pieces AS (SELECT * FROM mid UNION ALL SELECT * FROM tails),
+       |glued AS (
+       |  SELECT p.doc_id,
+       |    string_agg(substr(d.text, p.a::int, (p.b - p.a + 1)::int), '' ORDER BY p.a) AS clean
+       |  FROM pieces p JOIN documents d USING (doc_id)
+       |  WHERE p.a <= p.b GROUP BY p.doc_id
+       |),
+       |affected AS (SELECT DISTINCT doc_id FROM spans)
+       |SELECT d.doc_id,
+       |  CASE WHEN a.doc_id IS NULL THEN d.text ELSE coalesce(g2.clean, '') END AS text_clean
+       |FROM documents d
+       |LEFT JOIN affected a USING (doc_id)
+       |LEFT JOIN glued g2 USING (doc_id)
+       |$where
+       |ORDER BY doc_id""".stripMargin
 
   val queries: Seq[Q] = Seq(
     // ---- maximal cross-document duplicated spans (ExactSubstr) ----
@@ -396,6 +471,25 @@ object SubstringDedup {
       val corpus = docs.filter(col("doc_id") % 7 =!= 0)
       val probe = docs.filter(col("doc_id") % 7 === 0)
       trimSpans(corpus, crossCorpusSpans(corpus, probe)).orderBy("doc_id")
+    },
+
+    // ---- keep-first self-dedup: the ExactSubstr training-data action ----
+    Q("q_dedup_substring_cut",
+      s"""WITH pos AS (
+         |  SELECT d.doc_id, t.i AS pos, md5(substr(d.text, t.i::int, $K)) AS h
+         |  FROM documents d
+         |  JOIN generate_series(1, $OracleMaxLen) t(i)
+         |    ON t.i <= length(d.text) - $K + 1
+         |),
+         |rns AS (
+         |  SELECT doc_id, pos,
+         |    row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+         |  FROM pos
+         |),
+         |hits AS (SELECT doc_id, pos FROM rns WHERE rn > 1),
+         |${mergeSqlCtes(K)},
+         |${trimSqlTail("")}""".stripMargin) { (s, d) =>
+      selfDedupCut(Tables.documents(s, d)).orderBy("doc_id")
     }
   )
 }

@@ -159,6 +159,37 @@ class SubstringDedupSpec extends AnyFunSuite {
     assert(d1.length === 90)
   }
 
+  test("selfDedupCut keeps the first occurrence, cuts every later one, leaves no residual dups") {
+    import spark.implicits._
+    val x = noise(60)
+    val docs = Seq(
+      (0L, noise(20) + x + noise(10)), // first occurrence (least doc_id) — kept whole
+      (1L, noise(15) + x + noise(25)), // later cross-doc copy — cut
+      (2L, x + noise(5) + noise(40))   // another later copy — cut
+    ).toDF("doc_id", "text")
+    val out = graft.ext.SubstringDedup.selfDedupCut(docs, k = 16)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(out(0)._2.length === 90) // canonical doc untouched
+    assert(out(1)._2.length === 40 && !out(1)._2.contains(x.take(16)))
+    assert(out(2)._2.length === 45)
+    // one copy of every duplicated k-gram remains => no dup spans survive
+    val cleaned = docs.sparkSession.createDataFrame(
+      docs.sparkSession.sparkContext.parallelize(
+        out.map(t => org.apache.spark.sql.Row(t._1, t._2)).toIndexedSeq),
+      docs.schema)
+    assert(graft.ext.SubstringDedup.duplicatedSpans(cleaned, k = 16).count() === 0L)
+  }
+
+  test("selfDedupCut within one doc keeps the first copy only") {
+    import spark.implicits._
+    val rep = noise(40)
+    val docs = Seq((5L, rep + noise(30) + rep)).toDF("doc_id", "text")
+    val out = graft.ext.SubstringDedup.selfDedupCut(docs, k = 16).collect()
+    val clean = out(0).getString(1)
+    assert(clean.length === 70 && clean.startsWith(rep)) // kept first copy + middle
+    assert(clean.lastIndexOf(rep.take(16)) === 0) // the second copy is gone
+  }
+
   test("duplication profile: ppm fraction and zero rows for clean docs") {
     import spark.implicits._
     val shared = noise(50)
