@@ -87,6 +87,46 @@ object SubstringDedup {
     else all.filter(pmod(col("h1"), lit(sample.toLong)) === 0)
   }
 
+  /** Winnowing fingerprint selection (Schleimer et al. 2003): from each
+    * per-document frame of `w` consecutive window hashes, keep the
+    * lexicographic minimum (h1, pos, h2) — ties to the leftmost position.
+    * Every frame fully inside a duplicated span selects that span's
+    * minimal k-gram, which is the SAME CONTENT in every copy, so any span
+    * of length ≥ k + w − 1 (≥ w windows ⇒ ≥ 1 interior frame) is
+    * fingerprinted identically in all copies: a HARD detection guarantee,
+    * vs mod-sampling's (1 − 1/s)^m miss probability.
+    *
+    * The price is one corpus-wide exchange on doc_id for the sliding-min
+    * window (mod-sampling filters before any shuffle); the repeated frame
+    * minima collapse in the map-side partial aggregate of the `distinct`,
+    * so only ~1/w of positions reach the second exchange. Pick winnowing
+    * when the guarantee matters, mod-sampling when the extra corpus pass
+    * does.
+    */
+  private[graft] def winnowedHashes(docs: DataFrame, k: Int, w: Int): DataFrame = {
+    val frame = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.currentRow, w - 1)
+    windowHashes(docs, k, sample = 1)
+      .withColumn("m", min(struct(col("h1"), col("pos"), col("h2"))).over(frame))
+      .select(col("doc_id"), col("m.pos").as("pos"),
+              col("m.h1").as("h1"), col("m.h2").as("h2"))
+      .distinct()
+  }
+
+  /** [[duplicatedSpans]] over winnowed fingerprints: detects EVERY span of
+    * length ≥ k + w − 1 at any alignment (deterministic — see
+    * [[winnowedHashes]]); span extents are approximate like the sampled
+    * mode (selected fingerprints inside a true span are ≤ w apart, so
+    * islands merge at gap ≤ k + w, a deterministic bound where
+    * mod-sampling's default is a tail estimate).
+    */
+  def duplicatedSpansWinnowed(docs: DataFrame, k: Int = K, w: Int = 8,
+                              minDocs: Int = 2): DataFrame = {
+    require(k > 0 && w > 0, "k and w must be positive")
+    require(minDocs > 0, "minDocs must be positive")
+    spansFromHashes(winnowedHashes(docs, k, w), k, k + w, minDocs)
+  }
+
   /** Maximal duplicated spans: `(doc_id, span_start, span_end)` (1-based,
     * inclusive) for every character range covered by at least one window
     * whose content appears ≥2 times corpus-wide in ≥ `minDocs` distinct
@@ -104,7 +144,15 @@ object SubstringDedup {
     require(sample > 0, "sample must be positive")
     require(minDocs > 0, "minDocs must be positive")
     val gap = if (mergeGap > 0) mergeGap else k * sample
-    val pos = windowHashes(docs, k, sample)
+    spansFromHashes(windowHashes(docs, k, sample), k, gap, minDocs)
+  }
+
+  /** Duplicate marking + island merge over a prepared
+    * `(doc_id, pos, h1, h2)` table — shared by the dense, mod-sampled and
+    * winnowed selections.
+    */
+  private def spansFromHashes(pos: DataFrame, k: Int, gap: Int,
+                              minDocs: Int): DataFrame = {
     val byH = Window.partitionBy("h1", "h2")
     // each position row learns its hash's multiplicity in the same pass
     // that emits it — one exchange on (h1,h2), no agg + semi-join re-scan

@@ -159,6 +159,37 @@ class SubstringDedupSpec extends AnyFunSuite {
     assert(d1.length === 90)
   }
 
+  test("winnowing detects every span >= k+w-1 at ANY alignment (hard guarantee)") {
+    import spark.implicits._
+    val k = 16; val w = 8
+    // exactly the guarantee threshold: k + w - 1 = 23 shared chars,
+    // at offsets differing by a non-multiple of anything
+    val shared = noise(23)
+    val docs = Seq(
+      (0L, noise(37) + shared + noise(21)),
+      (1L, noise(4) + shared + noise(50))
+    ).toDF("doc_id", "text")
+    val spans = graft.ext.SubstringDedup.duplicatedSpansWinnowed(docs, k = k, w = w)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(spans.exists(_._1 == 0L) && spans.exists(_._1 == 1L),
+      s"guarantee violated: $shared not detected in both docs (${spans.toSeq})")
+    // reported extents stay inside the true copies (+ window tail)
+    assert(spans.filter(_._1 == 0L).forall { case (_, s, e) => s >= 38L && e <= 37L + 23L })
+    assert(spans.filter(_._1 == 1L).forall { case (_, s, e) => s >= 5L && e <= 4L + 23L })
+  }
+
+  test("winnowing detects periodic (self-similar) shared content despite hash ties") {
+    import spark.implicits._
+    val periodic = "ab" * 30 // every window hash equal -> worst tie case
+    val docs = Seq(
+      (0L, noise(11) + periodic + noise(9)),
+      (1L, noise(26) + periodic + noise(3))
+    ).toDF("doc_id", "text")
+    val spans = graft.ext.SubstringDedup.duplicatedSpansWinnowed(docs, k = 16, w = 8)
+      .collect().map(r => r.getLong(0)).distinct.sorted
+    assert(spans.toSeq === Seq(0L, 1L))
+  }
+
   test("selfDedupCut keeps the first occurrence, cuts every later one, leaves no residual dups") {
     import spark.implicits._
     val x = noise(60)
