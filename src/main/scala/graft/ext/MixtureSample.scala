@@ -62,6 +62,51 @@ object MixtureSample {
         explode(sequence(lit(1L), col("copies"))).as("copy"))
   }
 
+  /** Token-budget sampling: downsample each domain so its expected kept
+    * token mass hits `budgetTokens × share(domain)` — the "sample the
+    * corpus to B tokens with these proportions" step of a pretraining
+    * data recipe. Rates are DERIVED IN-QUERY from the actual per-domain
+    * token mass (`least(1, B·share / domain_tokens)`), so the operator is
+    * a pure function of corpus + literals; a domain already under budget
+    * keeps everything (rate caps at 1 — this op never upsamples; compose
+    * [[mixtureSample]] for that).
+    *
+    * Same hash-threshold draw as [[mixtureSample]], but the threshold is
+    * a COMPUTED column: the rate renders to 8 hex chars via
+    * `format_string` and compares against the md5 prefix — both engines
+    * produce identical lowercase hex, and the rate arithmetic is
+    * identical IEEE-754 double math, so the DuckDB oracle replays the
+    * draw bit-exactly. Token count is the whitespace estimate
+    * `length(text) − length(replace(text,' ','')) + 1`, computed with the
+    * same expression on both sides.
+    *
+    * Plan shape: one metadata-scale aggregate (#domains rows) broadcast
+    * back onto a pure projection — no corpus-wide shuffle, no collect.
+    */
+  def tokenBudgetSample(docs: DataFrame, budgetTokens: Long,
+                        shares: Map[String, Double], defaultShare: Double,
+                        salt: String = "budget"): DataFrame = {
+    require(budgetTokens > 0, "budgetTokens must be positive")
+    require(shares.values.forall(_ >= 0.0) && defaultShare >= 0.0,
+      "shares must be non-negative")
+    val tok = docs.select(col("doc_id"), col("source"),
+      expr("length(text) - length(replace(text, ' ', '')) + 1")
+        .cast("long").as("n_tokens"))
+    val dom = tok.groupBy("source")
+      .agg(sum(col("n_tokens")).cast("long").as("dom_tokens"))
+    val share: Column = shares.foldLeft(lit(defaultShare)) {
+      case (acc, (d, s)) => when(col("source") === d, lit(s)).otherwise(acc)
+    }
+    val rate = least(lit(1.0),
+      lit(budgetTokens.toDouble) * share / col("dom_tokens"))
+    val hx = substring(md5(concat(col("doc_id").cast("string"), lit(":" + salt))), 1, 8)
+    tok.join(broadcast(dom), Seq("source"))
+      .withColumn("rate", rate)
+      .filter(col("rate") >= 1.0 ||
+        hx < format_string("%08x", floor(col("rate") * 4294967296.0).cast("long")))
+      .select(col("doc_id"), col("source"), col("n_tokens"))
+  }
+
   // Flagship mixture: upsample src0 2.5×, keep a quarter of src1, drop
   // src2 entirely, pass everything else through at 1×.
   private val W: Map[String, Double] = Map("src0" -> 2.5, "src1" -> 0.25, "src2" -> 0.0)
@@ -85,6 +130,30 @@ object MixtureSample {
          |ORDER BY doc_id, copy""".stripMargin
     }) { (s, d) =>
       mixtureSample(Tables.documents(s, d), W).orderBy("doc_id", "copy")
+    },
+
+    // ---- sample to a token budget with target domain shares ----
+    Q("q_sample_token_budget",
+      """WITH tok AS (
+        |  SELECT doc_id, source,
+        |    CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens
+        |  FROM documents
+        |),
+        |dom AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS dom_tokens FROM tok GROUP BY source),
+        |rated AS (
+        |  SELECT t.doc_id, t.source, t.n_tokens,
+        |    least(1.0, (8000.0 * (CASE t.source WHEN 'src0' THEN 0.3 WHEN 'src1' THEN 0.1 ELSE 0.03 END)) / d.dom_tokens) AS rate
+        |  FROM tok t JOIN dom d USING (source)
+        |)
+        |SELECT doc_id, source, n_tokens
+        |FROM rated
+        |WHERE rate >= 1.0
+        |   OR substr(md5(doc_id::varchar || ':budget'), 1, 8) <
+        |      printf('%08x', CAST(floor(rate * 4294967296.0) AS BIGINT))
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      tokenBudgetSample(Tables.documents(s, d), budgetTokens = 8000L,
+        shares = Map("src0" -> 0.3, "src1" -> 0.1), defaultShare = 0.03)
+        .orderBy("doc_id")
     }
   )
 }

@@ -68,6 +68,29 @@ class MixtureSampleSpec extends AnyFunSuite {
     assert(rows.nonEmpty && rows.forall(_ == Seq(1L, 2L, 3L)))
   }
 
+  test("token budget: under-budget domains keep all; over-budget mass tracks the target") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val docs = ((0 until 500).map(i => (i.toLong, "src0")) ++
+      (500 until 520).map(i => (i.toLong, "src1")))
+      .map { case (id, s) => (id, s, Seq.fill(20)("w" + rnd.nextInt(100)).mkString(" ")) }
+      .toDF("doc_id", "source", "text")
+    val rows = graft.ext.MixtureSample.tokenBudgetSample(
+        docs, 2000L, Map("src0" -> 0.5), defaultShare = 0.5)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val bySrc = rows.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    // src1 under budget: all 20 docs kept, full ~400 token mass
+    assert(rows.count(_._2 == "src1") === 20)
+    // src0 over budget: kept mass within 40% of the 1000-token target
+    assert(bySrc("src0") > 600L && bySrc("src0") < 1400L,
+      s"src0 kept ${bySrc("src0")} tokens, target 1000")
+    // deterministic: same inputs, same sample
+    val again = graft.ext.MixtureSample.tokenBudgetSample(
+        docs, 2000L, Map("src0" -> 0.5), defaultShare = 0.5)
+      .collect().map(r => r.getLong(0)).toSet
+    assert(again === rows.map(_._1).toSet)
+  }
+
   test("negative weights are rejected") {
     intercept[IllegalArgumentException] {
       MixtureSample.mixtureSample(corpus(4), Map("src0" -> -0.1))
