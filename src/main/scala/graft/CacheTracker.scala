@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import scala.util.DynamicVariable
 
 /** Scoped tracking of the `Dataset.cache()` blocks builders create, so a
@@ -12,10 +13,18 @@ import scala.util.DynamicVariable
   * corrupted sibling results — see Verify), and "never unpersist" leaves
   * the pool bounded only by MEMORY_AND_DISK eviction for the whole run.
   * Builders opt in by routing their caches through [[cached]]; a runner
-  * wraps each query in [[scope]], which unpersists the recorded Datasets
+  * wraps each query in [[scope]], which releases the recorded Datasets
   * (non-blocking) when the query's write finishes. Outside any scope,
   * [[cached]] is exactly `ds.cache()` — library callers keep full control
   * of cache lifetime, as the Similarity/Dedup docs promise.
+  *
+  * Release is REFERENCE-COUNTED on the canonicalized analyzed plan — the
+  * same identity Spark's CacheManager dedupes on. Two concurrent queries
+  * that cache plan-identical Datasets (e.g. the contamination pair both
+  * caching `shingleHashDf`) share ONE InMemoryRelation; unpersisting it
+  * when the first scope exits would yank blocks out from under the
+  * sibling mid-execution. A scope therefore only unpersists an entry when
+  * it holds the LAST reference.
   *
   * Thread model: builders construct their plans on the runner thread that
   * entered [[scope]] (a DynamicVariable is thread-local), which is how
@@ -24,23 +33,38 @@ import scala.util.DynamicVariable
   */
 object CacheTracker {
   private val current = new DynamicVariable[java.util.List[Dataset[_]]](null)
+  private val refs = new java.util.HashMap[LogicalPlan, Int]()
+
+  private def keyOf(ds: Dataset[_]): LogicalPlan =
+    ds.queryExecution.analyzed.canonicalized
 
   /** `ds.cache()`, recorded in the enclosing [[scope]] if one is active. */
   def cached[T](ds: Dataset[T]): Dataset[T] = {
-    ds.cache()
     val buf = current.value
-    if (buf != null) buf.add(ds)
+    if (buf != null) {
+      refs.synchronized { refs.merge(keyOf(ds), 1, (a, b) => a + b); () }
+      buf.add(ds)
+    }
+    ds.cache()
     ds
   }
 
-  /** Run `body`, then unpersist every Dataset it [[cached]]. Unpersist is
-    * non-blocking: the blocks drop asynchronously, the caller does not
-    * stall on block-manager round-trips.
+  /** Run `body`, then release every Dataset it [[cached]]: each entry's
+    * refcount drops by one and the underlying cache is unpersisted only
+    * at zero (non-blocking — the blocks drop asynchronously, the caller
+    * does not stall on block-manager round-trips).
     */
   def scope[A](body: => A): A = {
     val buf = java.util.Collections.synchronizedList(
       new java.util.ArrayList[Dataset[_]]())
     try current.withValue(buf)(body)
-    finally buf.forEach(ds => ds.unpersist(blocking = false))
+    finally buf.forEach { ds =>
+      val k = keyOf(ds)
+      val remaining = refs.synchronized {
+        val n = refs.getOrDefault(k, 1) - 1
+        if (n <= 0) { refs.remove(k); 0 } else { refs.put(k, n); n }
+      }
+      if (remaining == 0) ds.unpersist(blocking = false)
+    }
   }
 }

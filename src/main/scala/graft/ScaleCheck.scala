@@ -116,9 +116,12 @@ object ScaleCheck {
   }
 
   /** Write `c` tagged copies of documents+embeddings under `out`
-    * (idempotent: skipped when the directory already exists). */
+    * (idempotent: skipped only when BOTH tables exist — a run killed
+    * between the two writes must re-fire, and overwrite mode makes the
+    * re-write safe). */
   private def gen(spark: SparkSession, src: String, out: String, c: Int): Unit = {
-    if (new java.io.File(s"$out/documents.parquet").exists()) return
+    if (new java.io.File(s"$out/documents.parquet").exists() &&
+        new java.io.File(s"$out/embeddings.parquet").exists()) return
     val docs = Tables.documents(spark, src)
     val emb = Tables.embeddings(spark, src)
     val docCopies = (0 until c).map { i =>

@@ -590,7 +590,10 @@ object Dedup {
          |) WHERE n_bands_hit > 0 ORDER BY doc_id""".stripMargin
     }) { (s, d) =>
       val banded = mhBandedDf(s, d).transform(CacheTracker.cached)
-      val dir = java.nio.file.Files.createTempDirectory("graft-dedupidx").toString
+      // deterministic per-dataset path, overwritten on each run — a fresh
+      // temp dir per invocation accumulated unbounded /tmp parquet across
+      // bench reps and verify runs
+      val dir = s"${sys.props("java.io.tmpdir")}/graft-dedupidx-${java.lang.Integer.toHexString(d.hashCode)}"
       DedupIndex.write(banded.filter(col("doc_id") % 2 === 0), dir)
       DedupIndex.probe(DedupIndex.load(s, dir),
                        banded.filter(col("doc_id") % 2 === 1))

@@ -56,14 +56,16 @@ object TextAnalysis {
   def contaminationScore(corpusSh: DataFrame, benchSh: DataFrame,
                          strategy: ContamStrategy = ContamStrategy.Auto()): DataFrame = {
     val bench = benchSh.select("h").distinct()
-    val chosen = strategy match {
-      case ContamStrategy.Auto(maxExact) =>
-        val b = CacheTracker.cached(bench) // counted here, reused below
-        if (b.count() <= maxExact) ContamStrategy.Exact else ContamStrategy.Bloom
-      case s => s
+    // Auto's sizing count runs UNCACHED: the count and the chosen arm's
+    // broadcast build are one benchmark-scale scan each either way, and a
+    // cache here would be unreleasable by library callers (the Dataset is
+    // internal to this method).
+    val useExact = strategy match {
+      case ContamStrategy.Auto(maxExact) => bench.count() <= maxExact
+      case ContamStrategy.Exact          => true
+      case ContamStrategy.Bloom          => false
     }
-    chosen match {
-      case ContamStrategy.Exact | ContamStrategy.Auto(_) =>
+    if (useExact) {
         corpusSh
           .join(broadcast(bench.withColumn("hit", lit(1))), Seq("h"), "left")
           .groupBy("doc_id")
@@ -71,7 +73,7 @@ object TextAnalysis {
                sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hit"),
                round(sum(coalesce(col("hit"), lit(0))).cast("double")
                  / count(lit(1)), 6).as("contamination"))
-      case ContamStrategy.Bloom =>
+    } else {
         val m = 8192
         // k=3 probe positions derived arithmetically from the one existing
         // 48-bit shingle hash (double-hashing) — no extra digest per row,

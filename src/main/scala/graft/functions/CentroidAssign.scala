@@ -218,7 +218,7 @@ case class CentroidBest(
       s"""
          |int $nv = $v.numElements();
          |if ($nv != $centsRef[0].length) {
-         |  throw new IllegalArgumentException("centroid_assign: vector has " +
+         |  throw new IllegalArgumentException("centroid_best: vector has " +
          |    $nv + " elements, centroids have " + $centsRef[0].length);
          |}
          |double $vsq = 0.0;
