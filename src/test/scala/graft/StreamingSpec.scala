@@ -381,4 +381,30 @@ class StreamingSpec extends AnyFunSuite {
         s"streaming substring hits diverge from batch (${streamed.size} vs ${batch.size})")
     } finally q.stop()
   }
+
+  test("mixture sampling applied to a stream equals the batch sample (stateless projection)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.ext.MixtureSample
+    val w = Map("src0" -> 2.5, "src1" -> 0.25, "src2" -> 0.0)
+    val docs = (0 until 120).map(i => (i.toLong, s"src${i % 4}", s"doc $i"))
+    val mem = MemoryStream[(Long, String, String)]
+    val q = MixtureSample.mixtureSample(
+        mem.toDF.toDF("doc_id", "source", "text"), w)
+      .writeStream.format("memory").queryName("mix_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(docs.take(60): _*)
+      q.processAllAvailable()
+      mem.addData(docs.drop(60): _*) // a second micro-batch changes nothing
+      q.processAllAvailable()
+      val streamed = spark.table("mix_out")
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      val batch = MixtureSample.mixtureSample(
+          docs.toDF("doc_id", "source", "text"), w)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      assert(streamed == batch,
+        s"streaming mixture diverges from batch (${streamed.size} vs ${batch.size})")
+    } finally q.stop()
+  }
 }
