@@ -93,6 +93,21 @@ class SubstringDedupSpec extends AnyFunSuite {
     assert(within === Seq((0L, 1L, 30L), (0L, 71L, 100L)))
   }
 
+  test("minDocs=3 (dense_rank path): pairs are ignored, triples are reported") {
+    val pairOnly = noise(40)
+    val triple = noise(40)
+    val texts = Seq(
+      noise(10) + pairOnly + noise(5) + triple,
+      pairOnly + noise(20) + noise(35),
+      noise(25) + triple + noise(12),
+      triple + noise(55))
+    val spans = spansOf(texts, k = 16, minDocs = 3)
+    // the pair-shared region must NOT appear; the triple-shared one must,
+    // in all three of its docs
+    assert(spans.map(_._1).distinct.sorted === Seq(0L, 2L, 3L))
+    assert(spans === Seq((0L, 56L, 95L), (2L, 26L, 65L), (3L, 1L, 40L)))
+  }
+
   test("cross-corpus spans: probe text located in corpus docs, probe side never reported") {
     import spark.implicits._
     val evalQ = noise(60) // a "benchmark question" leaked into training text
