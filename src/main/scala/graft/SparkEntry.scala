@@ -17,6 +17,9 @@ object SparkEntry {
     ext.Dedup.queries ++
     ext.SubstringDedup.queries ++
     ext.MixtureSample.queries ++
+    ext.Dsir.queries ++
+    ext.QualityClassifier.queries ++
+    ext.Bm25.queries ++
     ext.Similarity.queries ++
     ext.TextAnalysis.queries ++
     ext.Multimodal.queries

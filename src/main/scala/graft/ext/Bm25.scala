@@ -1,0 +1,100 @@
+package graft.ext
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import TextHash._
+
+/** BM25 keyword retrieval over the documents table — the classic
+  * Robertson/Okapi ranking function (public; Lucene's variant of the idf
+  * is used: `ln(1 + (N − df + 0.5)/(df + 0.5))`, never negative). A
+  * curation stack uses this to pull topical slices out of a corpus
+  * without embeddings (e.g. seed-set expansion for a domain filter).
+  *
+  * Plan shape at 100 TB: the term filter `t ∈ query` lands directly on
+  * the exploded token stream, so only matching (doc, term) rows survive
+  * into the tf aggregate — the heavy explode never shuffles. Document
+  * length is a per-row projection (`size(tokens)`), no second explode.
+  * The df/idf table is ≤ |query| rows and the average-doc-length is one
+  * scalar — both ride 1-row/broadcast joins (the legitimate
+  * scalar-broadcast shape, same exemption as q_text_tfidf's corpus
+  * scalar). Top-k compiles to TakeOrderedAndProject.
+  *
+  * Cross-engine exactness: tf and df are integers; dl/avgdl and the
+  * saturation term are IEEE-identical double math; each per-term score is
+  * rounded to 9dp BEFORE the per-doc decimal sum (order-independent), and
+  * the final score re-rounds to 6dp.
+  */
+object Bm25 {
+
+  /** Okapi parameters (the standard defaults). */
+  val K1 = 1.2
+  val B = 0.75
+
+  /** Per-term BM25 contribution, 9dp-rounded for order-independent
+    * summation: `idf · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))`.
+    */
+  private def termScore(tf: Column, dl: Column, avgdl: Column, idf: Column): Column =
+    round(idf * (tf * (K1 + 1.0)) /
+      (tf + lit(K1) * (lit(1.0 - B) + lit(B) * dl / avgdl)), 9)
+
+  /** Top-`k` documents for `terms` by BM25. `docs` needs (doc_id, text). */
+  def search(docs: DataFrame, terms: Seq[String], k: Int): DataFrame = {
+    require(terms.nonEmpty, "terms must be non-empty")
+    val toks = tokens(col("text"))
+    val base = docs.select(col("doc_id"), size(toks).cast("double").as("dl"),
+      explode(toks).as("t"))
+    val stats = docs.agg(count(lit(1)).cast("double").as("n"),
+      avg(size(tokens(col("text")))).as("avgdl"))
+    val tf = base.filter(col("t").isin(terms: _*))
+      .groupBy("doc_id", "dl", "t").agg(count(lit(1)).cast("double").as("tf"))
+    val df = tf.groupBy("t").agg(count(lit(1)).cast("double").as("df"))
+    val idf = df.crossJoin(broadcast(stats))
+      .select(col("t"),
+        round(log(lit(1.0) + (col("n") - col("df") + 0.5) / (col("df") + 0.5)), 9)
+          .as("idf"),
+        col("avgdl"))
+    tf.join(broadcast(idf), Seq("t"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"),
+           round(sum(termScore(col("tf"), col("dl"), col("avgdl"), col("idf"))
+                       .cast("decimal(20,9)")).cast("double"), 6).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
+  /** The flagship query's search terms — words from the synthetic vocab. */
+  private val Terms = Seq("vector", "stream", "window", "merge")
+
+  val queries: Seq[Q] = Seq(
+
+    Q("q_text_bm25", {
+      val termList = Terms.map(t => s"'$t'").mkString(", ")
+      s"""WITH toks AS (SELECT doc_id, ${tokensSql("text")} AS toks FROM documents),
+         |base AS (
+         |  SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl, unnest(toks) AS t
+         |  FROM toks
+         |),
+         |stats AS (
+         |  SELECT CAST(count(*) AS DOUBLE) AS n, avg(len(toks)) AS avgdl FROM toks
+         |),
+         |tf AS (
+         |  SELECT doc_id, dl, t, CAST(count(*) AS DOUBLE) AS tf
+         |  FROM base WHERE t IN ($termList) GROUP BY doc_id, dl, t
+         |),
+         |idf AS (
+         |  SELECT t, round(ln(1.0 + (n - df + 0.5) / (df + 0.5)), 9) AS idf, avgdl
+         |  FROM (SELECT t, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY t), stats
+         |)
+         |SELECT doc_id, count(*) AS n_terms,
+         |  round(CAST(sum(CAST(round(idf * (tf * ${K1 + 1.0}) /
+         |    (tf + $K1 * (${1.0 - B} + $B * dl / avgdl)), 9) AS DECIMAL(20,9))) AS DOUBLE), 6) AS bm25
+         |FROM tf JOIN idf USING (t)
+         |GROUP BY doc_id
+         |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
+    }) { (s, d) =>
+      search(Tables.documents(s, d), Terms, 20)
+    }
+  )
+}

@@ -1,0 +1,130 @@
+package graft.ext
+
+import graft.{CacheTracker, Q, Tables}
+import org.apache.spark.sql.functions._
+
+import TextHash._
+
+/** DSIR-style data selection: importance resampling of a raw corpus
+  * toward a target distribution over hashed n-gram features (public
+  * technique — Xie et al. 2023, "Data Selection for Language Models via
+  * Importance Resampling"; the reference has no curation surface).
+  *
+  * The estimator is the paper's: bag-of-hashed-n-grams (unigrams +
+  * word-bigrams here) bucketed into `D` slots; the target and raw corpora
+  * each induce a multinomial over the slots (Laplace-smoothed, α = 0.5);
+  * a document's log importance weight is the sum over its features of
+  * `log p̂_target(b) − log p̂_raw(b)`. Selection is sampling WITHOUT
+  * replacement proportional to the weights, realized as Gumbel top-k:
+  * `key = log w + Gumbel(0,1)`, take the k largest — the standard
+  * equivalence, made deterministic by deriving each document's uniform
+  * from an md5 hash of its id (same replayable-draw idiom as
+  * [[MixtureSample]]).
+  *
+  * Plan shape at 100 TB: the feature explode is O(total tokens); both
+  * distribution estimates are map-side-combined hash aggregates whose
+  * OUTPUT is bounded by `D` rows regardless of corpus size; the log-ratio
+  * table `λ` is a D-row broadcast joined back onto the exploded features;
+  * per-document scoring is one hash aggregate keyed by doc_id; top-k
+  * compiles to TakeOrderedAndProject (no global sort). No doc-doc
+  * pairing, no collect — the only driver-sized object is the λ table.
+  *
+  * Cross-engine exactness: bucket ids come from [[TextHash.h48]] (md5 in
+  * both engines); each λ_b is rounded to 9dp BEFORE the per-document
+  * decimal sum, so the aggregate is order-independent; the Gumbel uniform
+  * is `(hex8(md5(id ‖ ':dsir')) + 0.5) / 2³²`, exact in both engines.
+  */
+object Dsir {
+
+  /** Hash-bucket count for the n-gram feature space. */
+  val D = 1024
+
+  /** Laplace smoothing mass added per bucket (α). */
+  private val Alpha = 0.5
+
+  /** DSIR selection over any `(doc_id, text)` frame: keep the `k`
+    * documents of `docs ∖ target` whose Gumbel-perturbed importance
+    * weight toward `targetPred`'s feature distribution is largest.
+    * Exposed seam for composition and specs; `q_sample_dsir` is this over
+    * the documents table with the every-97th-doc target.
+    */
+  def select(docs: org.apache.spark.sql.DataFrame, targetPred: org.apache.spark.sql.Column,
+             k: Int, salt: String = "dsir"): org.apache.spark.sql.DataFrame = {
+    val toks = tokens(col("text"))
+    val feats = docs
+      .select(col("doc_id"), targetPred.as("is_target"),
+        explode(concat(toks, shinglesFromTokens(toks, 2))).as("f"))
+      .select(col("doc_id"), col("is_target"), (h48(col("f")) % D).as("b"))
+    val rf = feats.filter(!col("is_target")).drop("is_target")
+      .transform(CacheTracker.cached)
+    val tc = feats.filter(col("is_target"))
+      .groupBy("b").agg(count(lit(1)).as("tcnt"))
+    val rc = rf.groupBy("b").agg(count(lit(1)).as("rcnt"))
+    val tt = tc.agg(sum("tcnt").cast("double").as("t"))
+    val rt = rc.agg(sum("rcnt").cast("double").as("r"))
+    val lam = rc.join(tc, Seq("b"), "left")
+      .crossJoin(broadcast(tt)).crossJoin(broadcast(rt))
+      .select(col("b"),
+        round(log((coalesce(col("tcnt"), lit(0)) + Alpha) / (col("t") + Alpha * D))
+            - log((col("rcnt") + Alpha) / (col("r") + Alpha * D)), 9).as("lam"))
+    val u = (conv(substring(md5(concat(col("doc_id").cast("string"), lit(":" + salt))),
+                            1, 8), 16, 10).cast("long") + 0.5) / 4294967296.0
+    rf.join(broadcast(lam), Seq("b"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_feats"),
+           sum(col("lam").cast("decimal(20,9)")).cast("double").as("logw_raw"))
+      .select(col("doc_id"), col("n_feats"),
+              round(col("logw_raw"), 6).as("logw"),
+              round(col("logw_raw") - log(-log(u)), 6).as("sel_key"))
+      .orderBy(col("sel_key").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
+  /** First 8 md5 hex chars as a BIGINT, DuckDB side (32 bits). */
+  private def hex8Sql(e: String): String = {
+    val terms = (1 to 8).map { i =>
+      val mult = math.pow(16, 8 - i).toLong
+      s"(strpos('0123456789abcdef', substr(md5($e), $i, 1)) - 1) * $mult"
+    }
+    s"CAST(${terms.mkString(" + ")} AS BIGINT)"
+  }
+
+  val queries: Seq[Q] = Seq(
+
+    // Target = every 97th document (the stand-in "high-quality reference
+    // set", same convention as q_text_contamination); candidates = the
+    // rest; k = 100 kept documents.
+    Q("q_sample_dsir",
+      s"""WITH toks AS (SELECT doc_id, ${tokensSql("text")} AS toks FROM documents),
+         |feats AS (
+         |  SELECT doc_id, ${h48Sql("f")} % $D AS b FROM (
+         |    SELECT doc_id,
+         |      unnest(list_concat(toks, ${shinglesFromTokensSql("toks", 2)})) AS f
+         |    FROM toks
+         |  )
+         |),
+         |tc AS (SELECT b, count(*) AS tcnt FROM feats WHERE doc_id % 97 = 0 GROUP BY b),
+         |tt AS (SELECT CAST(sum(tcnt) AS DOUBLE) AS t FROM tc),
+         |rf AS (SELECT * FROM feats WHERE doc_id % 97 <> 0),
+         |rc AS (SELECT b, count(*) AS rcnt FROM rf GROUP BY b),
+         |rt AS (SELECT CAST(sum(rcnt) AS DOUBLE) AS r FROM rc),
+         |lam AS (
+         |  SELECT b, round(ln((coalesce(tcnt, 0) + $Alpha) / (tt.t + ${Alpha * D}))
+         |               - ln((rcnt + $Alpha) / (rt.r + ${Alpha * D})), 9) AS lam
+         |  FROM rc LEFT JOIN tc USING (b), tt, rt
+         |),
+         |sc AS (
+         |  SELECT doc_id, count(*) AS n_feats,
+         |    CAST(sum(CAST(lam AS DECIMAL(20,9))) AS DOUBLE) AS logw_raw
+         |  FROM rf JOIN lam USING (b) GROUP BY doc_id
+         |)
+         |SELECT doc_id, n_feats, round(logw_raw, 6) AS logw,
+         |  round(logw_raw
+         |        - ln(-ln((${hex8Sql("doc_id || ':dsir'")} + 0.5) / 4294967296.0)),
+         |        6) AS sel_key
+         |FROM sc
+         |ORDER BY sel_key DESC, doc_id LIMIT 100""".stripMargin) { (s, d) =>
+      select(Tables.documents(s, d), col("doc_id") % 97 === 0, 100)
+    }
+  )
+}

@@ -112,6 +112,11 @@ object MixtureSample {
   private val W: Map[String, Double] = Map("src0" -> 2.5, "src1" -> 0.25, "src2" -> 0.0)
   private val MaxCopies = 3 // static series bound for the oracle: max ceil(w)
 
+  /** Docs kept per cluster by `q_sample_cluster_cap` (declared before
+    * `queries`: the oracle string interpolates it at object init).
+    */
+  val ClusterCapM = 3
+
   val queries: Seq[Q] = Seq(
     Q("q_sample_mixture", {
       val baseCase = W.map { case (d, w) => s"WHEN '$d' THEN ${math.floor(w).toLong}" }
@@ -154,6 +159,60 @@ object MixtureSample {
       tokenBudgetSample(Tables.documents(s, d), budgetTokens = 8000L,
         shares = Map("src0" -> 0.3, "src1" -> 0.1), defaultShare = 0.03)
         .orderBy("doc_id")
+    },
+
+    // ---- semantic-diversity cap: at most m docs per embedding cluster ----
+    // Flattens semantic skew: a corpus region that is over-represented in
+    // embedding space (one dense IVF cell) contributes at most
+    // [[ClusterCapM]] documents, while sparse regions keep everything — the
+    // "cluster-then-cap" diversity sampling step of a curation recipe
+    // (complement of SemDeDup, which removes only near-identical pairs).
+    //
+    // The keep-order within a cell is a HASH of the id, not an RNG and not
+    // arrival order: deterministic, engine-portable, and unbiased w.r.t.
+    // document content. Plan shape: cell assignment is the same
+    // projection-only CentroidAssign as q_embed_ivf (no join, no
+    // shuffle), then ONE window keyed by cid — a single exchange whose
+    // per-cell work is linear in cell size, safe under skew at any N.
+    Q("q_sample_cluster_cap",
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 25 = 0),
+         |asn AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT e.vec_id, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY list_dot_product(e.v, c.cv) / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) DESC, c.cid) AS rn
+         |    FROM e, c
+         |  ) WHERE rn = 1
+         |)
+         |SELECT cid, vec_id, rk, cell_n FROM (
+         |  SELECT cid, vec_id,
+         |    row_number() OVER (PARTITION BY cid
+         |      ORDER BY md5(vec_id::varchar || ':cap'), vec_id) AS rk,
+         |    count(*) OVER (PARTITION BY cid) AS cell_n
+         |  FROM asn
+         |) WHERE rk <= $ClusterCapM ORDER BY cid, rk""".stripMargin) { (s, d) =>
+      val vecs = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      clusterCap(vecs, Similarity.centroidSet(vecs, 25), ClusterCapM)
+        .orderBy("cid", "rk")
     }
   )
+
+  /** At most `m` rows per embedding cluster, hash-ordered within the
+    * cell. `vecDf` needs (vec_id, v); centroids come from the caller so
+    * the cap composes with strided or k-means-refined cells alike.
+    */
+  def clusterCap(vecDf: DataFrame,
+                 cents: Seq[(Long, Seq[Double], Double)], m: Int): DataFrame = {
+    require(m > 0, "m must be positive")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("cid")
+    val ord = w.orderBy(md5(concat(col("vec_id").cast("string"), lit(":cap"))),
+                        col("vec_id"))
+    vecDf.select(col("vec_id"), Similarity.cidExpr(cents).as("cid"))
+      .withColumn("rk", row_number().over(ord))
+      .withColumn("cell_n", count(lit(1)).over(w))
+      .filter(col("rk") <= m)
+      .select("cid", "vec_id", "rk", "cell_n")
+  }
 }

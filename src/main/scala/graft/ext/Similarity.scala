@@ -609,6 +609,12 @@ object Similarity {
        |  FROM e, planes GROUP BY 1, 2, 3
        |) GROUP BY vec_id, tbl""".stripMargin
 
+  /** Neighbors per probe for `q_embed_knn_classify`'s majority vote
+    * (declared BEFORE `queries`: the oracle strings interpolate it at
+    * object init, which runs top-to-bottom).
+    */
+  val KnnK = 10
+
   val queries: Seq[Q] = Seq(
 
     // ---- brute-force cosine top-3 for 20 probe vectors ----
@@ -952,6 +958,89 @@ object Similarity {
       lshTopK(vecs(s, d), col("vec_id") < 20, 1)
         .select("qid", "cand", "cos_r")
         .orderBy("qid")
+    },
+
+    // ---- kNN label classification over embeddings ----
+    // Model-based curation without a model: label the unlabeled part of a
+    // corpus by majority vote of its k nearest labeled neighbors (the
+    // standard kNN classifier, here over the embedding column). Every
+    // fifth vector is held out as the "unlabeled" probe set and classified
+    // against the labeled rest; the output carries the held-out true label
+    // so the query doubles as an accuracy audit.
+    //
+    // Candidate generation is [[knnClassify]]'s pluggable seam: this
+    // query feeds it the exact brute-force pairs (probes broadcast, corpus
+    // streamed once — the declared correctness baseline, like
+    // q_embed_topk); at 100 TB swap in [[probeIndex]]'s IVF-PQ candidates
+    // and the vote logic is unchanged. The vote itself is one
+    // (qid,label) hash aggregate over |probes|·k rows — never corpus-
+    // scale — with an integer-only deterministic tie-break
+    // (votes desc, label asc).
+    Q("q_embed_knn_classify",
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |q AS (SELECT * FROM e WHERE vec_id % 5 = 0),
+         |c AS (SELECT * FROM e WHERE vec_id % 5 <> 0),
+         |knn AS (
+         |  SELECT qid, label, cos_r FROM (
+         |    SELECT q.vec_id AS qid, c.label, ${cosSql("q.v", "c.v")} AS cos_r,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ${cosSql("q.v", "c.v")} DESC, c.vec_id) AS rn
+         |    FROM q, c
+         |  ) WHERE rn <= $KnnK
+         |),
+         |votes AS (
+         |  SELECT qid, label, count(*) AS votes,
+         |    CAST(sum(CAST(cos_r AS DECIMAL(18,6))) AS DOUBLE) AS sum_cos
+         |  FROM knn GROUP BY qid, label
+         |)
+         |SELECT v.qid, v.label AS pred_label, CAST(v.votes AS BIGINT) AS votes, v.sum_cos,
+         |  q.label AS true_label, v.label = q.label AS correct
+         |FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY qid
+         |    ORDER BY votes DESC, label) AS vr
+         |  FROM votes
+         |) v JOIN q ON q.vec_id = v.qid
+         |WHERE v.vr = 1 ORDER BY v.qid""".stripMargin) { (s, d) =>
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"),
+                col("embedding").cast("array<double>").as("v"))
+      val probes = e.filter(col("vec_id") % 5 === 0)
+        .select(col("vec_id").as("qid"), col("label").as("true_label"),
+                col("v").as("qv"))
+      val corpus = e.filter(col("vec_id") % 5 =!= 0)
+        .select(col("vec_id").as("cand"), col("label"), col("v"))
+      val pairs = corpus.join(broadcast(probes.drop("true_label")), lit(true))
+        .select(col("qid"), col("cand"), col("label"),
+                round(cosine(col("qv"), col("v")), 6).as("cos_r"))
+      knnClassify(pairs, KnnK)
+        .join(broadcast(probes.select(col("qid"), col("true_label"))), Seq("qid"))
+        .select(col("qid"), col("pred_label"), col("votes"), col("sum_cos"),
+                col("true_label"),
+                (col("pred_label") === col("true_label")).as("correct"))
+        .orderBy("qid")
     }
   )
+
+  /** Majority-vote classification over scored candidate pairs
+    * `(qid, cand, label, cos_r)` — candidate generation is the caller's
+    * choice (exact pairs, [[lshTopK]] buckets, or [[probeIndex]] IVF-PQ
+    * cells), so the vote composes with every ANN tier. Keeps the `k`
+    * nearest by `(cos_r desc, cand)` per probe, then picks the label with
+    * the most votes (`votes desc, label` tie-break).
+    */
+  def knnClassify(pairs: DataFrame, k: Int): DataFrame = {
+    val nn = Window.partitionBy("qid").orderBy(col("cos_r").desc, col("cand").asc)
+    val knn = pairs.withColumn("rn", row_number().over(nn)).filter(col("rn") <= k)
+    val votes = knn.groupBy("qid", "label")
+      .agg(count(lit(1)).as("votes"),
+           // the neighbor-similarity mass, NOT its mean: sums of 6dp
+           // decimals are exact doubles in both engines, while mean's
+           // sum/count lands on half-ulp round-to-6 boundaries whenever
+           // count divides the sum evenly (systematic cross-engine skew)
+           sum(col("cos_r").cast("decimal(18,6)")).cast("double").as("sum_cos"))
+    val vw = Window.partitionBy("qid").orderBy(col("votes").desc, col("label").asc)
+    votes.withColumn("vr", row_number().over(vw)).filter(col("vr") === 1)
+      .select(col("qid"), col("label").as("pred_label"), col("votes"),
+              col("sum_cos"))
+  }
 }

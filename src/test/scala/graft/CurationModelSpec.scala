@@ -1,0 +1,171 @@
+package graft
+
+import graft.ext.{Dsir, QualityClassifier, Similarity}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Model-shaped curation operators: DSIR importance resampling, the
+  * trained logistic-regression quality classifier, and kNN label
+  * classification — all on planted data where the right answer is known.
+  */
+class CurationModelSpec extends AnyFunSuite {
+  private lazy val spark = SparkSuite.spark
+
+  // Two disjoint vocabularies: "good" docs draw from A, "junk" from B.
+  // Deterministic synthesis (seeded) — same corpus every run.
+  private val VocabA = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta")
+  private val VocabB = Vector("crash", "spam", "junk", "noise", "click", "blob")
+
+  private def doc(rnd: scala.util.Random, vocab: Vector[String], n: Int): String =
+    Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+
+  /** 40 target docs (vocab A), 80 raw-good (A), 80 raw-junk (B). */
+  private lazy val planted = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val rows =
+      (0 until 40).map(i => (i.toLong, "target", doc(rnd, VocabA, 30))) ++
+      (0 until 80).map(i => (100L + i, "rawgood", doc(rnd, VocabA, 30))) ++
+      (0 until 80).map(i => (300L + i, "rawjunk", doc(rnd, VocabB, 30)))
+    rows.toDF("doc_id", "source", "text")
+  }
+
+  test("DSIR: selection prefers target-distribution docs, deterministic") {
+    val sel = Dsir.select(planted, col("source") === "target", 60)
+    val picked = sel.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(picked.size == 60)
+    // target docs are excluded from the candidate pool by construction
+    assert(picked.forall(_ >= 100L))
+    // the A-vocabulary candidates must dominate the selection: their log
+    // importance weight is strongly positive, junk's strongly negative,
+    // and the Gumbel noise is O(1) against a large margin
+    val fromGood = picked.count(_ < 300L)
+    assert(fromGood >= 55, s"only $fromGood/60 picks from the target-like pool")
+    // deterministic: the draw is a hash, not an RNG
+    val again = Dsir.select(planted, col("source") === "target", 60)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == picked)
+    // a different salt is an independent redraw of the same distribution:
+    // still target-heavy, not necessarily identical
+    val redraw = Dsir.select(planted, col("source") === "target", 60, salt = "v2")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(redraw.count(_ < 300L) >= 55)
+  }
+
+  /** Balanced, linearly separable corpus for the classifier tests: the
+    * positive domain uses vocab A, the negative vocab B, 100 docs each.
+    * (The DSIR corpus above is unusable here: its "rawgood" docs share the
+    * positive class's vocabulary but carry the negative label 2:1, so no
+    * classifier can mark the targets positive on it.)
+    */
+  private lazy val classifierDocs = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val rows =
+      (0 until 100).map(i => (i.toLong, "src0", doc(rnd, VocabA, 30))) ++
+      (0 until 100).map(i => (200L + i, "junk", doc(rnd, VocabB, 30)))
+    rows.toDF("doc_id", "source", "text")
+  }
+
+  test("quality classifier: trained weights separate the domains") {
+    val docs = classifierDocs
+    val (w, bias) = QualityClassifier.train(docs)
+    assert(w.length == QualityClassifier.D)
+    assert(w.forall(x => !x.isNaN && !x.isInfinite) && !bias.isNaN)
+    // scoreInline is the serving-path projection; accuracy on the planted
+    // corpus must beat 0.9 (vocabularies are disjoint — an easy problem;
+    // failure means training moved weights the wrong way)
+    val scored = docs.select(col("doc_id"), col("source"),
+      QualityClassifier.scoreInline(col("text"), w, bias).as("p")).collect()
+    val acc = scored.count { r =>
+      (r.getDouble(2) >= 0.5) == (r.getString(1) == "src0")
+    }.toDouble / scored.length
+    assert(acc >= 0.9, s"classifier accuracy $acc")
+    // and the score ORDERING must separate cleanly, not just the 0.5 cut
+    val posMin = scored.filter(_.getString(1) == "src0").map(_.getDouble(2)).min
+    val negMax = scored.filter(_.getString(1) != "src0").map(_.getDouble(2)).max
+    assert(posMin > negMax, s"score ranges overlap: posMin $posMin <= negMax $negMax")
+  }
+
+  test("quality classifier: inline serving score tracks the training-shaped score") {
+    val docs = classifierDocs
+    val (w, bias) = QualityClassifier.train(docs)
+    val warr = typedLit(w)
+    val grouped = QualityClassifier.featDf(docs)
+      .select(col("doc_id"), col("b"), (col("cnt").cast("double") / col("n")).as("x"))
+      .withColumn("w", element_at(warr, col("b").cast("int") + 1))
+      .groupBy("doc_id")
+      .agg((sum(round(col("x") * col("w"), 12).cast("decimal(28,12)"))
+             .cast("double") + bias).as("z"))
+      .select(col("doc_id"), (lit(1.0) / (lit(1.0) + exp(-col("z")))).as("pg"))
+    val inline = docs.select(col("doc_id"),
+      QualityClassifier.scoreInline(col("text"), w, bias).as("pi"))
+    val joined = grouped.join(inline, Seq("doc_id")).collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val d = math.abs(r.getDouble(1) - r.getDouble(2))
+      assert(d < 1e-6, s"doc ${r.getLong(0)}: grouped ${r.getDouble(1)} vs inline ${r.getDouble(2)}")
+    }
+  }
+
+  test("BM25: rare terms dominate, term frequency saturates, length-normalized") {
+    import spark.implicits._
+    // "needle" appears in 2 docs, "common" in all 40; doc 0 has both
+    val docs = ((0 until 40).map { i =>
+      val body = Seq.fill(20)("filler") ++ Seq("common") ++
+        (if (i < 2) Seq("needle") else Nil) ++
+        (if (i == 1) Seq.fill(5)("needle") else Nil) // doc 1: tf=6
+      (i.toLong, body.mkString(" "))
+    }).toDF("doc_id", "text")
+    val hits = ext.Bm25.search(docs, Seq("needle", "common"), 40).collect()
+    val score = hits.map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // every doc matches "common"; only 0 and 1 match the rare term too
+    assert(hits.length == 40)
+    assert(score(1L) > score(0L), "higher tf on the rare term must score higher")
+    assert(score(0L) > score(2L), "a rare-term match must beat common-only docs")
+    // saturation: tf=6 on the rare term is worth far less than 6x tf=1
+    val needleIdf = math.log(1.0 + (40.0 - 2 + 0.5) / (2 + 0.5))
+    assert(score(1L) - score(2L) < 3.0 * (score(0L) - score(2L)),
+      s"tf saturation violated: ${score(1L)} vs ${score(0L)} (idf $needleIdf)")
+    // deterministic rerun
+    val again = ext.Bm25.search(docs, Seq("needle", "common"), 40).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(again == score)
+  }
+
+  test("kNN classify: planted clusters recover their labels, tie-break deterministic") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    def unit(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    // 4 well-separated cluster centers; 30 members each, labeled by cluster
+    val centers = (0 until 4).map(_ => unit(Array.fill(Similarity.Dim)(rnd.nextGaussian())))
+    val rows = for {
+      c <- 0 until 4
+      i <- 0 until 30
+    } yield {
+      val noise = Array.fill(Similarity.Dim)(rnd.nextGaussian() * 0.05)
+      val v = unit(centers(c).zip(noise).map { case (a, b) => a + b })
+      ((c * 30 + i).toLong, c, v.toSeq)
+    }
+    val e = rows.toDF("vec_id", "label", "v")
+    val probes = e.filter(col("vec_id") % 5 === 0)
+      .select(col("vec_id").as("qid"), col("label").as("true_label"), col("v").as("qv"))
+    val corpus = e.filter(col("vec_id") % 5 =!= 0)
+      .select(col("vec_id").as("cand"), col("label"), col("v"))
+    val pairs = corpus.join(broadcast(probes.drop("true_label")), lit(true))
+      .select(col("qid"), col("cand"), col("label"),
+              round(Similarity.cosine(col("qv"), col("v")), 6).as("cos_r"))
+    val pred = Similarity.knnClassify(pairs, Similarity.KnnK)
+      .join(probes.select("qid", "true_label"), Seq("qid"))
+      .collect()
+    assert(pred.length == e.filter(col("vec_id") % 5 === 0).count())
+    pred.foreach { r =>
+      assert(r.getAs[Int]("pred_label") == r.getAs[Int]("true_label"),
+        s"probe ${r.getAs[Long]("qid")} misclassified")
+      // with k=10 and tight clusters, the vote should be unanimous
+      assert(r.getAs[Long]("votes") == Similarity.KnnK)
+    }
+  }
+}

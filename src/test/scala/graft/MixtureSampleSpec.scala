@@ -96,4 +96,35 @@ class MixtureSampleSpec extends AnyFunSuite {
       MixtureSample.mixtureSample(corpus(4), Map("src0" -> -0.1))
     }
   }
+
+  test("cluster cap: dense cells capped at m, sparse cells intact, deterministic") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(43)
+    def unit(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    // two cluster centers: a dense region (20 members) and a sparse one (2)
+    val c0 = unit(Array.fill(ext.Similarity.Dim)(rnd.nextGaussian()))
+    val c1 = unit(Array.fill(ext.Similarity.Dim)(rnd.nextGaussian()))
+    def near(c: Array[Double]) = unit(
+      c.zip(Array.fill(ext.Similarity.Dim)(rnd.nextGaussian() * 0.05))
+        .map { case (a, b) => a + b }).toSeq
+    val rows = (0 until 20).map(i => (i.toLong, near(c0))) ++
+               (100 until 102).map(i => (i.toLong, near(c1)))
+    val vecs = rows.toDF("vec_id", "v")
+    // the two centers as the centroid set (norm = 1 by construction shape)
+    def cent(id: Long, c: Array[Double]) = {
+      var acc = 0.0; c.foreach(x => acc += x * x)
+      (id, c.toSeq, math.sqrt(acc))
+    }
+    val cents = Seq(cent(0L, c0), cent(1L, c1))
+    val kept = MixtureSample.clusterCap(vecs, cents, m = 3).collect()
+    val byCell = kept.groupBy(_.getLong(0))
+    assert(byCell(0L).length == 3, "dense cell must be capped at m")
+    assert(byCell(1L).length == 2, "sparse cell keeps everything")
+    assert(byCell(0L).head.getAs[Long]("cell_n") == 20)
+    // deterministic: same keep-set on rerun
+    val again = MixtureSample.clusterCap(vecs, cents, m = 3).collect()
+    assert(kept.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
+  }
 }

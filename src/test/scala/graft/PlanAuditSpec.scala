@@ -46,10 +46,16 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_graph_pagerank", "q_join_shipping_priority", "q_domain_quality",
     "q_text_lm_score", "q_dedup_substring", "q_dedup_substring_profile",
     "q_sample_mixture", "q_text_decontam_spans", "q_text_decontam_trim",
-    "q_dedup_substring_cut", "q_sample_token_budget")
+    "q_dedup_substring_cut", "q_sample_token_budget", "q_text_classifier")
   // q_text_tfidf is NOT in the no-BNLJ list: its corpus-size scalar rides a
   // 1-row broadcast cross join (the legitimate scalar-broadcast shape) —
   // covered by its own assertion below instead.
+  // q_sample_dsir is NOT in the list for the same reason: the D-row λ
+  // table build crosses two 1-row scalar totals (target/raw feature mass)
+  // — metadata-scale BNLJs; the corpus-side joins are equi-joins.
+  // q_embed_knn_classify is the declared brute-force baseline (probes ×
+  // corpus broadcast NLJ, like q_embed_topk); the scale path swaps
+  // candidate generation to probeIndex.
 
   test("no cartesian or nested-loop join in any audited query") {
     audited.foreach { name =>
