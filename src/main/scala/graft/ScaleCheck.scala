@@ -41,7 +41,14 @@ object ScaleCheck {
     // round-7 additions: the substring family is O(total_chars) window
     // rows; the synthesizer's per-copy token tagging keeps cross-copy
     // char windows distinct, so duplication density is constant here too
-    "q_dedup_substring", "q_text_decontam_spans")
+    "q_dedup_substring", "q_text_decontam_spans",
+    // model-shaped additions: classifier training shuffles are
+    // bounded-output (D rows/round), DSIR's distribution estimates are
+    // D-row aggregates — both should scale with the explode, ~linearly.
+    // q_embed_knn_classify is NOT here: its probe set grows with the
+    // corpus (vec_id % 5), so the declared brute-force baseline is O(N²)
+    // by definition; the scale path swaps candidates to probeIndex.
+    "q_text_classifier", "q_sample_dsir")
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")

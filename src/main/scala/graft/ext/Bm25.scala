@@ -64,6 +64,48 @@ object Bm25 {
       .limit(k)
   }
 
+  /** The frozen retrieval model for a fixed term set: per-term idf plus
+    * the corpus average document length — two metadata-scale numbers per
+    * term, the artifact [[scoreInline]] serves from.
+    */
+  def termStats(docs: DataFrame, terms: Seq[String]): (Seq[(String, Double)], Double) = {
+    require(terms.nonEmpty, "terms must be non-empty")
+    val toks = tokens(col("text"))
+    val base = docs.select(col("doc_id"), explode(toks).as("t"))
+    val stats = docs.agg(count(lit(1)).cast("double").as("n"),
+      avg(size(tokens(col("text")))).as("avgdl")).collect()(0)
+    val (n, avgdl) = (stats.getDouble(0), stats.getDouble(1))
+    val dfMap = base.filter(col("t").isin(terms: _*))
+      .select(col("doc_id"), col("t")).distinct()
+      .groupBy("t").agg(count(lit(1)).cast("double").as("df"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val idf = terms.map { t =>
+      val df = dfMap.getOrElse(t, 0.0)
+      t -> BigDecimal(math.log(1.0 + (n - df + 0.5) / (df + 0.5)))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    (idf, avgdl)
+  }
+
+  /** Serving-path BM25: per-term tf via an array count, the same
+    * 9dp-rounded saturation arithmetic as [[search]], summed as decimals
+    * — ONE projection, zero shuffle, the streaming-admission/100 TB
+    * scoring form. For documents matching at least one term this is
+    * EXACTLY [[search]]'s `bm25` (unmatched terms contribute a rounded
+    * 0.0, which the decimal sum ignores); non-matching documents score
+    * 0.0 instead of being absent. Pinned by spec.
+    */
+  def scoreInline(text: Column, stats: Seq[(String, Double)], avgdl: Double): Column = {
+    require(stats.nonEmpty, "stats must be non-empty")
+    val toks = tokens(text)
+    val dl = size(toks).cast("double")
+    val parts = stats.map { case (t, idf) =>
+      val tf = size(filter(toks, x => x === t)).cast("double")
+      termScore(tf, dl, lit(avgdl), lit(idf)).cast("decimal(20,9)")
+    }
+    round(parts.reduce((a, b) => (a + b).cast("decimal(20,9)")).cast("double"), 6)
+  }
+
   /** The flagship query's search terms — words from the synthetic vocab. */
   private val Terms = Seq("vector", "stream", "window", "merge")
 

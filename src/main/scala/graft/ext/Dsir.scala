@@ -50,23 +50,10 @@ object Dsir {
     */
   def select(docs: org.apache.spark.sql.DataFrame, targetPred: org.apache.spark.sql.Column,
              k: Int, salt: String = "dsir"): org.apache.spark.sql.DataFrame = {
-    val toks = tokens(col("text"))
-    val feats = docs
-      .select(col("doc_id"), targetPred.as("is_target"),
-        explode(concat(toks, shinglesFromTokens(toks, 2))).as("f"))
-      .select(col("doc_id"), col("is_target"), (h48(col("f")) % D).as("b"))
+    val feats = featBuckets(docs, targetPred)
     val rf = feats.filter(!col("is_target")).drop("is_target")
       .transform(CacheTracker.cached)
-    val tc = feats.filter(col("is_target"))
-      .groupBy("b").agg(count(lit(1)).as("tcnt"))
-    val rc = rf.groupBy("b").agg(count(lit(1)).as("rcnt"))
-    val tt = tc.agg(sum("tcnt").cast("double").as("t"))
-    val rt = rc.agg(sum("rcnt").cast("double").as("r"))
-    val lam = rc.join(tc, Seq("b"), "left")
-      .crossJoin(broadcast(tt)).crossJoin(broadcast(rt))
-      .select(col("b"),
-        round(log((coalesce(col("tcnt"), lit(0)) + Alpha) / (col("t") + Alpha * D))
-            - log((col("rcnt") + Alpha) / (col("r") + Alpha * D)), 9).as("lam"))
+    val lam = lamDf(feats, rf)
     val u = (conv(substring(md5(concat(col("doc_id").cast("string"), lit(":" + salt))),
                             1, 8), 16, 10).cast("long") + 0.5) / 4294967296.0
     rf.join(broadcast(lam), Seq("b"))
@@ -78,6 +65,68 @@ object Dsir {
               round(col("logw_raw") - log(-log(u)), 6).as("sel_key"))
       .orderBy(col("sel_key").desc, col("doc_id").asc)
       .limit(k)
+  }
+
+  /** The trained artifact: the D-slot log-ratio table λ as a dense array
+    * (0.0 for buckets absent from the raw corpus — such buckets never
+    * occur in candidate documents drawn from it; for OTHER corpora they
+    * score neutral). Metadata-scale collect, the same data [[select]]
+    * broadcasts.
+    */
+  def lambdaTable(docs: org.apache.spark.sql.DataFrame,
+                  targetPred: org.apache.spark.sql.Column): IndexedSeq[Double] = {
+    val feats = featBuckets(docs, targetPred)
+    val rows = lamDf(feats, feats.filter(!col("is_target"))).collect()
+    val m = rows.map(r => r.getLong(0).toInt -> r.getDouble(1)).toMap
+    (0 until D).map(b => m.getOrElse(b, 0.0))
+  }
+
+  /** (doc_id, is_target, b): one row per hashed feature occurrence. */
+  private def featBuckets(docs: org.apache.spark.sql.DataFrame,
+                          targetPred: org.apache.spark.sql.Column): org.apache.spark.sql.DataFrame = {
+    val toks = tokens(col("text"))
+    docs
+      .select(col("doc_id"), targetPred.as("is_target"),
+        explode(concat(toks, shinglesFromTokens(toks, 2))).as("f"))
+      .select(col("doc_id"), col("is_target"), (h48(col("f")) % D).as("b"))
+  }
+
+  /** The D-row log-ratio table from the bucketed features: per-bucket
+    * Laplace-smoothed target/raw log densities, each λ 9dp-rounded so
+    * downstream sums are order-independent.
+    */
+  private def lamDf(feats: org.apache.spark.sql.DataFrame,
+                    raw: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val tc = feats.filter(col("is_target"))
+      .groupBy("b").agg(count(lit(1)).as("tcnt"))
+    val rc = raw.groupBy("b").agg(count(lit(1)).as("rcnt"))
+    val tt = tc.agg(sum("tcnt").cast("double").as("t"))
+    val rt = rc.agg(sum("rcnt").cast("double").as("r"))
+    rc.join(tc, Seq("b"), "left")
+      .crossJoin(broadcast(tt)).crossJoin(broadcast(rt))
+      .select(col("b"),
+        round(log((coalesce(col("tcnt"), lit(0)) + Alpha) / (col("t") + Alpha * D))
+            - log((col("rcnt") + Alpha) / (col("r") + Alpha * D)), 9).as("lam"))
+  }
+
+  /** Serving-path log importance weight: fold the λ table over the
+    * document's features as ONE projection — zero shuffle, zero join; the
+    * form a streaming admission gate or a 100 TB scoring pass uses.
+    * EXACTLY equal to [[select]]'s `logw` (same multiset of 9dp-rounded
+    * λ values, summed as decimals — order-independent), pinned by spec.
+    */
+  def scoreInline(text: org.apache.spark.sql.Column,
+                  lam: IndexedSeq[Double]): org.apache.spark.sql.Column = {
+    require(lam.length == D, s"lambda table must have $D slots")
+    val larr = typedLit(lam)
+    val toks = tokens(text)
+    val feats = concat(toks, shinglesFromTokens(toks, 2))
+    val s = aggregate(feats,
+      lit(BigDecimal(0)).cast("decimal(20,9)"),
+      (acc, f) => (acc +
+        element_at(larr, (h48(f) % D).cast("int") + 1).cast("decimal(20,9)"))
+        .cast("decimal(20,9)"))
+    round(s.cast("double"), 6)
   }
 
   /** First 8 md5 hex chars as a BIGINT, DuckDB side (32 bits). */

@@ -1018,6 +1018,66 @@ object Similarity {
                 col("true_label"),
                 (col("pred_label") === col("true_label")).as("correct"))
         .orderBy("qid")
+    },
+
+    // ---- corpus cartography: per-cluster document profile ----
+    // The "map of the corpus" step of a curation recipe: assign every
+    // document's embedding to a semantic cell, join the text table, and
+    // profile each cell — population, token mass, and the dominant source
+    // domain. This is where a curator spots that one cell is 90% a single
+    // crawl domain (a boilerplate island) or that token mass concentrates
+    // in few cells (a diversity problem); the downstream knobs are
+    // q_sample_cluster_cap and q_dedup_semdedup over the same cells.
+    //
+    // Plan shape: assignment is the projection-only CentroidAssign; the
+    // doc join is a 1-1 equi-join on the id (co-partitioned at scale);
+    // stats are ONE hash aggregate keyed by (cid, source) — output
+    // bounded by cells × domains — and the dominant-source pick is a
+    // window over that metadata-scale aggregate, never over the corpus.
+    Q("q_embed_cluster_profile",
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 25 = 0),
+         |asn AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT e.vec_id, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${cosRawSql("e.v", "c.cv")} DESC, c.cid) AS rn
+         |    FROM e, c
+         |  ) WHERE rn = 1
+         |),
+         |per_src AS (
+         |  SELECT a.cid, d.source, count(*) AS n,
+         |    CAST(sum(length(d.text) - length(replace(d.text, ' ', '')) + 1) AS BIGINT) AS toks
+         |  FROM asn a JOIN documents d ON d.doc_id = a.vec_id
+         |  GROUP BY a.cid, d.source
+         |)
+         |SELECT cid, CAST(sum(n) AS BIGINT) AS n_docs,
+         |  CAST(sum(toks) AS BIGINT) AS total_tokens,
+         |  count(*) AS n_sources,
+         |  max(CASE WHEN rk = 1 THEN source END) AS top_source,
+         |  CAST(max(CASE WHEN rk = 1 THEN n END) AS BIGINT) AS top_source_n
+         |FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY cid
+         |    ORDER BY n DESC, source) AS rk
+         |  FROM per_src
+         |) GROUP BY cid ORDER BY cid""".stripMargin) { (s, d) =>
+      val asn = vecs(s, d)
+        .select(col("vec_id"), cidExpr(centroidSet(vecs(s, d), 25)).as("cid"))
+      val perSrc = asn
+        .join(Tables.documents(s, d), col("doc_id") === col("vec_id"))
+        .groupBy("cid", "source")
+        .agg(count(lit(1)).as("n"),
+             sum(expr("length(text) - length(replace(text, ' ', '')) + 1"))
+               .cast("long").as("toks"))
+      val rk = Window.partitionBy("cid").orderBy(col("n").desc, col("source").asc)
+      perSrc.withColumn("rk", row_number().over(rk))
+        .groupBy("cid")
+        .agg(sum("n").cast("long").as("n_docs"),
+             sum("toks").cast("long").as("total_tokens"),
+             count(lit(1)).as("n_sources"),
+             max(when(col("rk") === 1, col("source"))).as("top_source"),
+             max(when(col("rk") === 1, col("n"))).cast("long").as("top_source_n"))
+        .orderBy("cid")
     }
   )
 

@@ -133,6 +133,30 @@ class CurationModelSpec extends AnyFunSuite {
     assert(again == score)
   }
 
+  test("BM25 inline serving score equals the search operator's bm25 exactly") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(47)
+    val vocab = Vector("oak", "pine", "elm", "fir", "ash", "yew")
+    val docs = (0 until 50).map(i =>
+      (i.toLong, Seq.fill(15 + rnd.nextInt(10))(vocab(rnd.nextInt(vocab.size))).mkString(" ")))
+      .toDF("doc_id", "text")
+    val terms = Seq("oak", "elm")
+    val (stats, avgdl) = ext.Bm25.termStats(docs, terms)
+    val inline = docs.select(col("doc_id"),
+        ext.Bm25.scoreInline(col("text"), stats, avgdl).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val searched = ext.Bm25.search(docs, terms, 50)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(searched.nonEmpty)
+    // exact on every doc the search surfaces; non-matching docs score 0.0
+    searched.foreach { case (id, s) =>
+      assert(inline(id) == s, s"doc $id: inline ${inline(id)} vs search $s")
+    }
+    (inline.keySet -- searched.keySet).foreach { id =>
+      assert(inline(id) == 0.0, s"non-matching doc $id scored ${inline(id)}")
+    }
+  }
+
   test("kNN classify: planted clusters recover their labels, tie-break deterministic") {
     import spark.implicits._
     val rnd = new scala.util.Random(23)
@@ -167,5 +191,32 @@ class CurationModelSpec extends AnyFunSuite {
       // with k=10 and tight clusters, the vote should be unanimous
       assert(r.getAs[Long]("votes") == Similarity.KnnK)
     }
+
+    // ---- the scale path: the SAME vote over IVF-PQ candidates ----
+    // q_embed_knn_classify's Scaladoc claims candidate generation is a
+    // pluggable seam; prove it — swap the brute-force pairs for
+    // probeIndex's cell candidates (sublinear: nprobe cells per probe)
+    // with an exact-cosine rescore, and the classifier must still
+    // recover the planted labels.
+    val corpusV = corpus.select(col("cand").as("vec_id"), col("v"))
+    val cents = Similarity.centroidSet(corpusV, 8)
+    val cb = Similarity.pqCodebook(corpusV)
+    val index = Similarity.indexRows(corpusV, cents, cb)
+    val probeV = probes.select(col("qid").as("vec_id"), col("qv").as("v"))
+    val cand = Similarity.probeIndex(index, probeV, cents, cb,
+                                     nprobe = 3, k = 20)
+      .select(col("qid"), col("cand"))
+    val rescored = cand
+      .join(corpus.select(col("cand"), col("label"), col("v")), Seq("cand"))
+      .join(broadcast(probes.select(col("qid"), col("qv"))), Seq("qid"))
+      .select(col("qid"), col("cand"), col("label"),
+              round(Similarity.cosine(col("qv"), col("v")), 6).as("cos_r"))
+    val annPred = Similarity.knnClassify(rescored, Similarity.KnnK)
+      .join(probes.select("qid", "true_label"), Seq("qid"))
+      .collect()
+    assert(annPred.length == pred.length, "ANN path lost probes")
+    val annAcc = annPred.count(r =>
+      r.getAs[Int]("pred_label") == r.getAs[Int]("true_label")).toDouble / annPred.length
+    assert(annAcc >= 0.9, s"ANN-candidate kNN accuracy $annAcc")
   }
 }

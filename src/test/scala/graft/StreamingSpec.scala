@@ -407,4 +407,85 @@ class StreamingSpec extends AnyFunSuite {
         s"streaming mixture diverges from batch (${streamed.size} vs ${batch.size})")
     } finally q.stop()
   }
+
+  test("trained scorers gate a stream: classifier and DSIR scores equal batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.ext.{Bm25, Dsir, QualityClassifier}
+    // model artifacts trained on a static reference corpus (batch)
+    val rnd = new scala.util.Random(59)
+    val vocabA = Vector("alpha", "beta", "gamma", "delta")
+    val vocabB = Vector("spam", "junk", "noise", "blob")
+    def doc(v: Vector[String]) =
+      Seq.fill(25)(v(rnd.nextInt(v.size))).mkString(" ")
+    val ref = ((0 until 40).map(i => (i.toLong, "src0", doc(vocabA))) ++
+               (0 until 40).map(i => (100L + i, "junk", doc(vocabB))))
+      .toDF("doc_id", "source", "text")
+    val (w, bias) = QualityClassifier.train(ref)
+    val lam = Dsir.lambdaTable(ref, col("source") === "src0")
+    val (bmStats, avgdl) = Bm25.termStats(ref, Seq("alpha", "gamma"))
+
+    // both scores are pure projections over the frozen artifacts, so they
+    // apply to an unbounded stream unchanged — the admission-gate shape
+    val incoming = (200 until 240).map(i =>
+      (i.toLong, if (i % 2 == 0) doc(vocabA) else doc(vocabB)))
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF.toDF("doc_id", "text")
+      .select(col("doc_id"),
+        QualityClassifier.scoreInline(col("text"), w, bias).as("quality"),
+        Dsir.scoreInline(col("text"), lam).as("logw"),
+        Bm25.scoreInline(col("text"), bmStats, avgdl).as("bm25"))
+      .writeStream.format("memory").queryName("gate_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(incoming.take(20): _*)
+      q.processAllAvailable()
+      mem.addData(incoming.drop(20): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("gate_out").collect()
+        .map(r => (r.getLong(0), (r.getDouble(1), r.getDouble(2), r.getDouble(3)))).toMap
+      val batch = incoming.toDF("doc_id", "text")
+        .select(col("doc_id"),
+          QualityClassifier.scoreInline(col("text"), w, bias).as("quality"),
+          Dsir.scoreInline(col("text"), lam).as("logw"),
+          Bm25.scoreInline(col("text"), bmStats, avgdl).as("bm25"))
+        .collect().map(r => (r.getLong(0), (r.getDouble(1), r.getDouble(2), r.getDouble(3)))).toMap
+      assert(streamed == batch, "streaming gate scores diverge from batch")
+      // and the gates actually separate: A-vocab docs beat B-vocab docs
+      // on both signals
+      val (a, b) = batch.partition(_._1 % 2 == 0)
+      assert(a.values.map(_._1).min > b.values.map(_._1).max,
+        "classifier gate does not separate the stream")
+      assert(a.values.map(_._2).min > b.values.map(_._2).max,
+        "DSIR gate does not separate the stream")
+      // BM25 terms come from vocab A, so A-docs must outscore B-docs
+      // (which contain neither term and score exactly 0)
+      assert(a.values.map(_._3).min > 0.0 && b.values.forall(_._3 == 0.0),
+        "BM25 gate does not separate the stream")
+    } finally q.stop()
+  }
+
+  test("DSIR inline score equals the batch operator's logw exactly") {
+    import spark.implicits._
+    import graft.ext.Dsir
+    val rnd = new scala.util.Random(61)
+    val vocab = Vector("red", "green", "blue", "cyan", "teal", "plum")
+    val docs = (0 until 60).map(i =>
+      (i.toLong, Seq.fill(20)(vocab(rnd.nextInt(vocab.size))).mkString(" ")))
+      .toDF("doc_id", "text")
+    val target = col("doc_id") % 7 === 0
+    val lam = Dsir.lambdaTable(docs, target)
+    val inline = docs.filter(!target)
+      .select(col("doc_id"), Dsir.scoreInline(col("text"), lam).as("logw"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val grouped = Dsir.select(docs, target, k = 60)
+      .select(col("doc_id"), col("logw"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(inline.keySet == grouped.keySet)
+    // EXACT equality: same multiset of 9dp λ values, decimal-summed on
+    // both paths — not approximately, bit-for-bit
+    inline.foreach { case (id, v) =>
+      assert(v == grouped(id), s"doc $id: inline $v vs grouped ${grouped(id)}")
+    }
+  }
 }
