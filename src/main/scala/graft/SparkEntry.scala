@@ -20,6 +20,7 @@ object SparkEntry {
     ext.Dsir.queries ++
     ext.QualityClassifier.queries ++
     ext.Bm25.queries ++
+    ext.CurationReport.queries ++
     ext.Similarity.queries ++
     ext.TextAnalysis.queries ++
     ext.Multimodal.queries

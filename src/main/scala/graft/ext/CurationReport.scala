@@ -1,0 +1,117 @@
+package graft.ext
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import TextHash._
+
+/** The curation funnel as ONE oracle-checked report: every candidate
+  * document annotated with its fate at each gate — quality cut, exact
+  * keep-first dedup, benchmark decontamination — then counted per source
+  * domain. This is the governance artifact a corpus build publishes
+  * ("how much did each domain lose at each stage"), and it proves the
+  * individual operators COMPOSE inside the driver-verified surface, not
+  * just in specs.
+  *
+  * Plan shape: one corpus pass computes the flags — the quality gate is a
+  * projection; keep-first is one window keyed by the content hash; the
+  * contamination flag joins the exploded shingle stream against the
+  * (broadcastable) benchmark shingle set, aggregated back to one row per
+  * doc. The report itself is a per-source hash aggregate over the flags —
+  * output bounded by #domains. Nothing pairs documents; every join is an
+  * equi-join on a derived key.
+  */
+object CurationReport {
+
+  /** Quality gate: minimum whitespace-token count. */
+  val MinTokens = 50
+
+  val queries: Seq[Q] = Seq(
+
+    Q("q_curation_report", {
+      s"""WITH base AS (
+         |  SELECT doc_id, source, text,
+         |    CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_toks
+         |  FROM documents
+         |),
+         |cand AS (SELECT * FROM base WHERE doc_id % 97 <> 0),
+         |q AS (SELECT * FROM cand WHERE n_toks >= $MinTokens),
+         |u AS (
+         |  SELECT doc_id, CASE WHEN rn = 1 THEN 1 ELSE 0 END AS first_keep FROM (
+         |    SELECT doc_id, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+         |    FROM q
+         |  )
+         |),
+         |sh AS (${Dedup.shingleHashFrom}),
+         |bench AS (SELECT DISTINCT h FROM sh WHERE doc_id % 97 = 0),
+         |dirty AS (
+         |  SELECT DISTINCT s.doc_id FROM sh s JOIN bench b USING (h)
+         |  WHERE s.doc_id % 97 <> 0
+         |),
+         |flags AS (
+         |  SELECT c.source, c.n_toks,
+         |    CASE WHEN c.n_toks >= $MinTokens THEN 1 ELSE 0 END AS pass_q,
+         |    coalesce(u.first_keep, 0) AS uniq,
+         |    CASE WHEN coalesce(u.first_keep, 0) = 1 AND d.doc_id IS NULL
+         |         THEN 1 ELSE 0 END AS clean
+         |  FROM cand c
+         |  LEFT JOIN u ON u.doc_id = c.doc_id
+         |  LEFT JOIN dirty d ON d.doc_id = c.doc_id
+         |)
+         |SELECT source, count(*) AS n_raw,
+         |  CAST(sum(pass_q) AS BIGINT) AS n_quality,
+         |  CAST(sum(uniq) AS BIGINT) AS n_unique,
+         |  CAST(sum(clean) AS BIGINT) AS n_clean,
+         |  CAST(sum(CASE WHEN clean = 1 THEN n_toks ELSE 0 END) AS BIGINT) AS clean_tokens
+         |FROM flags GROUP BY source ORDER BY source""".stripMargin
+    }) { (s, d) =>
+      report(Tables.documents(s, d), col("doc_id") % 97 === 0)
+    }
+  )
+
+  /** The funnel over any `(doc_id, source, text)` frame; `benchPred`
+    * marks the held-out evaluation documents (excluded from the corpus,
+    * their shingles form the contamination set). `q_curation_report` is
+    * this over the documents table.
+    */
+  def report(docs: org.apache.spark.sql.DataFrame,
+             benchPred: org.apache.spark.sql.Column): org.apache.spark.sql.DataFrame = {
+      val base = docs
+        .select(col("doc_id"), col("source"), col("text"),
+          expr("length(text) - length(replace(text, ' ', '')) + 1")
+            .cast("long").as("n_toks"), benchPred.as("is_bench"))
+      val cand = base.filter(!col("is_bench"))
+      val q = cand.filter(col("n_toks") >= MinTokens)
+      val u = q.select(col("doc_id"),
+          row_number().over(
+            Window.partitionBy(md5(col("text"))).orderBy("doc_id")).as("rn"))
+        .select(col("doc_id"),
+          when(col("rn") === 1, 1).otherwise(0).as("first_keep"))
+      val sh = base
+        .select(col("doc_id"), col("is_bench"),
+          explode(shinglesFromTokens(tokens(col("text")), Dedup.K)).as("sh"))
+        .select(col("doc_id"), col("is_bench"), h48(col("sh")).as("h"))
+        .distinct()
+      val bench = sh.filter(col("is_bench")).select("h").distinct()
+      val dirty = sh.filter(!col("is_bench"))
+        .join(broadcast(bench), Seq("h"))
+        .select(col("doc_id").as("dirty_id")).distinct()
+      cand
+        .join(u, Seq("doc_id"), "left")
+        .join(dirty, col("doc_id") === col("dirty_id"), "left")
+        .select(col("source"), col("n_toks"),
+          when(col("n_toks") >= MinTokens, 1).otherwise(0).as("pass_q"),
+          coalesce(col("first_keep"), lit(0)).as("uniq"),
+          when(coalesce(col("first_keep"), lit(0)) === 1 &&
+               col("dirty_id").isNull, 1).otherwise(0).as("clean"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_raw"),
+             sum("pass_q").cast("long").as("n_quality"),
+             sum("uniq").cast("long").as("n_unique"),
+             sum("clean").cast("long").as("n_clean"),
+             sum(when(col("clean") === 1, col("n_toks")).otherwise(0L))
+               .cast("long").as("clean_tokens"))
+        .orderBy("source")
+  }
+}

@@ -133,6 +133,31 @@ class CurationModelSpec extends AnyFunSuite {
     assert(again == score)
   }
 
+  test("curation report: every funnel stage bites on planted problems") {
+    import spark.implicits._
+    val good = (1 to 60).map(i => s"tok$i").mkString(" ") // 60 tokens, passes
+    val short = "too short"                               // fails quality
+    val benchText = (100 to 160).map(i => s"eval$i").mkString(" ")
+    val rows = Seq(
+      (0L, "bench", benchText),          // the held-out eval doc
+      (1L, "web", good),                 // clean survivor
+      (2L, "web", good),                 // exact dup of 1 -> cut at dedup
+      (3L, "web", short),                // cut at quality
+      (4L, "web", s"prefix $benchText"), // contains the eval text -> cut at decontam
+      (5L, "books", good + " extra")     // clean survivor, other domain
+    )
+    val docs = rows.toDF("doc_id", "source", "text")
+    val rep = ext.CurationReport.report(docs, col("source") === "bench")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // web: 4 raw -> 3 pass quality -> 2 unique -> 1 clean
+    assert(rep("web") == ((4L, 3L, 2L, 1L)), s"web funnel ${rep("web")}")
+    // books: untouched at every stage
+    assert(rep("books") == ((1L, 1L, 1L, 1L)), s"books funnel ${rep("books")}")
+    // the bench doc itself is not part of the corpus report
+    assert(!rep.contains("bench"))
+  }
+
   test("BM25 inline serving score equals the search operator's bm25 exactly") {
     import spark.implicits._
     val rnd = new scala.util.Random(47)
