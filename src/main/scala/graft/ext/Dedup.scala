@@ -16,7 +16,7 @@ import TextHash._
   * the key; only hash-colliding candidates are scored.
   */
 object Dedup {
-  private[ext] val K = 5 // word-shingle width
+  private[graft] val K = 5 // word-shingle width
 
   /** Document-frequency cap for the Jaccard inverted index: a shingle shared
     * by more than this many documents is boilerplate and is dropped BEFORE

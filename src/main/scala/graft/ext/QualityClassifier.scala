@@ -68,7 +68,9 @@ object QualityClassifier {
     * All arithmetic happens in-engine; the driver only holds the D-row
     * update between rounds.
     */
-  def train(docs: DataFrame): (IndexedSeq[Double], Double) = {
+  def train(docs: DataFrame, rounds: Int = Rounds,
+            eta: Double = Eta): (IndexedSeq[Double], Double) = {
+    require(rounds > 0 && eta > 0, "rounds and eta must be positive")
     val feats = featDf(docs)
       .select(col("doc_id"), col("y"), col("b"),
         (col("cnt").cast("double") / col("n")).as("x"))
@@ -77,7 +79,7 @@ object QualityClassifier {
     var w: IndexedSeq[Double] = IndexedSeq.fill(D)(0.0)
     var bias = 0.0
     var r = 0
-    while (r < Rounds) {
+    while (r < rounds) {
       val warr = typedLit(w)
       // residuals: one shuffle keyed by doc_id; cached for the two
       // bounded aggregates below (gradient + bias). Plain cache(), NOT
@@ -99,14 +101,14 @@ object QualityClassifier {
           sum(round(col("r") * col("x"), 12).cast("decimal(28,12)"))
             .cast("double") / nDocs, 9).as("g"))
         .select(col("b"),
-          round(element_at(warr, col("b").cast("int") + 1) - lit(Eta) * col("g"), 9)
+          round(element_at(warr, col("b").cast("int") + 1) - lit(eta) * col("g"), 9)
             .as("wn"))
         .collect()
       val gBias = resid
         .agg(round(
           sum(round(col("r"), 12).cast("decimal(28,12)"))
             .cast("double") / nDocs, 9).as("g"),
-          round(lit(bias) - lit(Eta) * round(
+          round(lit(bias) - lit(eta) * round(
             sum(round(col("r"), 12).cast("decimal(28,12)"))
               .cast("double") / nDocs, 9), 9).as("bn"))
         .collect()(0)

@@ -465,6 +465,58 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming curation funnel: gated survivors equal the batch report") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.ext.{CurationReport, TextHash}
+    val good = (1 to 60).map(i => s"w$i").mkString(" ")
+    val benchText = (200 to 260).map(i => s"ev$i").mkString(" ")
+    val corpus = Seq(
+      (1L, "web", good), (2L, "web", good) /* dup */,
+      (3L, "web", "too short"), (4L, "web", s"x $benchText") /* leak */,
+      (5L, "books", good + " tail"), (6L, "books", good + " tail2"))
+    val benchDocs = Seq((0L, "bench", benchText))
+    val all = (benchDocs ++ corpus).toDF("doc_id", "source", "text")
+
+    // batch truth: the oracle-checked report
+    val rep = CurationReport.report(all, col("source") === "bench")
+      .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
+
+    // streaming form: quality + decontamination are stateless projections
+    // (the bench shingle set rides along as a bounded literal — the same
+    // data the batch plan broadcasts); keep-first dedup is streaming
+    // dropDuplicates state on the content hash
+    val benchHashes = benchDocs.toDF("doc_id", "source", "text")
+      .select(explode(TextHash.shinglesFromTokens(
+        TextHash.tokens(col("text")), graft.ext.Dedup.K)).as("sh"))
+      .select(TextHash.h48(col("sh")).as("h"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    val mem = MemoryStream[(Long, String, String)]
+    val toks = TextHash.tokens(col("text"))
+    val q = mem.toDF.toDF("doc_id", "source", "text")
+      .filter(expr("length(text) - length(replace(text, ' ', '')) + 1")
+        >= CurationReport.MinTokens)
+      .filter(!arrays_overlap(
+        transform(TextHash.shinglesFromTokens(toks, graft.ext.Dedup.K),
+                  sh => TextHash.h48(sh)),
+        typedLit(benchHashes)))
+      .withColumn("h", md5(col("text")))
+      .dropDuplicates("h")
+      .writeStream.format("memory").queryName("funnel_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(corpus.take(3): _*)
+      q.processAllAvailable()
+      mem.addData(corpus.drop(3): _*)
+      q.processAllAvailable()
+      val survivors = spark.table("funnel_out")
+        .groupBy("source").agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(survivors == rep.filter(_._2 > 0),
+        s"streaming funnel $survivors vs batch report $rep")
+    } finally q.stop()
+  }
+
   test("DSIR inline score equals the batch operator's logw exactly") {
     import spark.implicits._
     import graft.ext.Dsir
