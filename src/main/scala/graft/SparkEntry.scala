@@ -21,6 +21,7 @@ object SparkEntry {
     ext.QualityClassifier.queries ++
     ext.Bm25.queries ++
     ext.CurationReport.queries ++
+    ext.Mmr.queries ++
     ext.Similarity.queries ++
     ext.TextAnalysis.queries ++
     ext.Multimodal.queries

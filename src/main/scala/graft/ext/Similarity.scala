@@ -1088,6 +1088,33 @@ object Similarity {
     * nearest by `(cos_r desc, cand)` per probe, then picks the label with
     * the most votes (`votes desc, label` tie-break).
     */
+  /** [[knnClassify]]'s vote in streaming-safe form: one `collect_list`
+    * aggregation per probe (legal in update-mode streaming, where window
+    * functions are not), then the top-k cut AND the majority vote as pure
+    * array expressions — `array_sort` on (dist, cand, label) structs
+    * gives the deterministic (dist asc, cand asc) neighbor order, and the
+    * winner is `array_max` over per-label (votes, −label) structs
+    * (lexicographic struct ordering ⇒ most votes, ties to the SMALLEST
+    * label — the same tie-break as knnClassify). State per probe is its
+    * candidate list, bounded by nprobe × cell occupancy.
+    *
+    * `cands` needs (qid, cand, label, dist) with dist ascending-better
+    * (e.g. [[probeIndex]]/incrementalAnn ADC distances).
+    */
+  def knnVoteByDistance(cands: DataFrame, k: Int): DataFrame = {
+    val sorted = array_sort(col("cs"))
+    val labels = transform(slice(sorted, 1, k), c => c.getField("label"))
+    val win = array_max(transform(array_distinct(labels), l =>
+      struct(size(filter(labels, x => x === l)).as("votes"),
+             (-l).as("negl"))))
+    cands
+      .groupBy("qid")
+      .agg(collect_list(struct(col("dist"), col("cand"), col("label"))).as("cs"))
+      .select(col("qid"), win.as("win"))
+      .select(col("qid"), (-col("win.negl")).as("pred_label"),
+              col("win.votes").as("votes"))
+  }
+
   def knnClassify(pairs: DataFrame, k: Int): DataFrame = {
     val nn = Window.partitionBy("qid").orderBy(col("cos_r").desc, col("cand").asc)
     val knn = pairs.withColumn("rn", row_number().over(nn)).filter(col("rn") <= k)

@@ -133,6 +133,28 @@ class CurationModelSpec extends AnyFunSuite {
     assert(again == score)
   }
 
+  test("MMR: redundant near-duplicate demoted below a diverse lower-relevance pick") {
+    import spark.implicits._
+    // pool for one probe: A (top), B (near-dup of A, almost as relevant),
+    // C (clearly distinct, lower relevance)
+    val cands = Seq((1L, 10L, 0.99), (1L, 11L, 0.98), (1L, 12L, 0.80))
+      .toDF("qid", "cand", "rel")
+    val simPairs = Seq(
+      (1L, 10L, 11L, 0.99), (1L, 11L, 10L, 0.99),
+      (1L, 10L, 12L, 0.10), (1L, 12L, 10L, 0.10),
+      (1L, 11L, 12L, 0.10), (1L, 12L, 11L, 0.10))
+      .toDF("qid", "a", "b", "sim")
+    val order = ext.Mmr.rerank(cands, simPairs, k = 3)
+      .orderBy("step").collect().map(_.getLong(1)).toSeq
+    // relevance order would be A,B,C; MMR must slot the diverse C second:
+    // score(B@2) = .7*.98 - .3*.99 = 0.389 < score(C@2) = .7*.80 - .3*.10 = 0.53
+    assert(order == Seq(10L, 12L, 11L), s"MMR order $order")
+    // pure-relevance control: with lambda-free scoring the dup would win —
+    // sanity that the pool itself ranks A,B,C
+    val relOrder = cands.orderBy(col("rel").desc).collect().map(_.getLong(1)).toSeq
+    assert(relOrder == Seq(10L, 11L, 12L))
+  }
+
   test("curation report: every funnel stage bites on planted problems") {
     import spark.implicits._
     val good = (1 to 60).map(i => s"tok$i").mkString(" ") // 60 tokens, passes

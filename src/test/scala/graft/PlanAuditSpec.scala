@@ -56,7 +56,9 @@ class PlanAuditSpec extends AnyFunSuite {
   // — metadata-scale BNLJs; the corpus-side joins are equi-joins.
   // q_embed_knn_classify is the declared brute-force baseline (probes ×
   // corpus broadcast NLJ, like q_embed_topk); the scale path swaps
-  // candidate generation to probeIndex.
+  // candidate generation to probeIndex. q_embed_mmr's candidate pool is
+  // generated the same exact-baseline way; the rerank stages themselves
+  // are equi-joins over the metadata-sized pool.
 
   test("no cartesian or nested-loop join in any audited query") {
     audited.foreach { name =>

@@ -465,6 +465,58 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming kNN labeling: probes voted against the static index equal batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.ext.Similarity
+    val rnd = new scala.util.Random(67)
+    def unit(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    val centers = (0 until 3).map(_ => unit(Array.fill(Similarity.Dim)(rnd.nextGaussian())))
+    def near(c: Int) = unit(centers(c).zip(
+      Array.fill(Similarity.Dim)(rnd.nextGaussian() * 0.05)).map { case (a, b) => a + b }).toSeq
+    val corpusRows = for { c <- 0 until 3; i <- 0 until 25 }
+      yield ((c * 25 + i).toLong, c, near(c))
+    val corpus = corpusRows.toDF("vec_id", "label", "v")
+    val cents = Similarity.centroidSet(corpus.select(col("vec_id"), col("v")), 7)
+    val cb = Similarity.pqCodebook(corpus.select(col("vec_id"), col("v")))
+    val index = Similarity.indexRows(corpus.select(col("vec_id"), col("v")), cents, cb)
+      .join(corpus.select(col("vec_id"), col("label")), Seq("vec_id")).cache()
+    val labelOf = corpusRows.map(r => r._1 -> r._2).toMap
+
+    // probe stream: fresh vectors near known clusters
+    val probeRows = (0 until 15).map(i => (1000L + i, i % 3, near(i % 3)))
+    def cands(probes: org.apache.spark.sql.DataFrame) =
+      StreamingOps.incrementalAnn(probes, index, cents, cb, nprobe = 2,
+          maxDist = Double.MaxValue)
+        .join(corpus.select(col("vec_id").as("cand"), col("label")), Seq("cand"))
+        .select(col("qid"), col("cand"), col("label"), col("adc").as("dist"))
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val q = Similarity.knnVoteByDistance(
+        cands(mem.toDF.toDF("vec_id", "v")), k = 10)
+      .writeStream.format("memory").queryName("knn_stream")
+      .outputMode("update").start()
+    try {
+      mem.addData(probeRows.take(8).map(r => (r._1, r._3)): _*)
+      q.processAllAvailable()
+      mem.addData(probeRows.drop(8).map(r => (r._1, r._3)): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("knn_stream")
+        .groupBy("qid").agg(last("pred_label").as("pred_label"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val batch = Similarity.knnVoteByDistance(
+          cands(probeRows.map(r => (r._1, r._3)).toDF("vec_id", "v")), k = 10)
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(streamed == batch, "streaming kNN vote diverges from batch")
+      // and the labels are the planted truth
+      probeRows.foreach { case (qid, c, _) =>
+        assert(batch(qid) == c, s"probe $qid labeled ${batch(qid)}, planted $c")
+      }
+      assert(labelOf.nonEmpty) // silence unused warning paths
+    } finally { q.stop(); index.unpersist() }
+  }
+
   test("streaming curation funnel: gated survivors equal the batch report") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
