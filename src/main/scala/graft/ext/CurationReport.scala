@@ -47,7 +47,7 @@ object CurationReport {
          |bench AS (SELECT DISTINCT h FROM sh WHERE doc_id % 97 = 0),
          |dirty AS (
          |  SELECT DISTINCT s.doc_id FROM sh s JOIN bench b USING (h)
-         |  WHERE s.doc_id % 97 <> 0
+         |  JOIN q ON q.doc_id = s.doc_id
          |),
          |flags AS (
          |  SELECT c.source, c.n_toks,
@@ -88,13 +88,17 @@ object CurationReport {
             Window.partitionBy(md5(col("text"))).orderBy("doc_id")).as("rn"))
         .select(col("doc_id"),
           when(col("rn") === 1, 1).otherwise(0).as("first_keep"))
-      val sh = base
-        .select(col("doc_id"), col("is_bench"),
+      // only quality-passed docs can be flagged dirty (the clean flag
+      // already requires first_keep, which requires the quality gate), so
+      // the shingle explode — the funnel's heaviest stage — skips every
+      // document whose fate the first gate already sealed
+      def shingles(df: org.apache.spark.sql.DataFrame) = df
+        .select(col("doc_id"),
           explode(shinglesFromTokens(tokens(col("text")), Dedup.K)).as("sh"))
-        .select(col("doc_id"), col("is_bench"), h48(col("sh")).as("h"))
+        .select(col("doc_id"), h48(col("sh")).as("h"))
         .distinct()
-      val bench = sh.filter(col("is_bench")).select("h").distinct()
-      val dirty = sh.filter(!col("is_bench"))
+      val bench = shingles(base.filter(col("is_bench"))).select("h").distinct()
+      val dirty = shingles(q)
         .join(broadcast(bench), Seq("h"))
         .select(col("doc_id").as("dirty_id")).distinct()
       cand

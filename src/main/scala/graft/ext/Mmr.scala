@@ -53,16 +53,18 @@ object Mmr {
       .collect().map(r => (r.getLong(0), r.getLong(1), 1)).toVector
     var t = 2
     while (t <= k) {
+      // ONE selection frame serves both joins: the max-sim pairing and
+      // the already-picked exclusion cannot desynchronize
       val prevSel = selected.map(s => (s._1, s._2)).toDF("pqid", "sc")
       val simsR = sims.select(col("qid").as("sqid"), col("a"), col("b"), col("sim"))
-      val picked = selected.map(s => (s._1, s._2)).toDF("qid", "cand")
       val next = cands
         .join(prevSel, col("qid") === col("pqid"))
         .join(simsR, col("sqid") === col("qid") && col("a") === col("cand") &&
                      col("b") === col("sc"))
         .groupBy("qid", "cand", "rel")
         .agg(max(col("sim")).as("msim"))
-        .join(picked, Seq("qid", "cand"), "left_anti")
+        .join(prevSel.select(col("pqid").as("qid"), col("sc").as("cand")),
+              Seq("qid", "cand"), "left_anti")
         .select(col("qid"), col("cand"),
           round(lit(Lambda) * col("rel") - lit(1.0 - Lambda) * col("msim"), 6)
             .as("score"))

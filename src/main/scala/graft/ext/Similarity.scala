@@ -1088,6 +1088,22 @@ object Similarity {
     * nearest by `(cos_r desc, cand)` per probe, then picks the label with
     * the most votes (`votes desc, label` tie-break).
     */
+  def knnClassify(pairs: DataFrame, k: Int): DataFrame = {
+    val nn = Window.partitionBy("qid").orderBy(col("cos_r").desc, col("cand").asc)
+    val knn = pairs.withColumn("rn", row_number().over(nn)).filter(col("rn") <= k)
+    val votes = knn.groupBy("qid", "label")
+      .agg(count(lit(1)).as("votes"),
+           // the neighbor-similarity mass, NOT its mean: sums of 6dp
+           // decimals are exact doubles in both engines, while mean's
+           // sum/count lands on half-ulp round-to-6 boundaries whenever
+           // count divides the sum evenly (systematic cross-engine skew)
+           sum(col("cos_r").cast("decimal(18,6)")).cast("double").as("sum_cos"))
+    val vw = Window.partitionBy("qid").orderBy(col("votes").desc, col("label").asc)
+    votes.withColumn("vr", row_number().over(vw)).filter(col("vr") === 1)
+      .select(col("qid"), col("label").as("pred_label"), col("votes"),
+              col("sum_cos"))
+  }
+
   /** [[knnClassify]]'s vote in streaming-safe form: one `collect_list`
     * aggregation per probe (legal in update-mode streaming, where window
     * functions are not), then the top-k cut AND the majority vote as pure
@@ -1113,21 +1129,5 @@ object Similarity {
       .select(col("qid"), win.as("win"))
       .select(col("qid"), (-col("win.negl")).as("pred_label"),
               col("win.votes").as("votes"))
-  }
-
-  def knnClassify(pairs: DataFrame, k: Int): DataFrame = {
-    val nn = Window.partitionBy("qid").orderBy(col("cos_r").desc, col("cand").asc)
-    val knn = pairs.withColumn("rn", row_number().over(nn)).filter(col("rn") <= k)
-    val votes = knn.groupBy("qid", "label")
-      .agg(count(lit(1)).as("votes"),
-           // the neighbor-similarity mass, NOT its mean: sums of 6dp
-           // decimals are exact doubles in both engines, while mean's
-           // sum/count lands on half-ulp round-to-6 boundaries whenever
-           // count divides the sum evenly (systematic cross-engine skew)
-           sum(col("cos_r").cast("decimal(18,6)")).cast("double").as("sum_cos"))
-    val vw = Window.partitionBy("qid").orderBy(col("votes").desc, col("label").asc)
-    votes.withColumn("vr", row_number().over(vw)).filter(col("vr") === 1)
-      .select(col("qid"), col("label").as("pred_label"), col("votes"),
-              col("sum_cos"))
   }
 }

@@ -85,6 +85,16 @@ class CurationModelSpec extends AnyFunSuite {
     val posMin = scored.filter(_.getString(1) == "src0").map(_.getDouble(2)).min
     val negMax = scored.filter(_.getString(1) != "src0").map(_.getDouble(2)).max
     assert(posMin > negMax, s"score ranges overlap: posMin $posMin <= negMax $negMax")
+    // the training knobs are live, not decorative: more rounds at a lower
+    // rate must produce a DIFFERENT model that still separates
+    val (w3, bias3) = QualityClassifier.train(docs, rounds = 3, eta = 1.0)
+    assert(w3 != w, "rounds/eta knobs produced the default model")
+    val scored3 = docs.select(col("source"),
+      QualityClassifier.scoreInline(col("text"), w3, bias3).as("p")).collect()
+    val acc3 = scored3.count { r =>
+      (r.getDouble(1) >= 0.5) == (r.getString(0) == "src0")
+    }.toDouble / scored3.length
+    assert(acc3 >= 0.9, s"knob-trained classifier accuracy $acc3")
   }
 
   test("quality classifier: inline serving score tracks the training-shaped score") {
