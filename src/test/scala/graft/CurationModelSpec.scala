@@ -143,6 +143,75 @@ class CurationModelSpec extends AnyFunSuite {
     assert(again == score)
   }
 
+  test("properties: BM25 order-invariance, DSIR monotonicity, vote tie-breaks") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(71)
+
+    // --- BM25: token order cannot matter (tf is a bag count) -------------
+    val words = Vector("sun", "moon", "star", "void", "dust")
+    val bags = (0 until 25).map { i =>
+      Seq.fill(20 + rnd.nextInt(10))(words(rnd.nextInt(words.size)))
+    }
+    val orig = bags.zipWithIndex.map { case (b, i) => (i.toLong, b.mkString(" ")) }
+      .toDF("doc_id", "text")
+    val perm = bags.zipWithIndex.map { case (b, i) =>
+      (i.toLong, rnd.shuffle(b).mkString(" ")) }.toDF("doc_id", "text")
+    val terms = Seq("sun", "void")
+    val s1 = ext.Bm25.search(orig, terms, 25)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val s2 = ext.Bm25.search(perm, terms, 25)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(s1 == s2, "BM25 is order-sensitive (tf must be a bag count)")
+
+    // --- DSIR: appending a target-exclusive token raises the weight ------
+    // target vocabulary disjoint from candidate vocabulary except "pivot"
+    val tgt = (0 until 20).map(i => (1000L + i, "tgt",
+      Seq.fill(20)("pivot").mkString(" ")))
+    // IDENTICAL base content for every candidate: the only difference is
+    // the pivot count, so the log-weight comparison is confound-free
+    // (λ of the raw-common buckets is negative — longer docs score lower —
+    // and per-doc random bases would drown the pivot signal in that)
+    val baseToks = Seq.fill(15)(words(rnd.nextInt(words.size)))
+    val cnd = (0 until 20).map(i => (i.toLong, "raw",
+      (baseToks ++ Seq.fill(i % 4)("pivot")).mkString(" ")))
+    val docs = (tgt ++ cnd).toDF("doc_id", "source", "text")
+    val lam = ext.Dsir.lambdaTable(docs, col("source") === "tgt")
+    val scoresByPivots = docs.filter(col("source") === "raw")
+      .select(col("doc_id"), ext.Dsir.scoreInline(col("text"), lam).as("w"))
+      .collect().map(r => (r.getLong(0) % 4, r.getDouble(1)))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sum / v.size }
+    // log-weight strictly increases with the target-token count FROM k=1:
+    // each increment beyond the first adds exactly the same feature pair
+    // (the pivot unigram + the "pivot pivot" bigram, both target-heavy).
+    // k=0 -> 1 is deliberately excluded: the first pivot also introduces
+    // the raw-only boundary bigram "base15 pivot" (never seen in the
+    // target), whose strongly negative log-ratio can outweigh the
+    // unigram gain — correct DSIR behavior, not a bug.
+    (1L to 2L).foreach { k =>
+      assert(scoresByPivots(k) < scoresByPivots(k + 1),
+        s"DSIR not monotone in target-token count: $scoresByPivots")
+    }
+    // and the increment is the SAME feature pair each time, so the deltas
+    // match exactly (up to the 6dp output rounding)
+    val d12 = scoresByPivots(2L) - scoresByPivots(1L)
+    val d23 = scoresByPivots(3L) - scoresByPivots(2L)
+    assert(math.abs(d12 - d23) < 1e-5, s"per-pivot delta drifts: $d12 vs $d23")
+
+    // --- vote tie-break: equal votes resolve to the SMALLEST label, both
+    // in the window form and the streaming-safe array form ---------------
+    val tied = Seq(
+      (1L, 10L, 7, 0.90), (1L, 11L, 3, 0.89), // k=2: labels {7,3}, 1 vote each
+      (1L, 12L, 9, 0.10))
+      .toDF("qid", "cand", "label", "cos_r")
+    val w = Similarity.knnClassify(tied, k = 2).collect()(0)
+    assert(w.getAs[Int]("pred_label") == 3, "window vote tie must pick smallest label")
+    val d = Similarity.knnVoteByDistance(
+        tied.select(col("qid"), col("cand"), col("label"),
+                    (lit(1.0) - col("cos_r")).as("dist")), k = 2)
+      .collect()(0)
+    assert(d.getAs[Int]("pred_label") == 3, "array vote tie must pick smallest label")
+  }
+
   test("MMR: redundant near-duplicate demoted below a diverse lower-relevance pick") {
     import spark.implicits._
     // pool for one probe: A (top), B (near-dup of A, almost as relevant),
