@@ -24,7 +24,9 @@ import org.apache.spark.sql.functions._
   *
   * Usage: `sbt "runMain graft.RecallCurve [sfDir]"` — one JSON line on
   * stdout (saved as RECALL.json in the repo root; regenerate with
-  * `sbt -batch "runMain graft.RecallCurve" | tail -1 > RECALL.json`).
+  * `sbt -batch "runMain graft.RecallCurve" 2>&1 | grep '{"sf"' | tail -1
+  * | sed 's/^\[info\] //' > RECALL.json` — sbt prefixes stdout lines
+  * with `[info] `).
   */
 object RecallCurve {
   private val K = 10
@@ -124,6 +126,48 @@ object RecallCurve {
         recallOf(Similarity.ivfPqTopKWith(v, rCents, rCb, probePred, np, K)),
         frac(ivfCost(rCents, rAsn, np)))
     }
+
+    // kNN-classify agreement: how often the vote over IVF-PQ candidates
+    // (exact-cosine rescored, the proven scale path of
+    // q_embed_knn_classify) reaches the SAME label decision as the vote
+    // over exact brute-force neighbors. True-label accuracy is
+    // meaningless on near-orthogonal random vectors (labels ⊥ geometry),
+    // but decision agreement with the exact classifier is exactly the
+    // fidelity a user of the sublinear path buys. On THIS structure-free
+    // corpus the agreement floor is the label prior (votes over disjoint
+    // random neighbor sets) — the measured ~0.16-0.20 is the honest
+    // lower bound; on clustered data (where classification is used at
+    // all) CurationModelSpec pins ANN-candidate agreement ≈ 1.0.
+    val labels = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id").as("cand"), col("label"))
+    def voteOf(pairs: DataFrame): Map[Long, Int] =
+      Similarity.knnClassify(pairs, K).collect()
+        .map(r => r.getAs[Long]("qid") -> r.getAs[Int]("pred_label")).toMap
+    val exactPairs = v.join(broadcast(
+        v.filter(probePred).select(col("vec_id").as("qid"), col("v").as("qv"))),
+        col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("cand"),
+        round(Similarity.cosine(col("qv"), col("v")), 6).as("cos_r"))
+      .join(labels, Seq("cand"))
+    val exactVote = voteOf(exactPairs)
+    val probeVecs = v.filter(probePred)
+    val index = Similarity.indexRows(v, rCents, rCb).cache()
+    NProbeGrid.foreach { np =>
+      val cand = Similarity.probeIndex(index, probeVecs, rCents, rCb, np, 2 * K)
+        .select(col("qid"), col("cand"))
+      val rescored = cand
+        .join(v.select(col("vec_id").as("cand"), col("v")), Seq("cand"))
+        .join(broadcast(probeVecs.select(col("vec_id").as("qid"), col("v").as("qv"))),
+              Seq("qid"))
+        .select(col("qid"), col("cand"),
+          round(Similarity.cosine(col("qv"), col("v")), 6).as("cos_r"))
+        .join(labels, Seq("cand"))
+      val annVote = voteOf(rescored)
+      val agree = exactVote.count { case (q, p) =>
+        annVote.get(q).contains(p) }.toDouble / exactVote.size
+      record("knn_vote_agree", s"nprobe=$np", agree, frac(ivfCost(rCents, rAsn, np)))
+    }
+    index.unpersist()
 
     println(s"""{"sf":"$sfDir","k":$K,"n_probes":${truth.size},"corpus":$corpusN,""" +
       s""""points":[${points.mkString(",")}]}""")
