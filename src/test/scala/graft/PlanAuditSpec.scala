@@ -180,4 +180,24 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(topk.contains("LessThan(vec_id,20)"),
       s"vec_id probe filter not pushed to embeddings scan:\n$topk")
   }
+
+  test("column pruning: text scorers read only the columns they use") {
+    // The documents table carries (doc_id, text, lang, source, n_chars);
+    // a 100 TB scan that reads all five for a two-column query doubles its
+    // IO. Assert ReadSchema on the parquet scan stays narrowed.
+    Seq("q_sample_dsir" -> Seq("lang", "n_chars", "source"),
+        "q_text_bm25"   -> Seq("lang", "n_chars", "source"),
+        "q_text_classifier" -> Seq("lang", "n_chars")).foreach {
+      case (name, absent) =>
+        val plan = queryPlan(name)
+        val reads = "ReadSchema: [^\n]*".r.findAllIn(plan)
+          .filter(_.contains("text")).toSeq
+        assert(reads.nonEmpty, s"$name: no documents ReadSchema found:\n$plan")
+        absent.foreach { c =>
+          assert(!reads.exists(_.contains(c)),
+            s"$name reads unused column '$c': ${reads.mkString("; ")}")
+        }
+        spark.catalog.clearCache()
+    }
+  }
 }
