@@ -71,4 +71,57 @@ class CurationE2ESpec extends AnyFunSuite {
     assert(copies(3L) === 1L && copies(4L) === 1L)
     assert(!copies.contains(2L), "the dropped near-dup reappeared")
   }
+
+  test("model-gated pipeline: classifier gate + DSIR selection compose with the funnel") {
+    import spark.implicits._
+    import graft.ext.{CurationReport, Dsir, QualityClassifier}
+    // planted corpus: a reference-quality domain (vocab A), junk (vocab B),
+    // and a raw pool mixing both — plus one exact duplicate and one leak
+    val a = Vector("clear", "useful", "precise", "sound", "direct", "plain")
+    val b = Vector("zz1", "zz2", "zz3", "zz4", "zz5", "zz6")
+    def doc(v: Vector[String], n: Int = 55) =
+      Seq.fill(n)(v(rnd.nextInt(v.size))).mkString(" ")
+    val benchText = words(12)
+    val ref = (0 until 40).map(i => (500L + i, "src0", doc(a)))
+    val junkTrain = (0 until 40).map(i => (600L + i, "junk", doc(b)))
+    val rawGood = (0 until 20).map(i => (i.toLong, "raw", doc(a)))
+    val rawJunk = (20 until 40).map(i => (i.toLong, "raw", doc(b)))
+    val dupBody = doc(a)
+    val extras = Seq(
+      (40L, "raw", dupBody), (41L, "raw", dupBody),         // exact dup pair
+      (42L, "raw", doc(a, 45) + " " + benchText),           // leaked bench text
+      (43L, "bench", benchText))                            // the bench doc
+    val all = (ref ++ junkTrain ++ rawGood ++ rawJunk ++ extras)
+      .toDF("doc_id", "source", "text")
+
+    // the funnel counts the structural problems per domain...
+    val rep = CurationReport.report(all, col("source") === "bench")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // 43 raw docs in; all pass quality; the dup pair loses one; the leak
+    // doc falls at decontamination
+    assert(rep("raw") == ((43L, 43L, 42L, 41L)),
+      s"raw funnel should cut 1 dup + 1 leak: ${rep("raw")}")
+
+    // ...the trained classifier gates the raw pool on LEARNED quality.
+    // Train on the LABELED sets only (reference positives + known junk) —
+    // folding the unlabeled raw pool in as negatives would teach the
+    // model that its own vocabulary is junk...
+    val (w, bias) = QualityClassifier.train(
+      all.filter(col("source").isin("src0", "junk")))
+    val gated = all.filter(col("source") === "raw")
+      .filter(QualityClassifier.scoreInline(col("text"), w, bias) >= 0.5)
+    val gatedIds = gated.select("doc_id").as[Long].collect().toSet
+    assert((0L until 20L).forall(gatedIds), "classifier dropped reference-like raw docs")
+    assert((20L until 40L).forall(i => !gatedIds(i)), "classifier kept junk raw docs")
+
+    // ...and DSIR ranks what the gate kept by target-distribution fit:
+    // its top picks must be the reference-like docs too (independent
+    // signals agreeing on planted data)
+    val sel = Dsir.select(all.filter(col("source").isin("src0", "raw")),
+                          col("source") === "src0", k = 15)
+      .select("doc_id").as[Long].collect().toSet
+    assert(sel.forall(id => id < 20L || id == 40L || id == 41L || id == 42L),
+      s"DSIR selected junk-vocabulary docs: $sel")
+  }
 }
