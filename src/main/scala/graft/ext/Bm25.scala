@@ -74,6 +74,8 @@ object Bm25 {
     val base = docs.select(col("doc_id"), explode(toks).as("t"))
     val stats = docs.agg(count(lit(1)).cast("double").as("n"),
       avg(size(tokens(col("text")))).as("avgdl")).collect()(0)
+    require(!stats.isNullAt(1) && stats.getDouble(1) > 0,
+      "bm25: corpus is empty or token-less — no model to build")
     val (n, avgdl) = (stats.getDouble(0), stats.getDouble(1))
     val dfMap = base.filter(col("t").isin(terms: _*))
       .select(col("doc_id"), col("t")).distinct()

@@ -100,8 +100,16 @@ object Dsir {
     val tc = feats.filter(col("is_target"))
       .groupBy("b").agg(count(lit(1)).as("tcnt"))
     val rc = raw.groupBy("b").agg(count(lit(1)).as("rcnt"))
-    val tt = tc.agg(sum("tcnt").cast("double").as("t"))
-    val rt = rc.agg(sum("rcnt").cast("double").as("r"))
+    // an empty side would make its total NULL and silently null every λ
+    // (and with it every score); fail with the contract instead
+    val tt = tc.agg(coalesce(sum("tcnt"), lit(null)).cast("double").as("t"))
+      .select(when(col("t").isNull,
+        raise_error(lit("dsir: target set has no features (empty targetPred?)")))
+        .otherwise(col("t")).as("t"))
+    val rt = rc.agg(coalesce(sum("rcnt"), lit(null)).cast("double").as("r"))
+      .select(when(col("r").isNull,
+        raise_error(lit("dsir: raw candidate set has no features")))
+        .otherwise(col("r")).as("r"))
     rc.join(tc, Seq("b"), "left")
       .crossJoin(broadcast(tt)).crossJoin(broadcast(rt))
       .select(col("b"),

@@ -212,6 +212,21 @@ class CurationModelSpec extends AnyFunSuite {
     assert(d.getAs[Int]("pred_label") == 3, "array vote tie must pick smallest label")
   }
 
+  test("empty-input contracts: DSIR empty target fails loud, BM25 empty corpus rejected") {
+    import spark.implicits._
+    val docs = Seq((1L, "raw", "some tokens here")).toDF("doc_id", "source", "text")
+    // an empty target used to NULL the whole λ table (every score null,
+    // silently); now it names the problem
+    val e = intercept[Exception] {
+      Dsir.select(docs, col("source") === "nonexistent", 5).collect()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("target set has no features"),
+      s"wrong error: ${e.getMessage}")
+    intercept[IllegalArgumentException] {
+      ext.Bm25.termStats(docs.filter(col("doc_id") < 0), Seq("x"))
+    }
+  }
+
   test("MMR: redundant near-duplicate demoted below a diverse lower-relevance pick") {
     import spark.implicits._
     // pool for one probe: A (top), B (near-dup of A, almost as relevant),
