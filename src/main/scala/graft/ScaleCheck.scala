@@ -48,7 +48,11 @@ object ScaleCheck {
     // q_embed_knn_classify is NOT here: its probe set grows with the
     // corpus (vec_id % 5), so the declared brute-force baseline is O(N²)
     // by definition; the scale path swaps candidates to probeIndex.
-    "q_text_classifier", "q_sample_dsir")
+    "q_text_classifier", "q_sample_dsir",
+    // the composed funnel (shingle join + content-hash window) and MMR
+    // (fixed 5-probe pool: candidate scan linear in N, rerank stages on
+    // the fixed top-20 pool)
+    "q_curation_report", "q_embed_mmr")
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
