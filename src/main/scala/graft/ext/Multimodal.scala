@@ -36,6 +36,141 @@ object Multimodal {
     }
   }
 
+  /** Parsed media header: what a catalog/inventory pass extracts per blob
+    * before any pixel decode — enough to route, filter (min-resolution
+    * gates), and cost-model downstream decoding.
+    */
+  final case class MediaHeader(format: String, width: Int, height: Int,
+                               channels: Int)
+
+  /** Pure-JVM container-header parser for the two ubiquitous image
+    * formats — REAL format parsing (not the synthetic tag scheme of
+    * [[DeterministicFakeDecoder]]): PNG via the IHDR chunk, JPEG via a
+    * marker walk to the SOF segment. Runs on the raw `binary` column
+    * inside `mapPartitions` ([[headerTable]]) — no codec libraries, no
+    * pixel decode, O(header) work per blob regardless of payload size.
+    */
+  object ImageHeaders {
+    private val PngSig =
+      Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+    private def be32(b: Array[Byte], i: Int): Int =
+      ((b(i) & 0xff) << 24) | ((b(i + 1) & 0xff) << 16) |
+        ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+
+    /** PNG: 8-byte signature, then the IHDR chunk (must be first per the
+      * spec): length(4) "IHDR" width(4,BE) height(4,BE) bitdepth(1)
+      * colortype(1) … — channels derive from the color type.
+      */
+    def parsePng(b: Array[Byte]): Option[MediaHeader] = {
+      if (b.length < 26 || !b.take(8).sameElements(PngSig)) return None
+      if (!(b(12) == 'I' && b(13) == 'H' && b(14) == 'D' && b(15) == 'R'))
+        return None
+      val w = be32(b, 16); val h = be32(b, 20)
+      if (w <= 0 || h <= 0) return None
+      val channels = (b(25) & 0xff) match {
+        case 0 => 1 // grayscale
+        case 2 => 3 // truecolor
+        case 3 => 1 // palette
+        case 4 => 2 // gray + alpha
+        case 6 => 4 // truecolor + alpha
+        case _ => return None
+      }
+      Some(MediaHeader("png", w, h, channels))
+    }
+
+    /** JPEG: SOI, then walk marker segments (each FF xx + 2-byte BE length
+      * including itself) to the first SOFn (C0-CF minus DHT C4 / JPG C8 /
+      * DAC CC), whose payload is precision(1) height(2) width(2)
+      * ncomponents(1). Standalone markers (RSTn, TEM) carry no length;
+      * hitting SOS or EOI without a SOF means no parseable frame header.
+      */
+    def parseJpeg(b: Array[Byte]): Option[MediaHeader] = {
+      if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8)
+        return None
+      var i = 2
+      while (i + 1 < b.length) {
+        if ((b(i) & 0xff) != 0xff) return None
+        var j = i + 1 // tolerate fill bytes: FF FF ... FF marker
+        while (j < b.length && (b(j) & 0xff) == 0xff) j += 1
+        if (j >= b.length) return None
+        val m = b(j) & 0xff
+        val seg = j + 1
+        if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) { i = seg } // standalone
+        else if (m == 0xd9 || m == 0xda) return None // EOI / SOS: no SOF seen
+        else {
+          if (seg + 1 >= b.length) return None
+          val len = ((b(seg) & 0xff) << 8) | (b(seg + 1) & 0xff)
+          if (len < 2) return None
+          val isSof = m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc
+          if (isSof) {
+            if (seg + 7 >= b.length) return None
+            val h = ((b(seg + 3) & 0xff) << 8) | (b(seg + 4) & 0xff)
+            val w = ((b(seg + 5) & 0xff) << 8) | (b(seg + 6) & 0xff)
+            val nc = b(seg + 7) & 0xff
+            if (w <= 0 || h <= 0 || nc <= 0) return None
+            return Some(MediaHeader("jpeg", w, h, nc))
+          }
+          i = seg + len
+        }
+      }
+      None
+    }
+
+    /** Sniff-and-parse: PNG first (8-byte magic is unambiguous), then
+      * JPEG. None for anything else — unparseable blobs surface as null
+      * rows, not exceptions (a 100 TB crawl always contains garbage).
+      */
+    def parse(b: Array[Byte]): Option[MediaHeader] =
+      parsePng(b).orElse(parseJpeg(b))
+  }
+
+  /** Header-extraction plumbing over a (doc_id, blob) media table: one
+    * `mapPartitions` pass emitting the parsed header (or nulls) per blob.
+    * Partitioning preserved, no shuffle, O(header bytes) per row.
+    */
+  def headerTable(media: DataFrame): DataFrame = {
+    val s = media.sparkSession
+    import s.implicits._
+    media.select(col("doc_id"), col("blob")).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        ImageHeaders.parse(bytes) match {
+          case Some(h) => (id, h.format, Some(h.width), Some(h.height), Some(h.channels))
+          case None    => (id, null: String, None, None, None)
+        }
+      })
+      .toDF("doc_id", "format", "width", "height", "channels")
+  }
+
+  /** Real-bytes fixture: encode a BufferedImage through the JDK's own
+    * ImageIO codecs — genuine PNG streams (signature, IHDR, zlib IDAT,
+    * CRCs) and genuine baseline JPEGs (JFIF APP0, DQT, SOF0, DHT, SOS).
+    * Deterministic pixel fill so the bytes are reproducible per (w, h,
+    * kind); used by q_multimodal_headers and ImageHeadersSpec.
+    */
+  def encodeImage(w: Int, h: Int, kind: String): Array[Byte] = {
+    import java.awt.image.BufferedImage
+    val imgType = kind match {
+      case "png_rgb"  => BufferedImage.TYPE_INT_RGB
+      case "png_argb" => BufferedImage.TYPE_INT_ARGB
+      case "png_gray" => BufferedImage.TYPE_BYTE_GRAY
+      case "jpeg_rgb"  => BufferedImage.TYPE_INT_RGB
+      case "jpeg_gray" => BufferedImage.TYPE_BYTE_GRAY
+      case other      => sys.error(s"unknown fixture kind: $other")
+    }
+    val img = new BufferedImage(w, h, imgType)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, (x * 31 + y * 17) & 0xffffff); x += 1 }
+      y += 1
+    }
+    val fmt = if (kind.startsWith("png")) "png" else "jpg"
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, fmt, bos)
+    bos.toByteArray
+  }
+
   /** media table shape: (doc_id, blob BINARY, meta STRUCT<n_bytes, format>).
     * Here synthesized from documents.text; a real pipeline reads files via
     * `spark.read.format("binaryFile")` into the identical shape.

@@ -524,6 +524,35 @@ object Similarity {
               round(col("adc"), 6).as("adc_r"))
   }
 
+  /** IVF-PQ with exact-cosine re-ranking — the standard two-stage
+    * production probe (FAISS's IVFADC + refine): the ADC scan shortlists
+    * `shortlist` candidates per probe from the `nprobe` probed cells, then
+    * ONLY those rows fetch their raw vectors for an exact cosine, and the
+    * final top-k ranks on the exact score. Recall equals the exact
+    * in-cell scan ([[ivfTopKWith]]) whenever the true in-cell top-k
+    * survives the shortlist (shortlist ≈ 4k suffices in practice — the
+    * committed RECALL.json curves pin it), while the scan cost stays the
+    * 8-byte-code ADC pass: raw vectors are touched for |Q|·shortlist rows
+    * only, an equi-join on vec_id that at 100 TB is a point-lookup-shaped
+    * shuffle-hash join, never a corpus re-scan.
+    */
+  def ivfPqTopKRescoredWith(vecDf: DataFrame,
+                            cents: Seq[(Long, Seq[Double], Double)],
+                            cb: Seq[Seq[Seq[Double]]], probePred: Column,
+                            nprobe: Int, k: Int, shortlist: Int): DataFrame = {
+    val short = ivfPqTopKWith(vecDf, cents, cb, probePred, nprobe, shortlist)
+      .select("qid", "cand")
+    val rescored = short
+      .join(vecDf.select(col("vec_id").as("cand"), col("v").as("cv")), Seq("cand"))
+      .join(broadcast(vecDf.filter(probePred)
+              .select(col("vec_id").as("qid"), col("v").as("qv"))), Seq("qid"))
+      .select(col("qid"), col("cand"),
+        round(cosine(col("qv"), col("cv")), 6).as("cos_r"))
+    val w2 = Window.partitionBy("qid").orderBy(col("cos_r").desc, col("cand").asc)
+    rescored.withColumn("rn", row_number().over(w2)).filter(col("rn") <= k)
+      .select(col("qid"), col("rn"), col("cand"), col("cos_r"))
+  }
+
   /** Shared oracle fragments: codebook, per-subspace encoding, packed
     * codes — the SQL mirror of [[pqCodes]].
     */

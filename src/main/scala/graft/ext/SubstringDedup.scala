@@ -15,12 +15,20 @@ import org.apache.spark.sql.functions._
   * Plan shape — ONE scan of the corpus, two shuffles, no joins:
   *
   *  1. window hashes — one codegen'd projection emits
-  *     `(doc_id, pos, h1, h2)` for every window start, where h1/h2 are
-  *     independent 64-bit content hashes (`xxhash64` with distinct seed
-  *     tuples — 128 effective bits, so at 10¹² corpus windows the
-  *     expected number of colliding window pairs is ≈ (10¹²)²/2¹²⁹
-  *     ≈ 10⁻¹⁵: the "exact" claim survives scale). Only 16 bytes of hash
-  *     leave the stage; the document text is never shuffled.
+  *     `(doc_id, pos, h1, h2)` for every window start, where h1/h2 hash
+  *     the window CONTENT under two different effective seeds:
+  *     `h1 = xxhash64(win)` (seed 42) and `h2 = xxhash64(lit(7), win)`
+  *     (Spark's multi-arg xxhash64 seed-chains, so the content is hashed
+  *     under seed H(7, 42)). Argument order is load-bearing:
+  *     `xxhash64(win, lit(7))` would be H(7, seed = h1) — a deterministic
+  *     function of h1, so every h1 collision would also collide h2 and
+  *     the pair would be only 64-bit strong. With independent seeds the
+  *     pair gives 128 effective bits: at 10¹² corpus windows the expected
+  *     number of colliding window pairs is ≈ (10¹²)²/2¹²⁹ ≈ 10⁻¹⁵ — the
+  *     "exact" claim survives scale. Only 16 bytes of hash leave the
+  *     stage; the document text is never shuffled. (Any [[SubstringIndex]]
+  *     tree persisted before this seed fix holds the chained h2 and must
+  *     be regenerated — probes against it would miss everything.)
   *  2. duplicate marking — WINDOW functions over (h1, h2) tag each
   *     position row with its hash's occurrence/distinct-doc count in the
   *     same pass that will emit it — one exchange on the hash, no
@@ -82,7 +90,7 @@ object SubstringDedup {
         explode(sequence(lit(1L), (length(col("text")) - k + 1).cast("long"))).as("pos"),
         col("text"))
       .select(col("doc_id"), col("pos"),
-        xxhash64(win).as("h1"), xxhash64(win, lit(7)).as("h2"))
+        xxhash64(win).as("h1"), xxhash64(lit(7), win).as("h2"))
     if (sample == 1) all
     else all.filter(pmod(col("h1"), lit(sample.toLong)) === 0)
   }
@@ -311,7 +319,9 @@ object SubstringDedup {
         col("doc_id"),
         coalesce(col("n_spans"), lit(0L)).as("n_spans"),
         coalesce(col("dup_chars"), lit(0L)).as("dup_chars"),
-        expr("coalesce(dup_chars, 0L) * 1000000L div n_chars").as("dup_ppm"))
+        // nullif: an empty-text doc yields NULL in BOTH engines (bare
+        // division would be NULL here but an error in DuckDB's `//`)
+        expr("coalesce(dup_chars, 0L) * 1000000L div nullif(n_chars, 0L)").as("dup_ppm"))
   }
 
   private def oracleSpansSql(k: Int): String =
@@ -410,7 +420,7 @@ object SubstringDedup {
          |SELECT d.doc_id,
          |       coalesce(a.n_spans, 0) AS n_spans,
          |       coalesce(a.dup_chars, 0) AS dup_chars,
-         |       coalesce(a.dup_chars, 0) * 1000000 // length(d.text) AS dup_ppm
+         |       coalesce(a.dup_chars, 0) * 1000000 // nullif(length(d.text), 0) AS dup_ppm
          |FROM documents d LEFT JOIN agg a USING (doc_id)
          |ORDER BY doc_id""".stripMargin) { (s, d) =>
       duplicationProfile(Tables.documents(s, d)).orderBy("doc_id")
