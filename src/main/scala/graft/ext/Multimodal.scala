@@ -213,6 +213,33 @@ object Multimodal {
 
   val queries: Seq[Q] = Seq(
 
+    // ---- REAL container-header decode over genuine PNG/JPEG bytes ----
+    // The fixture bytes are encoded per row by the JDK's own ImageIO
+    // codecs inside the executor task (real PNG signature/IHDR/zlib-IDAT/
+    // CRC streams, real baseline JFIF JPEGs with APP0/DQT/SOF0/DHT/SOS),
+    // then parsed back by the pure-JVM [[ImageHeaders]] walk. The oracle
+    // derives the expected dimensions/channels independently from doc_id,
+    // so a parser (or encoder-layout) error surfaces as a hash mismatch.
+    Q("q_multimodal_headers",
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 5 IN (0, 2, 4) THEN 'png' ELSE 'jpeg' END AS format,
+        |  CAST(16 + doc_id % 32 AS INT) AS width,
+        |  CAST(8 + doc_id % 16 AS INT) AS height,
+        |  CAST(CASE doc_id % 5 WHEN 0 THEN 3 WHEN 1 THEN 1 WHEN 2 THEN 4
+        |       WHEN 3 THEN 3 ELSE 1 END AS INT) AS channels
+        |FROM documents WHERE doc_id < 60 ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val kinds = IndexedSeq("png_rgb", "jpeg_gray", "png_argb", "jpeg_rgb", "png_gray")
+      val media = Tables.documents(s, d).filter(col("doc_id") < 60)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val w = 16 + (id % 32).toInt
+          val h = 8 + (id % 16).toInt
+          (id, encodeImage(w, h, kinds((id % 5).toInt)))
+        }).toDF("doc_id", "blob")
+      headerTable(media).orderBy("doc_id")
+    },
+
     // ---- metadata extraction over the binary column (SQL-checkable) ----
     Q("q_multimodal_meta",
       """SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS n_bytes, md5(text) AS b_md5

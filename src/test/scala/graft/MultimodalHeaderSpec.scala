@@ -1,0 +1,100 @@
+package graft
+
+import graft.ext.Multimodal
+import graft.ext.Multimodal.{ImageHeaders, MediaHeader}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** [[Multimodal.ImageHeaders]] against GENUINE image bytes: everything the
+  * parser sees here is a real PNG or baseline-JPEG stream produced by the
+  * JDK's own ImageIO encoders (zlib IDAT + CRCs, JFIF APP0/DQT/SOF0/DHT),
+  * plus hand-built golden headers that pin the byte-level layout the
+  * parser claims to read, plus garbage-tolerance negatives.
+  */
+class MultimodalHeaderSpec extends AnyFunSuite {
+
+  test("PNG round-trip: ImageIO-encoded bytes parse to the encoded geometry") {
+    for {
+      (kind, ch) <- Seq(("png_rgb", 3), ("png_argb", 4), ("png_gray", 1))
+      (w, h) <- Seq((1, 1), (16, 8), (640, 480), (300, 7))
+    } {
+      val bytes = Multimodal.encodeImage(w, h, kind)
+      // sanity: these are real PNG streams, signature included
+      assert((bytes(0) & 0xff) == 0x89 && bytes(1) == 'P')
+      assert(ImageHeaders.parse(bytes) === Some(MediaHeader("png", w, h, ch)),
+        s"$kind ${w}x$h")
+    }
+  }
+
+  test("JPEG round-trip: ImageIO baseline JPEGs parse to the encoded geometry") {
+    for {
+      (kind, ch) <- Seq(("jpeg_rgb", 3), ("jpeg_gray", 1))
+      (w, h) <- Seq((1, 1), (16, 8), (640, 480), (33, 250))
+    } {
+      val bytes = Multimodal.encodeImage(w, h, kind)
+      assert((bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8)
+      assert(ImageHeaders.parse(bytes) === Some(MediaHeader("jpeg", w, h, ch)),
+        s"$kind ${w}x$h")
+    }
+  }
+
+  test("golden PNG header: hand-built IHDR bytes pin the field layout") {
+    // signature + IHDR for a 258x515 truecolor+alpha image: width/height
+    // are 4-byte big-endian at offsets 16/20, color type at 25
+    val b = java.nio.ByteBuffer.allocate(26)
+    b.put(Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    b.putInt(13).put("IHDR".getBytes("US-ASCII"))
+    b.putInt(258).putInt(515)
+    b.put(8.toByte).put(6.toByte) // bit depth 8, color type 6
+    assert(ImageHeaders.parse(b.array()) === Some(MediaHeader("png", 258, 515, 4)))
+  }
+
+  test("golden JPEG: SOF0 found behind APPn/COM segments and fill bytes") {
+    // SOI, APP0 (16 bytes), COM (4 bytes), fill FF, SOF0 with height=300
+    // width=517, 3 components
+    val out = new java.io.ByteArrayOutputStream()
+    def w(xs: Int*): Unit = xs.foreach(x => out.write(x & 0xff))
+    w(0xff, 0xd8)                      // SOI
+    w(0xff, 0xe0, 0x00, 0x10); (0 until 14).foreach(_ => w(0x00)) // APP0
+    w(0xff, 0xfe, 0x00, 0x04, 0x41, 0x42)                         // COM "AB"
+    w(0xff)                            // fill byte before the next marker
+    w(0xff, 0xc0, 0x00, 0x11, 0x08)    // SOF0, len 17, precision 8
+    w(0x01, 0x2c)                      // height 300
+    w(0x02, 0x05)                      // width 517
+    w(0x03)                            // 3 components
+    (0 until 9).foreach(_ => w(0x00))
+    assert(ImageHeaders.parse(out.toByteArray) ===
+      Some(MediaHeader("jpeg", 517, 300, 3)))
+  }
+
+  test("garbage and truncation yield None, never exceptions") {
+    val cases = Seq[Array[Byte]](
+      Array.empty,
+      "not an image at all".getBytes("UTF-8"),
+      Array(0x89, 0x50).map(_.toByte),                     // truncated PNG sig
+      Multimodal.encodeImage(16, 16, "png_rgb").take(20),  // truncated IHDR
+      Array(0xff, 0xd8, 0xff, 0xd9).map(_.toByte),         // SOI then EOI, no SOF
+      Array(0xff, 0xd8, 0x00, 0x11).map(_.toByte)          // broken marker stream
+    )
+    cases.foreach(c => assert(ImageHeaders.parse(c).isEmpty))
+  }
+
+  test("headerTable: one mapPartitions pass, nulls for unparseable blobs") {
+    val spark = SparkSuite.spark
+    import spark.implicits._
+    val media = Seq(
+      (1L, Multimodal.encodeImage(20, 10, "png_rgb")),
+      (2L, Multimodal.encodeImage(7, 9, "jpeg_gray")),
+      (3L, "plain text".getBytes("UTF-8"))
+    ).toDF("doc_id", "blob")
+    val rows = Multimodal.headerTable(media).orderBy("doc_id").collect()
+    assert(rows.map(r => (r.getLong(0), r.getString(1))).toSeq ===
+      Seq((1L, "png"), (2L, "jpeg"), (3L, null)))
+    assert(rows(0).getInt(2) == 20 && rows(0).getInt(3) == 10 && rows(0).getInt(4) == 3)
+    assert(rows(1).getInt(2) == 7 && rows(1).getInt(3) == 9 && rows(1).getInt(4) == 1)
+    assert(rows(2).isNullAt(2) && rows(2).isNullAt(3) && rows(2).isNullAt(4))
+    // plumbing claim: no shuffle — the decode is partition-local
+    val plan = Multimodal.headerTable(media).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"headerTable should not shuffle:\n$plan")
+  }
+}
