@@ -35,6 +35,15 @@ object Mmr {
     *    probe's candidates, both directions present, `sim` rounded.
     *
     * Returns (qid, step, cand): the selection order per probe.
+    *
+    * Driver memory is bounded by the SELECTION, not the pool: each step
+    * collects one (qid, cand) winner per probe, so the held state is
+    * probes × k ids (metadata scale at any corpus size — the pool itself
+    * never leaves the executors). MmrScaleSpec pins this at a
+    * 200-candidate pool along with the flat-plan cost model: Spark-job
+    * count is LINEAR in k (constant jobs per greedy step), which is the
+    * observable difference from a lazily-nested recurrence whose step
+    * cost grows with the step index.
     */
   def rerank(cands: DataFrame, sims: DataFrame, k: Int): DataFrame = {
     require(k >= 1, "k must be >= 1")

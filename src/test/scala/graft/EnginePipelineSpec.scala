@@ -148,6 +148,91 @@ class EnginePipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("2-source run, late failure after the sibling fully staged: no promotion on file OR jdbc sinks") {
+    // Reference semantics (collect.py:186-203): ALL sources, ONE
+    // destination, a single barrier. Here source A ("example", grown to 3
+    // regions so a wrongful promotion is count-detectable) stages all 13
+    // tables, and only THEN does source B fail. The survivor's staging
+    // must never promote and the previous 2-region snapshot must remain
+    // readable — on both sink families.
+    val grown = new Source {
+      val name = "example"
+      def collect(s: SparkSession): Graph = {
+        import s.implicits._
+        val g = ExampleSource.collect(s)
+        val extra = Seq(("reg9", "example_region",
+          """{"id":"reg9","name":"eu-north","kind":"example_region","tags":{"owner":"example"},"ctime":"2023-01-01T00:00:00Z"}"""))
+          .toDF("id", "kind", "reported")
+        Graph(g.nodes.unionByName(extra, allowMissingColumns = true), g.edges, g.model)
+      }
+    }
+    def badAfter(stagedEvidence: () => Boolean) = new Source {
+      val name = "bad"
+      def collect(s: SparkSession): Graph = {
+        val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+        while (!stagedEvidence() && System.nanoTime() < deadline) Thread.sleep(50)
+        if (!stagedEvidence())
+          throw new RuntimeException("bad source timed out BEFORE sibling staged — test invalid")
+        throw new RuntimeException("late failure after sibling staged")
+      }
+    }
+    def failingRun(dest: Destination, evidence: () => Boolean): Unit = {
+      val e = intercept[Exception](Runner.run(spark,
+        GraftConfig(Map("example" -> Map.empty, "bad" -> Map.empty), dest),
+        Map("example" -> grown, "bad" -> badAfter(evidence))))
+      assert(e.getMessage == "late failure after sibling staged")
+    }
+
+    // ---- file family ----
+    val base = Files.createTempDirectory("graft-2src-file").toString
+    val fdest = ArrowDest(FileDestination("parquet", base))
+    Runner.run(spark, cfg(fdest), registry) // snapshot 1: 2 regions
+    val fileEvidence = () => {
+      val staging = new java.io.File(s"$base/_staging")
+      val runs = Option(staging.listFiles()).getOrElse(Array.empty)
+      runs.exists(run => ExampleSource.expectedCounts.keySet.forall(t =>
+        new java.io.File(run, s"$t/_SUCCESS").exists()))
+    }
+    failingRun(fdest, fileEvidence)
+    assert(spark.read.parquet(s"$base/current/example_region").count() == 2,
+      "grown staging was promoted on the file sink")
+    ExampleSource.expectedCounts.foreach { case (t, n) =>
+      assert(spark.read.parquet(s"$base/current/$t").count() == n, s"table $t")
+    }
+
+    // ---- jdbc family (derby) ----
+    val db = Files.createTempDirectory("graft-2src-derby").resolve("db").toString
+    val url = s"jdbc:derby:$db;create=true"
+    val jdest = DbDest(JdbcDestination(url, "derby"))
+    Runner.run(spark, cfg(jdest), registry) // snapshot 1: 2 regions
+    val jdbcEvidence = () => {
+      // all 13 __tmp tables present and the grown region table fully loaded
+      var c: java.sql.Connection = null
+      try {
+        c = java.sql.DriverManager.getConnection(url)
+        val rs = c.createStatement().executeQuery(
+          "SELECT count(*) FROM SYS.SYSTABLES WHERE TABLENAME LIKE '%__TMP'")
+        rs.next()
+        val allStaged = rs.getInt(1) == ExampleSource.expectedCounts.size
+        allStaged && {
+          val rr = c.createStatement()
+            .executeQuery("SELECT count(*) FROM example_region__tmp")
+          rr.next(); rr.getInt(1) == 3
+        }
+      } catch { case _: java.sql.SQLException => false }
+      finally if (c != null) c.close()
+    }
+    failingRun(jdest, jdbcEvidence)
+    val live = spark.read.format("jdbc").option("url", url)
+      .option("dbtable", "example_region").load().count()
+    assert(live == 2, "grown __tmp staging was promoted on the jdbc sink")
+    ExampleSource.expectedCounts.foreach { case (t, n) =>
+      val cnt = spark.read.format("jdbc").option("url", url)
+        .option("dbtable", t).load().count()
+      assert(cnt == n, s"table $t")
+    }
+  }
+
   test("s3 destination uploads every table to the bucket after the swap") {
     val base = Files.createTempDirectory("graft-s3stage").toString
     val bucketRoot = Files.createTempDirectory("graft-fake-bucket")

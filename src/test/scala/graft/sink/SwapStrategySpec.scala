@@ -80,4 +80,65 @@ class SwapStrategySpec extends AnyFunSuite {
       "RENAME TABLE region TO region__old, region__tmp TO region",
       "DROP TABLE region__old"))
   }
+
+  // ---- one golden sequence per remaining dialect family, under the
+  // ---- exact alias spellings the reference maps (util.py:62-67)
+
+  test("mariadb+pymysql (the reference's mariadb alias): single atomic multi-RENAME") {
+    assert(commit("mariadb+pymysql").swapStatements(Set("region", "account")) == Seq(
+      "RENAME TABLE region TO region__old, region__tmp TO region, " +
+        "account TO account__old, account__tmp TO account",
+      "DROP TABLE region__old",
+      "DROP TABLE account__old"))
+  }
+
+  test("sqlite: transactional DROP + RENAME, ALTER TABLE spelling") {
+    assert(commit("sqlite").swapStatements(Set("region", "account")) == Seq(
+      "DROP TABLE region",
+      "ALTER TABLE region__tmp RENAME TO region",
+      "DROP TABLE account",
+      "ALTER TABLE account__tmp RENAME TO account"))
+  }
+
+  test("derby: transactional DROP + RENAME, RENAME TABLE spelling") {
+    assert(commit("derby").swapStatements(Set("region", "account")) == Seq(
+      "DROP TABLE region",
+      "RENAME TABLE region__tmp TO region",
+      "DROP TABLE account",
+      "RENAME TABLE account__tmp TO account"))
+  }
+
+  test("mssql: move-aside sequence with sp_rename spelling") {
+    assert(commit("mssql", Seq("region")).swapStatements(Set("region")) == Seq(
+      "EXEC sp_rename 'region', 'region__old'",
+      "EXEC sp_rename 'region__tmp', 'region'",
+      "DROP TABLE region__old"))
+  }
+
+  test("postgresql first-ever run: no DROPs, renames only") {
+    assert(commit("postgresql+psycopg2").swapStatements(Set.empty) == Seq(
+      "ALTER TABLE region__tmp RENAME TO region",
+      "ALTER TABLE account__tmp RENAME TO account"))
+  }
+
+  test("every family's script keeps each table recoverable at every prefix") {
+    // at any crash point, table data must exist under t, t__old, or t__tmp:
+    // no statement may drop a name before its replacement was promoted
+    for (dialect <- Seq("postgresql", "mysql", "mariadb+pymysql", "sqlite",
+                        "derby", "oracle", "snowflake", "mssql")) {
+      val stmts = commit(dialect, Seq("t1")).swapStatements(Set("t1"))
+      val promoteIdx = stmts.indexWhere(s =>
+        s.contains("t1__tmp") && (s.contains("TO t1") || s.contains("'t1'")))
+      val dropOldIdx = stmts.indexWhere(_.startsWith("DROP TABLE t1__old"))
+      assert(promoteIdx >= 0, s"$dialect: no promotion of t1__tmp in $stmts")
+      if (dropOldIdx >= 0)
+        assert(dropOldIdx > promoteIdx,
+          s"$dialect: t1__old dropped before t1__tmp promoted in $stmts")
+      // transactional families may DROP the live table directly (the txn
+      // rolls back wholesale); auto-commit families must move aside first
+      if (!Set("postgresql", "sqlite", "derby").contains(dialect.takeWhile(_ != '+')))
+        assert(!stmts.exists(_ == "DROP TABLE t1"),
+          s"$dialect: auto-commit DDL family dropped the live table in $stmts")
+    }
+  }
 }
