@@ -60,6 +60,11 @@ object ScaleCheck {
     val copies = sys.env.getOrElse("SPARK_GRAFT_SCALE_COPIES", "10").toInt
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // comma-separated query filter (plus the pseudo-names "kmeans" and
+    // "substr_index" for the extra sections) — large-copies runs target
+    // the linear-family queries without paying for the whole list
+    val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY").map(_.split(",").toSet)
+    def keep(name: String): Boolean = only.forall(_.contains(name))
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-scale-check")
@@ -95,7 +100,7 @@ object ScaleCheck {
       timeMin(fn(spark, dir).write.format("noop").mode("overwrite").save())
     }
 
-    val perQuery = Queries.map { q =>
+    val perQuery = Queries.filter(keep).map { q =>
       val t1 = run(q, d1)
       val tN = run(q, dN)
       val exp = math.log(tN / t1) / math.log(copies.toDouble)
@@ -113,16 +118,54 @@ object ScaleCheck {
       ext.Similarity.ivfTopKWith(v, refined, col("vec_id") < 20, nprobe = 2, k = 1)
         .write.format("noop").mode("overwrite").save()
     }
-    val k1 = kmeansAt(d1, 25)
-    val kN = kmeansAt(dN, (25 * math.sqrt(copies.toDouble)).round.toInt)
-    val kExp = math.log(kN / k1) / math.log(copies.toDouble)
-    System.err.println(f"[scale] kmeans_sqrt_stride t1=$k1%.2f s tN=$kN%.2f s exp=$kExp%.2f")
+    val kmeansJson = if (!keep("kmeans")) None else {
+      val k1 = kmeansAt(d1, 25)
+      val kN = kmeansAt(dN, (25 * math.sqrt(copies.toDouble)).round.toInt)
+      val kExp = math.log(kN / k1) / math.log(copies.toDouble)
+      System.err.println(f"[scale] kmeans_sqrt_stride t1=$k1%.2f s tN=$kN%.2f s exp=$kExp%.2f")
+      Some(f""""kmeans_sqrt_stride":{"t1":$k1%.3f,"tN":$kN%.3f,"exp":$kExp%.2f}""")
+    }
+
+    // The at-rest substring index under scale: build once per size
+    // (untimed — write-once/amortized), then time a FIXED 20-doc batch
+    // probe at 1× and N×. With the (band-free) bucket partitioning and
+    // dynamic partition pruning doing their job, probe cost tracks the
+    // BATCH, not the corpus — the exponent should sit near 0 while the
+    // full-scan spans queries above grow at their honest O(chars) rate.
+    // The pruned flag is asserted from the executed plan at the N× size.
+    val substrJson = if (!keep("substr_index")) None else {
+      def probeAt(dir: String): (Double, Boolean) = {
+        val docs = Tables.documents(spark, dir)
+        val idxDir = s"$dir/substr_index"
+        if (!new java.io.File(idxDir).exists())
+          ext.SubstringIndex.write(docs.filter(col("doc_id") % 7 =!= 0), idxDir)
+        val index = ext.SubstringIndex.load(spark, idxDir)
+        // copy 0 keeps original doc ids: the same 20 probe docs exist at
+        // every size, so the batch is constant while the corpus grows
+        val batch = docs.filter(col("doc_id") % 7 === 0 && col("doc_id") < 140)
+        val t = timeMin {
+          ext.SubstringIndex.probe(index, batch)
+            .write.format("noop").mode("overwrite").save()
+        }
+        val df = ext.SubstringIndex.probe(index, batch)
+        df.collect()
+        (t, df.queryExecution.executedPlan.toString.contains("dynamicpruning"))
+      }
+      val (p1, _) = probeAt(d1)
+      val (pN, prunedN) = probeAt(dN)
+      val pExp = math.log(pN / p1) / math.log(copies.toDouble)
+      System.err.println(
+        f"[scale] substr_index_probe t1=$p1%.2f s tN=$pN%.2f s exp=$pExp%.2f pruned=$prunedN")
+      require(prunedN, "index probe at N× lost dynamic partition pruning")
+      Some(f""""substr_index_probe":{"t1":$p1%.3f,"tN":$pN%.3f,"exp":$pExp%.2f,"pruned_at_N":$prunedN}""")
+    }
 
     val qj = perQuery.map { case (q, (t1, tN, e)) =>
       f""""$q":{"t1":$t1%.3f,"tN":$tN%.3f,"exp":$e%.2f}"""
     }.mkString(",")
-    println(s"""{"copies":$copies,"reps":$reps,"stat":"min","queries":{$qj},""" +
-      f""""kmeans_sqrt_stride":{"t1":$k1%.3f,"tN":$kN%.3f,"exp":$kExp%.2f}}""")
+    val extras = (kmeansJson.toSeq ++ substrJson.toSeq).mkString(",")
+    val tail = if (extras.isEmpty) "" else s",$extras"
+    println(s"""{"copies":$copies,"reps":$reps,"stat":"min","queries":{$qj}$tail}""")
     spark.stop()
   }
 

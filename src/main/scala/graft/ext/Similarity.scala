@@ -961,6 +961,62 @@ object Similarity {
         .orderBy("qid", "rn")
     },
 
+    // ---- two-stage IVF-PQ: ADC shortlist, exact-cosine re-rank ----
+    // The production probe (FAISS IVFADC+refine): the code scan shortlists
+    // 12 candidates per probe, ONLY those fetch raw vectors for the exact
+    // cosine, and the final top-3 ranks on the exact score. The committed
+    // RECALL.json curves pin the shortlist knob's recall recovery; this
+    // query pins the exact two-stage semantics against the oracle.
+    Q("q_embed_ivfpq_rescore",
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 25 = 0),
+         |$pqCodeSql,
+         |$reconSql,
+         |asn AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT e.vec_id, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${cosRawSql("e.v", "c.cv")} DESC, c.cid) AS rn
+         |    FROM e, c
+         |  ) WHERE rn = 1
+         |),
+         |pc AS (
+         |  SELECT qid, cid FROM (
+         |    SELECT e.vec_id AS qid, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${cosRawSql("e.v", "c.cv")} DESC, c.cid) AS rn
+         |    FROM e, c WHERE e.vec_id < 10
+         |  ) WHERE rn <= 3
+         |),
+         |scored AS (
+         |  SELECT p.qid, a.vec_id AS cand, ${adcSql("q.v", "r.rv")} AS adc
+         |  FROM pc p
+         |  JOIN asn a ON a.cid = p.cid AND a.vec_id <> p.qid
+         |  JOIN recon r ON r.vec_id = a.vec_id
+         |  JOIN e q ON q.vec_id = p.qid
+         |),
+         |short AS (
+         |  SELECT qid, cand FROM (
+         |    SELECT qid, cand,
+         |      row_number() OVER (PARTITION BY qid ORDER BY adc ASC, cand ASC) AS rn
+         |    FROM scored
+         |  ) WHERE rn <= 12
+         |),
+         |resc AS (
+         |  SELECT s.qid, s.cand, ${cosSql("q.v", "cv.v")} AS cos_r
+         |  FROM short s JOIN e q ON q.vec_id = s.qid JOIN e cv ON cv.vec_id = s.cand
+         |)
+         |SELECT qid, rn, cand, cos_r FROM (
+         |  SELECT qid, cand, cos_r,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cos_r DESC, cand ASC) AS rn
+         |  FROM resc
+         |) WHERE rn <= 3 ORDER BY qid, rn""".stripMargin) { (s, d) =>
+      val v = vecs(s, d)
+      ivfPqTopKRescoredWith(v, centroidSet(v, 25), pqCodebook(v),
+        col("vec_id") < 10, nprobe = 3, k = 3, shortlist = 12)
+        .orderBy("qid", "rn")
+    },
+
     // ---- multi-table multi-probe sign-LSH top-1 ----
     Q("q_embed_lsh",
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

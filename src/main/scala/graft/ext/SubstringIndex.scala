@@ -29,6 +29,16 @@ import org.apache.spark.sql.functions._
   * decontamination contract. `k` and `sample` must match between write
   * and probe — content-defined sampling keeps the two sides consistent
   * at any alignment.
+  *
+  * Probe-cost model, measured at 40× (SCALING.json `substr40x`): a batch
+  * with more window hashes than the bucket fan touches EVERY partition,
+  * so pruning cannot shrink the scan and probe cost grows with the index
+  * (exp 0.66 at 40×, pruning asserted) — the win over re-scanning the
+  * corpus is the CONSTANT FACTOR of reading 16-byte hash rows instead of
+  * re-hashing text (~6× at 40×) plus skipping the corpus-side window
+  * build. Pruning is asymptotic only when the batch's window count is
+  * below `buckets`; raise the fan with corpus size (and with `sample` > 1
+  * the batch's selected-window count drops by ~s, widening that regime).
   */
 object SubstringIndex {
 
