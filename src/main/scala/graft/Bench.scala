@@ -34,17 +34,23 @@ object Bench {
     spark.sparkContext.setLogLevel("ERROR")
 
     // JVM/codegen warmup outside the timed region (steady-state throughput
-    // is the comparison target, not first-query JIT cost)
-    Tables.lineitem(spark, sfDir).count()
-    Tables.events(spark, sfDir).count()
+    // is the comparison target, not first-query JIT cost). A warmup failure
+    // (e.g. one unreadable table) must NOT kill the run before a single
+    // query is measured — the affected queries will land in "failed" below.
+    try { Tables.lineitem(spark, sfDir).count(); Tables.events(spark, sfDir).count() }
+    catch { case e: Throwable => System.err.println(s"[bench] warmup failed: $e") }
 
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
 
-    def once(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // (elapsed, succeeded): a query that throws must never masquerade as a
+    // fast measurement — r8's BENCH json recorded 3 analysis-error times as
+    // "4-7x wins" because failures were swallowed here
+    def once(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Boolean) = {
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e"); false }
       val dt = (System.nanoTime() - t0) / 1e9
       // drop intra-query caches NOW (blocking) and collect the garbage
       // outside the next timed region — otherwise unpersist runs async and
@@ -52,24 +58,35 @@ object Bench {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
       System.gc()
-      dt
+      (dt, ok)
     }
 
     val results = queries.map { case (name, fn) =>
-      val times = (1 to reps).map(_ => once(name, fn)).sorted
+      val runs = (1 to reps).map(_ => once(name, fn))
+      val ok = runs.forall(_._2)
+      val times = runs.map(_._1).sorted
       val n = times.size
       // true median: average the middle pair for even rep counts (picking
       // the upper-middle would report the WORSE of 2 runs as the "median")
       val med = if (n % 2 == 1) times(n / 2) else (times(n / 2 - 1) + times(n / 2)) / 2
       // per-query progress on stderr: a killed/timed-out run still leaves
       // every finished median on record (the stdout JSON line would be lost)
-      System.err.println(f"[bench] $name $med%.3f s (reps=${times.map(t => f"$t%.2f").mkString(",")})")
-      name -> med
+      System.err.println(f"[bench] $name $med%.3f s (reps=${times.map(t => f"$t%.2f").mkString(",")})"
+        + (if (ok) "" else " FAILED"))
+      (name, med, ok)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    // failed queries are EXCLUDED from the per-query map and the total (a
+    // failure time is not a throughput number) and listed by name instead
+    val good = results.collect { case (n, t, true) => (n, t) }
+    val failed = results.collect { case (n, _, false) => n }
+    val qs = good.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = f"${results.map(_._2).sum}%.3f"
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = f"${good.map(_._2).sum}%.3f"
+    // exit 0 even with failures: the driver consumes the stdout JSON line,
+    // and a nonzero exit could zero the whole round's bench artifact — the
+    // "failed" field is the loud signal
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

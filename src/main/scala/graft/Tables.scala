@@ -8,8 +8,9 @@ import org.apache.spark.sql.functions._
   * All query builders take `(spark, sfDir)` and load through here so the
   * scan layer stays in one place: parquet scans get column pruning +
   * predicate pushdown from Catalyst for free, and the one data quirk
-  * (events.ts is INT64 TIMESTAMP(NANOS), which Spark's vectorized parquet
-  * reader does not surface as a TimestampType) is normalized once.
+  * (events.ts — a parquet timestamp whose physical unit and UTC-adjustment
+  * are PRODUCER-controlled, and have in fact changed between testdata
+  * generations) is normalized once, in [[normalizeEventsTs]].
   */
 object Tables {
   def path(sfDir: String, name: String): String = s"$sfDir/$name.parquet"
@@ -24,11 +25,10 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = s.read.parquet(path(d, "documents"))
   def embeddings(s: SparkSession, d: String): DataFrame = s.read.parquet(path(d, "embeddings"))
 
-  /** events.parquet stores `ts` as parquet INT64 TIMESTAMP(NANOS). Spark has
-    * no nanosecond timestamp type; with the legacy flag the column arrives as
-    * a LongType nano count, which we truncate to microseconds and surface as
-    * a proper TimestampType column (UTC session timezone). Without the flag
-    * Spark 4 reads NANOS directly (truncating); handle both shapes.
+  /** events.parquet: `ts` has shipped as INT64 TIMESTAMP(NANOS) (testdata
+    * generations ≤ r7) and as INT64 TIMESTAMP(isAdjustedToUTC=false, MICROS)
+    * i.e. TIMESTAMP_NTZ (the 2026-08-13 regeneration). Both, plus the plain
+    * UTC-adjusted micros a third producer would emit, normalize here.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     // Spark's parquet reader rejects TIMESTAMP(NANOS) outright unless the
@@ -37,13 +37,41 @@ object Tables {
     // idempotent — nothing observable leaks) keeps the loader correct for
     // arbitrary caller-provided sessions too.
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = s.read.parquet(path(d, "events"))
+    normalizeEventsTs(s.read.parquet(path(d, "events")))
+  }
+
+  /** Normalize the producer-controlled `ts` column to session-UTC
+    * `TimestampType`, whatever shape the parquet writer chose:
+    *
+    *   - `LongType`  — TIMESTAMP(NANOS) surfaced as a raw nano count by the
+    *     legacy reader flag (or a producer writing epoch-nanos as plain
+    *     INT64; the two are indistinguishable at the Spark schema level).
+    *   - `TimestampNTZType` — TIMESTAMP(isAdjustedToUTC=false, MICROS/
+    *     MILLIS). The testdata writes UTC wall-clock instants, and every
+    *     graft session pins `spark.sql.session.timeZone=UTC`, so the
+    *     session-local cast reinterprets the wall clock as the same UTC
+    *     instant DuckDB's naive read sees.
+    *   - `TimestampType` — already UTC-adjusted; pass through.
+    *
+    * Downstream operators can then use `unix_micros`/`window`/
+    * `session_window` without caring which producer wrote the file. Shared
+    * by the batch loader and [[graft.streaming.StreamingOps.eventsStream]]
+    * so batch and stream see identical instants.
+    */
+  def normalizeEventsTs(raw: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
+      case LongType =>
         // integer DIV, not `/`: long `/` is double division in Spark and
         // loses sub-µs exactness at 1e18-scale nano counts
         raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-      case _ => raw
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType => raw
+      case other => throw new IllegalArgumentException(
+        s"events.ts arrived as $other — expected epoch-nano LongType, " +
+          "TIMESTAMP_NTZ, or TIMESTAMP; extend Tables.normalizeEventsTs " +
+          "for this producer shape")
     }
   }
 

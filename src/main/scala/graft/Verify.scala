@@ -39,6 +39,11 @@ object Verify {
     val pool = java.util.concurrent.Executors.newFixedThreadPool(par)
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutor(pool)
+    // failures must be LOUD in the artifacts, not just stderr: r8's driver
+    // json silently OMITTED 3 analysis-failed queries ("117/117 green"
+    // actually meant 117/120). Collected here, dumped as errors.json +
+    // per-query _FAILED markers below.
+    val errors = new java.util.concurrent.ConcurrentHashMap[String, String]()
     val runs = selected.map { case (name, fn) =>
       scala.concurrent.Future {
         val t0 = System.nanoTime()
@@ -58,30 +63,50 @@ object Verify {
             f"[verify] ok $name ${(System.nanoTime() - t0) / 1e9}%.2f s (${done.incrementAndGet()}/$total)")
         } catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          errors.put(name, String.valueOf(e.getMessage))
+          // a marker directory named like the output dir: any scorer that
+          // globs per-query outputs sees the failure by name instead of a
+          // silent absence
+          val marker = Paths.get(s"$outDir/$name/_FAILED")
+          Files.createDirectories(marker.getParent)
+          Files.writeString(marker, String.valueOf(e.getMessage))
         }
       }
     }
     scala.concurrent.Await.result(
       scala.concurrent.Future.sequence(runs), scala.concurrent.duration.Duration.Inf)
     pool.shutdown()
+    // ALWAYS written (empty {} on a clean run) so "no errors.json" is a
+    // diagnosable partial run, never ambiguous with "all green"
+    writeErrorsJson(outDir, errors)
     spark.stop()
   }
 
+  private def writeErrorsJson(
+      outDir: String, errors: java.util.concurrent.ConcurrentHashMap[String, String]): Unit = {
+    import scala.jdk.CollectionConverters._
+    val json = errors.asScala.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"${jsonStr(k)}: ${jsonStr(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/errors.json"), json)
+  }
+
   // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-  // — a tab or CR in builder-authored SQL would otherwise make the
-  // driver's json.load fail and silently zero the round's correctness.
+  // — a tab or CR in builder-authored SQL (or a multi-line exception
+  // message) would otherwise make the driver's json.load fail and silently
+  // zero the round's correctness.
+  private def jsonStr(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
   private def writeOracleJson(outDir: String, keep: String => Boolean): Unit = {
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
     val json = SparkEntry.oracleSql.filter(kv => keep(kv._1))
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) => s"${jsonStr(k)}: ${jsonStr(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
   }
 }

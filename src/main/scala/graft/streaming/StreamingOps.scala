@@ -13,22 +13,23 @@ import org.apache.spark.sql.types._
   */
 object StreamingOps {
 
-  /** The events schema as read from the driver testdata (ts arrives as
-    * nano count under the legacy reader flag and is normalized here).
-    */
-  val eventsSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
-
   /** File-source stream over a *directory* of events parquet files (Spark's
     * FileStreamSource watches directories, never single files; new files
     * appear as micro-batches at scale).
+    *
+    * FileStreamSource needs a declared schema, but the `ts` physical shape
+    * is PRODUCER-controlled (epoch-nanos long, TIMESTAMP_NTZ micros, or
+    * UTC-adjusted — the testdata has shipped more than one of these), so a
+    * hardcoded schema is exactly the portability bug this avoids: infer
+    * the real shape from the files already present, then route through the
+    * same [[graft.Tables.normalizeEventsTs]] the batch loader uses. Batch
+    * and stream therefore see identical instants by construction.
     */
   def eventsStream(spark: SparkSession, path: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream.schema(eventsSchema).parquet(path)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val producerSchema = spark.read.parquet(path).schema
+    graft.Tables.normalizeEventsTs(
+      spark.readStream.schema(producerSchema).parquet(path))
   }
 
   /** §2.J1 tumbling aggregate — identical shape to q_events_tumbling. */
