@@ -466,11 +466,20 @@ object Dedup {
         .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
         // settle the pair join once; nodes/deg and both unrolled
         // iterations re-read it. Measured isolated at sf0.1 (REPS=5,
-        // valid canary, r7): localCheckpoint 2.38 s, cache() 3.20 s,
-        // no settling 4.28 s — the eager checkpoint wins because five
-        // downstream consumers otherwise re-execute or re-scan the
-        // banded self-join.
-        .localCheckpoint()
+        // valid canary) twice: r7 localCheckpoint 2.38 s / cache() 3.20 s /
+        // no settling 4.28 s; re-pinned r9 on Spark 4.1.2 (min reps,
+        // BASELINE.md's outlier-host estimator) 2.22 s / 3.14 s / 4.51 s —
+        // the eager checkpoint wins both times because five downstream
+        // consumers otherwise re-execute or re-scan the banded self-join.
+        // The env knob exists so the next runtime bump re-measures with no
+        // code edit.
+        .transform { e =>
+          sys.env.getOrElse("SPARK_GRAFT_PAGERANK_SETTLE", "checkpoint") match {
+            case "cache" => e.cache()
+            case "none"  => e
+            case _       => e.localCheckpoint()
+          }
+        }
       val nodes = edges.select(col("src").as("nid")).distinct()
       val deg = edges.groupBy(col("src").as("did")).agg(count(lit(1)).as("deg"))
       // ranks carry schema (rid, srank); every name in the join is unique

@@ -155,6 +155,63 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("bounded-lookback as-of over streams equals the batch AsofJoin + staleness filter") {
+    // A TRUE as-of join needs unbounded history — impossible on a stream.
+    // The streaming-shape equivalent is as-of WITH BOUNDED STALENESS:
+    // the watermarked interval join buffers exactly `lookback` of views,
+    // and a per-purchase latest-view finisher picks the as-of match. This
+    // pins that composition against the batch AsofJoin operator with the
+    // same staleness filter applied — the semantics a production stream
+    // actually runs, verified against the exact batch operator.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    def ts(min: Int) = new Timestamp(3600_000L + min * 60_000L)
+    // distinct view timestamps per user: as-of tie-ordering between
+    // equal-ts right rows is unspecified in BOTH shapes, so don't plant one
+    val viewRows = Seq((100L, ts(0), 1L), (101L, ts(20), 1L),
+      (102L, ts(25), 2L), (103L, ts(28), 2L), (104L, ts(5), 3L))
+    // user 3's only view is 45 min stale at purchase time — bounded
+    // staleness must drop it in both shapes
+    val purchaseRows = Seq((200L, ts(30), 1L), (201L, ts(29), 2L), (202L, ts(50), 3L))
+
+    val purchases = MemoryStream[(Long, Timestamp, Long)]
+    val views = MemoryStream[(Long, Timestamp, Long)]
+    def df(m: MemoryStream[(Long, Timestamp, Long)]) =
+      m.toDF.toDF("event_id", "ts", "user_id")
+    val q = StreamingOps.purchasesWithRecentViews(df(purchases), df(views))
+      .writeStream.format("memory").queryName("asof_stream")
+      .outputMode("append").start()
+    val streamed = try {
+      views.addData(viewRows: _*)
+      purchases.addData(purchaseRows: _*)
+      q.processAllAvailable()
+      // sentinels push both watermarks past every buffered event so the
+      // append-mode interval join emits everything
+      views.addData((998L, ts(300), 9L))
+      purchases.addData((999L, ts(300), 9L))
+      q.processAllAvailable()
+      spark.table("asof_stream")
+        .filter(col("purchase_id") < 900L)
+        .groupBy("purchase_id")
+        .agg(max_by(col("view_id"), col("v_ts")).as("view_id"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    } finally q.stop()
+
+    val batch = operators.AsofJoin.leftAsof(
+        purchaseRows.toDF("event_id", "ts", "user_id").select("user_id", "ts", "event_id"),
+        viewRows.toDF("event_id", "ts", "user_id").select("user_id", "ts", "event_id"),
+        key = "user_id", leftTs = "ts", rightTs = "ts",
+        rightCols = Seq("event_id" -> "view_id", "ts" -> "view_ts"))
+      .filter(col("view_id").isNotNull &&
+        col("view_ts") >= col("ts") - expr("INTERVAL 30 minutes"))
+      .select(col("event_id"), col("view_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    assert(batch == Map(200L -> 101L, 201L -> 103L), "batch as-of planting failed")
+    assert(streamed == batch,
+      s"stream as-of $streamed diverges from batch AsofJoin $batch")
+  }
+
   test("dropDuplicatesWithinWatermark dedups within the state horizon") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
