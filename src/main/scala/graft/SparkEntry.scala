@@ -24,6 +24,7 @@ object SparkEntry {
     ext.Mmr.queries ++
     ext.Similarity.queries ++
     ext.TextAnalysis.queries ++
+    ext.Bpe.queries ++
     ext.Multimodal.queries
 
   private lazy val byName: Map[String, Q] =

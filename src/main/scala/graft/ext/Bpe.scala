@@ -1,0 +1,159 @@
+package graft.ext
+
+import graft.{CacheTracker, Q, Tables}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** In-engine BPE tokenizer training (SURVEY.md §2.I4 extension): the first
+  * merge rounds of byte-pair encoding learned FROM the corpus, plus the
+  * serving-path application of the learned merges — the tokenizer-training
+  * step of an LLM data pipeline, run as relational operators.
+  *
+  * Shape (the one that survives 100 TB):
+  *
+  *   1. ONE corpus-size pass: whitespace tokens → word-frequency table.
+  *      This is the only step that touches every byte; its shuffle is
+  *      bounded by the VOCABULARY, not the corpus (classic word-count).
+  *   2. Every training round then operates on the vocab-sized word table:
+  *      adjacent symbol-pair counts weighted by word frequency → global
+  *      argmax pair (ONE driver row per round — same bounded-collect
+  *      pattern as the classifier's GD scalars) → merge applied to the
+  *      word encodings. Real BPE trainers (e.g. the original Sennrich
+  *      implementation) work on word-frequency tables for exactly this
+  *      reason.
+  *   3. Serving: the trained word table IS the lookup artifact — applying
+  *      the tokenizer to the corpus is an equi-join against it (broadcast
+  *      when the vocab fits, hash otherwise), never a re-derivation.
+  *
+  * The merge step is pure string algebra, identical in both engines: a
+  * word's symbol sequence is encoded as `SEP || sym || SEP || sym …` (SEP
+  * before EVERY symbol), so merging pair (a,b) is
+  * `replace(enc, SEP a SEP b, SEP a b)`. Both engines' `replace` scans
+  * left-to-right over non-overlapping occurrences and resumes AFTER the
+  * replacement, which reproduces BPE's greedy left-to-right merge ("aaa"
+  * with pair (a,a) → "aa","a"), and the leading-separator encoding means a
+  * match never consumes the NEXT pair's boundary ("abab" merges to
+  * "ab","ab", not once). A match always aligns to a symbol start (SEP
+  * occurs nowhere else), and the full symbol must equal `a` (its end is
+  * the next SEP) — no substring false-positives against multi-char
+  * symbols. Ties on pair count break lexicographically in both engines.
+  */
+object Bpe {
+  /** Symbol separator: a control char that tokenizable text never
+    * contains. Tokens carrying it are excluded from training AND
+    * application (both engines), so the algebra above can't be broken by
+    * adversarial input.
+    */
+  val Sep = "\u0001"
+  val Rounds = 4
+
+  import TextHash.{tokens, tokensSql}
+
+  /** Word-frequency table with the initial per-character encoding. */
+  def wordTable(docs: DataFrame): DataFrame =
+    docs.select(explode(tokens(col("text"))).as("w"))
+      .filter(!col("w").contains(Sep))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .withColumn("enc", regexp_replace(col("w"), "(.)", Sep + "$1"))
+
+  /** Adjacent symbol-pair counts over the (vocab-sized) word table.
+    * `split` on SEP yields ["", s1, …, sk]; pairs are (pos i, pos i+1)
+    * for i = 2..n-1 via two shifted `slice` views zipped (the same
+    * no-capture shape as TextHash.shinglesFromTokens).
+    */
+  def pairCounts(enc: DataFrame): DataFrame = {
+    val syms = split(col("enc"), Sep)
+    enc.filter(size(split(col("enc"), Sep)) >= 3)
+      .select(col("freq"), explode(arrays_zip(
+        slice(syms, lit(2), size(syms) - 2),
+        slice(syms, lit(3), size(syms) - 2))).as("p"))
+      .select(col("p.0").as("l"), col("p.1").as("r"), col("freq"))
+      .groupBy("l", "r").agg(sum(col("freq")).cast("long").as("cnt"))
+  }
+
+  /** Train `rounds` merges; returns (merge table DF, final word table).
+    * The merge table is the union of each round's engine-computed argmax
+    * row; the per-round driver collect feeds the NEXT round's merge as a
+    * literal (1 row/round — bounded like the GD gradient collects).
+    */
+  def train(docs: DataFrame, rounds: Int = Rounds): (DataFrame, DataFrame) = {
+    var words = CacheTracker.cached(wordTable(docs))
+    val merges = (1 to rounds).map { i =>
+      val top = CacheTracker.cached(
+        pairCounts(words)
+          .orderBy(col("cnt").desc, col("l").asc, col("r").asc).limit(1))
+      val Row(l: String, r: String, _) = top.head()
+      words = words.withColumn("enc",
+        replace(col("enc"), lit(Sep + l + Sep + r), lit(Sep + l + r)))
+      top.select(lit(i).as("round"), col("l").as("left_sym"),
+                 col("r").as("right_sym"), col("cnt").as("pair_count"))
+    }
+    (merges.reduce(_.unionAll(_)).orderBy("round"), words)
+  }
+
+  /** Oracle CTE chain replaying the identical training relationally:
+    * pc_i (pair counts) → m_i (argmax, LIMIT 1) → e_i (merge applied via
+    * a 1-row CROSS JOIN — the scalar-broadcast shape).
+    */
+  private def trainingCtes(rounds: Int): String = {
+    val perRound = (1 to rounds).map { i =>
+      s"""p$i AS (SELECT string_split(enc, chr(1)) AS syms, freq FROM e${i - 1}),
+         |pc$i AS (
+         |  SELECT syms[i] AS l, syms[i + 1] AS r, CAST(sum(freq) AS BIGINT) AS cnt
+         |  FROM p$i, unnest(range(2, len(syms))) AS t(i)
+         |  GROUP BY 1, 2
+         |),
+         |m$i AS (SELECT l, r, cnt FROM pc$i ORDER BY cnt DESC, l, r LIMIT 1),
+         |e$i AS (
+         |  SELECT w, replace(enc, chr(1) || l || chr(1) || r, chr(1) || l || r) AS enc, freq
+         |  FROM e${i - 1} CROSS JOIN m$i
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""toks AS (SELECT ${tokensSql("text")} AS ts FROM documents),
+       |w AS (
+       |  SELECT t AS w, count(*) AS freq
+       |  FROM (SELECT unnest(ts) AS t FROM toks)
+       |  WHERE NOT contains(t, chr(1)) GROUP BY 1
+       |),
+       |e0 AS (SELECT w, regexp_replace(w, '(.)', chr(1) || '\\1', 'g') AS enc, freq FROM w),
+       |$perRound""".stripMargin
+  }
+
+  val queries: Seq[Q] = Seq(
+
+    // ---- BPE merge training: the learned merges themselves ----
+    Q("q_text_bpe_merges", {
+      val sel = (1 to Rounds).map(i =>
+        s"SELECT $i AS round, l AS left_sym, r AS right_sym, cnt AS pair_count FROM m$i")
+        .mkString("\nUNION ALL ")
+      s"""WITH ${trainingCtes(Rounds)}
+         |SELECT * FROM ($sel) ORDER BY round""".stripMargin
+    }) { (s, d) =>
+      train(Tables.documents(s, d))._1
+    },
+
+    // ---- serving path: trained vocab applied to the corpus by lookup ----
+    // Compression audit per document: token count and post-merge symbol
+    // count. The trained word table is the tokenizer artifact — application
+    // is one equi-join against it (vocab-sized build side), NOT a re-walk
+    // of the merge algebra per document.
+    Q("q_text_bpe_apply",
+      s"""WITH ${trainingCtes(Rounds)}
+         |SELECT doc_id, count(*) AS n_tokens,
+         |  CAST(sum(len(string_split(e$Rounds.enc, chr(1))) - 1) AS BIGINT) AS n_syms
+         |FROM (SELECT doc_id, unnest(${tokensSql("text")}) AS w FROM documents) d
+         |JOIN e$Rounds USING (w)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val vocab = train(docs)._2
+        .select(col("w"), (size(split(col("enc"), Sep)) - 1).as("n_syms_tok"))
+      docs.select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+        .filter(!col("w").contains(Sep))
+        .join(vocab, Seq("w"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+             sum(col("n_syms_tok")).cast("long").as("n_syms"))
+        .orderBy("doc_id")
+    }
+  )
+}

@@ -181,6 +181,29 @@ class PlanAuditSpec extends AnyFunSuite {
       s"vec_id probe filter not pushed to embeddings scan:\n$topk")
   }
 
+  test("events ts normalizer does not block pushdown or pruning on the events scan") {
+    // normalizeEventsTs rewrites `ts` right after the scan; Catalyst must
+    // still push OTHER-column predicates into the parquet reader and prune
+    // unused columns through the rewrite — at 100 TB an events scan that
+    // loses pushdown because of a timestamp cast reads the whole table.
+    val asof = queryPlan("q_events_asof")
+    assert(asof.contains("EqualTo(event_type,purchase)"),
+      s"event_type filter not pushed through the ts normalizer:\n$asof")
+    spark.catalog.clearCache()
+    // q_events_enrich touches ts? no — (user_id, event_type, value) only;
+    // the events ReadSchema must not pick up props/event_id through the
+    // normalizer's withColumn
+    val enrich = queryPlan("q_events_enrich")
+    val reads = "ReadSchema: [^\n]*".r.findAllIn(enrich)
+      .filter(_.contains("event_type")).toSeq
+    assert(reads.nonEmpty, s"no events ReadSchema found:\n$enrich")
+    Seq("props", "event_id").foreach { c =>
+      assert(!reads.exists(_.contains(c)),
+        s"q_events_enrich reads unused column '$c': ${reads.mkString("; ")}")
+    }
+    spark.catalog.clearCache()
+  }
+
   test("column pruning: text scorers read only the columns they use") {
     // The documents table carries (doc_id, text, lang, source, n_chars);
     // a 100 TB scan that reads all five for a two-column query doubles its
