@@ -626,6 +626,47 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("BPE token-count gate on a stream equals the batch apply (vocab lookup join)") {
+    // the trained BPE word table is a frozen artifact like the classifier
+    // weights: applying it to a stream is a stream-static equi-join (plus
+    // the stateless explode), so per-document symbol counts must match the
+    // batch q_text_bpe_apply shape exactly — the admission-gate pattern
+    // ("drop documents that compress too well / too poorly") on live data
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.ext.{Bpe, TextHash}
+    val ref = Seq((0L, "abab abab abc abc abc"), (1L, "aaa aa xy xy zq"))
+      .toDF("doc_id", "text")
+    val (_, words) = Bpe.train(ref, rounds = 2)
+    val vocab = words.select(col("w"),
+      (size(split(col("enc"), Bpe.Sep)) - 1).as("n_syms_tok"))
+
+    val incoming = Seq((10L, "abc abab xy"), (11L, "aaa zq zq unseen"))
+    def applied(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id"), explode(TextHash.tokens(col("text"))).as("w"))
+      .join(vocab, Seq("w"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum("n_syms_tok").as("n_syms"))
+
+    val mem = MemoryStream[(Long, String)]
+    val q = applied(mem.toDF.toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("bpe_gate")
+      .outputMode("complete").start()
+    val streamed = try {
+      mem.addData(incoming: _*)
+      q.processAllAvailable()
+      spark.table("bpe_gate").collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    } finally q.stop()
+    val batch = applied(incoming.toDF("doc_id", "text")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(streamed == batch, s"stream $streamed vs batch $batch")
+    // out-of-vocab token ("unseen") drops out of BOTH paths identically;
+    // in-vocab counts reflect the learned merges (abc -> 1 symbol after
+    // round 2 in the planted corpus)
+    assert(batch(10L)._1 == 3L)
+  }
+
   test("DSIR inline score equals the batch operator's logw exactly") {
     import spark.implicits._
     import graft.ext.Dsir
