@@ -52,7 +52,14 @@ object ScaleCheck {
     // the composed funnel (shingle join + content-hash window) and MMR
     // (fixed 5-probe pool: candidate scan linear in N, rerank stages on
     // the fixed top-20 pool)
-    "q_curation_report", "q_embed_mmr")
+    "q_curation_report", "q_embed_mmr",
+    // BPE training: one corpus-size word count + vocab-bounded merge
+    // rounds. NOTE the synthesizer's per-copy token tagging makes the
+    // vocabulary grow LINEARLY with copies (every copy's words are
+    // distinct) — the adversarial worst case for a vocab-bounded
+    // operator; real corpora grow vocab ~N^0.5 (Heaps), so the measured
+    // exponent here UPPER-bounds production behavior
+    "q_text_bpe_merges")
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
