@@ -182,6 +182,51 @@ object Multimodal {
       struct(octet_length(col("text")).as("n_bytes"),
              col("source").as("format")).as("meta"))
 
+  /** Aspect-preserving fit of (w, h) inside maxDim — integer arithmetic
+    * only, so the oracle reproduces it exactly.
+    */
+  def resizeFit(w: Int, h: Int, maxDim: Int): (Int, Int) = {
+    val m = math.max(w, h)
+    if (m <= maxDim) (w, h)
+    else (math.max(1, w * maxDim / m), math.max(1, h * maxDim / m))
+  }
+
+  /** REAL image resize over the binary column: ImageIO decode (pure JDK —
+    * the same codecs that authored the fixture bytes), nearest-neighbor
+    * downscale into a fresh raster (`src = dst * srcDim / outDim`, floor),
+    * and a checksum over the RESIZED raster's 24-bit pixels as the
+    * verifiable evidence. One `mapPartitions` pass, partitioning
+    * preserved, O(pixels) per blob — the decode/resize seam a production
+    * pipeline fills with its codec of choice, except here the PNG path is
+    * already fully real.
+    */
+  def resizeTable(media: DataFrame, maxDim: Int): DataFrame = {
+    val s = media.sparkSession
+    import s.implicits._
+    media.select(col("doc_id"), col("blob")).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        val (w, h) = (img.getWidth, img.getHeight)
+        val (ow, oh) = resizeFit(w, h, maxDim)
+        val out = new java.awt.image.BufferedImage(
+          ow, oh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var sum = 0L
+        var dy = 0
+        while (dy < oh) {
+          var dx = 0
+          while (dx < ow) {
+            val p = img.getRGB(dx * w / ow, dy * h / oh) & 0xffffff
+            out.setRGB(dx, dy, p)
+            sum += (out.getRGB(dx, dy) & 0xffffff) // read back the resized raster
+            dx += 1
+          }
+          dy += 1
+        }
+        (id, ow, oh, sum)
+      })
+      .toDF("doc_id", "out_w", "out_h", "pix_sum")
+  }
+
   /** Partition-parallel featurize: the one deliberate `mapPartitions` in the
     * engine (per-row imperative decode, SURVEY.md §2 preference order (d)).
     * Input partitioning is preserved; no shuffle.
@@ -238,6 +283,48 @@ object Multimodal {
           (id, encodeImage(w, h, kinds((id % 5).toInt)))
         }).toDF("doc_id", "blob")
       headerTable(media).orderBy("doc_id")
+    },
+
+    // ---- REAL pixel resize over genuine image bytes ----
+    // Same fixture scheme as q_multimodal_headers (real ImageIO-encoded
+    // bytes, dimensions derived from doc_id), decoded back by ImageIO and
+    // nearest-neighbor-resized to fit maxDim=8. The oracle reproduces the
+    // output dimensions AND — for the losslessly-round-tripping RGB/ARGB
+    // PNG kinds — the exact pixel checksum of the resized raster, because
+    // the fixture fill (x*31 + y*17, < 2^24 at these sizes) makes every
+    // resized pixel `srcX*31 + srcY*17` with srcX = dstX*w div outW. The
+    // JPEG kinds are lossy and the gray kind round-trips through a
+    // colorspace transform, so their checksums are NULL by declaration —
+    // dims (the resize contract) are still verified for all five kinds.
+    Q("q_multimodal_resize",
+      """WITH d2 AS (
+        |  SELECT doc_id, 16 + doc_id % 32 AS w, 8 + doc_id % 16 AS h,
+        |    greatest(1, (16 + doc_id % 32) * 8 // greatest(16 + doc_id % 32, 8 + doc_id % 16)) AS out_w,
+        |    greatest(1, (8 + doc_id % 16) * 8 // greatest(16 + doc_id % 32, 8 + doc_id % 16)) AS out_h
+        |  FROM documents WHERE doc_id < 60
+        |),
+        |pix AS (
+        |  SELECT doc_id, sum((dx * w // out_w) * 31 + (dy * h // out_h) * 17) AS s
+        |  FROM d2, unnest(range(out_w)) AS t1(dx), unnest(range(out_h)) AS t2(dy)
+        |  GROUP BY doc_id
+        |)
+        |SELECT d2.doc_id, CAST(out_w AS INT) AS out_w, CAST(out_h AS INT) AS out_h,
+        |  CASE WHEN d2.doc_id % 5 IN (0, 2) THEN CAST(p.s AS BIGINT) END AS pix_sum
+        |FROM d2 LEFT JOIN pix p USING (doc_id) ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val kinds = IndexedSeq("png_rgb", "jpeg_gray", "png_argb", "jpeg_rgb", "png_gray")
+      val media = Tables.documents(s, d).filter(col("doc_id") < 60)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val w = 16 + (id % 32).toInt
+          val h = 8 + (id % 16).toInt
+          (id, encodeImage(w, h, kinds((id % 5).toInt)))
+        }).toDF("doc_id", "blob")
+      resizeTable(media, maxDim = 8)
+        .select(col("doc_id"), col("out_w"), col("out_h"),
+          when(col("doc_id") % 5 === 0 || col("doc_id") % 5 === 2, col("pix_sum"))
+            .cast("long").as("pix_sum"))
+        .orderBy("doc_id")
     },
 
     // ---- metadata extraction over the binary column (SQL-checkable) ----

@@ -97,4 +97,31 @@ class MultimodalHeaderSpec extends AnyFunSuite {
     val plan = Multimodal.headerTable(media).queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"headerTable should not shuffle:\n$plan")
   }
+
+  test("resizeFit: aspect-preserving integer fit, never zero") {
+    assert(Multimodal.resizeFit(16, 8, 8) == (8, 4))
+    assert(Multimodal.resizeFit(8, 16, 8) == (4, 8))
+    assert(Multimodal.resizeFit(6, 4, 8) == (6, 4))   // already fits: untouched
+    assert(Multimodal.resizeFit(100, 1, 8) == (8, 1)) // thin strip floors to >= 1
+    assert(Multimodal.resizeFit(1, 100, 8) == (1, 8))
+    assert(Multimodal.resizeFit(47, 23, 8) == (8, 3)) // fixture worst case
+  }
+
+  test("resizeTable: real PNG decode + nearest-neighbor resize with exact pixels") {
+    val spark = SparkSuite.spark
+    import spark.implicits._
+    // 16x8 RGB PNG with fill (x*31 + y*17): the 8x4 NN resize picks
+    // src = dst*2 on both axes, so every resized pixel is exactly
+    // (2dx*31 + 2dy*17) — checksum computable by hand
+    val media = Seq((1L, Multimodal.encodeImage(16, 8, "png_rgb")))
+      .toDF("doc_id", "blob")
+    val r = Multimodal.resizeTable(media, maxDim = 8).collect().head
+    assert((r.getInt(1), r.getInt(2)) == (8, 4))
+    val expected = (for { dy <- 0 until 4; dx <- 0 until 8 }
+      yield (2 * dx * 31 + 2 * dy * 17).toLong).sum
+    assert(r.getLong(3) == expected, s"pix_sum ${r.getLong(3)} != $expected")
+    // and partition-local, like every multimodal decode pass
+    val plan = Multimodal.resizeTable(media, 8).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"resizeTable should not shuffle:\n$plan")
+  }
 }
