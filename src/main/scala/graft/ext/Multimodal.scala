@@ -182,6 +182,95 @@ object Multimodal {
       struct(octet_length(col("text")).as("n_bytes"),
              col("source").as("format")).as("meta"))
 
+  /** Parsed audio container header: routing/cost metadata per blob, the
+    * audio analogue of [[MediaHeader]].
+    */
+  final case class WavHeader(sampleRate: Int, channels: Int, bits: Int,
+                             nFrames: Long)
+
+  /** Pure-JVM RIFF/WAVE header parser — the audio sibling of
+    * [[ImageHeaders]]: validates the RIFF/WAVE magic, then walks chunks
+    * (word-aligned, per the RIFF spec's odd-size pad byte) to the `fmt `
+    * fields and the `data` payload size. O(header) per blob, no codec.
+    */
+  object WavHeaders {
+    private def le16(b: Array[Byte], i: Int): Int =
+      (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+    private def le32(b: Array[Byte], i: Int): Long =
+      (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) |
+        ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
+    private def tag(b: Array[Byte], i: Int): String =
+      new String(b, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+    def parse(b: Array[Byte]): Option[WavHeader] = {
+      if (b.length < 44 || tag(b, 0) != "RIFF" || tag(b, 8) != "WAVE") return None
+      var pos = 12
+      var rate = -1; var ch = -1; var bits = -1; var blockAlign = -1
+      var dataBytes = -1L
+      while (pos + 8 <= b.length) {
+        val id = tag(b, pos)
+        val size = le32(b, pos + 4)
+        if (id == "fmt " && pos + 24 <= b.length) {
+          ch = le16(b, pos + 10)
+          rate = le32(b, pos + 12).toInt
+          blockAlign = le16(b, pos + 20)
+          bits = le16(b, pos + 22)
+        } else if (id == "data") dataBytes = size
+        pos += 8 + size.toInt + (size.toInt & 1) // RIFF chunks word-align
+      }
+      if (rate > 0 && ch > 0 && bits > 0 && blockAlign > 0 && dataBytes >= 0)
+        Some(WavHeader(rate, ch, bits, dataBytes / blockAlign))
+      else None
+    }
+  }
+
+  /** Real-bytes audio fixture: 16-bit PCM frames written through the JDK's
+    * own javax.sound WAVE encoder (genuine RIFF/WAVE/fmt/data stream) —
+    * the audio analogue of [[encodeImage]]. Deterministic sample fill per
+    * (sampleRate, channels, nFrames).
+    */
+  def encodeWav(sampleRate: Int, channels: Int, nFrames: Int): Array[Byte] = {
+    import javax.sound.sampled._
+    val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+      sampleRate.toFloat, 16, channels, channels * 2, sampleRate.toFloat,
+      /* bigEndian = */ false)
+    val pcm = new Array[Byte](nFrames * channels * 2)
+    var off = 0
+    var i = 0
+    while (i < nFrames) {
+      var c = 0
+      while (c < channels) {
+        val v = (i * 31 + c * 17) & 0x7fff
+        pcm(off) = (v & 0xff).toByte
+        pcm(off + 1) = ((v >> 8) & 0xff).toByte
+        off += 2; c += 1
+      }
+      i += 1
+    }
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Header-extraction plumbing for audio blobs: one `mapPartitions` pass,
+    * nulls for unparseable payloads — identical shape to [[headerTable]].
+    */
+  def wavHeaderTable(media: DataFrame): DataFrame = {
+    val s = media.sparkSession
+    import s.implicits._
+    media.select(col("doc_id"), col("blob")).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        WavHeaders.parse(bytes) match {
+          case Some(h) => (id, Some(h.sampleRate), Some(h.channels),
+                           Some(h.bits), Some(h.nFrames))
+          case None    => (id, None, None, None, None)
+        }
+      })
+      .toDF("doc_id", "sample_rate", "n_channels", "bits", "n_frames")
+  }
+
   /** Aspect-preserving fit of (w, h) inside maxDim — integer arithmetic
     * only, so the oracle reproduces it exactly.
     */
@@ -283,6 +372,38 @@ object Multimodal {
           (id, encodeImage(w, h, kinds((id % 5).toInt)))
         }).toDF("doc_id", "blob")
       headerTable(media).orderBy("doc_id")
+    },
+
+    // ---- REAL audio-container header decode over genuine WAV bytes ----
+    // The audio leg of the multimodal surface, mirroring
+    // q_multimodal_headers: fixture bytes are genuine RIFF/WAVE streams
+    // written by the JDK's own javax.sound encoder (real fmt/data chunk
+    // layout), parsed back by the pure-JVM [[WavHeaders]] chunk walk. The
+    // oracle derives sample rate / channels / frame count / duration
+    // independently from doc_id, so an encoder-layout or parser error
+    // surfaces as a hash mismatch. duration_us is integral (micros) so
+    // both engines agree bit-exactly.
+    Q("q_multimodal_audio",
+      """SELECT doc_id,
+        |  CAST(8000 + (doc_id % 4) * 4000 AS INT) AS sample_rate,
+        |  CAST(1 + doc_id % 2 AS INT) AS n_channels,
+        |  CAST(16 AS INT) AS bits,
+        |  CAST(100 + doc_id % 50 AS BIGINT) AS n_frames,
+        |  CAST((100 + doc_id % 50) * 1000000 // (8000 + (doc_id % 4) * 4000) AS BIGINT) AS duration_us
+        |FROM documents WHERE doc_id < 60 ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val media = Tables.documents(s, d).filter(col("doc_id") < 60)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val rate = 8000 + (id % 4).toInt * 4000
+          val ch = 1 + (id % 2).toInt
+          val frames = 100 + (id % 50).toInt
+          (id, encodeWav(rate, ch, frames))
+        }).toDF("doc_id", "blob")
+      wavHeaderTable(media)
+        .withColumn("duration_us",
+          expr("n_frames * 1000000 div sample_rate").cast("long"))
+        .orderBy("doc_id")
     },
 
     // ---- REAL pixel resize over genuine image bytes ----

@@ -98,6 +98,45 @@ class MultimodalHeaderSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"headerTable should not shuffle:\n$plan")
   }
 
+  test("WAV round-trip: javax.sound-encoded bytes parse to the encoded parameters") {
+    for {
+      rate <- Seq(8000, 16000, 44100)
+      ch <- Seq(1, 2)
+      frames <- Seq(1, 150, 4096)
+    } {
+      val bytes = Multimodal.encodeWav(rate, ch, frames)
+      // genuine RIFF/WAVE stream, magic included
+      assert(bytes(0) == 'R' && bytes(1) == 'I' && bytes(8) == 'W')
+      assert(Multimodal.WavHeaders.parse(bytes) ===
+        Some(Multimodal.WavHeader(rate, ch, 16, frames.toLong)),
+        s"wav $rate Hz x$ch $frames frames")
+    }
+  }
+
+  test("WAV parser: golden 44-byte PCM layout, odd-chunk padding, garbage tolerance") {
+    // hand-built canonical header pins the byte offsets the parser reads
+    def le16(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def le32(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def chunk(tag: String, body: Array[Byte]) =
+      tag.getBytes("US-ASCII") ++ le32(body.length) ++ body ++
+        (if (body.length % 2 == 1) Array(0.toByte) else Array.empty[Byte])
+    val fmt = chunk("fmt ", le16(1) ++ le16(2) ++ le32(22050) ++
+      le32(22050 * 4) ++ le16(4) ++ le16(16))
+    // an odd-sized LIST chunk BEFORE data: the walk must pad to the word
+    // boundary or it misreads every later tag
+    val list = chunk("LIST", Array.fill(7)(0x55.toByte))
+    val data = chunk("data", new Array[Byte](40)) // 10 frames x blockAlign 4
+    val body = "WAVE".getBytes("US-ASCII") ++ fmt ++ list ++ data
+    val wav = "RIFF".getBytes("US-ASCII") ++ le32(body.length) ++ body
+    assert(Multimodal.WavHeaders.parse(wav) ===
+      Some(Multimodal.WavHeader(22050, 2, 16, 10L)))
+    // negatives: truncation and non-RIFF payloads yield None, not throws
+    assert(Multimodal.WavHeaders.parse(wav.take(30)) === None)
+    assert(Multimodal.WavHeaders.parse("not audio at all".getBytes) === None)
+    assert(Multimodal.WavHeaders.parse(Multimodal.encodeImage(8, 8, "png_rgb")) === None)
+  }
+
   test("resizeFit: aspect-preserving integer fit, never zero") {
     assert(Multimodal.resizeFit(16, 8, 8) == (8, 4))
     assert(Multimodal.resizeFit(8, 16, 8) == (4, 8))
