@@ -271,6 +271,113 @@ object Multimodal {
       .toDF("doc_id", "sample_rate", "n_channels", "bits", "n_frames")
   }
 
+  /** Parsed MP4/ISO-BMFF movie header: the video analogue of
+    * [[MediaHeader]]/[[WavHeader]] — timing + track inventory, enough to
+    * cost-model frame extraction without touching a codec.
+    */
+  final case class Mp4Header(version: Int, timescale: Long, duration: Long,
+                             nTracks: Int)
+
+  /** Pure-JVM ISO-BMFF box walk — the video sibling of [[ImageHeaders]] /
+    * [[WavHeaders]]: requires a leading `ftyp` box, walks top-level boxes
+    * to `moov`, then `moov`'s children for `mvhd` (both version 0 with
+    * 32-bit times and version 1 with 64-bit times, per ISO/IEC 14496-12
+    * §8.2.2) and the `trak` count. O(header) per blob; 64-bit/to-end box
+    * sizes (size 0/1) are treated as unparseable rather than guessed.
+    */
+  object Mp4Headers {
+    private def be32(b: Array[Byte], i: Int): Long =
+      ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
+        ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
+    private def be64(b: Array[Byte], i: Int): Long =
+      (be32(b, i) << 32) | be32(b, i + 4)
+    private def tag(b: Array[Byte], i: Int): String =
+      new String(b, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+    def parse(b: Array[Byte]): Option[Mp4Header] = {
+      if (b.length < 16 || tag(b, 4) != "ftyp") return None
+      var pos = 0
+      var moovStart = -1L
+      var moovEnd = -1L
+      while (pos + 8 <= b.length) {
+        val size = be32(b, pos)
+        if (size < 8 || pos + size > b.length) return None
+        if (tag(b, pos + 4) == "moov") { moovStart = pos + 8L; moovEnd = pos + size }
+        pos += size.toInt
+      }
+      if (moovStart < 0) return None
+      var p = moovStart.toInt
+      var hdr: Option[(Int, Long, Long)] = None
+      var tracks = 0
+      while (p + 8 <= moovEnd) {
+        val size = be32(b, p)
+        if (size < 8 || p + size > moovEnd) return None
+        tag(b, p + 4) match {
+          case "mvhd" =>
+            val body = p + 8
+            val v = b(body) & 0xff
+            hdr = v match {
+              case 0 if body + 20 <= moovEnd =>
+                Some((0, be32(b, body + 12), be32(b, body + 16)))
+              case 1 if body + 32 <= moovEnd =>
+                Some((1, be32(b, body + 20), be64(b, body + 24)))
+              case _ => return None
+            }
+          case "trak" => tracks += 1
+          case _ => ()
+        }
+        p += size.toInt
+      }
+      hdr.collect { case (v, ts, dur) if ts > 0 => Mp4Header(v, ts, dur, tracks) }
+    }
+  }
+
+  /** Spec-conformant minimal MP4 fixture (ISO/IEC 14496-12 box layout,
+    * hand-built to the byte — the same golden-bytes stance as the WAV
+    * parser's layout test, since the JDK ships no MP4 encoder): `ftyp`
+    * (isom) + `moov` containing an mvhd of the requested version and
+    * `nTracks` track stubs.
+    */
+  def encodeMp4(version: Int, timescale: Long, duration: Long,
+                nTracks: Int): Array[Byte] = {
+    def be32(v: Long) = Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def be64(v: Long) = be32(v >>> 32) ++ be32(v & 0xffffffffL)
+    def box(typ: String, body: Array[Byte]): Array[Byte] =
+      be32(body.length + 8L) ++ typ.getBytes("US-ASCII") ++ body
+    val ftyp = box("ftyp", "isom".getBytes ++ be32(512) ++ "isom".getBytes ++ "iso2".getBytes)
+    val mvhdBody: Array[Byte] = version match {
+      case 0 => Array(0.toByte, 0.toByte, 0.toByte, 0.toByte) ++
+        be32(0) ++ be32(0) ++ be32(timescale) ++ be32(duration) ++
+        new Array[Byte](80) // rate..next_track_ID defaults, zeroed
+      case 1 => Array(1.toByte, 0.toByte, 0.toByte, 0.toByte) ++
+        be64(0) ++ be64(0) ++ be32(timescale) ++ be64(duration) ++
+        new Array[Byte](80)
+      case other => sys.error(s"mvhd version $other")
+    }
+    val traks = (0 until nTracks).map(i => box("trak", be32(i.toLong)))
+      .foldLeft(Array.empty[Byte])(_ ++ _)
+    ftyp ++ box("moov", box("mvhd", mvhdBody) ++ traks)
+  }
+
+  /** Header-extraction plumbing for video blobs: one `mapPartitions`
+    * pass, nulls for unparseable payloads — same shape as
+    * [[headerTable]]/[[wavHeaderTable]].
+    */
+  def mp4HeaderTable(media: DataFrame): DataFrame = {
+    val s = media.sparkSession
+    import s.implicits._
+    media.select(col("doc_id"), col("blob")).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        Mp4Headers.parse(bytes) match {
+          case Some(h) => (id, Some(h.version), Some(h.timescale),
+                           Some(h.duration), Some(h.nTracks))
+          case None    => (id, None, None, None, None)
+        }
+      })
+      .toDF("doc_id", "version", "timescale", "duration", "n_tracks")
+  }
+
   /** Aspect-preserving fit of (w, h) inside maxDim — integer arithmetic
     * only, so the oracle reproduces it exactly.
     */
@@ -372,6 +479,36 @@ object Multimodal {
           (id, encodeImage(w, h, kinds((id % 5).toInt)))
         }).toDF("doc_id", "blob")
       headerTable(media).orderBy("doc_id")
+    },
+
+    // ---- MP4/ISO-BMFF movie-header decode (video leg) ----
+    // Completes the image/audio/video triad: spec-conformant minimal MP4
+    // boxes (ftyp + moov/mvhd/trak, both mvhd versions — the JDK ships no
+    // MP4 encoder, so the fixture is golden bytes built to ISO/IEC
+    // 14496-12, the same stance as the WAV layout test) walked by the
+    // pure-JVM [[Mp4Headers]] parser. The oracle derives version,
+    // timescale, duration, track count, and integral micros duration
+    // from doc_id arithmetic.
+    Q("q_multimodal_video",
+      """SELECT doc_id,
+        |  CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS INT) AS version,
+        |  CAST(600 + (doc_id % 5) * 300 AS BIGINT) AS timescale,
+        |  CAST(1200 + doc_id % 600 AS BIGINT) AS duration,
+        |  CAST(1 + doc_id % 3 AS INT) AS n_tracks,
+        |  CAST((1200 + doc_id % 600) * 1000000 // (600 + (doc_id % 5) * 300) AS BIGINT) AS duration_us
+        |FROM documents WHERE doc_id < 60 ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val media = Tables.documents(s, d).filter(col("doc_id") < 60)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val v = if (id % 3 == 0) 1 else 0
+          (id, encodeMp4(v, 600 + (id % 5) * 300, 1200 + id % 600,
+                         1 + (id % 3).toInt))
+        }).toDF("doc_id", "blob")
+      mp4HeaderTable(media)
+        .withColumn("duration_us",
+          expr("duration * 1000000 div timescale").cast("long"))
+        .orderBy("doc_id")
     },
 
     // ---- REAL audio-container header decode over genuine WAV bytes ----

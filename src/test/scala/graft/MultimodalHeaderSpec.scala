@@ -137,6 +137,33 @@ class MultimodalHeaderSpec extends AnyFunSuite {
     assert(Multimodal.WavHeaders.parse(Multimodal.encodeImage(8, 8, "png_rgb")) === None)
   }
 
+  test("MP4 round-trip: both mvhd versions, track counts, 64-bit durations") {
+    for {
+      v <- Seq(0, 1)
+      (ts, dur) <- Seq((600L, 1200L), (90000L, 123456L))
+      tracks <- Seq(0, 1, 3)
+    } {
+      val bytes = Multimodal.encodeMp4(v, ts, dur, tracks)
+      assert(Multimodal.Mp4Headers.parse(bytes) ===
+        Some(Multimodal.Mp4Header(v, ts, dur, tracks)), s"v$v ts=$ts x$tracks")
+    }
+    // version-1 64-bit duration actually uses the high word
+    val big = 5_000_000_000L
+    assert(Multimodal.Mp4Headers.parse(Multimodal.encodeMp4(1, 90000, big, 1))
+      === Some(Multimodal.Mp4Header(1, 90000L, big, 1)))
+  }
+
+  test("MP4 parser negatives: truncation, wrong magic, crafted sizes yield None") {
+    val good = Multimodal.encodeMp4(0, 600, 1200, 1)
+    assert(Multimodal.Mp4Headers.parse(good.take(20)) === None)
+    assert(Multimodal.Mp4Headers.parse("not a video".getBytes) === None)
+    assert(Multimodal.Mp4Headers.parse(Multimodal.encodeWav(8000, 1, 10)) === None)
+    // a box whose declared size runs past the buffer must not be trusted
+    val evil = good.clone()
+    evil(0) = 0x7f.toByte // blow up the ftyp size field
+    assert(Multimodal.Mp4Headers.parse(evil) === None)
+  }
+
   test("resizeFit: aspect-preserving integer fit, never zero") {
     assert(Multimodal.resizeFit(16, 8, 8) == (8, 4))
     assert(Multimodal.resizeFit(8, 16, 8) == (4, 8))
