@@ -43,14 +43,32 @@ object Bench {
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
 
+    // Watchdog: a hung query would otherwise stall the WHOLE artifact
+    // (sequential timing loop) — cancel its job group after the budget
+    // and record it as failed, so one pathological plan costs one entry,
+    // not the round's bench.
+    val timeoutSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_TIMEOUT_SEC", "300").toLong
+    val watchdog = java.util.concurrent.Executors.newSingleThreadScheduledExecutor { r =>
+      val t = new Thread(r, "bench-watchdog"); t.setDaemon(true); t
+    }
+
     // (elapsed, succeeded): a query that throws must never masquerade as a
     // fast measurement — r8's BENCH json recorded 3 analysis-error times as
     // "4-7x wins" because failures were swallowed here
     def once(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Boolean) = {
       val t0 = System.nanoTime()
+      spark.sparkContext.setJobGroup(s"bench-$name", name, interruptOnCancel = true)
+      val kill = watchdog.schedule(new Runnable {
+        def run(): Unit = {
+          System.err.println(s"[bench] $name TIMED OUT after $timeoutSec s — cancelling")
+          // AndFutureJobs — plain cancelJobGroup is not sticky (see Verify)
+          spark.sparkContext.cancelJobGroupAndFutureJobs(s"bench-$name")
+        }
+      }, timeoutSec, java.util.concurrent.TimeUnit.SECONDS)
       val ok =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
         catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e"); false }
+        finally { kill.cancel(false); spark.sparkContext.clearJobGroup() }
       val dt = (System.nanoTime() - t0) / 1e9
       // drop intra-query caches NOW (blocking) and collect the garbage
       // outside the next timed region — otherwise unpersist runs async and

@@ -44,9 +44,28 @@ object Verify {
     // actually meant 117/120). Collected here, dumped as errors.json +
     // per-query _FAILED markers below.
     val errors = new java.util.concurrent.ConcurrentHashMap[String, String]()
+    // Watchdog: a query that HANGS is as artifact-silent as one that
+    // failed used to be (a round-5 driver run was zeroed by exactly one
+    // wall-clock stall). Each query runs under its own Spark job group;
+    // if it exceeds the budget the group is cancelled, the write throws,
+    // and the timeout lands in errors.json by name like any failure.
+    val timeoutSec = sys.env.getOrElse("SPARK_GRAFT_VERIFY_TIMEOUT_SEC", "600").toLong
+    val watchdog = java.util.concurrent.Executors.newSingleThreadScheduledExecutor { r =>
+      val t = new Thread(r, "verify-watchdog"); t.setDaemon(true); t
+    }
     val runs = selected.map { case (name, fn) =>
       scala.concurrent.Future {
         val t0 = System.nanoTime()
+        spark.sparkContext.setJobGroup(s"verify-$name", name, interruptOnCancel = true)
+        val kill = watchdog.schedule(new Runnable {
+          def run(): Unit = {
+            System.err.println(s"[verify] $name TIMED OUT after $timeoutSec s — cancelling")
+            // AndFutureJobs: a multi-job query between jobs at cancel time
+            // would otherwise just launch its next job and run to
+            // completion (observed — plain cancelJobGroup is not sticky)
+            spark.sparkContext.cancelJobGroupAndFutureJobs(s"verify-$name")
+          }
+        }, timeoutSec, java.util.concurrent.TimeUnit.SECONDS)
         // CacheTracker.scope releases EXACTLY the caches this query's
         // builder created, once its write finishes — safe under
         // concurrency, unlike a global clearCache (observed: a concurrent
@@ -62,14 +81,21 @@ object Verify {
           System.err.println(
             f"[verify] ok $name ${(System.nanoTime() - t0) / 1e9}%.2f s (${done.incrementAndGet()}/$total)")
         } catch { case e: Throwable =>
-          System.err.println(s"[verify] $name failed: ${e.getMessage}")
-          errors.put(name, String.valueOf(e.getMessage))
+          val elapsed = (System.nanoTime() - t0) / 1e9
+          val msg =
+            if (elapsed >= timeoutSec) s"timeout after $timeoutSec s (cancelled): ${e.getMessage}"
+            else String.valueOf(e.getMessage)
+          System.err.println(s"[verify] $name failed: $msg")
+          errors.put(name, msg)
           // a marker directory named like the output dir: any scorer that
           // globs per-query outputs sees the failure by name instead of a
           // silent absence
           val marker = Paths.get(s"$outDir/$name/_FAILED")
           Files.createDirectories(marker.getParent)
-          Files.writeString(marker, String.valueOf(e.getMessage))
+          Files.writeString(marker, msg)
+        } finally {
+          kill.cancel(false)
+          spark.sparkContext.clearJobGroup()
         }
       }
     }
