@@ -667,6 +667,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch(10L)._1 == 3L)
   }
 
+  test("multimodal header decode on a stream equals batch (image, audio, video)") {
+    // all three header parsers are stateless per-row decodes inside
+    // mapPartitions, so they run unchanged over a stream — the ingest
+    // shape of a production media pipeline (catalog blobs as they land)
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.ext.Multimodal
+    val blobs = Seq(
+      (1L, Multimodal.encodeImage(20, 10, "png_rgb")),
+      (2L, Multimodal.encodeWav(16000, 2, 150)),
+      (3L, Multimodal.encodeMp4(1, 90000, 123456L, 2)),
+      (4L, "not media".getBytes("UTF-8")))
+
+    def collectTable(name: String) =
+      spark.table(name).collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    def pin(name: String, table: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): Unit = {
+      val mem = MemoryStream[(Long, Array[Byte])]
+      val q = table(mem.toDF.toDF("doc_id", "blob"))
+        .writeStream.format("memory").queryName(s"mm_$name")
+        .outputMode("append").start()
+      val streamed = try {
+        mem.addData(blobs: _*)
+        q.processAllAvailable()
+        collectTable(s"mm_$name")
+      } finally q.stop()
+      val batch = table(blobs.toDF("doc_id", "blob")).collect()
+        .map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+      assert(streamed == batch, s"$name: stream $streamed vs batch $batch")
+      assert(batch(4L).forall(_ == null) || batch(4L).exists(_ == null),
+        s"$name: garbage blob must yield nulls, got ${batch(4L)}")
+    }
+    pin("img", Multimodal.headerTable)
+    pin("wav", Multimodal.wavHeaderTable)
+    pin("mp4", Multimodal.mp4HeaderTable)
+  }
+
   test("DSIR inline score equals the batch operator's logw exactly") {
     import spark.implicits._
     import graft.ext.Dsir
