@@ -62,6 +62,36 @@ class BpeSpec extends AnyFunSuite {
     assert((m.getAs[String]("left_sym"), m.getAs[String]("right_sym")) == ("a", "b"))
   }
 
+  test("merge algebra equals a reference greedy fold on random words (property)") {
+    // the separator-encoded replace() IS the greedy left-to-right BPE merge
+    // — pinned against a direct recursive reference over every pair of a
+    // 2-letter alphabet, where overlap and boundary cases are densest
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{replace => sqlReplace}
+    val rnd = new scala.util.Random(71)
+    val words = (0 until 300).map(_ =>
+      (0 until (1 + rnd.nextInt(10))).map(_ => "ab" (rnd.nextInt(2))).mkString)
+      .distinct
+    def refMerge(syms: List[String], a: String, b: String): List[String] = syms match {
+      case x :: y :: rest if x == a && y == b => (a + b) :: refMerge(rest, a, b)
+      case x :: rest => x :: refMerge(rest, a, b)
+      case Nil => Nil
+    }
+    for (a <- Seq("a", "b"); b <- Seq("a", "b")) {
+      val got = words.toDF("w")
+        .withColumn("enc", regexp_replace(col("w"), "(.)", Sep + "$1"))
+        .withColumn("enc", sqlReplace(col("enc"), lit(Sep + a + Sep + b), lit(Sep + a + b)))
+        .select(col("w"), split(col("enc"), Sep).as("syms"))
+        .collect()
+        .map(r => r.getString(0) -> r.getSeq[String](1).drop(1).toList).toMap
+      words.foreach { w =>
+        val expect = refMerge(w.toList.map(_.toString), a, b)
+        assert(got(w) == expect,
+          s"word '$w' pair ($a,$b): engine ${got(w)} vs reference $expect")
+      }
+    }
+  }
+
   test("apply equals a direct recount over the trained encodings") {
     val d = docs("hello world hello", "world of wor")
     val applied = SparkEntry.queries("q_text_bpe_apply")(spark, "/root/testdata/sf0.001")
