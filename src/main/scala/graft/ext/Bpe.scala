@@ -119,6 +119,33 @@ object Bpe {
        |$perRound""".stripMargin
   }
 
+  /** The trained tokenizer AT REST, joining the at-rest artifact family
+    * (DedupIndex / SubstringIndex / AnnIndex): the word table persists as
+    * parquet and application never retrains. No bucket partitioning — a
+    * document batch's tokens cover the vocabulary's hash space (same
+    * regime the substring index documents at high fan), and the table is
+    * broadcast-scale for real vocabularies anyway; the scan is one
+    * columnar read of (w, n_syms).
+    */
+  def writeVocab(words: DataFrame, dir: String): Unit =
+    words.select(col("w"),
+        (size(split(col("enc"), Sep)) - 1).as("n_syms_tok"))
+      .write.mode("overwrite").parquet(dir)
+
+  def loadVocab(s: SparkSession, dir: String): DataFrame = s.read.parquet(dir)
+
+  /** Apply a (possibly at-rest) vocab to documents: per-doc token and
+    * post-merge symbol counts — the q_text_bpe_apply shape as a library
+    * call.
+    */
+  def applyVocab(docs: DataFrame, vocab: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .filter(!col("w").contains(Sep))
+      .join(vocab, Seq("w"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+           sum(col("n_syms_tok")).cast("long").as("n_syms"))
+
   val queries: Seq[Q] = Seq(
 
     // ---- BPE merge training: the learned merges themselves ----
@@ -147,13 +174,7 @@ object Bpe {
       val docs = Tables.documents(s, d)
       val vocab = train(docs)._2
         .select(col("w"), (size(split(col("enc"), Sep)) - 1).as("n_syms_tok"))
-      docs.select(col("doc_id"), explode(tokens(col("text"))).as("w"))
-        .filter(!col("w").contains(Sep))
-        .join(vocab, Seq("w"))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_tokens"),
-             sum(col("n_syms_tok")).cast("long").as("n_syms"))
-        .orderBy("doc_id")
+      applyVocab(docs, vocab).orderBy("doc_id")
     }
   )
 }

@@ -92,6 +92,21 @@ class BpeSpec extends AnyFunSuite {
     }
   }
 
+  test("vocab at rest: stored parquet apply equals the in-memory apply") {
+    val d = docs("abc abc abc abab ab", "aaa xy xy zq abc")
+    val (_, words) = Bpe.train(d, rounds = 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft-bpe-vocab").toString
+    Bpe.writeVocab(words, dir)
+    val inMem = words.select(col("w"),
+      (size(split(col("enc"), Sep)) - 1).as("n_syms_tok"))
+    def counts(vocab: org.apache.spark.sql.DataFrame) =
+      Bpe.applyVocab(d, vocab).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val stored = counts(Bpe.loadVocab(spark, dir))
+    assert(stored.nonEmpty && stored == counts(inMem),
+      "stored-vocab apply diverges from in-memory apply")
+  }
+
   test("apply equals a direct recount over the trained encodings") {
     val d = docs("hello world hello", "world of wor")
     val applied = SparkEntry.queries("q_text_bpe_apply")(spark, "/root/testdata/sf0.001")
