@@ -75,20 +75,39 @@ object Bpe {
     * The merge table is the union of each round's engine-computed argmax
     * row; the per-round driver collect feeds the NEXT round's merge as a
     * literal (1 row/round — bounded like the GD gradient collects).
+    *
+    * A round with NO adjacent pairs left (corpus of 1-char words, or
+    * rounds > learnable merges on a tiny vocab) STOPS training early and
+    * returns the merges learned so far with the words table as-is. Note
+    * the relational oracle's CTE chain degrades differently there (an
+    * empty m_i empties e_i via the CROSS JOIN) — the declared queries
+    * never hit the degenerate case, but library callers composing their
+    * own oracle should not train past vocabulary exhaustion.
     */
   def train(docs: DataFrame, rounds: Int = Rounds): (DataFrame, DataFrame) = {
     var words = CacheTracker.cached(wordTable(docs))
-    val merges = (1 to rounds).map { i =>
-      val top = CacheTracker.cached(
-        pairCounts(words)
-          .orderBy(col("cnt").desc, col("l").asc, col("r").asc).limit(1))
-      val Row(l: String, r: String, _) = top.head()
-      words = words.withColumn("enc",
-        replace(col("enc"), lit(Sep + l + Sep + r), lit(Sep + l + r)))
-      top.select(lit(i).as("round"), col("l").as("left_sym"),
-                 col("r").as("right_sym"), col("cnt").as("pair_count"))
+    val merges = Seq.newBuilder[DataFrame]
+    var exhausted = false
+    (1 to rounds).foreach { i =>
+      if (!exhausted) {
+        val top = CacheTracker.cached(
+          pairCounts(words)
+            .orderBy(col("cnt").desc, col("l").asc, col("r").asc).limit(1))
+        top.collect().headOption match {
+          case None => exhausted = true
+          case Some(row) =>
+            val (l, r) = (row.getString(0), row.getString(1))
+            words = words.withColumn("enc",
+              replace(col("enc"), lit(Sep + l + Sep + r), lit(Sep + l + r)))
+            merges += top.select(lit(i).as("round"), col("l").as("left_sym"),
+              col("r").as("right_sym"), col("cnt").as("pair_count"))
+        }
+      }
     }
-    (merges.reduce(_.unionAll(_)).orderBy("round"), words)
+    val built = merges.result()
+    require(built.nonEmpty, "BPE training found no adjacent pairs at all — " +
+      "corpus has no multi-character words")
+    (built.reduce(_.unionAll(_)).orderBy("round"), words)
   }
 
   /** Oracle CTE chain replaying the identical training relationally:
@@ -119,6 +138,15 @@ object Bpe {
        |$perRound""".stripMargin
   }
 
+  /** The serving projection of a trained word table: one row per word
+    * with its post-merge symbol count. THE single definition — the
+    * at-rest writer, the declared query, and the stream gate all derive
+    * from it, so an encoding-scheme change cannot silently diverge them.
+    */
+  def vocabOf(words: DataFrame): DataFrame =
+    words.select(col("w"),
+      (size(split(col("enc"), Sep)) - 1).as("n_syms_tok"))
+
   /** The trained tokenizer AT REST, joining the at-rest artifact family
     * (DedupIndex / SubstringIndex / AnnIndex): the word table persists as
     * parquet and application never retrains. No bucket partitioning — a
@@ -128,9 +156,7 @@ object Bpe {
     * columnar read of (w, n_syms).
     */
   def writeVocab(words: DataFrame, dir: String): Unit =
-    words.select(col("w"),
-        (size(split(col("enc"), Sep)) - 1).as("n_syms_tok"))
-      .write.mode("overwrite").parquet(dir)
+    vocabOf(words).write.mode("overwrite").parquet(dir)
 
   def loadVocab(s: SparkSession, dir: String): DataFrame = s.read.parquet(dir)
 
@@ -172,9 +198,7 @@ object Bpe {
          |JOIN e$Rounds USING (w)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
       val docs = Tables.documents(s, d)
-      val vocab = train(docs)._2
-        .select(col("w"), (size(split(col("enc"), Sep)) - 1).as("n_syms_tok"))
-      applyVocab(docs, vocab).orderBy("doc_id")
+      applyVocab(docs, vocabOf(train(docs)._2)).orderBy("doc_id")
     }
   )
 }

@@ -475,9 +475,13 @@ object Dedup {
         // code edit.
         .transform { e =>
           sys.env.getOrElse("SPARK_GRAFT_PAGERANK_SETTLE", "checkpoint") match {
-            case "cache" => e.cache()
-            case "none"  => e
-            case _       => e.localCheckpoint()
+            case "cache"      => e.cache()
+            case "none"       => e
+            case "checkpoint" => e.localCheckpoint()
+            // a measurement knob that silently falls back would record the
+            // WRONG shape's numbers under a typo'd label — fail instead
+            case other => sys.error(
+              s"SPARK_GRAFT_PAGERANK_SETTLE=$other — use checkpoint|cache|none")
           }
         }
       val nodes = edges.select(col("src").as("nid")).distinct()

@@ -204,19 +204,26 @@ object Multimodal {
 
     def parse(b: Array[Byte]): Option[WavHeader] = {
       if (b.length < 44 || tag(b, 0) != "RIFF" || tag(b, 8) != "WAVE") return None
-      var pos = 12
+      // pos/size in Long: `size` is unsigned 32-bit and attacker/corruption
+      // controlled — int arithmetic on 0xFFFFFFF8 would make the advance 0
+      // (infinite loop pinning an executor core) or negative (index crash).
+      // Same validation stance as Mp4Headers: malformed sizes are
+      // unparseable, not guessed.
+      var pos = 12L
       var rate = -1; var ch = -1; var bits = -1; var blockAlign = -1
       var dataBytes = -1L
       while (pos + 8 <= b.length) {
-        val id = tag(b, pos)
-        val size = le32(b, pos + 4)
+        val p = pos.toInt
+        val id = tag(b, p)
+        val size = le32(b, p + 4)
+        if (pos + 8 + size + (size & 1) > b.length) return None
         if (id == "fmt " && pos + 24 <= b.length) {
-          ch = le16(b, pos + 10)
-          rate = le32(b, pos + 12).toInt
-          blockAlign = le16(b, pos + 20)
-          bits = le16(b, pos + 22)
+          ch = le16(b, p + 10)
+          rate = le32(b, p + 12).toInt
+          blockAlign = le16(b, p + 20)
+          bits = le16(b, p + 22)
         } else if (id == "data") dataBytes = size
-        pos += 8 + size.toInt + (size.toInt & 1) // RIFF chunks word-align
+        pos += 8 + size + (size & 1) // RIFF chunks word-align
       }
       if (rate > 0 && ch > 0 && bits > 0 && blockAlign > 0 && dataBytes >= 0)
         Some(WavHeader(rate, ch, bits, dataBytes / blockAlign))
@@ -401,24 +408,32 @@ object Multimodal {
     import s.implicits._
     media.select(col("doc_id"), col("blob")).as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, bytes) =>
-        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-        val (w, h) = (img.getWidth, img.getHeight)
-        val (ow, oh) = resizeFit(w, h, maxDim)
-        val out = new java.awt.image.BufferedImage(
-          ow, oh, java.awt.image.BufferedImage.TYPE_INT_RGB)
-        var sum = 0L
-        var dy = 0
-        while (dy < oh) {
-          var dx = 0
-          while (dx < ow) {
-            val p = img.getRGB(dx * w / ow, dy * h / oh) & 0xffffff
-            out.setRGB(dx, dy, p)
-            sum += (out.getRGB(dx, dy) & 0xffffff) // read back the resized raster
-            dx += 1
+        // ImageIO.read returns NULL (no exception) for undecodable bytes —
+        // a garbage blob must yield the family's null row, not an NPE that
+        // fails the whole batch (same contract as the header tables)
+        val img =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          catch { case _: java.io.IOException => null }
+        if (img == null) (id, None, None, None)
+        else {
+          val (w, h) = (img.getWidth, img.getHeight)
+          val (ow, oh) = resizeFit(w, h, maxDim)
+          val out = new java.awt.image.BufferedImage(
+            ow, oh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var sum = 0L
+          var dy = 0
+          while (dy < oh) {
+            var dx = 0
+            while (dx < ow) {
+              val p = img.getRGB(dx * w / ow, dy * h / oh) & 0xffffff
+              out.setRGB(dx, dy, p)
+              sum += (out.getRGB(dx, dy) & 0xffffff) // read back the resized raster
+              dx += 1
+            }
+            dy += 1
           }
-          dy += 1
+          (id, Some(ow), Some(oh), Some(sum))
         }
-        (id, ow, oh, sum)
       })
       .toDF("doc_id", "out_w", "out_h", "pix_sum")
   }

@@ -27,7 +27,21 @@ object StreamingOps {
     */
   def eventsStream(spark: SparkSession, path: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val producerSchema = spark.read.parquet(path).schema
+    // Infer the producer's ts shape from files already present. An EMPTY
+    // landing directory (the normal deployment: start watching, files
+    // arrive later) has nothing to infer from — fall back to the current
+    // testdata generation's shape (TIMESTAMP_NTZ micros, TESTDATA.md)
+    // rather than failing stream construction. Mixed-generation
+    // directories are the producer's contract to avoid: one stream reads
+    // ONE schema; re-create the stream when the producer shape changes.
+    val producerSchema =
+      try spark.read.parquet(path).schema
+      catch { case _: org.apache.spark.sql.AnalysisException =>
+        StructType(Seq(
+          StructField("event_id", LongType), StructField("ts", TimestampNTZType),
+          StructField("user_id", LongType), StructField("event_type", StringType),
+          StructField("value", DoubleType), StructField("props", StringType)))
+      }
     graft.Tables.normalizeEventsTs(
       spark.readStream.schema(producerSchema).parquet(path))
   }

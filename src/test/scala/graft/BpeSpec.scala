@@ -97,14 +97,36 @@ class BpeSpec extends AnyFunSuite {
     val (_, words) = Bpe.train(d, rounds = 2)
     val dir = java.nio.file.Files.createTempDirectory("graft-bpe-vocab").toString
     Bpe.writeVocab(words, dir)
-    val inMem = words.select(col("w"),
-      (size(split(col("enc"), Sep)) - 1).as("n_syms_tok"))
     def counts(vocab: org.apache.spark.sql.DataFrame) =
       Bpe.applyVocab(d, vocab).collect()
         .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     val stored = counts(Bpe.loadVocab(spark, dir))
-    assert(stored.nonEmpty && stored == counts(inMem),
+    assert(stored.nonEmpty && stored == counts(Bpe.vocabOf(words)),
       "stored-vocab apply diverges from in-memory apply")
+  }
+
+  test("vocabulary exhaustion stops training instead of crashing") {
+    // "ab" fully merges in one round; asking for 4 returns the 1 learnable
+    // merge and the fully-merged word table
+    val d = docs("ab ab ab")
+    val (merges, words) = Bpe.train(d, rounds = 4)
+    assert(merges.collect().map(_.getInt(0)).toSeq == Seq(1))
+    val enc = words.select("enc").collect().head.getString(0)
+    assert(enc == s"${Sep}ab")
+    // a corpus with no pairs AT ALL is a loud error, not a silent empty
+    intercept[IllegalArgumentException](Bpe.train(docs("a b c a b"), rounds = 1))
+  }
+
+  test("astral (non-BMP) characters encode as ONE symbol — engine matches RE2 codepoint semantics") {
+    // Java regex '(.)' matches a full code point (surrogate pair included),
+    // exactly like the DuckDB oracle's RE2 — verified empirically; this
+    // test keeps that cross-engine agreement pinned
+    import spark.implicits._
+    val emoji = new String(Character.toChars(0x1F600)) + "ab"
+    val enc = Seq(emoji).toDF("w")
+      .select(regexp_replace(col("w"), "(.)", Sep + "$1").as("enc"))
+      .collect().head.getString(0)
+    assert(enc.count(_ == Sep.head) == 3, s"expected 3 symbols, got ${enc.length}")
   }
 
   test("apply equals a direct recount over the trained encodings") {

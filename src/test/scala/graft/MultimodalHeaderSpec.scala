@@ -135,6 +135,17 @@ class MultimodalHeaderSpec extends AnyFunSuite {
     assert(Multimodal.WavHeaders.parse(wav.take(30)) === None)
     assert(Multimodal.WavHeaders.parse("not audio at all".getBytes) === None)
     assert(Multimodal.WavHeaders.parse(Multimodal.encodeImage(8, 8, "png_rgb")) === None)
+    // adversarial chunk size 0xFFFFFFF8: int arithmetic would advance the
+    // walk by ZERO (infinite loop pinning an executor core) — must be None
+    val evil = wav.clone()
+    evil(16) = 0xf8.toByte; evil(17) = 0xff.toByte
+    evil(18) = 0xff.toByte; evil(19) = 0xff.toByte
+    assert(Multimodal.WavHeaders.parse(evil) === None)
+    // size that overruns the buffer without the zero-advance pathology
+    val evil2 = wav.clone()
+    evil2(16) = 0x00.toByte; evil2(17) = 0x01.toByte
+    evil2(18) = 0x00.toByte; evil2(19) = 0x00.toByte
+    assert(Multimodal.WavHeaders.parse(evil2) === None)
   }
 
   test("MP4 round-trip: both mvhd versions, track counts, 64-bit durations") {
@@ -189,5 +200,14 @@ class MultimodalHeaderSpec extends AnyFunSuite {
     // and partition-local, like every multimodal decode pass
     val plan = Multimodal.resizeTable(media, 8).queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"resizeTable should not shuffle:\n$plan")
+    // undecodable blob: ImageIO.read returns null (no exception) — the
+    // family's contract is a null row, never an NPE that fails the batch
+    val mixed = Seq(
+      (1L, Multimodal.encodeImage(4, 4, "png_rgb")),
+      (2L, "definitely not an image".getBytes("UTF-8")))
+      .toDF("doc_id", "blob")
+    val rows = Multimodal.resizeTable(mixed, 8).orderBy("doc_id").collect()
+    assert(!rows(0).isNullAt(1) && rows(1).isNullAt(1) &&
+      rows(1).isNullAt(2) && rows(1).isNullAt(3))
   }
 }

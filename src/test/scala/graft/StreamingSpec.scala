@@ -638,8 +638,7 @@ class StreamingSpec extends AnyFunSuite {
     val ref = Seq((0L, "abab abab abc abc abc"), (1L, "aaa aa xy xy zq"))
       .toDF("doc_id", "text")
     val (_, words) = Bpe.train(ref, rounds = 2)
-    val vocab = words.select(col("w"),
-      (size(split(col("enc"), Bpe.Sep)) - 1).as("n_syms_tok"))
+    val vocab = Bpe.vocabOf(words)
 
     val incoming = Seq((10L, "abc abab xy"), (11L, "aaa zq zq unseen"))
     def applied(df: org.apache.spark.sql.DataFrame) = df
