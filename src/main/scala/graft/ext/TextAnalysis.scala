@@ -567,6 +567,61 @@ object TextAnalysis {
         .orderBy("doc_id")
     },
 
+    // ---- CCNet-style perplexity bucketing over the corpus LM score ----
+    // The canonical LM-filter ACTION: score every document against the
+    // corpus bigram LM (the q_text_lm_score tables) and split the corpus
+    // into head/middle/tail TERCILES of the score — CCNet trains on the
+    // head, audits the middle, drops the tail. ntile(3) over a total
+    // order; the (score, doc_id) tie-break makes the boundary assignment
+    // deterministic in both engines. Scale shape: the count tables are
+    // vocab-bounded; the tercile split is ONE global sort of (doc_id,
+    // score) pairs — 16 bytes/doc, the same order-statistics shuffle the
+    // exact-quantile query already carries; at extreme corpus sizes the
+    // approximate-percentile cut documented there applies identically.
+    Q("q_text_ppl_buckets",
+      s"""WITH toks AS (SELECT doc_id, ${tokensSql("text")} AS toks FROM documents),
+         |bg AS (
+         |  SELECT doc_id, sh[1] AS w1, sh[2] AS w2 FROM (
+         |    SELECT doc_id, string_split(b, ' ') AS sh FROM (
+         |      SELECT doc_id, unnest(${shinglesFromTokensSql("toks", 2)}) AS b FROM toks
+         |    )
+         |  )
+         |),
+         |c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+         |c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c12 GROUP BY w1),
+         |scored AS (
+         |  SELECT doc_id,
+         |    round(CAST(sum(CAST(round(ln(CAST(c12 AS DOUBLE) / c1), 9) AS DECIMAL(20,9))) AS DOUBLE)
+         |          / count(*), 6) AS avg_logprob
+         |  FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
+         |  GROUP BY doc_id
+         |)
+         |SELECT doc_id, avg_logprob,
+         |  CAST(ntile(3) OVER (ORDER BY avg_logprob DESC, doc_id) AS INT) AS bucket
+         |FROM scored ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val bg = Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(shinglesFromTokens(tokens(col("text")), 2)).as("b"))
+        .select(col("doc_id"),
+          split(col("b"), " ").getItem(0).as("w1"),
+          split(col("b"), " ").getItem(1).as("w2"))
+      val c12 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      val c1 = c12.groupBy("w1").agg(sum("c12").as("c1"))
+      val scored = bg
+        .join(c12, Seq("w1", "w2"))
+        .join(c1, Seq("w1"))
+        .groupBy("doc_id")
+        .agg(round(
+          sum(round(log(col("c12").cast("double") / col("c1")), 9)
+            .cast("decimal(20,9)")).cast("double") / count(lit(1)), 6)
+          .as("avg_logprob"))
+      scored
+        .withColumn("bucket", ntile(3).over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("avg_logprob").desc, col("doc_id").asc)))
+        .orderBy("doc_id")
+    },
+
     // ---- per-source (domain) quality gating ----
     // Curation decides at SOURCE granularity too: a domain whose aggregate
     // stopword ratio is far from natural language gets dropped wholesale.
