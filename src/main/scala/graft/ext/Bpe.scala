@@ -163,14 +163,24 @@ object Bpe {
   /** Apply a (possibly at-rest) vocab to documents: per-doc token and
     * post-merge symbol counts — the q_text_bpe_apply shape as a library
     * call.
+    *
+    * Out-of-vocabulary words FALL BACK to character-level symbols (one
+    * base symbol per char, `length(w)`), the way a real BPE tokenizer
+    * byte-falls-back on unseen input — a LEFT join + coalesce, so a
+    * serving document with novel words keeps its full token AND symbol
+    * counts instead of silently under-counting. (The learned merges
+    * could in principle still compress an OOV word's char sequence; the
+    * char-level count is the conservative upper bound and keeps serving
+    * a single equi-join — no per-row merge replay on the hot path.)
     */
   def applyVocab(docs: DataFrame, vocab: DataFrame): DataFrame =
     docs.select(col("doc_id"), explode(tokens(col("text"))).as("w"))
       .filter(!col("w").contains(Sep))
-      .join(vocab, Seq("w"))
+      .join(vocab, Seq("w"), "left")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"),
-           sum(col("n_syms_tok")).cast("long").as("n_syms"))
+           sum(coalesce(col("n_syms_tok"), length(col("w"))))
+             .cast("long").as("n_syms"))
 
   val queries: Seq[Q] = Seq(
 
@@ -193,9 +203,10 @@ object Bpe {
     Q("q_text_bpe_apply",
       s"""WITH ${trainingCtes(Rounds)}
          |SELECT doc_id, count(*) AS n_tokens,
-         |  CAST(sum(len(string_split(e$Rounds.enc, chr(1))) - 1) AS BIGINT) AS n_syms
+         |  CAST(sum(coalesce(len(string_split(e$Rounds.enc, chr(1))) - 1, len(w))) AS BIGINT) AS n_syms
          |FROM (SELECT doc_id, unnest(${tokensSql("text")}) AS w FROM documents) d
-         |JOIN e$Rounds USING (w)
+         |LEFT JOIN e$Rounds USING (w)
+         |WHERE NOT contains(w, chr(1))
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
       val docs = Tables.documents(s, d)
       applyVocab(docs, vocabOf(train(docs)._2)).orderBy("doc_id")

@@ -571,13 +571,13 @@ object TextAnalysis {
     // The canonical LM-filter ACTION: score every document against the
     // corpus bigram LM (the q_text_lm_score tables) and split the corpus
     // into head/middle/tail TERCILES of the score — CCNet trains on the
-    // head, audits the middle, drops the tail. ntile(3) over a total
-    // order; the (score, doc_id) tie-break makes the boundary assignment
-    // deterministic in both engines. Scale shape: the count tables are
-    // vocab-bounded; the tercile split is ONE global sort of (doc_id,
-    // score) pairs — 16 bytes/doc, the same order-statistics shuffle the
-    // exact-quantile query already carries; at extreme corpus sizes the
-    // approximate-percentile cut documented there applies identically.
+    // head, audits the middle, drops the tail. The (score, doc_id)
+    // tie-break makes the boundary assignment deterministic in both
+    // engines. Scale shape: the count tables are vocab-bounded; the
+    // tercile split runs through [[operators.DistributedRank.ntileDesc]]
+    // — a partition-parallel two-level rank (threshold groups + grouped
+    // windows + bounded offset collect) that reproduces the oracle's
+    // `ntile(3)` bit-for-bit with NO single-partition window or sort.
     Q("q_text_ppl_buckets",
       s"""WITH toks AS (SELECT doc_id, ${tokensSql("text")} AS toks FROM documents),
          |bg AS (
@@ -615,10 +615,8 @@ object TextAnalysis {
           sum(round(log(col("c12").cast("double") / col("c1")), 9)
             .cast("decimal(20,9)")).cast("double") / count(lit(1)), 6)
           .as("avg_logprob"))
-      scored
-        .withColumn("bucket", ntile(3).over(
-          org.apache.spark.sql.expressions.Window
-            .orderBy(col("avg_logprob").desc, col("doc_id").asc)))
+      graft.operators.DistributedRank.ntileDesc(scored, "avg_logprob", "doc_id", 3)
+        .select(col("doc_id"), col("avg_logprob"), col("bucket"))
         .orderBy("doc_id")
     },
 

@@ -1,0 +1,143 @@
+package graft.operators
+
+import graft.CacheTracker
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact global ranking / ntile over a total order WITHOUT a
+  * single-partition window.
+  *
+  * `ntile(k) OVER (ORDER BY score DESC, id)` with no `PARTITION BY` plans a
+  * SINGLE-partition WindowExec in Spark: every row moves through one task —
+  * trivially green at test scale, a one-task ~160 GB sort at 10¹⁰ rows.
+  * This operator computes the identical result with a partition-parallel
+  * plan, the classic two-level distributed-rank construction:
+  *
+  *   1. One bounded aggregate collects `P-1` approximate percentile
+  *     thresholds of the score (`P` = `spark.sql.shuffle.partitions`, the
+  *     cluster-parallelism knob). Once collected they are FIXED literals,
+  *     so every later step is deterministic regardless of the sketch's
+  *     merge order.
+  *   2. Each row is assigned a range group by counting thresholds ≥ its
+  *     score — a codegen'd fold over a cluster-bounded literal array (the
+  *     same bounded-literal kernel shape as CentroidAssign), no join, no
+  *     extra shuffle beyond the group-window's own exchange.
+  *   3. `row_number` over `Window.partitionBy(group)` ranks WITHIN each
+  *     group — P parallel window tasks of ~N/P rows each.
+  *   4. A ≤P-row `groupBy(group).count` collect (bounded by cluster
+  *     parallelism, the accepted driver-artifact class) yields exact
+  *     per-group rank offsets; global rank = offset + local rank.
+  *
+  * Exactness: group assignment is monotone in the sort order (equal scores
+  * share a group; the within-group window breaks ties by `idCol`), so
+  * offset + local rank IS the exact global `row_number` — and the ntile
+  * buckets derived from it match the SQL window function bit-for-bit,
+  * including the first-(N mod k)-buckets-get-one-extra rule. Threshold
+  * QUALITY only affects group balance, never correctness; a worst-case
+  * all-equal score column degenerates to one group (inherent to any
+  * value-range split — no order-based method can parallelize a key with
+  * one distinct value).
+  *
+  * The input is cached through [[CacheTracker]] for the two bounded
+  * actions + final consumption; runner scopes release it.
+  *
+  * `scoreCol` must be non-null (null comparisons would land rows in group
+  * 0 with undefined order vs the SQL window's NULLS LAST).
+  */
+object DistributedRank {
+
+  /** Exact `row_number() OVER (ORDER BY scoreCol DESC, idCol ASC)` as a
+    * partition-parallel plan. `idCol` must be a tie-breaking unique key.
+    */
+  def rankDesc(df: DataFrame, scoreCol: String, idCol: String,
+               rankCol: String = "rk"): DataFrame =
+    rankCore(df, scoreCol, idCol, rankCol)._1
+
+  /** Exact `ntile(n) OVER (ORDER BY scoreCol DESC, idCol ASC)` (standard
+    * SQL bucket-size rule) as a partition-parallel plan.
+    */
+  def ntileDesc(df: DataFrame, scoreCol: String, idCol: String, n: Int,
+                bucketCol: String = "bucket"): DataFrame = {
+    require(n >= 1, s"ntile bucket count must be >= 1, got $n")
+    val (ranked, total) = rankCore(df, scoreCol, idCol, "__graft_rk")
+    // standard ntile sizing: q = N/n rows per bucket, the first N%n
+    // buckets take one extra; k(i) = cumulative row count of buckets 1..i
+    val q = total / n
+    val r = total % n
+    val ks = (1 to n).map(i => i.toLong * q + math.min(i.toLong, r))
+    var bucket: Column = lit(n)
+    for (i <- n - 1 to 1 by -1)
+      bucket = when(col("__graft_rk") <= ks(i - 1), i).otherwise(bucket)
+    ranked.withColumn(bucketCol, bucket.cast("int")).drop("__graft_rk")
+  }
+
+  /** The tercile/quantile CUT POINTS of the ranked order as driver scalars:
+    * for each bucket boundary i (1..n-1) the (score, id) pair of the LAST
+    * row of bucket i. A row belongs to bucket ≤ i iff it orders at-or-before
+    * that pair — which is how a streaming admission gate applies a
+    * batch-trained cut with zero windows: compare (score, id) against two
+    * broadcast scalars. Returns (boundary score, boundary id) pairs,
+    * ascending bucket index; fewer than n-1 entries when N < n.
+    */
+  def boundariesDesc(df: DataFrame, scoreCol: String, idCol: String,
+                     n: Int): Seq[(Double, Long)] = {
+    require(n >= 2, s"boundary extraction needs n >= 2, got $n")
+    val (ranked, total) = rankCore(df, scoreCol, idCol, "__graft_rk")
+    val q = total / n
+    val r = total % n
+    val ks = (1 until n).map(i => i.toLong * q + math.min(i.toLong, r))
+      .filter(k => k >= 1 && k <= total)
+    if (ks.isEmpty) Seq.empty
+    else ranked
+      .filter(col("__graft_rk").isin(ks: _*))
+      .select(col("__graft_rk"), col(scoreCol).cast("double"), col(idCol).cast("long"))
+      .collect()
+      .sortBy(_.getLong(0))
+      .map(row => (row.getDouble(1), row.getLong(2)))
+      .toSeq
+  }
+
+  private def rankCore(df: DataFrame, scoreCol: String, idCol: String,
+                       rankCol: String): (DataFrame, Long) = {
+    val spark = df.sparkSession
+    val cached = CacheTracker.cached(df)
+    val p = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt.max(1)
+    val score = col(scoreCol)
+
+    // bounded action 1: P-1 approximate percentile thresholds, collected
+    // once so the group assignment below is a deterministic literal fold
+    val ths: Seq[Double] =
+      if (p <= 1) Seq.empty
+      else {
+        val fr = (1 until p).map(_.toDouble / p)
+        val row = cached
+          .agg(percentile_approx(score, typedLit(fr), lit(10000)).as("t"))
+          .head()
+        if (row.isNullAt(0)) Seq.empty else row.getSeq[Double](0)
+      }
+    val grp: Column =
+      if (ths.isEmpty) lit(0)
+      else size(filter(typedLit(ths), t => score <= t))
+    val withGrp = cached.withColumn("__graft_grp", grp)
+
+    // bounded action 2: exact per-group counts (≤ P rows) → rank offsets
+    val cnts = withGrp.groupBy("__graft_grp").count().collect()
+      .map(row => (row.getInt(0), row.getLong(1)))
+      .sortBy(_._1)
+    var acc = 0L
+    val offs: Map[Int, Long] =
+      cnts.map { case (g, c) => val o = acc; acc += c; g -> o }.toMap
+    val total = acc
+
+    val w = Window.partitionBy("__graft_grp")
+      .orderBy(score.desc, col(idCol).asc)
+    val offset: Column =
+      if (offs.isEmpty) lit(0L)
+      else coalesce(element_at(typedLit(offs), col("__graft_grp")), lit(0L))
+    val ranked = withGrp
+      .withColumn(rankCol, offset + row_number().over(w).cast("long"))
+      .drop("__graft_grp")
+    (ranked, total)
+  }
+}

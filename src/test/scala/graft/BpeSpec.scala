@@ -105,6 +105,26 @@ class BpeSpec extends AnyFunSuite {
       "stored-vocab apply diverges from in-memory apply")
   }
 
+  test("OOV serving fallback: unseen words count char-level symbols, never vanish") {
+    // vocab trained on a closed corpus ("abc" -> 1 symbol, "ab" -> 1 after
+    // two rounds); serving documents carry novel words, which a real BPE
+    // tokenizer byte-falls-back on — applyVocab must count them at
+    // character level (length(w)), not drop them from either aggregate
+    val (_, words) = Bpe.train(docs("abc abc abc abc ab"), rounds = 2)
+    val vocab = Bpe.vocabOf(words)
+    val serve = docs("abc zqzq", "ab unseen abc")
+    val got = Bpe.applyVocab(serve, vocab).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got(0L) == ((2L, 5L)), s"doc 0: $got") // abc(1) + zqzq OOV(4 chars)
+    assert(got(1L) == ((3L, 8L)), s"doc 1: $got") // ab(1) + unseen OOV(6) + abc(1)
+    // the at-rest artifact serves identically
+    val dir = java.nio.file.Files.createTempDirectory("graft-bpe-oov").toString
+    Bpe.writeVocab(words, dir)
+    val stored = Bpe.applyVocab(serve, Bpe.loadVocab(spark, dir)).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(stored == got, "at-rest vocab diverges on OOV serving")
+  }
+
   test("vocabulary exhaustion stops training instead of crashing") {
     // "ab" fully merges in one round; asking for 4 returns the 1 learnable
     // merge and the fully-merged word table

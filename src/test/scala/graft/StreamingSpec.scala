@@ -634,21 +634,16 @@ class StreamingSpec extends AnyFunSuite {
     // ("drop documents that compress too well / too poorly") on live data
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
-    import graft.ext.{Bpe, TextHash}
+    import graft.ext.Bpe
     val ref = Seq((0L, "abab abab abc abc abc"), (1L, "aaa aa xy xy zq"))
       .toDF("doc_id", "text")
     val (_, words) = Bpe.train(ref, rounds = 2)
     val vocab = Bpe.vocabOf(words)
 
     val incoming = Seq((10L, "abc abab xy"), (11L, "aaa zq zq unseen"))
-    def applied(df: org.apache.spark.sql.DataFrame) = df
-      .select(col("doc_id"), explode(TextHash.tokens(col("text"))).as("w"))
-      .join(vocab, Seq("w"))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_tokens"), sum("n_syms_tok").as("n_syms"))
 
     val mem = MemoryStream[(Long, String)]
-    val q = applied(mem.toDF.toDF("doc_id", "text"))
+    val q = Bpe.applyVocab(mem.toDF.toDF("doc_id", "text"), vocab)
       .writeStream.format("memory").queryName("bpe_gate")
       .outputMode("complete").start()
     val streamed = try {
@@ -657,13 +652,16 @@ class StreamingSpec extends AnyFunSuite {
       spark.table("bpe_gate").collect()
         .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     } finally q.stop()
-    val batch = applied(incoming.toDF("doc_id", "text")).collect()
+    val batch = Bpe.applyVocab(incoming.toDF("doc_id", "text"), vocab).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(streamed == batch, s"stream $streamed vs batch $batch")
-    // out-of-vocab token ("unseen") drops out of BOTH paths identically;
-    // in-vocab counts reflect the learned merges (abc -> 1 symbol after
-    // round 2 in the planted corpus)
-    assert(batch(10L)._1 == 3L)
+    // in-vocab counts reflect the learned merges: round 1 (a,b); round 2
+    // ties (a,a)=3 with (ab,c)=3 and breaks lexicographically to (a,a) —
+    // so abc=[ab,c]=2, abab=2, xy=2 symbols
+    assert(batch(10L) == ((3L, 6L)), s"doc 10: $batch")
+    // the out-of-vocab token ("unseen") char-falls-back to 6 symbols in
+    // BOTH paths — aaa=[aa,a](2) + zq(2) + zq(2) + unseen(6)
+    assert(batch(11L) == ((4L, 12L)), s"doc 11: $batch")
   }
 
   test("multimodal header decode on a stream equals batch (image, audio, video)") {
