@@ -55,14 +55,22 @@ object Bench {
     // (elapsed, succeeded): a query that throws must never masquerade as a
     // fast measurement — r8's BENCH json recorded 3 analysis-error times as
     // "4-7x wins" because failures were swallowed here
+    // Job-group names are unique PER REP: the sticky
+    // cancelJobGroupAndFutureJobs on a name reused across reps would — if
+    // the watchdog fired in the race window between a rep finishing under
+    // budget and kill.cancel() landing — insta-cancel every remaining rep
+    // of the query and record a healthy-but-slow query as failed. A stale
+    // cancel on a per-rep name targets a group that will never run again.
+    val repSeq = new java.util.concurrent.atomic.AtomicLong(0)
     def once(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Boolean) = {
       val t0 = System.nanoTime()
-      spark.sparkContext.setJobGroup(s"bench-$name", name, interruptOnCancel = true)
+      val group = s"bench-$name-${repSeq.incrementAndGet()}"
+      spark.sparkContext.setJobGroup(group, name, interruptOnCancel = true)
       val kill = watchdog.schedule(new Runnable {
         def run(): Unit = {
           System.err.println(s"[bench] $name TIMED OUT after $timeoutSec s — cancelling")
           // AndFutureJobs — plain cancelJobGroup is not sticky (see Verify)
-          spark.sparkContext.cancelJobGroupAndFutureJobs(s"bench-$name")
+          spark.sparkContext.cancelJobGroupAndFutureJobs(group)
         }
       }, timeoutSec, java.util.concurrent.TimeUnit.SECONDS)
       val ok =

@@ -217,7 +217,11 @@ object Multimodal {
         val id = tag(b, p)
         val size = le32(b, p + 4)
         if (pos + 8 + size + (size & 1) > b.length) return None
-        if (id == "fmt " && pos + 24 <= b.length) {
+        // the fmt chunk must DECLARE the 16 PCM bytes it is read for: a
+        // malformed size < 16 would silently read the next chunk's bytes
+        // as rate/channels/bits — same stance as Mp4Headers, malformed
+        // sizes are unparseable, not guessed
+        if (id == "fmt " && size >= 16 && pos + 24 <= b.length) {
           ch = le16(b, p + 10)
           rate = le32(b, p + 12).toInt
           blockAlign = le16(b, p + 20)

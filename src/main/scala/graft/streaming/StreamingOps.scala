@@ -37,6 +37,15 @@ object StreamingOps {
     val producerSchema =
       try spark.read.parquet(path).schema
       catch { case _: org.apache.spark.sql.AnalysisException =>
+        // LOUD fallback: construction succeeded on an assumption — if the
+        // producer then lands a different ts shape (e.g. the ≤r7
+        // epoch-nano INT64), the mismatch surfaces only at runtime, so
+        // leave a diagnosable trace in the stream's stderr now
+        System.err.println(s"[graft.streaming] events landing dir '$path' " +
+          "is empty at stream construction — assuming the current " +
+          "testdata generation's schema (ts TIMESTAMP_NTZ micros). If the " +
+          "producer lands a different ts shape, this stream will fail or " +
+          "misread at runtime: re-create it once files exist.")
         StructType(Seq(
           StructField("event_id", LongType), StructField("ts", TimestampNTZType),
           StructField("user_id", LongType), StructField("event_type", StringType),

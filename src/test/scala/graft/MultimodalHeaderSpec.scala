@@ -146,6 +146,13 @@ class MultimodalHeaderSpec extends AnyFunSuite {
     evil2(16) = 0x00.toByte; evil2(17) = 0x01.toByte
     evil2(18) = 0x00.toByte; evil2(19) = 0x00.toByte
     assert(Multimodal.WavHeaders.parse(evil2) === None)
+    // fmt chunk declaring size < 16: the parser must NOT read the
+    // following chunk's bytes as sample-rate/channels/bits — unparseable,
+    // not Some(garbage)
+    val shortFmt = chunk("fmt ", le16(1) ++ le16(2) ++ le32(22050))
+    val body3 = "WAVE".getBytes("US-ASCII") ++ shortFmt ++ data
+    val wav3 = "RIFF".getBytes("US-ASCII") ++ le32(body3.length) ++ body3
+    assert(Multimodal.WavHeaders.parse(wav3) === None)
   }
 
   test("MP4 round-trip: both mvhd versions, track counts, 64-bit durations") {
