@@ -167,10 +167,35 @@ object ScaleCheck {
       Some(f""""substr_index_probe":{"t1":$p1%.3f,"tN":$pN%.3f,"exp":$pExp%.2f,"pruned_at_N":$prunedN}""")
     }
 
+    // BPE merge-round throughput at production-shaped merge counts: the
+    // declared 4-round query hides the driver-latency bound of one job +
+    // one 1-row collect PER MERGE. Measure >=100 merges sequentially vs
+    // trainBatched (symbol-disjoint batches of 8) on the 1x corpus so the
+    // per-merge cost and the batching win are recorded honestly.
+    val bpeJson = if (!keep("bpe_rounds")) None else {
+      val merges = sys.env.getOrElse("SPARK_GRAFT_BPE_MERGES", "100").toInt
+      val k = sys.env.getOrElse("SPARK_GRAFT_BPE_BATCH_K", "8").toInt
+      val docs1 = Tables.documents(spark, d1)
+      val tSeq = timeMin {
+        ext.Bpe.train(docs1, merges)._1
+          .write.format("noop").mode("overwrite").save()
+      }
+      val tBat = timeMin {
+        ext.Bpe.trainBatched(docs1, merges, k)._1
+          .write.format("noop").mode("overwrite").save()
+      }
+      System.err.println(
+        f"[scale] bpe_rounds merges=$merges seq=$tSeq%.1f s (${tSeq / merges}%.3f s/merge) " +
+          f"batched(k=$k)=$tBat%.1f s (${tBat / merges}%.3f s/merge)")
+      Some(f""""bpe_rounds":{"merges":$merges,"batch_k":$k,"t_seq":$tSeq%.3f,""" +
+        f""""t_batched":$tBat%.3f,"sec_per_merge_seq":${tSeq / merges}%.4f,""" +
+        f""""sec_per_merge_batched":${tBat / merges}%.4f}""")
+    }
+
     val qj = perQuery.map { case (q, (t1, tN, e)) =>
       f""""$q":{"t1":$t1%.3f,"tN":$tN%.3f,"exp":$e%.2f}"""
     }.mkString(",")
-    val extras = (kmeansJson.toSeq ++ substrJson.toSeq).mkString(",")
+    val extras = (kmeansJson.toSeq ++ substrJson.toSeq ++ bpeJson.toSeq).mkString(",")
     val tail = if (extras.isEmpty) "" else s",$extras"
     println(s"""{"copies":$copies,"reps":$reps,"stat":"min","queries":{$qj}$tail}""")
     spark.stop()

@@ -99,6 +99,11 @@ object Bpe {
             val (l, r) = (row.getString(0), row.getString(1))
             words = words.withColumn("enc",
               replace(col("enc"), lit(Sep + l + Sep + r), lit(Sep + l + r)))
+            // periodic lineage cut (see trainBatched): at production merge
+            // counts the chained-replace plan, not the vocab-sized data,
+            // would dominate Catalyst re-analysis each round
+            if (i % LineageCutEvery == 0 && i < rounds)
+              words = words.localCheckpoint(true)
             merges += top.select(lit(i).as("round"), col("l").as("left_sym"),
               col("r").as("right_sym"), col("cnt").as("pair_count"))
         }
@@ -109,6 +114,86 @@ object Bpe {
       "corpus has no multi-character words")
     (built.reduce(_.unionAll(_)).orderBy("round"), words)
   }
+
+  /** Batched training: up to `batchK` SYMBOL-DISJOINT merges per engine
+    * round — the throughput path for production merge counts (10⁴–10⁵
+    * merges), where [[train]]'s one-job-plus-one-collect PER MERGE is
+    * driver-latency-bound. Each round runs ONE pair-count job, collects a
+    * bounded 4·batchK candidate head, greedily selects by the same
+    * (cnt DESC, l, r) order skipping any pair that (a) shares a symbol
+    * with an earlier selection or (b) consumes a symbol an earlier
+    * selection CREATES this round (its concatenation), then applies every
+    * selected merge in one chained-replace projection, in selection order.
+    *
+    * Why the recorded counts stay honest: a merge rewrites only its own
+    * two symbols and never creates adjacency between surviving neighbors,
+    * so the pre-round count of a selected pair equals its true count at
+    * its application position in the chain. The approximation relative to
+    * [[train]] is only in the RANKING: sequential recounting could promote
+    * a pair involving a symbol created mid-round (e.g. (ab,c) right after
+    * (a,b)) above the next disjoint candidate; batching defers such pairs
+    * to the next round's recount. `batchK = 1` selects exactly the global
+    * argmax each round — bit-identical to [[train]].
+    */
+  def trainBatched(docs: DataFrame, totalMerges: Int = Rounds,
+                   batchK: Int = 8): (DataFrame, DataFrame) = {
+    require(batchK >= 1, s"batchK must be >= 1, got $batchK")
+    var words = CacheTracker.cached(wordTable(docs))
+    val out = Seq.newBuilder[(Int, String, String, Long)]
+    var done = 0
+    var exhausted = false
+    while (done < totalMerges && !exhausted) {
+      val want = math.min(batchK, totalMerges - done)
+      val top = pairCounts(words)
+        .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
+        .limit(4 * want)
+        .collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val used = scala.collection.mutable.Set.empty[String]
+        val created = scala.collection.mutable.Set.empty[String]
+        val chosen = Seq.newBuilder[(String, String, Long)]
+        var n = 0
+        val it = top.iterator
+        while (n < want && it.hasNext) {
+          val row = it.next()
+          val (l, r, c) = (row.getString(0), row.getString(1), row.getLong(2))
+          if (!used(l) && !used(r) && !created(l) && !created(r)) {
+            used += l; used += r; created += (l + r)
+            chosen += ((l, r, c)); n += 1
+          }
+        }
+        val sel = chosen.result()
+        var enc: org.apache.spark.sql.Column = col("enc")
+        sel.foreach { case (l, r, _) =>
+          enc = replace(enc, lit(Sep + l + Sep + r), lit(Sep + l + r))
+        }
+        words = words.withColumn("enc", enc)
+        sel.foreach { case (l, r, c) => done += 1; out += ((done, l, r, c)) }
+        // lineage cut: each round chains `want` more replace()s onto the
+        // word-table plan; past ~dozens of rounds Catalyst re-analysis of
+        // the ever-deeper tree, not the vocab-sized data, dominates. A
+        // periodic eager localCheckpoint materializes the (deterministic)
+        // encodings and resets plan depth — same pattern as
+        // ConnectedComponents' iteration cuts.
+        if (done % LineageCutEvery == 0 && done < totalMerges)
+          words = words.localCheckpoint(true)
+      }
+    }
+    val merges = out.result()
+    require(merges.nonEmpty, "BPE training found no adjacent pairs at all — " +
+      "corpus has no multi-character words")
+    val s = docs.sparkSession
+    import s.implicits._
+    (merges.toDF("round", "left_sym", "right_sym", "pair_count").orderBy("round"),
+      words)
+  }
+
+  /** Merge count between lineage cuts in [[trainBatched]]: deep enough to
+    * amortize the materialization, shallow enough that Catalyst analysis
+    * of the chained-replace plan stays cheap.
+    */
+  val LineageCutEvery = 64
 
   /** Oracle CTE chain replaying the identical training relationally:
     * pc_i (pair counts) → m_i (argmax, LIMIT 1) → e_i (merge applied via

@@ -98,6 +98,28 @@ object DistributedRank {
       .toSeq
   }
 
+  /** Projection-only bucket assignment from [[boundariesDesc]] cut points
+    * — the streaming/serving face of [[ntileDesc]]: zero windows, zero
+    * state, streaming-safe. A row orders at-or-before boundary i iff
+    * `score > b_i.score OR (score == b_i.score AND id <= b_i.id)`; its
+    * bucket is the first such i, else `boundaries.size + 1`. Applying
+    * batch-trained boundaries to the SAME rows reproduces ntileDesc
+    * exactly (the tie-break carries through); on NEW rows it is the
+    * frozen admission cut — the same artifact pattern as the classifier
+    * weights or the BPE vocab.
+    */
+  def bucketByBoundaries(df: DataFrame, scoreCol: String, idCol: String,
+                         boundaries: Seq[(Double, Long)],
+                         bucketCol: String = "bucket"): DataFrame = {
+    val score = col(scoreCol)
+    val id = col(idCol)
+    var bucket: Column = lit(boundaries.size + 1)
+    for (((bs, bi), idx) <- boundaries.zipWithIndex.reverse)
+      bucket = when(score > bs || (score === bs && id <= bi), idx + 1)
+        .otherwise(bucket)
+    df.withColumn(bucketCol, bucket.cast("int"))
+  }
+
   private def rankCore(df: DataFrame, scoreCol: String, idCol: String,
                        rankCol: String): (DataFrame, Long) = {
     val spark = df.sparkSession

@@ -125,6 +125,54 @@ class BpeSpec extends AnyFunSuite {
     assert(stored == got, "at-rest vocab diverges on OOV serving")
   }
 
+  private def mergeRows(m: org.apache.spark.sql.DataFrame) =
+    m.orderBy("round").collect().map(r =>
+      (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+
+  private def encOf(words: org.apache.spark.sql.DataFrame) =
+    words.select("w", "enc").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+
+  test("trainBatched(batchK=1) is bit-identical to sequential train") {
+    val d = docs("abc abc abc abab ab", "aaa xy xy zq abc")
+    val (seqM, seqW) = Bpe.train(d, rounds = 4)
+    val (batM, batW) = Bpe.trainBatched(d, totalMerges = 4, batchK = 1)
+    assert(mergeRows(batM) == mergeRows(seqM))
+    assert(encOf(batW) == encOf(seqW))
+  }
+
+  test("trainBatched selects symbol-disjoint merges; planted corpus matches sequential") {
+    // counts (a,b)=3 > (c,d)=2 > (x,y)=1, all symbol-disjoint and each
+    // pair fully merges its word — one batched round of 3 must equal
+    // three sequential rounds exactly
+    val d = docs("ab ab ab cd cd xy")
+    val (seqM, seqW) = Bpe.train(d, rounds = 3)
+    val (batM, batW) = Bpe.trainBatched(d, totalMerges = 3, batchK = 3)
+    assert(mergeRows(batM) == mergeRows(seqM))
+    assert(encOf(batW) == encOf(seqW))
+    // and the disjointness invariant holds on the recorded merges
+    val syms = mergeRows(batM).flatMap { case (_, l, r, _) => Seq(l, r) }
+    assert(syms.distinct.size == syms.size)
+  }
+
+  test("trainBatched defers conflicting pairs to the next round's recount") {
+    // (a,b)=3 and (b,c)=2 share symbol b: round 1 may only take (a,b);
+    // (b,c) must merge from round 2's recount — identical to sequential
+    val d = docs("ab ab ab bc bc")
+    val (seqM, _) = Bpe.train(d, rounds = 2)
+    val (batM, _) = Bpe.trainBatched(d, totalMerges = 2, batchK = 2)
+    assert(mergeRows(batM) == mergeRows(seqM))
+    assert(mergeRows(batM).map { case (_, l, r, _) => (l, r) } ==
+      Seq(("a", "b"), ("b", "c")))
+  }
+
+  test("trainBatched stops at vocabulary exhaustion like train") {
+    val d = docs("ab ab ab")
+    val (m, w) = Bpe.trainBatched(d, totalMerges = 5, batchK = 2)
+    assert(mergeRows(m).map { case (_, l, r, _) => (l, r) } == Seq(("a", "b")))
+    assert(w.select("enc").collect().head.getString(0) == s"${Sep}ab")
+  }
+
   test("vocabulary exhaustion stops training instead of crashing") {
     // "ab" fully merges in one round; asking for 4 returns the 1 learnable
     // merge and the fully-merged word table

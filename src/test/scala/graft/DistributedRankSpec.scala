@@ -88,6 +88,20 @@ class DistributedRankSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("bucketByBoundaries on the trained rows reproduces ntileDesc exactly") {
+    for (n <- Seq(7, 100, 101)) {
+      val df = sample(n)
+      val expected = DistributedRank.ntileDesc(df, "score", "id", 3)
+        .select("id", "bucket").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      spark.catalog.clearCache()
+      val bs = DistributedRank.boundariesDesc(df, "score", "id", 3)
+      val got = DistributedRank.bucketByBoundaries(df, "score", "id", bs)
+        .select("id", "bucket").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(got == expected, s"boundary-projection buckets diverge at n=$n")
+      spark.catalog.clearCache()
+    }
+  }
+
   test("executed plan has no single-partition exchange (the point of the op)") {
     val df = sample(5000)
     val ranked = DistributedRank.ntileDesc(df, "score", "id", 3)

@@ -664,6 +664,60 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch(11L) == ((4L, 12L)), s"doc 11: $batch")
   }
 
+  test("LM tercile admission gate on a stream equals the batch bucketing (boundary scalars)") {
+    // the CCNet head/middle/tail cut as a FROZEN artifact: batch training
+    // yields two (score, doc_id) boundary scalars (DistributedRank
+    // .boundariesDesc); serving is a stream-static score join plus a pure
+    // projection (bucketByBoundaries) — zero windows, zero state.
+    // Streaming the trained corpus back through the gate must reproduce
+    // the batch tercile assignment bit-for-bit, score ties included.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.ext.TextHash.{tokens, shinglesFromTokens}
+    import graft.operators.DistributedRank
+    val corpus = Seq(
+      (0L, "the cat sat on the mat"),
+      (1L, "the dog sat on the log"),
+      (2L, "the cat sat on the mat"), // exact dup of doc 0: score tie
+      (3L, "a cat and a dog and a bird"),
+      (4L, "the bird sat on the dog"),
+      (5L, "a dog on a log on a mat")).toDF("doc_id", "text")
+    def bigrams(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id"), explode(shinglesFromTokens(tokens(col("text")), 2)).as("b"))
+      .select(col("doc_id"),
+        split(col("b"), " ").getItem(0).as("w1"),
+        split(col("b"), " ").getItem(1).as("w2"))
+    val c12 = bigrams(corpus).groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val c1 = c12.groupBy("w1").agg(sum("c12").as("c1"))
+    def scoredOf(df: org.apache.spark.sql.DataFrame) = bigrams(df)
+      .join(c12, Seq("w1", "w2")).join(c1, Seq("w1"))
+      .groupBy("doc_id")
+      .agg(round(sum(round(log(col("c12").cast("double") / col("c1")), 9)
+        .cast("decimal(20,9)")).cast("double") / count(lit(1)), 6).as("avg_logprob"))
+    val batchScored = scoredOf(corpus)
+    val batchBuckets = DistributedRank.ntileDesc(batchScored, "avg_logprob", "doc_id", 3)
+      .select("doc_id", "bucket").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    spark.catalog.clearCache()
+    val bs = DistributedRank.boundariesDesc(batchScored, "avg_logprob", "doc_id", 3)
+    spark.catalog.clearCache()
+
+    val mem = MemoryStream[(Long, String)]
+    val gated = DistributedRank.bucketByBoundaries(
+      scoredOf(mem.toDF.toDF("doc_id", "text")), "avg_logprob", "doc_id", bs)
+    val q = gated.writeStream.format("memory").queryName("ppl_gate")
+      .outputMode("complete").start()
+    val streamed = try {
+      mem.addData(corpus.collect().map(r => (r.getLong(0), r.getString(1))).toSeq: _*)
+      q.processAllAvailable()
+      spark.table("ppl_gate").collect()
+        .map(r => r.getLong(0) -> r.getAs[Int]("bucket")).toMap
+    } finally q.stop()
+    assert(streamed == batchBuckets, s"stream $streamed vs batch $batchBuckets")
+    // every doc gated (incl. the tied pair, split deterministically by id)
+    assert(streamed.keySet == (0L to 5L).toSet)
+  }
+
   test("multimodal header decode on a stream equals batch (image, audio, video)") {
     // all three header parsers are stateless per-row decodes inside
     // mapPartitions, so they run unchanged over a stream — the ingest
