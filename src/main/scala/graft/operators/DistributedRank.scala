@@ -120,6 +120,30 @@ object DistributedRank {
     df.withColumn(bucketCol, bucket.cast("int"))
   }
 
+  /** Range-group index for a score against the sorted threshold literals:
+    * `grp = |{t : score <= t}| = n - lowerBound(ths, score)`, emitted as a
+    * BALANCED nested-CASE binary search — O(log P) comparisons per row
+    * (vs O(P) for a literal-array fold), O(P) expression nodes, fully
+    * codegen'd. At cluster scale P tracks spark.sql.shuffle.partitions
+    * (thousands); a linear per-row scan there would cost more than the
+    * rank windows themselves.
+    */
+  private def grpExpr(ths: Seq[Double], score: Column): Column = {
+    if (ths.isEmpty) return lit(0)
+    val sorted = ths.sorted.toIndexedSeq
+    val n = sorted.size
+    // binary-search i0 = first index with ths(i0) >= score (n = none);
+    // the matching suffix {i0..n-1} has size n - i0 = grp
+    def search(lo: Int, hi: Int): Column =
+      if (lo == hi) lit(n - lo)
+      else {
+        val mid = (lo + hi) / 2
+        when(score <= lit(sorted(mid)), search(lo, mid))
+          .otherwise(search(mid + 1, hi))
+      }
+    search(0, n)
+  }
+
   private def rankCore(df: DataFrame, scoreCol: String, idCol: String,
                        rankCol: String): (DataFrame, Long) = {
     val spark = df.sparkSession
@@ -138,10 +162,7 @@ object DistributedRank {
           .head()
         if (row.isNullAt(0)) Seq.empty else row.getSeq[Double](0)
       }
-    val grp: Column =
-      if (ths.isEmpty) lit(0)
-      else size(filter(typedLit(ths), t => score <= t))
-    val withGrp = cached.withColumn("__graft_grp", grp)
+    val withGrp = cached.withColumn("__graft_grp", grpExpr(ths, score))
 
     // bounded action 2: exact per-group counts (≤ P rows) → rank offsets
     val cnts = withGrp.groupBy("__graft_grp").count().collect()
