@@ -1,0 +1,112 @@
+package graft.ext
+
+import graft.operators.DistributedRank
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The corpus bigram-LM quality gate AT REST — the CCNet-style filter
+  * (score every document by mean log P(w2|w1) under the corpus LM, cut
+  * into head/middle/tail terciles) packaged like the engine's other
+  * trained artifacts (DedupIndex / SubstringIndex / AnnIndex / BPE
+  * vocab): training persists the two vocab-bounded count tables plus the
+  * tercile boundary scalars, and serving loads them to score/bucket any
+  * batch or stream — stream-static equi-joins plus a pure projection,
+  * never a re-derivation of the LM or the cut.
+  *
+  * This is the SINGLE definition of the bigram scoring algebra: the
+  * declared queries (q_text_lm_score, q_text_ppl_buckets) build on these
+  * methods, so artifact serving cannot drift from the oracle-checked
+  * semantics. Each log prob is rounded to 9dp BEFORE a decimal sum, so
+  * aggregates are order-independent and hash-identical across engines.
+  *
+  * Scale shape: c12/c1 are vocabulary-bounded (broadcastable or
+  * df-cappable at 100 TB); scoring explodes only the scored subset;
+  * bucketing is [[DistributedRank.bucketByBoundaries]] — two broadcast
+  * scalars and a CASE projection, zero windows. Serving documents whose
+  * bigrams are ALL unseen by the trained LM have undefined probability
+  * mass and DROP from the scored output (inner joins) — the gate's
+  * declared closed-world contract; callers wanting an explicit verdict
+  * for them should anti-join the scored ids back against the input.
+  */
+object LmGate {
+  import TextHash.{tokens, shinglesFromTokens}
+
+  /** (doc_id, w1, w2) bigram rows of a document set — one explode. */
+  def bigrams(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        explode(shinglesFromTokens(tokens(col("text")), 2)).as("b"))
+      .select(col("doc_id"),
+        split(col("b"), " ").getItem(0).as("w1"),
+        split(col("b"), " ").getItem(1).as("w2"))
+
+  /** Train the LM: (c12 joint counts, c1 first-token marginal). The
+    * marginal derives from the aggregated joint (vocab²-sized) instead of
+    * re-exploding and re-shuffling every document's shingles a second
+    * time.
+    */
+  def countTables(docs: DataFrame): (DataFrame, DataFrame) = {
+    val c12 = bigrams(docs).groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val c1 = c12.groupBy("w1").agg(sum("c12").as("c1"))
+    (c12, c1)
+  }
+
+  /** Score documents against a (possibly at-rest) LM:
+    * (doc_id, n_bigrams, avg_logprob).
+    */
+  def score(docs: DataFrame, c12: DataFrame, c1: DataFrame): DataFrame =
+    bigrams(docs)
+      .join(c12, Seq("w1", "w2"))
+      .join(c1, Seq("w1"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(
+          sum(round(log(col("c12").cast("double") / col("c1")), 9)
+            .cast("decimal(20,9)")).cast("double") / count(lit(1)), 6)
+          .as("avg_logprob"))
+
+  /** A loaded gate: the count tables plus the frozen bucket cut points. */
+  final case class Gate(c12: DataFrame, c1: DataFrame,
+                        boundaries: Seq[(Double, Long)]) {
+    /** Score + bucket a document set against the frozen artifact —
+      * streaming-safe (no windows, no state).
+      */
+    def bucketed(docs: DataFrame): DataFrame =
+      DistributedRank.bucketByBoundaries(
+        score(docs, c12, c1).select(col("doc_id"), col("avg_logprob")),
+        "avg_logprob", "doc_id", boundaries)
+  }
+
+  /** Train on `docs` and persist the full artifact under `dir`:
+    * `c12.parquet`, `c1.parquet`, and `bounds.parquet`
+    * (bucket_idx, b_score, b_id). Boundaries are computed from the
+    * PERSISTED tables so the stored artifact is exactly what serving
+    * reads.
+    */
+  def write(docs: DataFrame, dir: String, buckets: Int = 3): Unit = {
+    val s = docs.sparkSession
+    val (c12, c1) = countTables(docs)
+    c12.write.mode("overwrite").parquet(s"$dir/c12.parquet")
+    c1.write.mode("overwrite").parquet(s"$dir/c1.parquet")
+    val scored = score(docs,
+        s.read.parquet(s"$dir/c12.parquet"),
+        s.read.parquet(s"$dir/c1.parquet"))
+      .select(col("doc_id"), col("avg_logprob"))
+    val bs = DistributedRank.boundariesDesc(scored, "avg_logprob", "doc_id", buckets)
+    import s.implicits._
+    bs.zipWithIndex
+      .map { case ((bScore, bId), i) => (i + 1, bScore, bId) }
+      .toDF("bucket_idx", "b_score", "b_id")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/bounds.parquet")
+  }
+
+  def load(s: SparkSession, dir: String): Gate = {
+    val bs = s.read.parquet(s"$dir/bounds.parquet")
+      .collect()
+      .sortBy(_.getAs[Int]("bucket_idx"))
+      .map(r => (r.getAs[Double]("b_score"), r.getAs[Long]("b_id")))
+      .toSeq
+    Gate(s.read.parquet(s"$dir/c12.parquet"),
+      s.read.parquet(s"$dir/c1.parquet"), bs)
+  }
+}

@@ -544,26 +544,12 @@ object TextAnalysis {
          |JOIN c12 USING (w1, w2)
          |JOIN c1 USING (w1)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
-      val bg = Tables.documents(s, d)
-        .select(col("doc_id"),
-          explode(shinglesFromTokens(tokens(col("text")), 2)).as("b"))
-        .select(col("doc_id"),
-          split(col("b"), " ").getItem(0).as("w1"),
-          split(col("b"), " ").getItem(1).as("w2"))
-      val c12 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
-      // the first-token marginal IS the joint summed over w2 — derive it
-      // from the aggregated c12 (vocab²-sized) instead of re-exploding and
-      // re-shuffling every document's shingles a second time
-      val c1 = c12.groupBy("w1").agg(sum("c12").as("c1"))
-      bg.filter(col("doc_id") < 200)
-        .join(c12, Seq("w1", "w2"))
-        .join(c1, Seq("w1"))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_bigrams"),
-          round(
-            sum(round(log(col("c12").cast("double") / col("c1")), 9)
-              .cast("decimal(20,9)")).cast("double") / count(lit(1)), 6)
-            .as("avg_logprob"))
+      // scoring algebra lives in LmGate (the at-rest artifact face of this
+      // query) — ONE definition for the declared query, the stored gate,
+      // and the streaming admission path
+      val docs = Tables.documents(s, d)
+      val (c12, c1) = LmGate.countTables(docs)
+      LmGate.score(docs.filter(col("doc_id") < 200), c12, c1)
         .orderBy("doc_id")
     },
 
@@ -599,22 +585,10 @@ object TextAnalysis {
          |SELECT doc_id, avg_logprob,
          |  CAST(ntile(3) OVER (ORDER BY avg_logprob DESC, doc_id) AS INT) AS bucket
          |FROM scored ORDER BY doc_id""".stripMargin) { (s, d) =>
-      val bg = Tables.documents(s, d)
-        .select(col("doc_id"),
-          explode(shinglesFromTokens(tokens(col("text")), 2)).as("b"))
-        .select(col("doc_id"),
-          split(col("b"), " ").getItem(0).as("w1"),
-          split(col("b"), " ").getItem(1).as("w2"))
-      val c12 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
-      val c1 = c12.groupBy("w1").agg(sum("c12").as("c1"))
-      val scored = bg
-        .join(c12, Seq("w1", "w2"))
-        .join(c1, Seq("w1"))
-        .groupBy("doc_id")
-        .agg(round(
-          sum(round(log(col("c12").cast("double") / col("c1")), 9)
-            .cast("decimal(20,9)")).cast("double") / count(lit(1)), 6)
-          .as("avg_logprob"))
+      val docs = Tables.documents(s, d)
+      val (c12, c1) = LmGate.countTables(docs)
+      val scored = LmGate.score(docs, c12, c1)
+        .select(col("doc_id"), col("avg_logprob"))
       graft.operators.DistributedRank.ntileDesc(scored, "avg_logprob", "doc_id", 3)
         .select(col("doc_id"), col("avg_logprob"), col("bucket"))
         .orderBy("doc_id")

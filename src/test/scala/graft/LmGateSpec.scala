@@ -1,0 +1,67 @@
+package graft
+
+import graft.ext.LmGate
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The at-rest LM gate must serve EXACTLY the declared query's semantics:
+  * write → load → bucket on the trained corpus reproduces
+  * q_text_ppl_buckets bit-for-bit, and the closed-world drop contract for
+  * all-unseen documents is pinned.
+  */
+class LmGateSpec extends AnyFunSuite {
+  private lazy val spark = SparkSuite.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("stored gate reproduces q_text_ppl_buckets on the trained corpus") {
+    val docs = Tables.documents(spark, dir)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-lm-gate").toString
+    LmGate.write(docs, tmp)
+    val gate = LmGate.load(spark, tmp)
+    val served = gate.bucketed(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Double]("avg_logprob"), r.getAs[Int]("bucket"))).toMap
+    spark.catalog.clearCache()
+    val declared = SparkEntry.queries("q_text_ppl_buckets")(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Double]("avg_logprob"), r.getAs[Int]("bucket"))).toMap
+    assert(served == declared, "at-rest gate diverges from the declared query")
+    spark.catalog.clearCache()
+  }
+
+  test("boundary scalars round-trip through parquet bit-exactly") {
+    import spark.implicits._
+    val docsDf = Seq(
+      (0L, "the cat sat on the mat"),
+      (1L, "the dog sat on the log"),
+      (2L, "a cat and a dog"),
+      (3L, "the bird sat on the dog"),
+      (4L, "a dog on a log"),
+      (5L, "the cat and the bird")).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-lm-bounds").toString
+    LmGate.write(docsDf, tmp)
+    val (c12, c1) = LmGate.countTables(docsDf)
+    val scored = LmGate.score(docsDf, c12, c1)
+      .select(col("doc_id"), col("avg_logprob"))
+    val direct = graft.operators.DistributedRank
+      .boundariesDesc(scored, "avg_logprob", "doc_id", 3)
+    spark.catalog.clearCache()
+    assert(LmGate.load(spark, tmp).boundaries == direct)
+  }
+
+  test("documents with only unseen bigrams drop (closed-world contract)") {
+    import spark.implicits._
+    val corpus = Seq((0L, "the cat sat on the mat"),
+      (1L, "the dog sat on the log")).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-lm-oov").toString
+    LmGate.write(corpus, tmp)
+    val gate = LmGate.load(spark, tmp)
+    val serve = Seq(
+      (10L, "the cat sat"),              // known bigrams -> scored
+      (11L, "zq zork blurp entirely novel")) // no known bigram -> dropped
+      .toDF("doc_id", "text")
+    val got = gate.bucketed(serve).collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(got == Set(10L), s"expected only doc 10 scored, got $got")
+    spark.catalog.clearCache()
+  }
+}
