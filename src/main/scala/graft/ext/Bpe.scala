@@ -267,6 +267,52 @@ object Bpe {
            sum(coalesce(col("n_syms_tok"), length(col("w"))))
              .cast("long").as("n_syms"))
 
+  /** Dense symbol-id table of a trained word table: one row per distinct
+    * post-merge symbol, `sym_id` assigned by (corpus frequency DESC,
+    * symbol ASC) — the id layout real tokenizers ship (frequent symbols
+    * get small ids). Ranked via [[graft.operators.DistributedRank]], so
+    * the vocabulary-sized sort is partition-parallel like every other
+    * global rank in the engine.
+    */
+  def symbolIds(words: DataFrame): DataFrame = {
+    val symArr = slice(split(col("enc"), Sep), lit(2),
+      size(split(col("enc"), Sep)) - 1)
+    val symFreq = words
+      .select(explode(symArr).as("sym"), col("freq"))
+      .groupBy("sym").agg(sum("freq").cast("long").as("sfreq"))
+    graft.operators.DistributedRank
+      .rankDesc(symFreq, "sfreq", "sym", "sym_id")
+      .withColumn("sym_id", col("sym_id").cast("int"))
+  }
+
+  /** ENCODE documents to dense token-id sequences — the materialized
+    * serving output of the tokenizer (ids, not just counts): per document
+    * the concatenation, in text order, of each word's post-merge symbol
+    * ids. Vocab-closed-world like the declared apply query (the id space
+    * is the trained symbol table; a byte-fallback id page for OOV serving
+    * would extend [[symbolIds]], while COUNTING under OOV is already
+    * served by [[applyVocab]]'s char fallback).
+    *
+    * Plan shape: two positional explodes (token pos, symbol pos), two
+    * vocab-bounded equi-joins (word → encoding, symbol → id), one
+    * per-document aggregate that sorts the (tpos, spos, id) triples —
+    * order reconstruction is a per-group array_sort, never a window.
+    */
+  def encode(docs: DataFrame, words: DataFrame): DataFrame = {
+    val ids = symbolIds(words)
+    val symArr = slice(split(col("enc"), Sep), lit(2),
+      size(split(col("enc"), Sep)) - 1)
+    docs.select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("tpos", "w")))
+      .filter(!col("w").contains(Sep))
+      .join(words.select("w", "enc"), Seq("w"))
+      .select(col("doc_id"), col("tpos"), posexplode(symArr).as(Seq("spos", "sym")))
+      .join(ids.select("sym", "sym_id"), Seq("sym"))
+      .groupBy("doc_id")
+      .agg(transform(
+        array_sort(collect_list(struct(col("tpos"), col("spos"), col("sym_id")))),
+        x => x.getField("sym_id")).as("token_ids"))
+  }
+
   val queries: Seq[Q] = Seq(
 
     // ---- BPE merge training: the learned merges themselves ----
@@ -295,6 +341,45 @@ object Bpe {
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
       val docs = Tables.documents(s, d)
       applyVocab(docs, vocabOf(train(docs)._2)).orderBy("doc_id")
+    },
+
+    // ---- serving path: materialized token-id sequences ----
+    // The actual tokenizer OUTPUT a training pipeline materializes: dense
+    // symbol ids (frequency-ranked, small ids = frequent symbols) and each
+    // document's id sequence in text order. Oracle replays the id
+    // assignment with a window row_number and rebuilds order with a
+    // list(... ORDER BY) aggregate; the engine side is two vocab-bounded
+    // equi-joins + a per-document array_sort — no window over the corpus.
+    // Probe restricted to doc_id < 100 (like q_text_lm_score) to keep the
+    // dumped result bounded; training reads the full corpus.
+    Q("q_text_bpe_encode",
+      s"""WITH ${trainingCtes(Rounds)},
+         |sym AS (
+         |  SELECT s AS sym, CAST(sum(freq) AS BIGINT) AS sfreq
+         |  FROM (SELECT unnest(string_split(enc, chr(1))[2:]) AS s, freq FROM e$Rounds)
+         |  GROUP BY 1
+         |),
+         |sid AS (
+         |  SELECT sym, CAST(row_number() OVER (ORDER BY sfreq DESC, sym) AS INT) AS sym_id
+         |  FROM sym
+         |),
+         |tok AS (
+         |  SELECT doc_id, unnest(toks) AS w, unnest(range(1, len(toks) + 1)) AS tpos
+         |  FROM (SELECT doc_id, ${tokensSql("text")} AS toks FROM documents WHERE doc_id < 100)
+         |),
+         |ts AS (
+         |  SELECT doc_id, tpos, unnest(syms) AS sym, unnest(range(1, len(syms) + 1)) AS spos
+         |  FROM (
+         |    SELECT doc_id, tpos, string_split(enc, chr(1))[2:] AS syms
+         |    FROM tok JOIN e$Rounds USING (w)
+         |    WHERE NOT contains(w, chr(1))
+         |  )
+         |)
+         |SELECT doc_id, list(sym_id ORDER BY tpos, spos) AS token_ids
+         |FROM ts JOIN sid USING (sym)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      encode(docs.filter(col("doc_id") < 100), train(docs)._2).orderBy("doc_id")
     }
   )
 }

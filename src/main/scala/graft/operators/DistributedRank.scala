@@ -152,13 +152,17 @@ object DistributedRank {
     val score = col(scoreCol)
 
     // bounded action 1: P-1 approximate percentile thresholds, collected
-    // once so the group assignment below is a deterministic literal fold
+    // once so the group assignment below is a deterministic literal fold.
+    // The sketch input is cast to double because percentile_approx returns
+    // its INPUT type — an integral scoreCol would otherwise hand back
+    // longs where the threshold literals expect doubles. Integral scores
+    // up to 2^53 stay exact in the comparison domain.
     val ths: Seq[Double] =
       if (p <= 1) Seq.empty
       else {
         val fr = (1 until p).map(_.toDouble / p)
         val row = cached
-          .agg(percentile_approx(score, typedLit(fr), lit(10000)).as("t"))
+          .agg(percentile_approx(score.cast("double"), typedLit(fr), lit(10000)).as("t"))
           .head()
         if (row.isNullAt(0)) Seq.empty else row.getSeq[Double](0)
       }

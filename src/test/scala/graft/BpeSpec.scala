@@ -133,6 +133,20 @@ class BpeSpec extends AnyFunSuite {
     words.select("w", "enc").collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap
 
+  test("encode materializes frequency-ranked token ids in text order") {
+    // one round learns (a,b): abc -> [ab, c], ab -> [ab], xy -> [x, y].
+    // Symbol corpus freqs: ab=4, c=3, x=1, y=1 -> ids ab=1, c=2, x=3, y=4
+    // (freq DESC, symbol ASC). The document's id sequence must follow
+    // text order across BOTH token position and symbol position.
+    val d = docs("abc abc abc ab xy")
+    val (_, words) = Bpe.train(d, rounds = 1)
+    val out = Bpe.encode(d, words).collect()
+    assert(out.length == 1)
+    assert(out.head.getSeq[Int](1) == Seq(1, 2, 1, 2, 1, 2, 1, 3, 4),
+      s"got ${out.head.getSeq[Int](1)}")
+    spark.catalog.clearCache()
+  }
+
   test("trainBatched(batchK=1) is bit-identical to sequential train") {
     val d = docs("abc abc abc abab ab", "aaa xy xy zq abc")
     val (seqM, seqW) = Bpe.train(d, rounds = 4)

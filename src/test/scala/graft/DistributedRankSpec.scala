@@ -52,6 +52,18 @@ class DistributedRankSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("rankDesc handles integral scores and string tie-break ids") {
+    // the symbolIds shape: LONG frequencies (percentile_approx returns its
+    // input type — must not class-cast on the threshold collect) with a
+    // string id column breaking ties ascending
+    import spark.implicits._
+    val df = Seq(("b", 4L), ("a", 4L), ("c", 3L), ("d", 10L)).toDF("sym", "sfreq")
+    val got = DistributedRank.rankDesc(df, "sfreq", "sym", "rk")
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(got == Map("d" -> 1L, "a" -> 2L, "b" -> 3L, "c" -> 4L))
+    spark.catalog.clearCache()
+  }
+
   test("all-equal scores degenerate to one group but stay exact") {
     import spark.implicits._
     val df = (0 until 50).map(i => (i.toLong, 1.0)).toDF("id", "score")
