@@ -298,8 +298,14 @@ object Bpe {
     * per-document aggregate that sorts the (tpos, spos, id) triples —
     * order reconstruction is a per-group array_sort, never a window.
     */
-  def encode(docs: DataFrame, words: DataFrame): DataFrame = {
-    val ids = symbolIds(words)
+  def encode(docs: DataFrame, words: DataFrame): DataFrame =
+    encodeWith(docs, words, symbolIds(words))
+
+  /** [[encode]] with an explicit (possibly at-rest) symbol-id table — the
+    * serving path for a stored tokenizer, where the id assignment is part
+    * of the frozen artifact rather than re-ranked per batch.
+    */
+  def encodeWith(docs: DataFrame, words: DataFrame, ids: DataFrame): DataFrame = {
     val symArr = slice(split(col("enc"), Sep), lit(2),
       size(split(col("enc"), Sep)) - 1)
     docs.select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("tpos", "w")))
@@ -312,6 +318,30 @@ object Bpe {
         array_sort(collect_list(struct(col("tpos"), col("spos"), col("sym_id")))),
         x => x.getField("sym_id")).as("token_ids"))
   }
+
+  /** The FULL tokenizer artifact at rest: the trained word table with its
+    * encodings (`words.parquet`) plus the dense symbol-id table
+    * (`syms.parquet`) — everything [[encodeWith]] and [[applyVocab]] need,
+    * so id-level serving never retrains AND the id assignment is frozen
+    * with the artifact (a later batch re-ranking frequencies could not
+    * silently renumber the vocabulary). [[writeVocab]] remains the
+    * counts-only artifact for the admission gate. Symbol ids are computed
+    * from the PERSISTED word table, so the stored pair is exactly what
+    * serving reads.
+    */
+  def writeTokenizer(words: DataFrame, dir: String): Unit =
+    // terminal writer: scope the symbol-rank caches (see LmGate.write)
+    graft.CacheTracker.scope {
+      words.select("w", "enc", "freq")
+        .write.mode("overwrite").parquet(s"$dir/words.parquet")
+      val s = words.sparkSession
+      symbolIds(s.read.parquet(s"$dir/words.parquet"))
+        .write.mode("overwrite").parquet(s"$dir/syms.parquet")
+    }
+
+  /** Load a stored tokenizer: (word table, symbol-id table). */
+  def loadTokenizer(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+    (s.read.parquet(s"$dir/words.parquet"), s.read.parquet(s"$dir/syms.parquet"))
 
   val queries: Seq[Q] = Seq(
 

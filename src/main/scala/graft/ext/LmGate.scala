@@ -82,23 +82,27 @@ object LmGate {
     * PERSISTED tables so the stored artifact is exactly what serving
     * reads.
     */
-  def write(docs: DataFrame, dir: String, buckets: Int = 3): Unit = {
-    val s = docs.sparkSession
-    val (c12, c1) = countTables(docs)
-    c12.write.mode("overwrite").parquet(s"$dir/c12.parquet")
-    c1.write.mode("overwrite").parquet(s"$dir/c1.parquet")
-    val scored = score(docs,
-        s.read.parquet(s"$dir/c12.parquet"),
-        s.read.parquet(s"$dir/c1.parquet"))
-      .select(col("doc_id"), col("avg_logprob"))
-    val bs = DistributedRank.boundariesDesc(scored, "avg_logprob", "doc_id", buckets)
-    import s.implicits._
-    bs.zipWithIndex
-      .map { case ((bScore, bId), i) => (i + 1, bScore, bId) }
-      .toDF("bucket_idx", "b_score", "b_id")
-      .coalesce(1)
-      .write.mode("overwrite").parquet(s"$dir/bounds.parquet")
-  }
+  def write(docs: DataFrame, dir: String, buckets: Int = 3): Unit =
+    // terminal writer: scope the internal rank caches so library callers
+    // don't inherit an unreleasable cached Dataset (runner scopes nest
+    // fine — release is reference-counted)
+    graft.CacheTracker.scope {
+      val s = docs.sparkSession
+      val (c12, c1) = countTables(docs)
+      c12.write.mode("overwrite").parquet(s"$dir/c12.parquet")
+      c1.write.mode("overwrite").parquet(s"$dir/c1.parquet")
+      val scored = score(docs,
+          s.read.parquet(s"$dir/c12.parquet"),
+          s.read.parquet(s"$dir/c1.parquet"))
+        .select(col("doc_id"), col("avg_logprob"))
+      val bs = DistributedRank.boundariesDesc(scored, "avg_logprob", "doc_id", buckets)
+      import s.implicits._
+      bs.zipWithIndex
+        .map { case ((bScore, bId), i) => (i + 1, bScore, bId) }
+        .toDF("bucket_idx", "b_score", "b_id")
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/bounds.parquet")
+    }
 
   def load(s: SparkSession, dir: String): Gate = {
     val bs = s.read.parquet(s"$dir/bounds.parquet")

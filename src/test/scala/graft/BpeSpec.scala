@@ -147,6 +147,28 @@ class BpeSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("tokenizer at rest: stored encode equals in-memory encode, ids frozen") {
+    val d = docs("abc abc abc ab xy", "ab ab cd cd")
+    val (_, words) = Bpe.train(d, rounds = 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft-bpe-tok").toString
+    Bpe.writeTokenizer(words, dir)
+    val (wStored, idsStored) = Bpe.loadTokenizer(spark, dir)
+    def seqs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1).toList).toMap
+    val inMem = seqs(Bpe.encode(d, words))
+    spark.catalog.clearCache()
+    val stored = seqs(Bpe.encodeWith(d, wStored, idsStored))
+    assert(stored.nonEmpty && stored == inMem,
+      "stored tokenizer diverges from in-memory encode")
+    // the persisted id table equals a fresh ranking of the stored words
+    val fresh = Bpe.symbolIds(wStored).collect()
+      .map(r => r.getString(0) -> r.getInt(2)).toMap
+    spark.catalog.clearCache()
+    val persisted = idsStored.collect()
+      .map(r => r.getString(0) -> r.getInt(2)).toMap
+    assert(persisted == fresh)
+  }
+
   test("trainBatched(batchK=1) is bit-identical to sequential train") {
     val d = docs("abc abc abc abab ab", "aaa xy xy zq abc")
     val (seqM, seqW) = Bpe.train(d, rounds = 4)

@@ -297,8 +297,21 @@ class GraphExportSpec extends AnyFunSuite {
     writeDb(g, dbDirect)
     writeDb(GraphNormalizer.fromJsonExport(spark, dir.toString), dbIngest)
 
-    // the check runs through the real sqlite3 CLI, not our own reader
-    def sq(db: String, sql: String): String = Seq("sqlite3", db, sql).!!
+    // the check runs through an INDEPENDENT SQLite reader, never our own
+    // writer's code: the sqlite3 CLI when the host has it, else python3's
+    // stdlib sqlite3 (the same C library; this host image dropped the CLI
+    // between rounds). Output format mirrors the CLI ('|'-joined columns,
+    // newline rows, NULL as empty) so the assertions below are
+    // reader-agnostic; cross-db parity checks compare same-reader output.
+    val haveCli = scala.util.Try(Seq("sqlite3", "--version").!!).isSuccess
+    def sq(db: String, sql: String): String =
+      if (haveCli) Seq("sqlite3", db, sql).!!
+      else Seq("python3", "-c",
+        "import sqlite3,sys\n" +
+          "con=sqlite3.connect(sys.argv[1])\n" +
+          "rows=con.execute(sys.argv[2]).fetchall()\n" +
+          "print('\\n'.join('|'.join('' if v is None else str(v) for v in r) for r in rows))",
+        db, sql).!!
     assert(sq(dbIngest, "PRAGMA integrity_check;").trim == "ok")
 
     // 13-table oracle via sqlite3

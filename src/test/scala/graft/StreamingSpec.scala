@@ -673,7 +673,6 @@ class StreamingSpec extends AnyFunSuite {
     // the batch tercile assignment bit-for-bit, score ties included.
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
-    import graft.ext.TextHash.{tokens, shinglesFromTokens}
     import graft.operators.DistributedRank
     val corpus = Seq(
       (0L, "the cat sat on the mat"),
@@ -682,19 +681,10 @@ class StreamingSpec extends AnyFunSuite {
       (3L, "a cat and a dog and a bird"),
       (4L, "the bird sat on the dog"),
       (5L, "a dog on a log on a mat")).toDF("doc_id", "text")
-    def bigrams(df: org.apache.spark.sql.DataFrame) = df
-      .select(col("doc_id"), explode(shinglesFromTokens(tokens(col("text")), 2)).as("b"))
-      .select(col("doc_id"),
-        split(col("b"), " ").getItem(0).as("w1"),
-        split(col("b"), " ").getItem(1).as("w2"))
-    val c12 = bigrams(corpus).groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
-    val c1 = c12.groupBy("w1").agg(sum("c12").as("c1"))
-    def scoredOf(df: org.apache.spark.sql.DataFrame) = bigrams(df)
-      .join(c12, Seq("w1", "w2")).join(c1, Seq("w1"))
-      .groupBy("doc_id")
-      .agg(round(sum(round(log(col("c12").cast("double") / col("c1")), 9)
-        .cast("decimal(20,9)")).cast("double") / count(lit(1)), 6).as("avg_logprob"))
-    val batchScored = scoredOf(corpus)
+    import graft.ext.LmGate
+    val (c12, c1) = LmGate.countTables(corpus)
+    val batchScored = LmGate.score(corpus, c12, c1)
+      .select(col("doc_id"), col("avg_logprob"))
     val batchBuckets = DistributedRank.ntileDesc(batchScored, "avg_logprob", "doc_id", 3)
       .select("doc_id", "bucket").collect()
       .map(r => r.getLong(0) -> r.getInt(1)).toMap
@@ -703,8 +693,7 @@ class StreamingSpec extends AnyFunSuite {
     spark.catalog.clearCache()
 
     val mem = MemoryStream[(Long, String)]
-    val gated = DistributedRank.bucketByBoundaries(
-      scoredOf(mem.toDF.toDF("doc_id", "text")), "avg_logprob", "doc_id", bs)
+    val gated = LmGate.Gate(c12, c1, bs).bucketed(mem.toDF.toDF("doc_id", "text"))
     val q = gated.writeStream.format("memory").queryName("ppl_gate")
       .outputMode("complete").start()
     val streamed = try {
