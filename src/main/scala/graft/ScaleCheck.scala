@@ -59,7 +59,12 @@ object ScaleCheck {
     // distinct) — the adversarial worst case for a vocab-bounded
     // operator; real corpora grow vocab ~N^0.5 (Heaps), so the measured
     // exponent here UPPER-bounds production behavior
-    "q_text_bpe_merges")
+    "q_text_bpe_merges",
+    // round-10 rewrite: the tercile cut now runs through DistributedRank
+    // (threshold groups + grouped windows + bounded collects) instead of
+    // a single-partition ntile window — this point validates that the
+    // LM-score explode dominates and the rank layer stays ~flat
+    "q_text_ppl_buckets")
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
