@@ -172,6 +172,45 @@ object TextAnalysis {
         .orderBy("doc_id")
     },
 
+    // ---- quality-ranked token-budget selection ----
+    // The standard curation CUT: rank the whole corpus by quality (the
+    // q_text_quality composite) and keep the best documents while the
+    // RUNNING TOKEN TOTAL stays under budget — "take the top docs up to
+    // B training tokens", which needs an exact prefix sum over a global
+    // order. Runs through DistributedRank.cumSumDesc (two-level
+    // distributed prefix aggregate: threshold groups + grouped running
+    // windows + bounded weight-offset collect) — the oracle's
+    // `sum() OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING)` with NO
+    // single-partition window. Ties on the 6dp quality score break by
+    // doc_id in both engines.
+    Q("q_sample_quality_budget",
+      s"""WITH q AS (
+         |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+         |    round(CAST(list_reduce(list_transform(toks, t -> ${inSetSql("t", Stopwords)}), (x, y) -> x + y) AS DOUBLE)
+         |          / len(toks) * 0.5 + least(len(toks), 400) / 400.0 * 0.5, 6) AS quality
+         |  FROM (SELECT doc_id, ${tokensSql("text")} AS toks FROM documents)
+         |),
+         |c AS (
+         |  SELECT doc_id, quality, n_tokens,
+         |    CAST(sum(n_tokens) OVER (ORDER BY quality DESC, doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+         |  FROM q
+         |)
+         |SELECT doc_id, quality, n_tokens, cum_tokens
+         |FROM c WHERE cum_tokens <= 18000 ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val toks = tokens(col("text"))
+      val scored = Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(toks).cast("long").as("n_tokens"),
+          round(aggregate(transform(toks, t => when(t.isin(Stopwords: _*), 1).otherwise(0)),
+              lit(0), (x, y) => x + y).cast("double") / size(toks) * 0.5
+            + least(size(toks), lit(400)) / 400.0 * 0.5, 6).as("quality"))
+      graft.operators.DistributedRank
+        .cumSumDesc(scored, "quality", "doc_id", "n_tokens", "cum_tokens")
+        .filter(col("cum_tokens") <= 18000)
+        .select(col("doc_id"), col("quality"), col("n_tokens"), col("cum_tokens"))
+        .orderBy("doc_id")
+    },
+
     // ---- token counting: global top-20 ----
     Q("q_text_tokens",
       s"""SELECT tok, count(*) AS n

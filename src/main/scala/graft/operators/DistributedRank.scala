@@ -144,8 +144,31 @@ object DistributedRank {
     search(0, n)
   }
 
+  /** Exact running total of an integral weight over
+    * `(scoreCol DESC, idCol ASC)` — semantically
+    * `sum(weight) OVER (ORDER BY score DESC, id ROWS UNBOUNDED PRECEDING)`
+    * — as the same partition-parallel two-level construction as
+    * [[rankDesc]], with per-group WEIGHT TOTALS instead of row counts as
+    * the offsets. The canonical curation use is the quality-ranked budget
+    * cut: keep the best documents while the running token total stays
+    * under budget, a plain filter on the result. `weightCol` must be
+    * non-null integral (summed exactly as long); `rankDesc` is this
+    * operator with weight ≡ 1.
+    */
+  def cumSumDesc(df: DataFrame, scoreCol: String, idCol: String,
+                 weightCol: String, cumCol: String = "cum"): DataFrame =
+    prefixCore(df, scoreCol, idCol, col(weightCol).cast("long"), cumCol)._1
+
   private def rankCore(df: DataFrame, scoreCol: String, idCol: String,
-                       rankCol: String): (DataFrame, Long) = {
+                       rankCol: String): (DataFrame, Long) =
+    prefixCore(df, scoreCol, idCol, lit(1L), rankCol)
+
+  /** Shared two-level prefix-aggregate core: running sum of `weight` in
+    * the (scoreCol DESC, idCol ASC) total order, plus the grand total.
+    * With weight ≡ 1 the running sum IS `row_number` and the total is N.
+    */
+  private def prefixCore(df: DataFrame, scoreCol: String, idCol: String,
+                         weight: Column, outCol: String): (DataFrame, Long) = {
     val spark = df.sparkSession
     val cached = CacheTracker.cached(df)
     val p = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt.max(1)
@@ -168,8 +191,11 @@ object DistributedRank {
       }
     val withGrp = cached.withColumn("__graft_grp", grpExpr(ths, score))
 
-    // bounded action 2: exact per-group counts (≤ P rows) → rank offsets
-    val cnts = withGrp.groupBy("__graft_grp").count().collect()
+    // bounded action 2: exact per-group weight totals (≤ P rows) →
+    // prefix offsets in group order
+    val cnts = withGrp.groupBy("__graft_grp")
+      .agg(sum(weight).cast("long").as("__graft_w"))
+      .collect()
       .map(row => (row.getInt(0), row.getLong(1)))
       .sortBy(_._1)
     var acc = 0L
@@ -179,11 +205,12 @@ object DistributedRank {
 
     val w = Window.partitionBy("__graft_grp")
       .orderBy(score.desc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val offset: Column =
       if (offs.isEmpty) lit(0L)
       else coalesce(element_at(typedLit(offs), col("__graft_grp")), lit(0L))
     val ranked = withGrp
-      .withColumn(rankCol, offset + row_number().over(w).cast("long"))
+      .withColumn(outCol, offset + sum(weight).over(w).cast("long"))
       .drop("__graft_grp")
     (ranked, total)
   }

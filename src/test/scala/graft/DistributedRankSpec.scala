@@ -100,6 +100,24 @@ class DistributedRankSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("cumSumDesc equals the running-sum window function incl. ties") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    for (n <- Seq(1, 3, 97, 500)) {
+      val df = (0 until n).map { i =>
+        (i.toLong, (i % 7) * 1.5, 1L + rnd.nextInt(50)) // heavy score ties
+      }.toDF("id", "score", "w")
+      val expected = df.withColumn("cum",
+          sum("w").over(Window.orderBy(col("score").desc, col("id").asc)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select("id", "cum").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val got = DistributedRank.cumSumDesc(df, "score", "id", "w")
+        .select("id", "cum").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"running sum mismatch at n=$n")
+      spark.catalog.clearCache()
+    }
+  }
+
   test("bucketByBoundaries on the trained rows reproduces ntileDesc exactly") {
     for (n <- Seq(7, 100, 101)) {
       val df = sample(n)

@@ -206,17 +206,19 @@ class PlanAuditSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
-  test("ppl tercile bucketing plans no single-partition window or sort") {
-    // q_text_ppl_buckets ranks the whole corpus; an un-partitioned ntile
+  test("global-order operators plan no single-partition window or sort") {
+    // these queries rank / prefix-sum the WHOLE corpus; an un-partitioned
     // window would funnel every (doc_id, score) row through ONE task — the
-    // DistributedRank rewrite must keep every exchange partitioned. The
-    // only acceptable single-partition stages would be none at all: the
-    // grouped window hashes on the threshold group, the final orderBy
-    // range-partitions, and the two driver collects are cluster-bounded.
-    val plan = queryPlan("q_text_ppl_buckets")
-    assert(!plan.contains("Exchange SinglePartition"),
-      s"q_text_ppl_buckets planned a single-partition exchange:\n$plan")
-    spark.catalog.clearCache()
+    // DistributedRank constructions must keep every exchange partitioned.
+    // The only acceptable single-partition stages are none at all: the
+    // grouped windows hash on the threshold group, the final orderBy
+    // range-partitions, and the driver collects are cluster-bounded.
+    Seq("q_text_ppl_buckets", "q_sample_quality_budget").foreach { name =>
+      val plan = queryPlan(name)
+      assert(!plan.contains("Exchange SinglePartition"),
+        s"$name planned a single-partition exchange:\n$plan")
+      spark.catalog.clearCache()
+    }
   }
 
   test("column pruning: text scorers read only the columns they use") {
