@@ -64,7 +64,10 @@ object ScaleCheck {
     // (threshold groups + grouped windows + bounded collects) instead of
     // a single-partition ntile window — this point validates that the
     // LM-score explode dominates and the rank layer stays ~flat
-    "q_text_ppl_buckets")
+    "q_text_ppl_buckets",
+    // the distributed prefix-sum sibling (quality-ranked token budget):
+    // same two-level shape, weight offsets instead of counts
+    "q_sample_quality_budget")
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -707,6 +707,62 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.keySet == (0L to 5L).toSet)
   }
 
+  test("token-budget admission gate on a stream equals the batch cut") {
+    // the batch q_sample_quality_budget cut freezes into ONE boundary
+    // scalar — the (quality, doc_id) pair of the LAST admitted document —
+    // and streaming admission is bucketByBoundaries with that single
+    // boundary: bucket 1 = admitted. Quality is a per-row projection
+    // (no aggregation), so the gate even runs in APPEND mode. Streaming
+    // the corpus back through the frozen gate must reproduce the batch
+    // selection exactly, ties included.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.ext.TextHash.tokens
+    import graft.operators.DistributedRank
+    val stop = Seq("the", "a", "of", "and")
+    def scored(df: org.apache.spark.sql.DataFrame) = {
+      val toks = tokens(col("text"))
+      df.select(col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        round(aggregate(transform(toks, t => when(t.isin(stop: _*), 1).otherwise(0)),
+            lit(0), (x, y) => x + y).cast("double") / size(toks) * 0.5
+          + least(size(toks), lit(400)) / 400.0 * 0.5, 6).as("quality"))
+    }
+    val corpus = Seq(
+      (0L, "the cat sat on the mat today"),
+      (1L, "dog log fog bog"),
+      (2L, "the cat sat on the mat today"), // dup of 0: quality tie
+      (3L, "a dog and a cat and the bird of the house"),
+      (4L, "word " * 30 + "end"),
+      (5L, "the a of and the a of and")).toDF("doc_id", "text")
+    val budget = 30L
+    val admitted = DistributedRank
+      .cumSumDesc(scored(corpus), "quality", "doc_id", "n_tokens", "cum")
+      .filter(col("cum") <= budget)
+      .select("doc_id", "quality").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1))
+    spark.catalog.clearCache()
+    assert(admitted.nonEmpty && admitted.length < 6,
+      s"budget must cut a strict subset, got ${admitted.length}")
+    // the frozen cutoff: minimal (quality DESC, doc_id ASC) among admitted
+    val cutoff = admitted.map { case (id, q) => (q, id) }
+      .minBy { case (q, id) => (q, -id.toDouble) } match { case (q, id) => (q, id) }
+    // order: last admitted = smallest quality, largest id among its ties
+    val mem = MemoryStream[(Long, String)]
+    val q = DistributedRank.bucketByBoundaries(
+        scored(mem.toDF.toDF("doc_id", "text")), "quality", "doc_id", Seq(cutoff))
+      .filter(col("bucket") === 1)
+      .writeStream.format("memory").queryName("budget_gate")
+      .outputMode("append").start()
+    val streamed = try {
+      mem.addData(corpus.collect().map(r => (r.getLong(0), r.getString(1))).toSeq: _*)
+      q.processAllAvailable()
+      spark.table("budget_gate").collect().map(_.getAs[Long]("doc_id")).toSet
+    } finally q.stop()
+    assert(streamed == admitted.map(_._1).toSet,
+      s"stream admitted $streamed vs batch ${admitted.map(_._1).toSet}")
+  }
+
   test("multimodal header decode on a stream equals batch (image, audio, video)") {
     // all three header parsers are stateless per-row decodes inside
     // mapPartitions, so they run unchanged over a stream — the ingest
