@@ -343,6 +343,27 @@ object Bpe {
   def loadTokenizer(s: SparkSession, dir: String): (DataFrame, DataFrame) =
     (s.read.parquet(s"$dir/words.parquet"), s.read.parquet(s"$dir/syms.parquet"))
 
+  /** DECODE id sequences back to text (one space-joined token stream per
+    * document) — the inverse of [[encodeWith]] over the same id table.
+    * BPE merges never cross token boundaries here (the separator encoding
+    * guarantees it), but the id sequence alone does not mark where one
+    * token ends and the next begins, so decode reconstructs the SYMBOL
+    * stream and re-splits on nothing: the output is the concatenation of
+    * symbols, which equals the original token stream with inter-token
+    * spaces dropped. For inspection pipelines that need exact token
+    * round-trips, [[encodeWith]]'s (tpos, spos) shape is the lossless
+    * form; this is the flat-text view. Plan: one positional explode +
+    * one id-table equi-join + per-document ordered array_sort — the
+    * mirror of encode.
+    */
+  def decode(encoded: DataFrame, ids: DataFrame): DataFrame =
+    encoded.select(col("doc_id"), posexplode(col("token_ids")).as(Seq("pos", "sym_id")))
+      .join(ids.select("sym", "sym_id"), Seq("sym_id"))
+      .groupBy("doc_id")
+      .agg(concat_ws("", transform(
+        array_sort(collect_list(struct(col("pos"), col("sym")))),
+        x => x.getField("sym"))).as("text"))
+
   val queries: Seq[Q] = Seq(
 
     // ---- BPE merge training: the learned merges themselves ----

@@ -147,6 +147,21 @@ class BpeSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("decode inverts encode: symbol stream round-trips losslessly") {
+    // decode(encode(docs)) must equal each document's token stream with
+    // inter-token spaces dropped — BPE merges never cross token
+    // boundaries, so the concatenated symbols ARE the concatenated tokens
+    val d = docs("abc abc abc ab xy", "aaa abab abc", "zq zq ab")
+    val (_, words) = Bpe.train(d, rounds = 2)
+    val ids = Bpe.symbolIds(words)
+    val decoded = Bpe.decode(Bpe.encodeWith(d, words, ids), ids).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    spark.catalog.clearCache()
+    val expected = d.collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").mkString("")).toMap
+    assert(decoded == expected, s"round-trip diverged: $decoded vs $expected")
+  }
+
   test("tokenizer at rest: stored encode equals in-memory encode, ids frozen") {
     val d = docs("abc abc abc ab xy", "ab ab cd cd")
     val (_, words) = Bpe.train(d, rounds = 2)
