@@ -64,6 +64,33 @@ object LmGate {
             .cast("decimal(20,9)")).cast("double") / count(lit(1)), 6)
           .as("avg_logprob"))
 
+  /** Add-one–smoothed scoring: every bigram gets a DEFINED probability
+    * `P(w2|w1) = (c12 + 1) / (c1 + V)` with `V` = the trained
+    * first-token vocabulary size (the `c1` row count, shipped as the
+    * 1-row scalar-broadcast cross join the tfidf/BM25 queries use) —
+    * the OOV-robust serving face of the gate, the same stance as the
+    * BPE tokenizer's char-level fallback: an unseen bigram scores
+    * `ln(1/(c1+V))` (or `ln(1/V)` for an unseen context) instead of
+    * silently dropping from the aggregate, so a serving document with
+    * ONLY novel bigrams still gets a (low) score. [[score]] remains the
+    * declared closed-world MLE; smoothing changes every probability, so
+    * boundaries trained on one scoring must be served with the same one.
+    */
+  def scoreSmoothed(docs: DataFrame, c12: DataFrame, c1: DataFrame): DataFrame = {
+    val v = c1.agg(count(lit(1)).as("vsz"))
+    bigrams(docs)
+      .join(c12, Seq("w1", "w2"), "left")
+      .join(c1, Seq("w1"), "left")
+      .crossJoin(broadcast(v))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(
+          sum(round(log((coalesce(col("c12"), lit(0)) + lit(1)).cast("double")
+              / (coalesce(col("c1"), lit(0)) + col("vsz")).cast("double")), 9)
+            .cast("decimal(20,9)")).cast("double") / count(lit(1)), 6)
+          .as("avg_logprob"))
+  }
+
   /** A loaded gate: the count tables plus the frozen bucket cut points. */
   final case class Gate(c12: DataFrame, c1: DataFrame,
                         boundaries: Seq[(Double, Long)]) {

@@ -592,6 +592,41 @@ object TextAnalysis {
         .orderBy("doc_id")
     },
 
+    // ---- add-one-smoothed LM scoring: OOV-robust serving ----
+    // The serving-face variant of q_text_lm_score: every bigram gets a
+    // defined probability (c12+1)/(c1+V) — V = first-token vocab size as
+    // a 1-row scalar broadcast — so documents with novel bigrams score
+    // LOW instead of dropping from the aggregate (the same OOV stance as
+    // the BPE tokenizer's char-level fallback). LEFT joins keep the plan
+    // identical to the MLE path: vocab-bounded build sides, one
+    // per-document aggregate.
+    Q("q_text_lm_smoothed",
+      s"""WITH toks AS (SELECT doc_id, ${tokensSql("text")} AS toks FROM documents),
+         |bg AS (
+         |  SELECT doc_id, sh[1] AS w1, sh[2] AS w2 FROM (
+         |    SELECT doc_id, string_split(b, ' ') AS sh FROM (
+         |      SELECT doc_id, unnest(${shinglesFromTokensSql("toks", 2)}) AS b FROM toks
+         |    )
+         |  )
+         |),
+         |c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+         |c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c12 GROUP BY w1),
+         |v AS (SELECT count(*) AS vsz FROM c1)
+         |SELECT doc_id, count(*) AS n_bigrams,
+         |  round(CAST(sum(CAST(round(ln(CAST(coalesce(c12, 0) + 1 AS DOUBLE)
+         |        / CAST(coalesce(c1, 0) + vsz AS DOUBLE)), 9) AS DECIMAL(20,9))) AS DOUBLE)
+         |        / count(*), 6) AS avg_logprob
+         |FROM (SELECT * FROM bg WHERE doc_id < 200) d
+         |LEFT JOIN c12 USING (w1, w2)
+         |LEFT JOIN c1 USING (w1)
+         |CROSS JOIN v
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val (c12, c1) = LmGate.countTables(docs)
+      LmGate.scoreSmoothed(docs.filter(col("doc_id") < 200), c12, c1)
+        .orderBy("doc_id")
+    },
+
     // ---- CCNet-style perplexity bucketing over the corpus LM score ----
     // The canonical LM-filter ACTION: score every document against the
     // corpus bigram LM (the q_text_lm_score tables) and split the corpus

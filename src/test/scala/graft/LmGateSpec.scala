@@ -49,6 +49,30 @@ class LmGateSpec extends AnyFunSuite {
     assert(LmGate.load(spark, tmp).boundaries == direct)
   }
 
+  test("smoothed scoring keeps all-unseen documents with a defined low score") {
+    import spark.implicits._
+    val corpus = Seq((0L, "the cat sat on the mat"),
+      (1L, "the dog sat on the log")).toDF("doc_id", "text")
+    val (c12, c1) = LmGate.countTables(corpus)
+    val vsz = c1.count()
+    val serve = Seq(
+      (10L, "the cat sat"),                   // known bigrams
+      (11L, "zq zork blurp entirely novel"))  // every bigram unseen
+      .toDF("doc_id", "text")
+    val got = LmGate.scoreSmoothed(serve, c12, c1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    assert(got.map(_._1).toSeq == Seq(10L, 11L), s"smoothed scoring dropped a doc: ${got.toSeq}")
+    // the all-unseen doc scores exactly ln(1/V) per bigram (c12=0, c1=0)
+    val perBigram = BigDecimal(math.rint(math.log(1.0 / vsz) * 1e9) / 1e9)
+    val expected = (perBigram * got(1)._2 / got(1)._2)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(got(1)._3 - expected) < 1e-6,
+      s"all-unseen score ${got(1)._3} != ln(1/V) = $expected")
+    // known-bigram doc scores strictly higher than the novel one
+    assert(got(0)._3 > got(1)._3)
+    spark.catalog.clearCache()
+  }
+
   test("documents with only unseen bigrams drop (closed-world contract)") {
     import spark.implicits._
     val corpus = Seq((0L, "the cat sat on the mat"),
