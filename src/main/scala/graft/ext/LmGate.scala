@@ -91,16 +91,27 @@ object LmGate {
           .as("avg_logprob"))
   }
 
-  /** A loaded gate: the count tables plus the frozen bucket cut points. */
+  /** A loaded gate: the count tables plus the frozen bucket cut points.
+    * `smoothed` records WHICH scoring trained the boundaries — smoothing
+    * shifts every probability, so serving must score the same way or the
+    * cut points are meaningless.
+    */
   final case class Gate(c12: DataFrame, c1: DataFrame,
-                        boundaries: Seq[(Double, Long)]) {
+                        boundaries: Seq[(Double, Long)],
+                        smoothed: Boolean = false) {
     /** Score + bucket a document set against the frozen artifact —
-      * streaming-safe (no windows, no state).
+      * streaming-safe (no windows, no state). Under a smoothed gate,
+      * documents made ENTIRELY of unseen bigrams still score (low) and
+      * land in the tail bucket instead of dropping.
       */
-    def bucketed(docs: DataFrame): DataFrame =
+    def bucketed(docs: DataFrame): DataFrame = {
+      val scored =
+        if (smoothed) scoreSmoothed(docs, c12, c1)
+        else score(docs, c12, c1)
       DistributedRank.bucketByBoundaries(
-        score(docs, c12, c1).select(col("doc_id"), col("avg_logprob")),
+        scored.select(col("doc_id"), col("avg_logprob")),
         "avg_logprob", "doc_id", boundaries)
+    }
   }
 
   /** Train on `docs` and persist the full artifact under `dir`:
@@ -109,7 +120,8 @@ object LmGate {
     * PERSISTED tables so the stored artifact is exactly what serving
     * reads.
     */
-  def write(docs: DataFrame, dir: String, buckets: Int = 3): Unit =
+  def write(docs: DataFrame, dir: String, buckets: Int = 3,
+            smoothed: Boolean = false): Unit =
     // terminal writer: scope the internal rank caches so library callers
     // don't inherit an unreleasable cached Dataset (runner scopes nest
     // fine — release is reference-counted)
@@ -118,9 +130,10 @@ object LmGate {
       val (c12, c1) = countTables(docs)
       c12.write.mode("overwrite").parquet(s"$dir/c12.parquet")
       c1.write.mode("overwrite").parquet(s"$dir/c1.parquet")
-      val scored = score(docs,
-          s.read.parquet(s"$dir/c12.parquet"),
-          s.read.parquet(s"$dir/c1.parquet"))
+      val c12r = s.read.parquet(s"$dir/c12.parquet")
+      val c1r = s.read.parquet(s"$dir/c1.parquet")
+      val scored = (if (smoothed) scoreSmoothed(docs, c12r, c1r)
+                    else score(docs, c12r, c1r))
         .select(col("doc_id"), col("avg_logprob"))
       val bs = DistributedRank.boundariesDesc(scored, "avg_logprob", "doc_id", buckets)
       import s.implicits._
@@ -129,6 +142,11 @@ object LmGate {
         .toDF("bucket_idx", "b_score", "b_id")
         .coalesce(1)
         .write.mode("overwrite").parquet(s"$dir/bounds.parquet")
+      // the scoring mode is part of the artifact: boundaries trained on
+      // one scoring are meaningless under the other
+      Seq((smoothed, buckets)).toDF("smoothed", "n_buckets")
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/meta.parquet")
     }
 
   def load(s: SparkSession, dir: String): Gate = {
@@ -137,7 +155,12 @@ object LmGate {
       .sortBy(_.getAs[Int]("bucket_idx"))
       .map(r => (r.getAs[Double]("b_score"), r.getAs[Long]("b_id")))
       .toSeq
+    // pre-meta artifacts (written before the smoothed option) are MLE
+    val smoothed = scala.util
+      .Try(s.read.parquet(s"$dir/meta.parquet")
+        .collect().head.getAs[Boolean]("smoothed"))
+      .getOrElse(false)
     Gate(s.read.parquet(s"$dir/c12.parquet"),
-      s.read.parquet(s"$dir/c1.parquet"), bs)
+      s.read.parquet(s"$dir/c1.parquet"), bs, smoothed)
   }
 }

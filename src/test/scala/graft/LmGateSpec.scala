@@ -73,6 +73,41 @@ class LmGateSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("smoothed gate lifecycle: OOV docs land in the tail bucket, never drop") {
+    import spark.implicits._
+    val corpus = Seq(
+      (0L, "the cat sat on the mat today"),
+      (1L, "the dog sat on the log today"),
+      (2L, "a cat and a dog and a bird"),
+      (3L, "the bird sat on the dog"),
+      (4L, "a dog on a log on a mat"),
+      (5L, "the cat and the bird today")).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-lm-smooth").toString
+    LmGate.write(corpus, tmp, smoothed = true)
+    val gate = LmGate.load(spark, tmp)
+    assert(gate.smoothed, "scoring mode must round-trip through the artifact")
+    // serving the trained corpus reproduces the smoothed-trained terciles
+    val (c12, c1) = LmGate.countTables(corpus)
+    val expected = graft.operators.DistributedRank.ntileDesc(
+        LmGate.scoreSmoothed(corpus, c12, c1)
+          .select(col("doc_id"), col("avg_logprob")),
+        "avg_logprob", "doc_id", 3)
+      .select("doc_id", "bucket").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    spark.catalog.clearCache()
+    val served = gate.bucketed(corpus).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("bucket")).toMap
+    assert(served == expected)
+    spark.catalog.clearCache()
+    // an all-unseen serving document scores ln(1/V) per bigram — the
+    // worst possible score — and lands in the tail bucket, NOT dropped
+    val novel = Seq((99L, "zq zork blurp entirely novel")).toDF("doc_id", "text")
+    val gatedNovel = gate.bucketed(novel).collect()
+    assert(gatedNovel.length == 1 && gatedNovel.head.getAs[Int]("bucket") == 3,
+      s"all-unseen doc must gate into the tail bucket: ${gatedNovel.toSeq}")
+    spark.catalog.clearCache()
+  }
+
   test("documents with only unseen bigrams drop (closed-world contract)") {
     import spark.implicits._
     val corpus = Seq((0L, "the cat sat on the mat"),
