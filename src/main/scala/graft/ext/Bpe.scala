@@ -25,18 +25,20 @@ import org.apache.spark.sql.functions._
   *      the tokenizer to the corpus is an equi-join against it (broadcast
   *      when the vocab fits, hash otherwise), never a re-derivation.
   *
-  * The merge step is pure string algebra, identical in both engines: a
-  * word's symbol sequence is encoded as `SEP || sym || SEP || sym …` (SEP
-  * before EVERY symbol), so merging pair (a,b) is
-  * `replace(enc, SEP a SEP b, SEP a b)`. Both engines' `replace` scans
-  * left-to-right over non-overlapping occurrences and resumes AFTER the
-  * replacement, which reproduces BPE's greedy left-to-right merge ("aaa"
-  * with pair (a,a) → "aa","a"), and the leading-separator encoding means a
-  * match never consumes the NEXT pair's boundary ("abab" merges to
-  * "ab","ab", not once). A match always aligns to a symbol start (SEP
-  * occurs nowhere else), and the full symbol must equal `a` (its end is
-  * the next SEP) — no substring false-positives against multi-char
-  * symbols. Ties on pair count break lexicographically in both engines.
+  * The merge step is pure string algebra, identical in both engines: each
+  * symbol of a word is wrapped in its OWN separator pair, so the sequence
+  * [s1, s2, …] is encoded `SEP s1 SEP SEP s2 SEP …` and merging pair (a,b)
+  * is `replace(enc, SEP a SEP SEP b SEP, SEP a b SEP)`. Both engines'
+  * `replace` scans left-to-right over non-overlapping occurrences and
+  * resumes AFTER the replacement, which reproduces BPE's greedy
+  * left-to-right merge ("aaa" with pair (a,a) → "aa","a"). Because every
+  * symbol owns BOTH of its delimiters, (1) a match never consumes a
+  * neighbour's boundary, so adjacent occurrences all merge in one pass
+  * ("abab" → "ab","ab"; "aaaa" → "aa","aa"), and (2) both ends of the
+  * pattern are anchored — `a` must be a FULL symbol (closed by its SEP)
+  * and so must `b`, so a word [x, ab] can never falsely match merge (x,a)
+  * (the r-end false-positive the earlier leading-separator-only encoding
+  * admitted). Ties on pair count break lexicographically in both engines.
   */
 object Bpe {
   /** Symbol separator: a control char that tokenizable text never
@@ -49,24 +51,46 @@ object Bpe {
 
   import TextHash.{tokens, tokensSql}
 
+  /** The initial per-character encoding of a word: every char wrapped in
+    * its own separator pair (`"ab"` → `SEP a SEP SEP b SEP`). Java's `(.)`
+    * matches a full code point (surrogate pairs included), matching the
+    * oracle's RE2 semantics — pinned by BpeSpec's astral-char test.
+    */
+  def charEncode(w: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    regexp_replace(w, "(.)", Sep + "$1" + Sep)
+
+  /** Symbol array of an encoding: split on SEP and drop the empty slots
+    * the double-separator scheme produces (`SEP a SEP SEP b SEP` splits to
+    * ["", a, "", b, ""]).
+    */
+  def symsOf(enc: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    filter(split(enc, Sep), s => s =!= "")
+
+  /** The merge rewrite of pair (l, r) as a (pattern, replacement) pair for
+    * plain `replace`: both symbols fully delimited, the merged symbol
+    * keeps its own delimiters.
+    */
+  private def mergeRule(l: String, r: String): (String, String) =
+    (Sep + l + Sep + Sep + r + Sep, Sep + l + r + Sep)
+
   /** Word-frequency table with the initial per-character encoding. */
   def wordTable(docs: DataFrame): DataFrame =
     docs.select(explode(tokens(col("text"))).as("w"))
       .filter(!col("w").contains(Sep))
       .groupBy("w").agg(count(lit(1)).as("freq"))
-      .withColumn("enc", regexp_replace(col("w"), "(.)", Sep + "$1"))
+      .withColumn("enc", charEncode(col("w")))
 
-  /** Adjacent symbol-pair counts over the (vocab-sized) word table.
-    * `split` on SEP yields ["", s1, …, sk]; pairs are (pos i, pos i+1)
-    * for i = 2..n-1 via two shifted `slice` views zipped (the same
-    * no-capture shape as TextHash.shinglesFromTokens).
+  /** Adjacent symbol-pair counts over the (vocab-sized) word table:
+    * pairs are (pos i, pos i+1) of the symbol array via two shifted
+    * `slice` views zipped (the same no-capture shape as
+    * TextHash.shinglesFromTokens).
     */
   def pairCounts(enc: DataFrame): DataFrame = {
-    val syms = split(col("enc"), Sep)
-    enc.filter(size(split(col("enc"), Sep)) >= 3)
+    val syms = symsOf(col("enc"))
+    enc.filter(size(symsOf(col("enc"))) >= 2)
       .select(col("freq"), explode(arrays_zip(
-        slice(syms, lit(2), size(syms) - 2),
-        slice(syms, lit(3), size(syms) - 2))).as("p"))
+        slice(syms, lit(1), size(syms) - 1),
+        slice(syms, lit(2), size(syms) - 1))).as("p"))
       .select(col("p.0").as("l"), col("p.1").as("r"), col("freq"))
       .groupBy("l", "r").agg(sum(col("freq")).cast("long").as("cnt"))
   }
@@ -97,8 +121,9 @@ object Bpe {
           case None => exhausted = true
           case Some(row) =>
             val (l, r) = (row.getString(0), row.getString(1))
+            val (pat, rep) = mergeRule(l, r)
             words = words.withColumn("enc",
-              replace(col("enc"), lit(Sep + l + Sep + r), lit(Sep + l + r)))
+              replace(col("enc"), lit(pat), lit(rep)))
             // periodic lineage cut (see trainBatched): at production merge
             // counts the chained-replace plan, not the vocab-sized data,
             // would dominate Catalyst re-analysis each round
@@ -166,7 +191,8 @@ object Bpe {
         val sel = chosen.result()
         var enc: org.apache.spark.sql.Column = col("enc")
         sel.foreach { case (l, r, _) =>
-          enc = replace(enc, lit(Sep + l + Sep + r), lit(Sep + l + r))
+          val (pat, rep) = mergeRule(l, r)
+          enc = replace(enc, lit(pat), lit(rep))
         }
         words = words.withColumn("enc", enc)
         sel.foreach { case (l, r, c) => done += 1; out += ((done, l, r, c)) }
@@ -201,15 +227,17 @@ object Bpe {
     */
   private def trainingCtes(rounds: Int): String = {
     val perRound = (1 to rounds).map { i =>
-      s"""p$i AS (SELECT string_split(enc, chr(1)) AS syms, freq FROM e${i - 1}),
+      s"""p$i AS (SELECT ${symsSql(s"enc")} AS syms, freq FROM e${i - 1}),
          |pc$i AS (
          |  SELECT syms[i] AS l, syms[i + 1] AS r, CAST(sum(freq) AS BIGINT) AS cnt
-         |  FROM p$i, unnest(range(2, len(syms))) AS t(i)
+         |  FROM p$i, unnest(range(1, len(syms))) AS t(i)
          |  GROUP BY 1, 2
          |),
          |m$i AS (SELECT l, r, cnt FROM pc$i ORDER BY cnt DESC, l, r LIMIT 1),
          |e$i AS (
-         |  SELECT w, replace(enc, chr(1) || l || chr(1) || r, chr(1) || l || r) AS enc, freq
+         |  SELECT w,
+         |    replace(enc, chr(1) || l || chr(1) || chr(1) || r || chr(1),
+         |                 chr(1) || l || r || chr(1)) AS enc, freq
          |  FROM e${i - 1} CROSS JOIN m$i
          |)""".stripMargin
     }.mkString(",\n")
@@ -219,9 +247,13 @@ object Bpe {
        |  FROM (SELECT unnest(ts) AS t FROM toks)
        |  WHERE NOT contains(t, chr(1)) GROUP BY 1
        |),
-       |e0 AS (SELECT w, regexp_replace(w, '(.)', chr(1) || '\\1', 'g') AS enc, freq FROM w),
+       |e0 AS (SELECT w, regexp_replace(w, '(.)', chr(1) || '\\1' || chr(1), 'g') AS enc, freq FROM w),
        |$perRound""".stripMargin
   }
+
+  /** Oracle-side mirror of [[symsOf]]: the symbol array of an encoding. */
+  private def symsSql(encExpr: String): String =
+    s"list_filter(string_split($encExpr, chr(1)), x -> x <> '')"
 
   /** The serving projection of a trained word table: one row per word
     * with its post-merge symbol count. THE single definition — the
@@ -229,8 +261,7 @@ object Bpe {
     * from it, so an encoding-scheme change cannot silently diverge them.
     */
   def vocabOf(words: DataFrame): DataFrame =
-    words.select(col("w"),
-      (size(split(col("enc"), Sep)) - 1).as("n_syms_tok"))
+    words.select(col("w"), size(symsOf(col("enc"))).as("n_syms_tok"))
 
   /** The trained tokenizer AT REST, joining the at-rest artifact family
     * (DedupIndex / SubstringIndex / AnnIndex): the word table persists as
@@ -275,26 +306,63 @@ object Bpe {
     * global rank in the engine.
     */
   def symbolIds(words: DataFrame): DataFrame = {
-    val symArr = slice(split(col("enc"), Sep), lit(2),
-      size(split(col("enc"), Sep)) - 1)
     val symFreq = words
-      .select(explode(symArr).as("sym"), col("freq"))
+      .select(explode(symsOf(col("enc"))).as("sym"), col("freq"))
       .groupBy("sym").agg(sum("freq").cast("long").as("sfreq"))
     graft.operators.DistributedRank
       .rankDesc(symFreq, "sfreq", "sym", "sym_id")
       .withColumn("sym_id", col("sym_id").cast("int"))
   }
 
+  /** The char-fallback id page: single characters of the TRAINING corpus
+    * that survive in no post-merge symbol table entry (every occurrence
+    * merged away — e.g. after "ab" fully merges, neither bare "a" nor
+    * bare "b" remains a symbol). They get the ids AFTER the main page
+    * (V+1, V+2, … by corpus char frequency DESC, char ASC — the same
+    * layout rule), so an at-rest tokenizer can id-encode ANY word
+    * composed of training-corpus characters. Deterministic given the word
+    * table; artifact-build-time only (the `count()` is a vocab-bounded
+    * job).
+    */
+  def charPage(words: DataFrame): DataFrame = {
+    val charFreq = words
+      .select(explode(symsOf(charEncode(col("w")))).as("sym"), col("freq"))
+      .groupBy("sym").agg(sum("freq").cast("long").as("sfreq"))
+    val main = symbolIds(words)
+    val missing = charFreq.join(main.select("sym"), Seq("sym"), "left_anti")
+    val v = main.count()
+    graft.operators.DistributedRank
+      .rankDesc(missing, "sfreq", "sym", "sym_id")
+      .withColumn("sym_id", (col("sym_id") + lit(v)).cast("int"))
+  }
+
+  /** Main symbol page plus the char-fallback page — the id table the
+    * at-rest tokenizer persists.
+    */
+  def fullSymbolIds(words: DataFrame): DataFrame =
+    symbolIds(words).unionAll(charPage(words))
+
+  /** Reserved id for a symbol the id table cannot resolve even at char
+    * level (a serving character never seen in training) — the UNK slot
+    * real tokenizers reserve. All trained ids start at 1
+    * (DistributedRank is 1-based), so 0 is free.
+    */
+  val UnkId = 0
+
   /** ENCODE documents to dense token-id sequences — the materialized
     * serving output of the tokenizer (ids, not just counts): per document
     * the concatenation, in text order, of each word's post-merge symbol
-    * ids. Vocab-closed-world like the declared apply query (the id space
-    * is the trained symbol table; a byte-fallback id page for OOV serving
-    * would extend [[symbolIds]], while COUNTING under OOV is already
-    * served by [[applyVocab]]'s char fallback).
+    * ids. Out-of-vocabulary words FALL BACK to their character sequence
+    * (mirroring [[applyVocab]]'s count fallback, at the id level): the
+    * word decomposes via [[charEncode]] and each char joins the id table;
+    * chars the table doesn't carry either resolve to [[UnkId]]. The id
+    * sequence therefore always keeps its full length — no silent drops.
+    * ([[symbolIds]] alone covers post-merge symbols; the at-rest
+    * tokenizer's table ([[fullSymbolIds]]) additionally carries the char
+    * page, so every training-corpus character has a real id.)
     *
     * Plan shape: two positional explodes (token pos, symbol pos), two
-    * vocab-bounded equi-joins (word → encoding, symbol → id), one
+    * vocab-bounded LEFT equi-joins (word → encoding, symbol → id), one
     * per-document aggregate that sorts the (tpos, spos, id) triples —
     * order reconstruction is a per-group array_sort, never a window.
     */
@@ -305,19 +373,19 @@ object Bpe {
     * serving path for a stored tokenizer, where the id assignment is part
     * of the frozen artifact rather than re-ranked per batch.
     */
-  def encodeWith(docs: DataFrame, words: DataFrame, ids: DataFrame): DataFrame = {
-    val symArr = slice(split(col("enc"), Sep), lit(2),
-      size(split(col("enc"), Sep)) - 1)
+  def encodeWith(docs: DataFrame, words: DataFrame, ids: DataFrame): DataFrame =
     docs.select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("tpos", "w")))
       .filter(!col("w").contains(Sep))
-      .join(words.select("w", "enc"), Seq("w"))
-      .select(col("doc_id"), col("tpos"), posexplode(symArr).as(Seq("spos", "sym")))
-      .join(ids.select("sym", "sym_id"), Seq("sym"))
+      .join(words.select("w", "enc"), Seq("w"), "left")
+      .select(col("doc_id"), col("tpos"),
+        posexplode(symsOf(coalesce(col("enc"), charEncode(col("w")))))
+          .as(Seq("spos", "sym")))
+      .join(ids.select("sym", "sym_id"), Seq("sym"), "left")
       .groupBy("doc_id")
       .agg(transform(
-        array_sort(collect_list(struct(col("tpos"), col("spos"), col("sym_id")))),
+        array_sort(collect_list(struct(col("tpos"), col("spos"),
+          coalesce(col("sym_id"), lit(UnkId)).as("sym_id")))),
         x => x.getField("sym_id")).as("token_ids"))
-  }
 
   /** The FULL tokenizer artifact at rest: the trained word table with its
     * encodings (`words.parquet`) plus the dense symbol-id table
@@ -335,7 +403,7 @@ object Bpe {
       words.select("w", "enc", "freq")
         .write.mode("overwrite").parquet(s"$dir/words.parquet")
       val s = words.sparkSession
-      symbolIds(s.read.parquet(s"$dir/words.parquet"))
+      fullSymbolIds(s.read.parquet(s"$dir/words.parquet"))
         .write.mode("overwrite").parquet(s"$dir/syms.parquet")
     }
 
@@ -358,10 +426,13 @@ object Bpe {
     */
   def decode(encoded: DataFrame, ids: DataFrame): DataFrame =
     encoded.select(col("doc_id"), posexplode(col("token_ids")).as(Seq("pos", "sym_id")))
-      .join(ids.select("sym", "sym_id"), Seq("sym_id"))
+      .join(ids.select("sym", "sym_id"), Seq("sym_id"), "left")
       .groupBy("doc_id")
       .agg(concat_ws("", transform(
-        array_sort(collect_list(struct(col("pos"), col("sym")))),
+        array_sort(collect_list(struct(col("pos"),
+          // UnkId (and any unresolvable id) renders as the Unicode
+          // replacement char, keeping decode total and length-faithful
+          coalesce(col("sym"), lit("\uFFFD")).as("sym")))),
         x => x.getField("sym"))).as("text"))
 
   val queries: Seq[Q] = Seq(
@@ -385,7 +456,7 @@ object Bpe {
     Q("q_text_bpe_apply",
       s"""WITH ${trainingCtes(Rounds)}
          |SELECT doc_id, count(*) AS n_tokens,
-         |  CAST(sum(coalesce(len(string_split(e$Rounds.enc, chr(1))) - 1, len(w))) AS BIGINT) AS n_syms
+         |  CAST(sum(coalesce(len(${symsSql(s"e$Rounds.enc")}), len(w))) AS BIGINT) AS n_syms
          |FROM (SELECT doc_id, unnest(${tokensSql("text")}) AS w FROM documents) d
          |LEFT JOIN e$Rounds USING (w)
          |WHERE NOT contains(w, chr(1))
@@ -402,12 +473,15 @@ object Bpe {
     // list(... ORDER BY) aggregate; the engine side is two vocab-bounded
     // equi-joins + a per-document array_sort — no window over the corpus.
     // Probe restricted to doc_id < 100 (like q_text_lm_score) to keep the
-    // dumped result bounded; training reads the full corpus.
+    // dumped result bounded; training reads the full corpus. The DECLARED
+    // column is the comma-joined id sequence (a sortable scalar — the
+    // driver's canonicalizer cannot hash array cells); the library
+    // `encode` keeps returning the real array<int>.
     Q("q_text_bpe_encode",
       s"""WITH ${trainingCtes(Rounds)},
          |sym AS (
          |  SELECT s AS sym, CAST(sum(freq) AS BIGINT) AS sfreq
-         |  FROM (SELECT unnest(string_split(enc, chr(1))[2:]) AS s, freq FROM e$Rounds)
+         |  FROM (SELECT unnest(${symsSql("enc")}) AS s, freq FROM e$Rounds)
          |  GROUP BY 1
          |),
          |sid AS (
@@ -421,16 +495,21 @@ object Bpe {
          |ts AS (
          |  SELECT doc_id, tpos, unnest(syms) AS sym, unnest(range(1, len(syms) + 1)) AS spos
          |  FROM (
-         |    SELECT doc_id, tpos, string_split(enc, chr(1))[2:] AS syms
+         |    SELECT doc_id, tpos, ${symsSql("enc")} AS syms
          |    FROM tok JOIN e$Rounds USING (w)
          |    WHERE NOT contains(w, chr(1))
          |  )
          |)
-         |SELECT doc_id, list(sym_id ORDER BY tpos, spos) AS token_ids
+         |SELECT doc_id,
+         |  array_to_string(list(sym_id ORDER BY tpos, spos), ',') AS token_ids
          |FROM ts JOIN sid USING (sym)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
       val docs = Tables.documents(s, d)
-      encode(docs.filter(col("doc_id") < 100), train(docs)._2).orderBy("doc_id")
+      encode(docs.filter(col("doc_id") < 100), train(docs)._2)
+        .select(col("doc_id"),
+          concat_ws(",", transform(col("token_ids"), x => x.cast("string")))
+            .as("token_ids"))
+        .orderBy("doc_id")
     }
   )
 }

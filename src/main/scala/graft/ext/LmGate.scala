@@ -155,11 +155,17 @@ object LmGate {
       .sortBy(_.getAs[Int]("bucket_idx"))
       .map(r => (r.getAs[Double]("b_score"), r.getAs[Long]("b_id")))
       .toSeq
-    // pre-meta artifacts (written before the smoothed option) are MLE
-    val smoothed = scala.util
-      .Try(s.read.parquet(s"$dir/meta.parquet")
-        .collect().head.getAs[Boolean]("smoothed"))
-      .getOrElse(false)
+    // pre-meta artifacts (written before the smoothed option) are MLE —
+    // but ONLY genuine absence falls back. Any other read failure
+    // (corruption, permissions, transient IO) propagates: silently
+    // degrading a smoothed-trained gate to MLE scoring is exactly the
+    // boundary/scoring-mode drift the meta file exists to prevent.
+    val metaPath = new org.apache.hadoop.fs.Path(s"$dir/meta.parquet")
+    val fs = metaPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val smoothed =
+      if (!fs.exists(metaPath)) false
+      else s.read.parquet(s"$dir/meta.parquet")
+        .collect().head.getAs[Boolean]("smoothed")
     Gate(s.read.parquet(s"$dir/c12.parquet"),
       s.read.parquet(s"$dir/c1.parquet"), bs, smoothed)
   }

@@ -78,7 +78,12 @@ object DistributedRank {
     * that pair — which is how a streaming admission gate applies a
     * batch-trained cut with zero windows: compare (score, id) against two
     * broadcast scalars. Returns (boundary score, boundary id) pairs,
-    * ascending bucket index; fewer than n-1 entries when N < n.
+    * ascending bucket index — ALWAYS n-1 entries for a non-empty input.
+    * When N < n several boundary ranks coincide (empty buckets); the
+    * shared cut pair is REPLICATED per boundary index rather than
+    * collapsed, so [[bucketByBoundaries]] keeps stable bucket numbering
+    * (the open tail is always bucket n) even on degenerate inputs. Empty
+    * input returns Seq.empty.
     */
   def boundariesDesc(df: DataFrame, scoreCol: String, idCol: String,
                      n: Int): Seq[(Double, Long)] = {
@@ -89,13 +94,15 @@ object DistributedRank {
     val ks = (1 until n).map(i => i.toLong * q + math.min(i.toLong, r))
       .filter(k => k >= 1 && k <= total)
     if (ks.isEmpty) Seq.empty
-    else ranked
-      .filter(col("__graft_rk").isin(ks: _*))
-      .select(col("__graft_rk"), col(scoreCol).cast("double"), col(idCol).cast("long"))
-      .collect()
-      .sortBy(_.getLong(0))
-      .map(row => (row.getDouble(1), row.getLong(2)))
-      .toSeq
+    else {
+      val pairOf: Map[Long, (Double, Long)] = ranked
+        .filter(col("__graft_rk").isin(ks.distinct: _*))
+        .select(col("__graft_rk"), col(scoreCol).cast("double"), col(idCol).cast("long"))
+        .collect()
+        .map(row => row.getLong(0) -> ((row.getDouble(1), row.getLong(2))))
+        .toMap
+      ks.map(pairOf)
+    }
   }
 
   /** Projection-only bucket assignment from [[boundariesDesc]] cut points

@@ -31,7 +31,7 @@ class BpeSpec extends AnyFunSuite {
     val d = docs("aaa aaa aa")
     val (_, words) = Bpe.train(d, rounds = 1) // merge must be (a,a)
     val enc = words.filter(col("w") === "aaa").select("enc").collect().head.getString(0)
-    assert(enc == s"${Sep}aa${Sep}a", s"got ${enc.replace(Sep, "|")}")
+    assert(enc == s"${Sep}aa${Sep}${Sep}a${Sep}", s"got ${enc.replace(Sep, "|")}")
   }
 
   test("merge does not consume the next occurrence's boundary: 'abab' -> [ab, ab]") {
@@ -40,7 +40,33 @@ class BpeSpec extends AnyFunSuite {
     val m = merges.collect().head
     assert((m.getAs[String]("left_sym"), m.getAs[String]("right_sym")) == ("a", "b"))
     val enc = words.filter(col("w") === "abab").select("enc").collect().head.getString(0)
-    assert(enc == s"${Sep}ab${Sep}ab", s"got ${enc.replace(Sep, "|")}")
+    assert(enc == s"${Sep}ab${Sep}${Sep}ab${Sep}", s"got ${enc.replace(Sep, "|")}")
+  }
+
+  test("adjacent occurrences all merge in one pass: 'aaaa' -> [aa, aa]") {
+    // the double-separator encoding must not let a match consume the next
+    // occurrence's boundary — real BPE merges all non-overlapping pairs
+    // left-to-right in a single pass
+    val d = docs("aaaa aaaa aa")
+    val (_, words) = Bpe.train(d, rounds = 1) // merge is (a,a)
+    val enc = words.filter(col("w") === "aaaa").select("enc").collect().head.getString(0)
+    assert(enc == s"${Sep}aa${Sep}${Sep}aa${Sep}", s"got ${enc.replace(Sep, "|")}")
+  }
+
+  test("merge pattern anchors BOTH symbol ends: (x,a) never fires inside [x, ab]") {
+    // round 1 learns (a,b) (count 4: ab x3 + xab); round 2 learns (x,a)
+    // (count 2, from xa) — applying it to "xab", now encoded [x, ab], must
+    // NOT match: the 'a' there is the PREFIX of symbol "ab", not a full
+    // symbol. The leading-separator-only encoding corrupted this word to
+    // one bogus symbol "xab"; the double-separator pattern is r-end-anchored.
+    val d = docs("ab ab ab xa xa xab")
+    val (merges, words) = Bpe.train(d, rounds = 2)
+    val ms = mergeRows(merges)
+    assert(ms.map { case (_, l, r, _) => (l, r) } == Seq(("a", "b"), ("x", "a")), s"got $ms")
+    val enc = encOf(words)
+    assert(enc("xab") == s"${Sep}x${Sep}${Sep}ab${Sep}",
+      s"got ${enc("xab").replace(Sep, "|")} — (x,a) merged into a multi-char symbol's prefix")
+    assert(enc("xa") == s"${Sep}xa${Sep}", s"got ${enc("xa").replace(Sep, "|")}")
   }
 
   test("later rounds operate on merged symbols (can learn multi-char merges)") {
@@ -51,7 +77,7 @@ class BpeSpec extends AnyFunSuite {
     assert((ms(0).getAs[String]("left_sym"), ms(0).getAs[String]("right_sym")) == ("a", "b"))
     assert((ms(1).getAs[String]("left_sym"), ms(1).getAs[String]("right_sym")) == ("ab", "c"))
     val enc = words.filter(col("w") === "abc").select("enc").collect().head.getString(0)
-    assert(enc == s"${Sep}abc", s"got ${enc.replace(Sep, "|")}")
+    assert(enc == s"${Sep}abc${Sep}", s"got ${enc.replace(Sep, "|")}")
   }
 
   test("tie on count breaks lexicographically") {
@@ -79,11 +105,12 @@ class BpeSpec extends AnyFunSuite {
     }
     for (a <- Seq("a", "b"); b <- Seq("a", "b")) {
       val got = words.toDF("w")
-        .withColumn("enc", regexp_replace(col("w"), "(.)", Sep + "$1"))
-        .withColumn("enc", sqlReplace(col("enc"), lit(Sep + a + Sep + b), lit(Sep + a + b)))
-        .select(col("w"), split(col("enc"), Sep).as("syms"))
+        .withColumn("enc", Bpe.charEncode(col("w")))
+        .withColumn("enc", sqlReplace(col("enc"),
+          lit(Sep + a + Sep + Sep + b + Sep), lit(Sep + a + b + Sep)))
+        .select(col("w"), Bpe.symsOf(col("enc")).as("syms"))
         .collect()
-        .map(r => r.getString(0) -> r.getSeq[String](1).drop(1).toList).toMap
+        .map(r => r.getString(0) -> r.getSeq[String](1).toList).toMap
       words.foreach { w =>
         val expect = refMerge(w.toList.map(_.toString), a, b)
         assert(got(w) == expect,
@@ -176,12 +203,47 @@ class BpeSpec extends AnyFunSuite {
     assert(stored.nonEmpty && stored == inMem,
       "stored tokenizer diverges from in-memory encode")
     // the persisted id table equals a fresh ranking of the stored words
-    val fresh = Bpe.symbolIds(wStored).collect()
+    // (main symbol page + char-fallback page)
+    val fresh = Bpe.fullSymbolIds(wStored).collect()
       .map(r => r.getString(0) -> r.getInt(2)).toMap
     spark.catalog.clearCache()
     val persisted = idsStored.collect()
       .map(r => r.getString(0) -> r.getInt(2)).toMap
     assert(persisted == fresh)
+  }
+
+  test("OOV encode: novel words char-fall-back to ids, unknown chars to UnkId — full length always") {
+    // train until "ab" and "cd" fully merge: the post-merge symbol table
+    // is {ab, cd} and the bare chars a,b,c,d survive only on the
+    // char-fallback page of the at-rest id table
+    val d = docs("ab ab ab cd cd")
+    val (_, words) = Bpe.train(d, rounds = 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft-bpe-oovid").toString
+    Bpe.writeTokenizer(words, dir)
+    val (wStored, idsStored) = Bpe.loadTokenizer(spark, dir)
+    val idOf = idsStored.collect().map(r => r.getString(0) -> r.getInt(2)).toMap
+    // main page: ab (freq 3) -> 1, cd (freq 2) -> 2; char page: a,b (freq 3)
+    // then c,d (freq 2), char ASC within ties -> a=3, b=4, c=5, d=6
+    assert(idOf == Map("ab" -> 1, "cd" -> 2, "a" -> 3, "b" -> 4, "c" -> 5, "d" -> 6), s"got $idOf")
+    // serving doc: "ba" (novel word, known chars), "qq" (unknown char),
+    // "ab" (in vocab) — sequence must keep FULL length: 2 + 2 + 1 = 5 ids
+    val serve = docs("ba qq ab")
+    val got = Bpe.encodeWith(serve, wStored, idsStored).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1).toList).toMap
+    spark.catalog.clearCache()
+    assert(got(0L) == List(4, 3, Bpe.UnkId, Bpe.UnkId, 1), s"got $got")
+    // decode stays total: unknown ids render as the replacement char
+    val decoded = Bpe.decode(Bpe.encodeWith(serve, wStored, idsStored), idsStored)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    spark.catalog.clearCache()
+    assert(decoded(0L) == "ba\uFFFD\uFFFDab", s"got $decoded")
+    // and the in-memory path (symbolIds only, no char page) still keeps
+    // full length — chars off the table resolve to UnkId
+    val inMem = Bpe.encode(serve, words).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1).toList).toMap
+    spark.catalog.clearCache()
+    assert(inMem(0L).length == 5 && inMem(0L).last == 1, s"got $inMem")
+    assert(inMem(0L).take(4).forall(_ == Bpe.UnkId), s"got $inMem")
   }
 
   test("trainBatched(batchK=1) is bit-identical to sequential train") {
@@ -221,7 +283,7 @@ class BpeSpec extends AnyFunSuite {
     val d = docs("ab ab ab")
     val (m, w) = Bpe.trainBatched(d, totalMerges = 5, batchK = 2)
     assert(mergeRows(m).map { case (_, l, r, _) => (l, r) } == Seq(("a", "b")))
-    assert(w.select("enc").collect().head.getString(0) == s"${Sep}ab")
+    assert(w.select("enc").collect().head.getString(0) == s"${Sep}ab${Sep}")
   }
 
   test("vocabulary exhaustion stops training instead of crashing") {
@@ -231,7 +293,7 @@ class BpeSpec extends AnyFunSuite {
     val (merges, words) = Bpe.train(d, rounds = 4)
     assert(merges.collect().map(_.getInt(0)).toSeq == Seq(1))
     val enc = words.select("enc").collect().head.getString(0)
-    assert(enc == s"${Sep}ab")
+    assert(enc == s"${Sep}ab${Sep}")
     // a corpus with no pairs AT ALL is a loud error, not a silent empty
     intercept[IllegalArgumentException](Bpe.train(docs("a b c a b"), rounds = 1))
   }
@@ -243,9 +305,9 @@ class BpeSpec extends AnyFunSuite {
     import spark.implicits._
     val emoji = new String(Character.toChars(0x1F600)) + "ab"
     val enc = Seq(emoji).toDF("w")
-      .select(regexp_replace(col("w"), "(.)", Sep + "$1").as("enc"))
+      .select(Bpe.charEncode(col("w")).as("enc"))
       .collect().head.getString(0)
-    assert(enc.count(_ == Sep.head) == 3, s"expected 3 symbols, got ${enc.length}")
+    assert(enc.count(_ == Sep.head) == 6, s"expected 3 double-delimited symbols, got ${enc.length}")
   }
 
   test("apply equals a direct recount over the trained encodings") {
@@ -263,7 +325,7 @@ class BpeSpec extends AnyFunSuite {
     // and on the planted corpus: 4 rounds on tiny vocab still consistent
     val (_, words) = Bpe.train(d, rounds = 2)
     val direct = d.select(col("doc_id"), explode(graft.ext.TextHash.tokens(col("text"))).as("w"))
-      .join(words.select(col("w"), (size(split(col("enc"), Sep)) - 1).as("k")), Seq("w"))
+      .join(words.select(col("w"), size(Bpe.symsOf(col("enc"))).as("k")), Seq("w"))
       .groupBy("doc_id").agg(sum("k").as("n_syms"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(direct.values.forall(_ >= 2L))

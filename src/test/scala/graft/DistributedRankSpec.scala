@@ -118,6 +118,25 @@ class DistributedRankSpec extends AnyFunSuite {
     }
   }
 
+  test("boundariesDesc on degenerate N < n input replicates shared cut pairs — bucket numbering stays stable") {
+    import spark.implicits._
+    // one trained row, three buckets: both boundary ranks coincide at
+    // rank 1; the pair must be REPLICATED (2 entries), not collapsed, so
+    // serving keeps n-1 boundaries and the open tail is always bucket n
+    val df = Seq((7L, 0.5)).toDF("id", "score")
+    val bs = DistributedRank.boundariesDesc(df, "score", "id", 3)
+    assert(bs == Seq((0.5, 7L), (0.5, 7L)), s"got $bs")
+    spark.catalog.clearCache()
+    // the trained row buckets 1 (matching ntileDesc); a NEW row ordering
+    // strictly after every boundary lands in the TAIL bucket (3), which a
+    // collapsed boundary list would have shifted to 2
+    val serve = Seq((7L, 0.5), (99L, 0.1)).toDF("id", "score")
+    val got = DistributedRank.bucketByBoundaries(serve, "score", "id", bs)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(got == Map(7L -> 1, 99L -> 3), s"got $got")
+    spark.catalog.clearCache()
+  }
+
   test("bucketByBoundaries on the trained rows reproduces ntileDesc exactly") {
     for (n <- Seq(7, 100, 101)) {
       val df = sample(n)

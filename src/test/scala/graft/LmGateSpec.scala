@@ -49,6 +49,26 @@ class LmGateSpec extends AnyFunSuite {
     assert(LmGate.load(spark, tmp).boundaries == direct)
   }
 
+  test("load: absent meta falls back to MLE; a CORRUPT meta propagates instead of silently degrading") {
+    import spark.implicits._
+    val docsDf = Seq((0L, "the cat sat on the mat"),
+      (1L, "the dog sat on the log")).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-lm-meta").toString
+    LmGate.write(docsDf, tmp, smoothed = true)
+    assert(LmGate.load(spark, tmp).smoothed, "smoothed mode must travel with the artifact")
+    // pre-meta artifact (genuine absence): MLE fallback
+    val metaDir = java.nio.file.Paths.get(tmp, "meta.parquet")
+    val backup = java.nio.file.Paths.get(tmp, "meta.parquet.bak")
+    java.nio.file.Files.move(metaDir, backup)
+    assert(!LmGate.load(spark, tmp).smoothed, "absent meta must read as pre-meta MLE artifact")
+    // corrupt meta (present but unreadable): must THROW, not degrade to MLE
+    java.nio.file.Files.move(backup, metaDir)
+    val part = java.nio.file.Files.list(metaDir).filter(_.toString.endsWith(".parquet"))
+      .findFirst().get()
+    java.nio.file.Files.write(part, "not a parquet file".getBytes)
+    intercept[Exception](LmGate.load(spark, tmp).smoothed)
+  }
+
   test("smoothed scoring keeps all-unseen documents with a defined low score") {
     import spark.implicits._
     val corpus = Seq((0L, "the cat sat on the mat"),

@@ -664,6 +664,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch(11L) == ((4L, 12L)), s"doc 11: $batch")
   }
 
+  test("at-rest tokenizer id-encodes a stream bit-identically to batch (frozen id table)") {
+    // the stored tokenizer (words.parquet + syms.parquet incl. the
+    // char-fallback page) is a frozen artifact: id-encoding a stream is
+    // two stream-static equi-joins plus a per-document aggregate, and the
+    // id assignment must come from the ARTIFACT, not a per-batch re-rank —
+    // so novel words in the stream cannot renumber anything
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.ext.Bpe
+    val ref = Seq((0L, "ab ab ab cd cd abc abc")).toDF("doc_id", "text")
+    val (_, words) = Bpe.train(ref, rounds = 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft-bpe-stream-tok").toString
+    Bpe.writeTokenizer(words, dir)
+    val (wStored, idsStored) = Bpe.loadTokenizer(spark, dir)
+
+    // novel word "ba" (known chars) + unknown char word "zq" + in-vocab
+    val incoming = Seq((10L, "abc ba ab"), (11L, "zq cd cd"))
+    val mem = MemoryStream[(Long, String)]
+    val q = Bpe.encodeWith(mem.toDF.toDF("doc_id", "text"), wStored, idsStored)
+      .select(col("doc_id"), concat_ws(",", transform(col("token_ids"),
+        x => x.cast("string"))).as("ids"))
+      .writeStream.format("memory").queryName("bpe_encode_stream")
+      .outputMode("complete").start()
+    val streamed = try {
+      mem.addData(incoming: _*)
+      q.processAllAvailable()
+      spark.table("bpe_encode_stream").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+    } finally q.stop()
+    val batch = Bpe.encodeWith(incoming.toDF("doc_id", "text"), wStored, idsStored)
+      .select(col("doc_id"), concat_ws(",", transform(col("token_ids"),
+        x => x.cast("string"))).as("ids"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(streamed == batch, s"stream $streamed vs batch $batch")
+    // full-length sequences: every word resolved (char page or UnkId)
+    assert(streamed(10L).split(",").length >= 3, s"got $streamed")
+    assert(streamed(11L).split(",").contains(Bpe.UnkId.toString), s"got $streamed")
+  }
+
   test("LM tercile admission gate on a stream equals the batch bucketing (boundary scalars)") {
     // the CCNet head/middle/tail cut as a FROZEN artifact: batch training
     // yields two (score, doc_id) boundary scalars (DistributedRank
