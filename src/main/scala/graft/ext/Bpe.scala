@@ -255,6 +255,51 @@ object Bpe {
   private def symsSql(encExpr: String): String =
     s"list_filter(string_split($encExpr, chr(1)), x -> x <> '')"
 
+  /** Oracle CTE chain replaying [[trainBatched]]'s SELECTION RULE itself
+    * for batchK = 2, unrolled per engine round: the candidate head is the
+    * top 4·k = 8 pairs by (cnt DESC, l, r); the first selection is the
+    * head argmax; the second is the best head pair sharing no symbol with
+    * the first NOR consuming its concatenation; both merges apply in
+    * selection order as a chained replace. This cross-engine-checks the
+    * batched selection (head bound, disjointness filter, application
+    * order) — not just the batchK=1 ≡ sequential property the spec pins.
+    */
+  private def batchedCtes(rounds: Int): String = {
+    val perRound = (1 to rounds).map { j =>
+      s"""bp$j AS (SELECT ${symsSql("enc")} AS syms, freq FROM eb${j - 1}),
+         |bpc$j AS (
+         |  SELECT syms[i] AS l, syms[i + 1] AS r, CAST(sum(freq) AS BIGINT) AS cnt
+         |  FROM bp$j, unnest(range(1, len(syms))) AS t(i)
+         |  GROUP BY 1, 2
+         |),
+         |bh$j AS (SELECT l, r, cnt FROM bpc$j ORDER BY cnt DESC, l, r LIMIT 8),
+         |ba$j AS (SELECT l, r, cnt FROM bh$j ORDER BY cnt DESC, l, r LIMIT 1),
+         |bb$j AS (
+         |  SELECT h.l, h.r, h.cnt FROM bh$j h, ba$j a
+         |  WHERE h.l <> a.l AND h.l <> a.r AND h.l <> (a.l || a.r)
+         |    AND h.r <> a.l AND h.r <> a.r AND h.r <> (a.l || a.r)
+         |  ORDER BY h.cnt DESC, h.l, h.r LIMIT 1
+         |),
+         |eb$j AS (
+         |  SELECT w,
+         |    replace(
+         |      replace(enc, chr(1) || a.l || chr(1) || chr(1) || a.r || chr(1),
+         |                   chr(1) || a.l || a.r || chr(1)),
+         |      chr(1) || b.l || chr(1) || chr(1) || b.r || chr(1),
+         |      chr(1) || b.l || b.r || chr(1)) AS enc, freq
+         |  FROM eb${j - 1} CROSS JOIN ba$j a CROSS JOIN bb$j b
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""btoks AS (SELECT ${tokensSql("text")} AS ts FROM documents),
+       |bw AS (
+       |  SELECT t AS w, count(*) AS freq
+       |  FROM (SELECT unnest(ts) AS t FROM btoks)
+       |  WHERE NOT contains(t, chr(1)) GROUP BY 1
+       |),
+       |eb0 AS (SELECT w, regexp_replace(w, '(.)', chr(1) || '\\1' || chr(1), 'g') AS enc, freq FROM bw),
+       |$perRound""".stripMargin
+  }
+
   /** The serving projection of a trained word table: one row per word
     * with its post-merge symbol count. THE single definition — the
     * at-rest writer, the declared query, and the stream gate all derive
@@ -446,6 +491,22 @@ object Bpe {
          |SELECT * FROM ($sel) ORDER BY round""".stripMargin
     }) { (s, d) =>
       train(Tables.documents(s, d))._1
+    },
+
+    // ---- batched training: the k>1 selection rule cross-engine checked ----
+    // Two engine rounds of batchK=2 (4 merges): the oracle unrolls the
+    // candidate head, the symbol-disjoint greedy pick, and the in-order
+    // chained application per round. Merge ordinals are global (1..4),
+    // like trainBatched's `done` counter.
+    Q("q_text_bpe_batched", {
+      val sel = (1 to 2).flatMap(j => Seq(
+        s"SELECT ${2 * j - 1} AS round, l AS left_sym, r AS right_sym, cnt AS pair_count FROM ba$j",
+        s"SELECT ${2 * j} AS round, l AS left_sym, r AS right_sym, cnt AS pair_count FROM bb$j"))
+        .mkString("\nUNION ALL ")
+      s"""WITH ${batchedCtes(2)}
+         |SELECT * FROM ($sel) ORDER BY round""".stripMargin
+    }) { (s, d) =>
+      trainBatched(Tables.documents(s, d), totalMerges = 4, batchK = 2)._1
     },
 
     // ---- serving path: trained vocab applied to the corpus by lookup ----

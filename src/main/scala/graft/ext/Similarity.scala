@@ -1105,6 +1105,104 @@ object Similarity {
         .orderBy("qid")
     },
 
+    // ---- kNN classification over IVF-PQ candidates: the 100 TB shape ----
+    // The SAME classifier as q_embed_knn_classify but with candidate
+    // generation swapped from brute force to the production ANN tier:
+    // IVF-PQ ADC shortlist (nprobe=3, shortlist=24) over an index built on
+    // the labeled corpus only, exact-cosine re-rank of the shortlist, then
+    // the unchanged knnClassify vote. This oracle-checks the scale path
+    // itself — index build, cell probing, ADC ranking, re-rank, vote —
+    // end-to-end, not just the vote over exact pairs. Work per probe is
+    // nprobe x cell size + shortlist; never corpus-scale. (Predictions may
+    // legitimately differ from the brute-force query where the true
+    // neighbors fall outside probed cells — that recall trade-off is the
+    // measured RECALL.json operating point, and both engines replay the
+    // identical candidate rule, so the check is exact.)
+    Q("q_embed_knn_ann",
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 25 = 0),
+         |$pqCodeSql,
+         |$reconSql,
+         |asn AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT e.vec_id, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${cosRawSql("e.v", "c.cv")} DESC, c.cid) AS rn
+         |    FROM e, c WHERE e.vec_id % 5 <> 0
+         |  ) WHERE rn = 1
+         |),
+         |pc AS (
+         |  SELECT qid, cid FROM (
+         |    SELECT e.vec_id AS qid, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${cosRawSql("e.v", "c.cv")} DESC, c.cid) AS rn
+         |    FROM e, c WHERE e.vec_id % 5 = 0
+         |  ) WHERE rn <= 3
+         |),
+         |scored AS (
+         |  SELECT p.qid, a.vec_id AS cand, ${adcSql("q.v", "r.rv")} AS adc
+         |  FROM pc p
+         |  JOIN asn a ON a.cid = p.cid
+         |  JOIN recon r ON r.vec_id = a.vec_id
+         |  JOIN e q ON q.vec_id = p.qid
+         |),
+         |short AS (
+         |  SELECT qid, cand FROM (
+         |    SELECT qid, cand,
+         |      row_number() OVER (PARTITION BY qid ORDER BY adc ASC, cand ASC) AS rn
+         |    FROM scored
+         |  ) WHERE rn <= 24
+         |),
+         |resc AS (
+         |  SELECT s.qid, s.cand, cv.label, ${cosSql("q.v", "cv.v")} AS cos_r
+         |  FROM short s JOIN e q ON q.vec_id = s.qid JOIN e cv ON cv.vec_id = s.cand
+         |),
+         |knn AS (
+         |  SELECT qid, label, cos_r FROM (
+         |    SELECT qid, label, cos_r,
+         |      row_number() OVER (PARTITION BY qid ORDER BY cos_r DESC, cand) AS rn
+         |    FROM resc
+         |  ) WHERE rn <= $KnnK
+         |),
+         |votes AS (
+         |  SELECT qid, label, count(*) AS votes,
+         |    CAST(sum(CAST(cos_r AS DECIMAL(18,6))) AS DOUBLE) AS sum_cos
+         |  FROM knn GROUP BY qid, label
+         |)
+         |SELECT v.qid, v.label AS pred_label, CAST(v.votes AS BIGINT) AS votes, v.sum_cos,
+         |  q.label AS true_label, v.label = q.label AS correct
+         |FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY qid
+         |    ORDER BY votes DESC, label) AS vr
+         |  FROM votes
+         |) v JOIN e q ON q.vec_id = v.qid
+         |WHERE v.vr = 1 ORDER BY v.qid""".stripMargin) { (s, d) =>
+      val all = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"),
+                col("embedding").cast("array<double>").as("v"))
+      val corpus = all.filter(col("vec_id") % 5 =!= 0)
+      val probes = all.filter(col("vec_id") % 5 === 0)
+      val cents = centroidSet(vecs(s, d), 25)
+      val cb = pqCodebook(vecs(s, d))
+      val index = indexRows(corpus.select("vec_id", "v"), cents, cb)
+      val short = probeIndex(index, probes.select("vec_id", "v"), cents, cb,
+                             nprobe = 3, k = 24)
+      val pairs = short.select("qid", "cand")
+        .join(corpus.select(col("vec_id").as("cand"), col("label"),
+                            col("v").as("cv")), Seq("cand"))
+        .join(broadcast(probes.select(col("vec_id").as("qid"), col("v").as("qv"))),
+              Seq("qid"))
+        .select(col("qid"), col("cand"), col("label"),
+                round(cosine(col("qv"), col("cv")), 6).as("cos_r"))
+      knnClassify(pairs, KnnK)
+        .join(broadcast(probes.select(col("vec_id").as("qid"),
+                col("label").as("true_label"))), Seq("qid"))
+        .select(col("qid"), col("pred_label"), col("votes"), col("sum_cos"),
+                col("true_label"),
+                (col("pred_label") === col("true_label")).as("correct"))
+        .orderBy("qid")
+    },
+
     // ---- corpus cartography: per-cluster document profile ----
     // The "map of the corpus" step of a curation recipe: assign every
     // document's embedding to a semantic cell, join the text table, and
