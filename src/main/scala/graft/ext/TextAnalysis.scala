@@ -321,6 +321,36 @@ object TextAnalysis {
         .limit(25)
     },
 
+    // ---- duplicate n-gram fraction (the OTHER Gopher repetition rule):
+    // fraction of a document's shingle OCCURRENCES that are repeats of an
+    // earlier occurrence — sum(c-1)/sum(c) over per-shingle counts c.
+    // Complements q_text_repetition's top-1-shingle mass: a doc cycling
+    // through MANY distinct repeated phrases scores high here while its
+    // top-1 ratio stays low. Same single shingle-aggregate plan shape;
+    // the doc-level reduce is metadata-scale ----
+    Q("q_text_dup_ngrams",
+      s"""SELECT doc_id,
+         |  CAST(sum(c - 1) AS BIGINT) AS n_dup,
+         |  CAST(sum(c) AS BIGINT) AS n_shingles,
+         |  round(CAST(sum(c - 1) AS DOUBLE) / sum(c), 6) AS dup_ratio
+         |FROM (
+         |  SELECT doc_id, sh, count(*) AS c FROM (
+         |    SELECT doc_id, unnest(${shinglesFromTokensSql("toks", 3)}) AS sh
+         |    FROM (SELECT doc_id, ${tokensSql("text")} AS toks FROM documents)
+         |  ) GROUP BY doc_id, sh
+         |) GROUP BY doc_id ORDER BY dup_ratio DESC, doc_id LIMIT 25""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(shinglesFromTokens(tokens(col("text")), 3)).as("sh"))
+        .groupBy("doc_id", "sh").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(sum(col("c") - 1).cast("long").as("n_dup"),
+             sum("c").cast("long").as("n_shingles"),
+             round(sum(col("c") - 1).cast("double") / sum("c"), 6).as("dup_ratio"))
+        .orderBy(col("dup_ratio").desc, col("doc_id").asc)
+        .limit(25)
+    },
+
     // ---- sequence packing: concat-and-split batching, per shard. Each
     // shard's documents form one token stream (running total over doc_id
     // order) and a document lands in the batch where it STARTS
