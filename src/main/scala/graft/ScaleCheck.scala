@@ -200,10 +200,49 @@ object ScaleCheck {
         f""""sec_per_merge_batched":${tBat / merges}%.4f}""")
     }
 
+    // The ANN-kNN classifier (q_embed_knn_ann's shape) in its PRODUCTION
+    // configuration: centroid stride √N-scaled like kmeans_sqrt_stride, so
+    // the coarse quantizer follows the documented C ≈ √N rule instead of
+    // the declared query's fixed stride 25 (which pins C ∝ N at scale —
+    // why the query is excluded from the 10× bench artifact). Probes are a
+    // FIXED 200-vector batch (copy 0 ids exist at every size), so the
+    // measured cost is the per-batch serving cost as the INDEXED CORPUS
+    // grows — the shape that must stay sublinear.
+    def knnAnnAt(dir: String, stride: Int): Double = timeMin {
+      val all = Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("label"),
+                col("embedding").cast("array<double>").as("v"))
+      val corpus = all.filter(col("vec_id") % 5 =!= 0)
+      val probes = all.filter(col("vec_id") % 5 === 0 && col("vec_id") < 1000)
+      val v = all.select("vec_id", "v")
+      val cents = ext.Similarity.centroidSet(v, stride)
+      val cb = ext.Similarity.pqCodebook(v)
+      val index = ext.Similarity.indexRows(corpus.select("vec_id", "v"), cents, cb)
+      val short = ext.Similarity.probeIndex(index, probes.select("vec_id", "v"),
+        cents, cb, nprobe = 3, k = 24)
+      val pairs = short.select("qid", "cand")
+        .join(corpus.select(col("vec_id").as("cand"), col("label"),
+                            col("v").as("cv")), Seq("cand"))
+        .join(broadcast(probes.select(col("vec_id").as("qid"), col("v").as("qv"))),
+              Seq("qid"))
+        .select(col("qid"), col("cand"), col("label"),
+                round(ext.Similarity.cosine(col("qv"), col("cv")), 6).as("cos_r"))
+      ext.Similarity.knnClassify(pairs, 10)
+        .write.format("noop").mode("overwrite").save()
+    }
+    val knnAnnJson = if (!keep("knn_ann")) None else {
+      val a1 = knnAnnAt(d1, 25)
+      val aN = knnAnnAt(dN, (25 * math.sqrt(copies.toDouble)).round.toInt)
+      val aExp = math.log(aN / a1) / math.log(copies.toDouble)
+      System.err.println(f"[scale] knn_ann_sqrt_stride t1=$a1%.2f s tN=$aN%.2f s exp=$aExp%.2f")
+      Some(f""""knn_ann_sqrt_stride":{"t1":$a1%.3f,"tN":$aN%.3f,"exp":$aExp%.2f}""")
+    }
+
     val qj = perQuery.map { case (q, (t1, tN, e)) =>
       f""""$q":{"t1":$t1%.3f,"tN":$tN%.3f,"exp":$e%.2f}"""
     }.mkString(",")
-    val extras = (kmeansJson.toSeq ++ substrJson.toSeq ++ bpeJson.toSeq).mkString(",")
+    val extras = (kmeansJson.toSeq ++ substrJson.toSeq ++ bpeJson.toSeq ++
+      knnAnnJson.toSeq).mkString(",")
     val tail = if (extras.isEmpty) "" else s",$extras"
     println(s"""{"copies":$copies,"reps":$reps,"stat":"min","queries":{$qj}$tail}""")
     spark.stop()
