@@ -119,6 +119,41 @@ class BpeSpec extends AnyFunSuite {
     }
   }
 
+  test("merge algebra with MULTI-CHAR symbols equals the reference fold (property)") {
+    // the r-end false-positive only manifests once symbols are multi-char:
+    // after merging (a,b), a second merge with l or r = "ab" must match
+    // only FULL "ab" symbols. Random words over {a,b}, every second merge
+    // from {(ab,a),(a,ab),(ab,ab),(ab,b)} — engine replace-chain vs a
+    // direct recursive fold on symbol lists.
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{replace => sqlReplace}
+    val rnd = new scala.util.Random(72)
+    val words = (0 until 300).map(_ =>
+      (0 until (1 + rnd.nextInt(12))).map(_ => "ab" (rnd.nextInt(2))).mkString)
+      .distinct
+    def refMerge(syms: List[String], a: String, b: String): List[String] = syms match {
+      case x :: y :: rest if x == a && y == b => (a + b) :: refMerge(rest, a, b)
+      case x :: rest => x :: refMerge(rest, a, b)
+      case Nil => Nil
+    }
+    for ((l2, r2) <- Seq(("ab", "a"), ("a", "ab"), ("ab", "ab"), ("ab", "b"))) {
+      val got = words.toDF("w")
+        .withColumn("enc", Bpe.charEncode(col("w")))
+        .withColumn("enc", sqlReplace(col("enc"),
+          lit(Sep + "a" + Sep + Sep + "b" + Sep), lit(Sep + "ab" + Sep)))
+        .withColumn("enc", sqlReplace(col("enc"),
+          lit(Sep + l2 + Sep + Sep + r2 + Sep), lit(Sep + l2 + r2 + Sep)))
+        .select(col("w"), Bpe.symsOf(col("enc")).as("syms"))
+        .collect()
+        .map(r => r.getString(0) -> r.getSeq[String](1).toList).toMap
+      words.foreach { w =>
+        val expect = refMerge(refMerge(w.toList.map(_.toString), "a", "b"), l2, r2)
+        assert(got(w) == expect,
+          s"word '$w' merge2 ($l2,$r2): engine ${got(w)} vs reference $expect")
+      }
+    }
+  }
+
   test("vocab at rest: stored parquet apply equals the in-memory apply") {
     val d = docs("abc abc abc abab ab", "aaa xy xy zq abc")
     val (_, words) = Bpe.train(d, rounds = 2)
