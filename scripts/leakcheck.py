@@ -48,16 +48,24 @@ def mask_own_patterns(text):
     scanner covers its own executable content (a real leak string anywhere
     else in leakcheck.py must fail the gate), while its regex literals
     don't self-match. Line positions are preserved so hit line numbers
-    stay accurate."""
+    stay accurate. Refuses to attest if the block markers are not found
+    exactly as expected — a reformat must not silently blank the rest of
+    the scanner (masking the whole file would pass any leak) or stop
+    masking (pattern literals would self-hit)."""
     lines = text.split("\n")
-    out, masking = [], False
+    out, masking, started, ended = [], False, False, False
     for ln in lines:
         if ln.startswith("CATEGORIES = {"):
-            masking = True
+            masking, started = True, True
         end = masking and ln.startswith("}")
         out.append("" if masking else ln)
         if end:
-            masking = False
+            masking, ended = False, True
+    if not started or not ended or masking:
+        raise RuntimeError(
+            "leakcheck self-mask could not delimit the CATEGORIES block "
+            "(started=%s ended=%s) - refusing to attest a partial scan"
+            % (started, ended))
     return "\n".join(out)
 
 

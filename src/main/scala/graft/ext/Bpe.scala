@@ -263,6 +263,17 @@ object Bpe {
     * selection order as a chained replace. This cross-engine-checks the
     * batched selection (head bound, disjointness filter, application
     * order) — not just the batchK=1 ≡ sequential property the spec pins.
+    *
+    * Degenerate rounds stay well-formed: when NO symbol-disjoint second
+    * candidate exists (bb_j empty), the round applies only its argmax
+    * (LEFT JOIN + CASE — an empty bb_j must not wipe the word table
+    * through a CROSS JOIN), and the merge listing's `round` ordinals are
+    * row_number over the selections actually made, matching
+    * trainBatched's `done` counter per round. (A fixed 2-round unroll
+    * cannot mirror the engine RUNNING EXTRA rounds to reach totalMerges
+    * after an under-filled round — the declared corpus never under-fills;
+    * library callers composing their own oracle share the constraint the
+    * [[train]] CTE chain documents.)
     */
   private def batchedCtes(rounds: Int): String = {
     val perRound = (1 to rounds).map { j =>
@@ -282,12 +293,17 @@ object Bpe {
          |),
          |eb$j AS (
          |  SELECT w,
-         |    replace(
+         |    CASE WHEN b.l IS NULL THEN
          |      replace(enc, chr(1) || a.l || chr(1) || chr(1) || a.r || chr(1),
-         |                   chr(1) || a.l || a.r || chr(1)),
-         |      chr(1) || b.l || chr(1) || chr(1) || b.r || chr(1),
-         |      chr(1) || b.l || b.r || chr(1)) AS enc, freq
-         |  FROM eb${j - 1} CROSS JOIN ba$j a CROSS JOIN bb$j b
+         |                   chr(1) || a.l || a.r || chr(1))
+         |    ELSE
+         |      replace(
+         |        replace(enc, chr(1) || a.l || chr(1) || chr(1) || a.r || chr(1),
+         |                     chr(1) || a.l || a.r || chr(1)),
+         |        chr(1) || b.l || chr(1) || chr(1) || b.r || chr(1),
+         |        chr(1) || b.l || b.r || chr(1))
+         |    END AS enc, freq
+         |  FROM eb${j - 1} CROSS JOIN ba$j a LEFT JOIN bb$j b ON true
          |)""".stripMargin
     }.mkString(",\n")
     s"""btoks AS (SELECT ${tokensSql("text")} AS ts FROM documents),
@@ -370,22 +386,30 @@ object Bpe {
     * job).
     */
   def charPage(words: DataFrame): DataFrame = {
+    val main = CacheTracker.cached(symbolIds(words))
+    charPageFrom(words, main, main.count())
+  }
+
+  private def charPageFrom(words: DataFrame, main: DataFrame,
+                           mainCount: Long): DataFrame = {
     val charFreq = words
       .select(explode(symsOf(charEncode(col("w")))).as("sym"), col("freq"))
       .groupBy("sym").agg(sum("freq").cast("long").as("sfreq"))
-    val main = symbolIds(words)
     val missing = charFreq.join(main.select("sym"), Seq("sym"), "left_anti")
-    val v = main.count()
     graft.operators.DistributedRank
       .rankDesc(missing, "sfreq", "sym", "sym_id")
-      .withColumn("sym_id", (col("sym_id") + lit(v)).cast("int"))
+      .withColumn("sym_id", (col("sym_id") + lit(mainCount)).cast("int"))
   }
 
   /** Main symbol page plus the char-fallback page — the id table the
-    * at-rest tokenizer persists.
+    * at-rest tokenizer persists. The main page is ranked ONCE (cached)
+    * and shared by the union, the char page's anti-join, and its id
+    * offset.
     */
-  def fullSymbolIds(words: DataFrame): DataFrame =
-    symbolIds(words).unionAll(charPage(words))
+  def fullSymbolIds(words: DataFrame): DataFrame = {
+    val main = CacheTracker.cached(symbolIds(words))
+    main.unionAll(charPageFrom(words, main, main.count()))
+  }
 
   /** Reserved id for a symbol the id table cannot resolve even at char
     * level (a serving character never seen in training) — the UNK slot
@@ -500,11 +524,13 @@ object Bpe {
     // like trainBatched's `done` counter.
     Q("q_text_bpe_batched", {
       val sel = (1 to 2).flatMap(j => Seq(
-        s"SELECT ${2 * j - 1} AS round, l AS left_sym, r AS right_sym, cnt AS pair_count FROM ba$j",
-        s"SELECT ${2 * j} AS round, l AS left_sym, r AS right_sym, cnt AS pair_count FROM bb$j"))
+        s"SELECT $j AS j, 1 AS pick, l AS left_sym, r AS right_sym, cnt AS pair_count FROM ba$j",
+        s"SELECT $j AS j, 2 AS pick, l AS left_sym, r AS right_sym, cnt AS pair_count FROM bb$j"))
         .mkString("\nUNION ALL ")
       s"""WITH ${batchedCtes(2)}
-         |SELECT * FROM ($sel) ORDER BY round""".stripMargin
+         |SELECT CAST(row_number() OVER (ORDER BY j, pick) AS INT) AS round,
+         |  left_sym, right_sym, pair_count
+         |FROM ($sel) ORDER BY round""".stripMargin
     }) { (s, d) =>
       trainBatched(Tables.documents(s, d), totalMerges = 4, batchK = 2)._1
     },

@@ -1185,16 +1185,8 @@ object Similarity {
       val cents = centroidSet(vecs(s, d), 25)
       val cb = pqCodebook(vecs(s, d))
       val index = indexRows(corpus.select("vec_id", "v"), cents, cb)
-      val short = probeIndex(index, probes.select("vec_id", "v"), cents, cb,
-                             nprobe = 3, k = 24)
-      val pairs = short.select("qid", "cand")
-        .join(corpus.select(col("vec_id").as("cand"), col("label"),
-                            col("v").as("cv")), Seq("cand"))
-        .join(broadcast(probes.select(col("vec_id").as("qid"), col("v").as("qv"))),
-              Seq("qid"))
-        .select(col("qid"), col("cand"), col("label"),
-                round(cosine(col("qv"), col("cv")), 6).as("cos_r"))
-      knnClassify(pairs, KnnK)
+      annKnnClassify(index, corpus, probes, cents, cb,
+                     nprobe = 3, shortlist = 24, k = KnnK)
         .join(broadcast(probes.select(col("vec_id").as("qid"),
                 col("label").as("true_label"))), Seq("qid"))
         .select(col("qid"), col("pred_label"), col("votes"), col("sum_cos"),
@@ -1271,6 +1263,32 @@ object Similarity {
     * nearest by `(cos_r desc, cand)` per probe, then picks the label with
     * the most votes (`votes desc, label` tie-break).
     */
+  /** kNN classification over IVF-PQ candidates — THE single definition of
+    * the ANN-tier classifier shape: ADC shortlist from the probed cells
+    * of a (possibly pre-materialized) index, exact-cosine re-rank of the
+    * shortlist against the labeled corpus, then the [[knnClassify]] vote.
+    * Shared by the declared q_embed_knn_ann and the ScaleCheck serving
+    * measurement so tie-breaks and rounding cannot drift between them.
+    * `corpus`/`probes` carry (vec_id, label, v); `index` is
+    * [[indexRows]] over the corpus (pass a cached/materialized frame to
+    * measure serving cost without the build).
+    */
+  def annKnnClassify(index: DataFrame, corpus: DataFrame, probes: DataFrame,
+                     cents: Seq[(Long, Seq[Double], Double)],
+                     cb: Seq[Seq[Seq[Double]]],
+                     nprobe: Int, shortlist: Int, k: Int): DataFrame = {
+    val short = probeIndex(index, probes.select("vec_id", "v"), cents, cb,
+                           nprobe, shortlist)
+    val pairs = short.select("qid", "cand")
+      .join(corpus.select(col("vec_id").as("cand"), col("label"),
+                          col("v").as("cv")), Seq("cand"))
+      .join(broadcast(probes.select(col("vec_id").as("qid"), col("v").as("qv"))),
+            Seq("qid"))
+      .select(col("qid"), col("cand"), col("label"),
+              round(cosine(col("qv"), col("cv")), 6).as("cos_r"))
+    knnClassify(pairs, k)
+  }
+
   def knnClassify(pairs: DataFrame, k: Int): DataFrame = {
     val nn = Window.partitionBy("qid").orderBy(col("cos_r").desc, col("cand").asc)
     val knn = pairs.withColumn("rn", row_number().over(nn)).filter(col("rn") <= k)
