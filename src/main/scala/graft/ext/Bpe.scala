@@ -552,6 +552,42 @@ object Bpe {
       applyVocab(docs, vocabOf(train(docs)._2)).orderBy("doc_id")
     },
 
+    // ---- tokenizer fertility audit: symbols-per-token by corpus slice ----
+    // The standard tokenizer-quality report a training pipeline runs
+    // before committing to a vocab: per document SOURCE, how many
+    // post-merge symbols the tokenizer spends per token (fertility; lower
+    // = better compression on that slice). A slice with outlier fertility
+    // flags a domain the merges never learned (or an OOV-heavy crawl) —
+    // the signal that drives per-domain vocab retraining. Plan: the
+    // applyVocab equi-join, a doc_id equi-join back to (doc_id, source),
+    // ONE source-keyed hash aggregate (output = |sources| rows).
+    Q("q_text_bpe_stats",
+      s"""WITH ${trainingCtes(Rounds)},
+         |per_doc AS (
+         |  SELECT doc_id, count(*) AS n_tokens,
+         |    CAST(sum(coalesce(len(${symsSql(s"e$Rounds.enc")}), len(w))) AS BIGINT) AS n_syms
+         |  FROM (SELECT doc_id, unnest(${tokensSql("text")}) AS w FROM documents) d
+         |  LEFT JOIN e$Rounds USING (w)
+         |  WHERE NOT contains(w, chr(1))
+         |  GROUP BY doc_id
+         |)
+         |SELECT d.source, count(*) AS n_docs,
+         |  CAST(sum(p.n_tokens) AS BIGINT) AS total_tokens,
+         |  CAST(sum(p.n_syms) AS BIGINT) AS total_syms,
+         |  round(CAST(sum(p.n_syms) AS DOUBLE) / sum(p.n_tokens), 6) AS fertility
+         |FROM per_doc p JOIN documents d USING (doc_id)
+         |GROUP BY d.source ORDER BY d.source""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      applyVocab(docs, vocabOf(train(docs)._2))
+        .join(docs.select("doc_id", "source"), Seq("doc_id"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+             sum("n_tokens").cast("long").as("total_tokens"),
+             sum("n_syms").cast("long").as("total_syms"),
+             round(sum("n_syms").cast("double") / sum("n_tokens"), 6).as("fertility"))
+        .orderBy("source")
+    },
+
     // ---- serving path: materialized token-id sequences ----
     // The actual tokenizer OUTPUT a training pipeline materializes: dense
     // symbol ids (frequency-ranked, small ids = frequent symbols) and each
