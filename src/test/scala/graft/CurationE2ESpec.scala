@@ -72,6 +72,66 @@ class CurationE2ESpec extends AnyFunSuite {
     assert(!copies.contains(2L), "the dropped near-dup reappeared")
   }
 
+  test("admission-to-tokens: LM gate + quality budget + at-rest tokenizer compose") {
+    import spark.implicits._
+    import graft.ext.{Bpe, LmGate}
+    import graft.operators.DistributedRank
+    // a small corpus with distinct per-doc texts; the chain under test is
+    // the round-10/11 tail of the pipeline: score every doc under the
+    // corpus LM, cut by tercile, spend a token budget on the best-scored
+    // docs, then tokenize exactly the admitted set with a STORED tokenizer
+    val corpus = (0L until 9L).map { i =>
+      (i, Seq.fill(6 + (i % 3).toInt)("w" + ((i * 7) % 11) + " v" + (i % 5)).mkString(" "))
+    }.toDF("doc_id", "text")
+
+    // ---- LM gate: every doc gets a score and a bucket
+    val tmp = java.nio.file.Files.createTempDirectory("graft-e2e-lm").toString
+    LmGate.write(corpus, tmp, smoothed = true)
+    val gate = LmGate.load(spark, tmp)
+    val bucketed = gate.bucketed(corpus).cache()
+    val buckets = bucketed.collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Double]("avg_logprob"), r.getAs[Int]("bucket"))).toMap
+    assert(buckets.size == 9 && buckets.values.forall { case (_, b) => b >= 1 && b <= 3 })
+
+    // ---- budget cut over the gate's admitted docs (head+middle terciles):
+    // spend a token budget on the best-scored docs first (exact prefix sum)
+    val admitted = bucketed.filter(col("bucket") <= 2)
+      .join(corpus, Seq("doc_id"))
+      .withColumn("n_tokens", size(graft.ext.TextHash.tokens(col("text"))))
+    val budget = 30L
+    val kept = DistributedRank
+      .cumSumDesc(admitted, "avg_logprob", "doc_id", "n_tokens")
+      .filter(col("cum") <= budget)
+    val keptRows = kept.select("doc_id", "n_tokens").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toMap
+    // reference: the same greedy cut computed driver-side
+    val ref = admitted.select("doc_id", "avg_logprob", "n_tokens").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+      .sortBy { case (id, s, _) => (-s, id) }
+    var acc = 0L
+    val refKept = ref.takeWhile { case (_, _, n) => { acc += n; acc <= budget } }
+      .map(_._1).toSet
+    assert(keptRows.keySet == refKept, s"budget cut diverged: ${keptRows.keySet} vs $refKept")
+    assert(keptRows.values.map(_.toLong).sum <= budget)
+
+    // ---- tokenize EXACTLY the admitted+budgeted set with a stored tokenizer
+    val finalDocs = corpus.join(kept.select("doc_id"), Seq("doc_id"))
+    val (_, words2) = Bpe.train(finalDocs, rounds = 2)
+    val tokDir = java.nio.file.Files.createTempDirectory("graft-e2e-tok").toString
+    Bpe.writeTokenizer(words2, tokDir)
+    val (wS, idsS) = Bpe.loadTokenizer(spark, tokDir)
+    val encoded = Bpe.encodeWith(finalDocs, wS, idsS).cache()
+    assert(encoded.count() == refKept.size, "a budgeted doc failed to tokenize")
+    // lossless round-trip: decode gives each admitted doc's token stream
+    val decoded = Bpe.decode(encoded, idsS).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expect = finalDocs.collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").mkString("")).toMap
+    assert(decoded == expect, "tokenizer round-trip diverged on the admitted set")
+    spark.catalog.clearCache()
+  }
+
   test("model-gated pipeline: classifier gate + DSIR selection compose with the funnel") {
     import spark.implicits._
     import graft.ext.{CurationReport, Dsir, QualityClassifier}
