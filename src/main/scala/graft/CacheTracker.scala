@@ -49,6 +49,20 @@ object CacheTracker {
     ds
   }
 
+  /** Eagerly free the storage blocks of a `localCheckpoint()`-ed Dataset.
+    * `Dataset.unpersist` only uncaches CacheManager entries (`cache()`
+    * plans); a checkpoint's blocks belong to the underlying RDD and would
+    * otherwise linger until the ContextCleaner GCs the RDD object — an
+    * unbounded storage tail for iterative operators that checkpoint every
+    * round. No-op for non-checkpointed plans.
+    */
+  def releaseLocalCheckpoint(ds: Dataset[_]): Unit =
+    ds.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   /** Run `body`, then release every Dataset it [[cached]]: each entry's
     * refcount drops by one and the underlying cache is unpersisted only
     * at zero (non-blocking — the blocks drop asynchronously, the caller

@@ -126,9 +126,14 @@ object Bpe {
               replace(col("enc"), lit(pat), lit(rep)))
             // periodic lineage cut (see trainBatched): at production merge
             // counts the chained-replace plan, not the vocab-sized data,
-            // would dominate Catalyst re-analysis each round
-            if (i % LineageCutEvery == 0 && i < rounds)
+            // would dominate Catalyst re-analysis each round. The PRIOR
+            // cut's blocks are freed eagerly (they are a leaf of the
+            // pre-cut plan) — Dataset.unpersist would not touch them
+            if (i % LineageCutEvery == 0 && i < rounds) {
+              val beforeCut = words
               words = words.localCheckpoint(true)
+              CacheTracker.releaseLocalCheckpoint(beforeCut)
+            }
             merges += top.select(lit(i).as("round"), col("l").as("left_sym"),
               col("r").as("right_sym"), col("cnt").as("pair_count"))
         }
@@ -202,8 +207,11 @@ object Bpe {
         // periodic eager localCheckpoint materializes the (deterministic)
         // encodings and resets plan depth — same pattern as
         // ConnectedComponents' iteration cuts.
-        if (done % LineageCutEvery == 0 && done < totalMerges)
+        if (done % LineageCutEvery == 0 && done < totalMerges) {
+          val beforeCut = words
           words = words.localCheckpoint(true)
+          CacheTracker.releaseLocalCheckpoint(beforeCut)
+        }
       }
     }
     val merges = out.result()

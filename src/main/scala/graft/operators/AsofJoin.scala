@@ -22,8 +22,32 @@ import org.apache.spark.sql.functions._
   * pass, no pair blowup, skew bounded by per-key row counts. Ties
   * (rightTs == leftTs) sort the right row first, i.e. an equal-timestamp
   * right row IS visible, matching DuckDB `ASOF JOIN ... ON r.ts <= l.ts`.
+  *
+  * Null semantics match SQL's: a right row with NULL `rightTs` can never
+  * satisfy `rightTs <= leftTs` (UNKNOWN), so it is filtered out up front —
+  * without the filter it would sort NULLS FIRST and phantom-match every
+  * otherwise-unmatched left row. A left row with NULL `leftTs` likewise
+  * sorts before every (non-null) right row and gets a NULL payload.
+  *
+  * Determinism: among right rows sharing (key, ts), the carried payload is
+  * the GREATEST payload struct (field-lexicographic — put the id first in
+  * `rightCols` to pin "highest id wins"), provided the payload type is
+  * orderable (no maps); a map-bearing payload falls back to
+  * partition-order ties like SQL ASOF implementations do.
   */
 object AsofJoin {
+
+  private val Reserved = Seq("__k", "__ts", "__tag", "__rp")
+
+  private def orderable(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case s: StructType => s.fields.forall(f => orderable(f.dataType))
+      case a: ArrayType  => orderable(a.elementType)
+      case _: MapType    => false
+      case _             => true
+    }
+  }
 
   /** @param rightCols right payload columns to carry, as (rightName -> outName);
     *                  outNames must not collide with left column names.
@@ -36,9 +60,16 @@ object AsofJoin {
       leftTs: String,
       rightTs: String,
       rightCols: Seq[(String, String)]): DataFrame = {
+    Reserved.foreach { n =>
+      require(!left.columns.contains(n) && !right.columns.contains(n),
+        s"leftAsof reserves column name $n; rename it on the input")
+    }
     val payload = struct(rightCols.map { case (f, t) => col(f).as(t) }: _*)
-    val r0 = right.select(col(key).as("__k"), col(rightTs).as("__ts"),
-                          lit(0).as("__tag"), payload.as("__rp"))
+    // NULL-ts right rows can never match (predicate UNKNOWN) — and unfiltered
+    // they would sort NULLS FIRST and carry into every unmatched left row
+    val r0 = right.filter(col(rightTs).isNotNull)
+      .select(col(key).as("__k"), col(rightTs).as("__ts"),
+              lit(0).as("__tag"), payload.as("__rp"))
     val rpType = r0.schema("__rp").dataType
 
     val l0 = left.select(col(key).as("__k") +: col(leftTs).as("__ts") +:
@@ -47,7 +78,16 @@ object AsofJoin {
     val rFull = r0.select(col("__k") +: col("__ts") +: col("__tag") +: col("__rp") +:
       left.schema.fields.toSeq.map(f => lit(null).cast(f.dataType).as(f.name)): _*)
 
-    val w = Window.partitionBy("__k").orderBy(col("__ts").asc, col("__tag").asc)
+    // deterministic winner among equal-(key, ts) right rows: the running
+    // last() picks the row sorting LAST within the tag-0 block, so an
+    // ascending __rp order makes that the greatest payload struct. Left
+    // rows (__rp NULL, NULLS FIRST within their tag-1 block) still follow
+    // every equal-ts right row via the __tag key.
+    val order =
+      if (orderable(rpType))
+        Seq(col("__ts").asc, col("__tag").asc, col("__rp").asc)
+      else Seq(col("__ts").asc, col("__tag").asc)
+    val w = Window.partitionBy("__k").orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     l0.unionByName(rFull)

@@ -37,8 +37,11 @@ object Compaction {
               targetBytes: Long = 128L * 1024 * 1024): CompactionReport = {
     val dir = new Path(path)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val staging = new Path(s"$path.__compact_staging")
-    val retired = new Path(s"$path.__compact_retired")
+    // derive siblings from the NORMALIZED path — string concatenation on a
+    // trailing-slash `path` would nest them INSIDE the table directory and
+    // the promote rename would fail after the rewrite was already paid
+    val staging = new Path(dir.getParent, dir.getName + ".__compact_staging")
+    val retired = new Path(dir.getParent, dir.getName + ".__compact_retired")
     // self-heal a previous crash FIRST (before sizing the input)
     graft.sink.DirSwap.heal(fs, dir, retired)
     fs.delete(staging, true)

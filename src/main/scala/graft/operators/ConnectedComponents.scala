@@ -76,7 +76,10 @@ object ConnectedComponents {
       val (updated, curSum) = checkpointWithSum(round(labels, sym))
       val prev = labels
       labels = updated
-      prev.unpersist()
+      // a localCheckpoint's blocks are NOT freed by Dataset.unpersist
+      // (that only uncaches cache() plans) — release the checkpoint RDD
+      // itself, or every round's label snapshot lingers until GC
+      graft.CacheTracker.releaseLocalCheckpoint(prev)
       rounds += 1
       if (curSum.compareTo(prevSum) == 0) return attach(labels)
       prevSum = curSum

@@ -24,6 +24,10 @@ object SkewJoin {
     */
   def salted(fact: DataFrame, dim: DataFrame, keys: Seq[String], saltFactor: Int): DataFrame = {
     require(saltFactor >= 1, s"saltFactor must be >= 1, got $saltFactor")
+    // fail fast instead of silently clobbering (and then dropping) a user
+    // column — same reserved-name contract as BandJoin's __band
+    require(!fact.columns.contains("__salt") && !dim.columns.contains("__salt"),
+      "salted reserves column name __salt; rename it on the input")
     // per-row content hash — deterministic, spreads a hot KEY because its
     // rows differ in the other columns
     val saltedFact = fact.withColumn("__salt",

@@ -19,7 +19,12 @@ import org.apache.spark.sql.SparkSession
   */
 object Vacuum {
 
-  final case class VacuumReport(removedStaging: Seq[String], removedRetired: Seq[String])
+  /** `removedTmp` is populated only by [[vacuumSqlite]] (partial
+    * `<db>.tmp-<runId>` files); the parquet/csv vacuum never produces it.
+    */
+  final case class VacuumReport(removedStaging: Seq[String],
+                                removedRetired: Seq[String],
+                                removedTmp: Seq[String] = Seq.empty)
 
   def vacuum(spark: SparkSession, base: String,
              maxAgeMs: Long = 24L * 3600 * 1000,
@@ -78,6 +83,7 @@ object Vacuum {
         .filter(s => s.isFile && s.getPath.getName.startsWith(tmpPrefix) && stale(s)).toSeq
     tmps.foreach(s => fs.delete(s.getPath, false))
 
-    VacuumReport(staging.map(_.getPath.getName), tmps.map(_.getPath.getName))
+    VacuumReport(staging.map(_.getPath.getName), Seq.empty,
+                 tmps.map(_.getPath.getName))
   }
 }

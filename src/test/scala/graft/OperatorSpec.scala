@@ -119,6 +119,28 @@ class OperatorSpec extends AnyFunSuite {
       "p3" -> None))       // right row is later -> no match
   }
 
+  test("asof join: NULL right timestamps never match; equal-ts ties pick the greatest payload") {
+    def ts(s: Int) = new Timestamp(s * 1000L)
+    // k=1: the only right row has a NULL ts — SQL's `r.ts <= l.ts` is
+    // UNKNOWN, so the left row must get NO match (a NULLS FIRST sort
+    // would otherwise phantom-carry it into every unmatched left row).
+    // k=2: two right rows share ts(5) — the carried payload must be the
+    // greatest payload struct (vid "vB"), deterministically.
+    val left = Seq((1L, ts(10), "p1"), (2L, ts(10), "p2")).toDF("k", "ts", "pid")
+    val right = Seq((1L, Option.empty[Timestamp], "vX"),
+                    (2L, Option(ts(5)), "vA"), (2L, Option(ts(5)), "vB"))
+      .toDF("k", "ts", "vid")
+    val got = AsofJoin.leftAsof(left, right, "k", "ts", "ts",
+        Seq("vid" -> "match_vid"))
+      .select("pid", "match_vid").as[(String, Option[String])].collect().toMap
+    assert(got == Map("p1" -> None, "p2" -> Some("vB")), s"got $got")
+    // reserved names fail fast instead of silently colliding
+    intercept[IllegalArgumentException] {
+      AsofJoin.leftAsof(left.withColumnRenamed("pid", "__ts"), right,
+        "k", "ts", "ts", Seq("vid" -> "v"))
+    }
+  }
+
   test("shingles guard short documents") {
     val df = Seq("a b", "a b c d e f").toDF("text")
       .select(TextHash.shinglesFromTokens(TextHash.tokens(col("text")), 5).as("sh"))

@@ -56,7 +56,8 @@ class VacuumSpec extends AnyFunSuite {
 
     val report = Vacuum.vacuumSqlite(spark, db, maxAgeMs = 86400_000, nowMs = now)
     assert(report.removedStaging == Seq("deadrun"))
-    assert(report.removedRetired == Seq("resoto.db.tmp-deadrun"))
+    assert(report.removedRetired.isEmpty)
+    assert(report.removedTmp == Seq("resoto.db.tmp-deadrun"))
     assert(new java.io.File(s"$db.staging/liverun/t").exists(), "fresh staging kept")
     assert(new java.io.File(db).exists(), "database file never touched")
 
