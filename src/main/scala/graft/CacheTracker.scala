@@ -33,6 +33,7 @@ import scala.util.DynamicVariable
   */
 object CacheTracker {
   private val current = new DynamicVariable[java.util.List[Dataset[_]]](null)
+  private val currentCp = new DynamicVariable[java.util.List[Dataset[_]]](null)
   private val refs = new java.util.HashMap[LogicalPlan, Int]()
 
   private def keyOf(ds: Dataset[_]): LogicalPlan =
@@ -46,6 +47,20 @@ object CacheTracker {
       buf.add(ds)
     }
     ds.cache()
+    ds
+  }
+
+  /** Record a `localCheckpoint()`-ed Dataset for release when the
+    * enclosing [[scope]] exits — the checkpoint sibling of [[cached]].
+    * No refcounting: unlike cache() plans, every localCheckpoint call
+    * materializes its own RDD, so entries are never shared between
+    * scopes. Outside any scope this is a passthrough (the library caller
+    * owns the checkpoint's lifetime, and Bench's between-query
+    * getPersistentRDDs sweep reclaims it there).
+    */
+  def settled[T](ds: Dataset[T]): Dataset[T] = {
+    val buf = currentCp.value
+    if (buf != null) buf.add(ds)
     ds
   }
 
@@ -71,14 +86,19 @@ object CacheTracker {
   def scope[A](body: => A): A = {
     val buf = java.util.Collections.synchronizedList(
       new java.util.ArrayList[Dataset[_]]())
-    try current.withValue(buf)(body)
-    finally buf.forEach { ds =>
-      val k = keyOf(ds)
-      val remaining = refs.synchronized {
-        val n = refs.getOrDefault(k, 1) - 1
-        if (n <= 0) { refs.remove(k); 0 } else { refs.put(k, n); n }
+    val cpBuf = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[Dataset[_]]())
+    try current.withValue(buf)(currentCp.withValue(cpBuf)(body))
+    finally {
+      buf.forEach { ds =>
+        val k = keyOf(ds)
+        val remaining = refs.synchronized {
+          val n = refs.getOrDefault(k, 1) - 1
+          if (n <= 0) { refs.remove(k); 0 } else { refs.put(k, n); n }
+        }
+        if (remaining == 0) ds.unpersist(blocking = false)
       }
-      if (remaining == 0) ds.unpersist(blocking = false)
+      cpBuf.forEach(releaseLocalCheckpoint)
     }
   }
 }

@@ -54,10 +54,16 @@ object Bpe {
   /** The initial per-character encoding of a word: every char wrapped in
     * its own separator pair (`"ab"` → `SEP a SEP SEP b SEP`). Java's `(.)`
     * matches a full code point (surrogate pairs included), matching the
-    * oracle's RE2 semantics — pinned by BpeSpec's astral-char test.
+    * oracle's RE2 semantics — pinned by BpeSpec's astral-char test. The
+    * `(?s)` flag makes `.` match line terminators too (tokens() splits on
+    * spaces only, so real text tokens DO carry \n/\r): without it those
+    * chars stayed un-wrapped, silently breaking the both-delimiters
+    * invariant the merge algebra rests on — and Java and RE2 exclude
+    * DIFFERENT terminator sets (\r only in Java), so the engines would
+    * also diverge from each other.
     */
   def charEncode(w: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    regexp_replace(w, "(.)", Sep + "$1" + Sep)
+    regexp_replace(w, "(?s)(.)", Sep + "$1" + Sep)
 
   /** Symbol array of an encoding: split on SEP and drop the empty slots
     * the double-separator scheme produces (`SEP a SEP SEP b SEP` splits to
@@ -110,14 +116,18 @@ object Bpe {
     */
   def train(docs: DataFrame, rounds: Int = Rounds): (DataFrame, DataFrame) = {
     var words = CacheTracker.cached(wordTable(docs))
-    val merges = Seq.newBuilder[DataFrame]
+    // merge rows accumulate as COLLECTED literals (like trainBatched), not
+    // as per-round Datasets: a Dataset union would either re-run every
+    // round's argmax job at consumption time or demand one cache entry per
+    // merge — both wrong at production merge counts
+    val out = Seq.newBuilder[(Int, String, String, Long)]
     var exhausted = false
     (1 to rounds).foreach { i =>
       if (!exhausted) {
-        val top = CacheTracker.cached(
-          pairCounts(words)
-            .orderBy(col("cnt").desc, col("l").asc, col("r").asc).limit(1))
-        top.collect().headOption match {
+        val top = pairCounts(words)
+          .orderBy(col("cnt").desc, col("l").asc, col("r").asc).limit(1)
+          .collect()
+        top.headOption match {
           case None => exhausted = true
           case Some(row) =>
             val (l, r) = (row.getString(0), row.getString(1))
@@ -134,15 +144,17 @@ object Bpe {
               words = words.localCheckpoint(true)
               CacheTracker.releaseLocalCheckpoint(beforeCut)
             }
-            merges += top.select(lit(i).as("round"), col("l").as("left_sym"),
-              col("r").as("right_sym"), col("cnt").as("pair_count"))
+            out += ((i, l, r, row.getLong(2)))
         }
       }
     }
-    val built = merges.result()
-    require(built.nonEmpty, "BPE training found no adjacent pairs at all — " +
+    val merges = out.result()
+    require(merges.nonEmpty, "BPE training found no adjacent pairs at all — " +
       "corpus has no multi-character words")
-    (built.reduce(_.unionAll(_)).orderBy("round"), words)
+    val s = docs.sparkSession
+    import s.implicits._
+    (merges.toDF("round", "left_sym", "right_sym", "pair_count").orderBy("round"),
+      words)
   }
 
   /** Batched training: up to `batchK` SYMBOL-DISJOINT merges per engine
@@ -171,6 +183,7 @@ object Bpe {
     var words = CacheTracker.cached(wordTable(docs))
     val out = Seq.newBuilder[(Int, String, String, Long)]
     var done = 0
+    var sinceCut = 0
     var exhausted = false
     while (done < totalMerges && !exhausted) {
       val want = math.min(batchK, totalMerges - done)
@@ -207,10 +220,16 @@ object Bpe {
         // periodic eager localCheckpoint materializes the (deterministic)
         // encodings and resets plan depth — same pattern as
         // ConnectedComponents' iteration cuts.
-        if (done % LineageCutEvery == 0 && done < totalMerges) {
+        // alignment by merges-since-last-cut, NOT done % LineageCutEvery:
+        // one under-filled round (conflict-heavy candidate head selects
+        // < batchK) would push `done` off every multiple and silently
+        // disable cuts for the rest of training
+        sinceCut += sel.size
+        if (sinceCut >= LineageCutEvery && done < totalMerges) {
           val beforeCut = words
           words = words.localCheckpoint(true)
           CacheTracker.releaseLocalCheckpoint(beforeCut)
+          sinceCut = 0
         }
       }
     }
@@ -255,7 +274,7 @@ object Bpe {
        |  FROM (SELECT unnest(ts) AS t FROM toks)
        |  WHERE NOT contains(t, chr(1)) GROUP BY 1
        |),
-       |e0 AS (SELECT w, regexp_replace(w, '(.)', chr(1) || '\\1' || chr(1), 'g') AS enc, freq FROM w),
+       |e0 AS (SELECT w, regexp_replace(w, '(?s)(.)', chr(1) || '\\1' || chr(1), 'g') AS enc, freq FROM w),
        |$perRound""".stripMargin
   }
 
@@ -320,7 +339,7 @@ object Bpe {
        |  FROM (SELECT unnest(ts) AS t FROM btoks)
        |  WHERE NOT contains(t, chr(1)) GROUP BY 1
        |),
-       |eb0 AS (SELECT w, regexp_replace(w, '(.)', chr(1) || '\\1' || chr(1), 'g') AS enc, freq FROM bw),
+       |eb0 AS (SELECT w, regexp_replace(w, '(?s)(.)', chr(1) || '\\1' || chr(1), 'g') AS enc, freq FROM bw),
        |$perRound""".stripMargin
   }
 

@@ -475,9 +475,12 @@ object Dedup {
         // code edit.
         .transform { e =>
           sys.env.getOrElse("SPARK_GRAFT_PAGERANK_SETTLE", "checkpoint") match {
-            case "cache"      => e.cache()
+            case "cache"      => graft.CacheTracker.cached(e)
             case "none"       => e
-            case "checkpoint" => e.localCheckpoint()
+            // settled: a runner scope frees the checkpoint's RDD blocks at
+            // query end — Dataset.unpersist never touches them (the leak
+            // class CacheTracker.releaseLocalCheckpoint documents)
+            case "checkpoint" => graft.CacheTracker.settled(e.localCheckpoint())
             // a measurement knob that silently falls back would record the
             // WRONG shape's numbers under a typo'd label — fail instead
             case other => sys.error(

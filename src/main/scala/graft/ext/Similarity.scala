@@ -631,11 +631,17 @@ object Similarity {
     s"""SELECT i, j,
        |  ((((i*2654435761 + j*40503) * 69069 + 12345) % 2147483647) % 2001 - 1000) / 1000.0 AS w
        |FROM range(${Tables_L * Bits_B}) t(i), range($Dim) u(j)""".stripMargin
+  // dp is a LEFT-TO-RIGHT fold over j (list_reduce after an ORDER BY j
+  // list build), matching the engine's DotProduct accumulation sequence —
+  // an unordered SQL sum() could round a near-zero dot to the other side
+  // of the `dp > 0` sign test and flip a bucket bit between engines
   private val sigsSql =
     s"""SELECT vec_id, tbl, CAST(sum(CASE WHEN dp > 0 THEN 1 << bit ELSE 0 END) AS BIGINT) AS bucket
        |FROM (
-       |  SELECT vec_id, i // $Bits_B AS tbl, i % $Bits_B AS bit, sum(v[j + 1] * w) AS dp
-       |  FROM e, planes GROUP BY 1, 2, 3
+       |  SELECT e.vec_id, p.i // $Bits_B AS tbl, p.i % $Bits_B AS bit,
+       |    list_reduce(list_transform(range($Dim), j -> e.v[j + 1] * p.wv[j + 1]),
+       |                (a, b) -> a + b) AS dp
+       |  FROM e, (SELECT i, list(w ORDER BY j) AS wv FROM planes GROUP BY i) p
        |) GROUP BY vec_id, tbl""".stripMargin
 
   /** Neighbors per probe for `q_embed_knn_classify`'s majority vote

@@ -83,17 +83,25 @@ object TextAnalysis {
           val (a, b) = MinhashPerms(i)
           ((h % Mersenne31) * a + b) % Mersenne31 % m
         }
-        val bits = (0 until 3).map(i => bench.select(bit(i, col("h")).as("bit")))
-          .reduce(_ union _).distinct() // <= m rows, the entire shipped filter
-          .transform(CacheTracker.cached) // three broadcast builds read it;
-                   // without this each one re-derives the bench set
+        // the set bit positions are a <= m-row driver artifact (<= 64 KiB):
+        // ONE benchmark scan collects them, and the three broadcast builds
+        // below are local frames — no cache (which a library caller could
+        // never release: the comment on Auto's sizing count applies here
+        // too), no triple re-derivation of the bench set
+        val bitsLocal: Seq[Long] = (0 until 3)
+          .map(i => bench.select(bit(i, col("h")).as("bit")))
+          .reduce(_ union _).distinct()
+          .collect().map(_.getLong(0)).toSeq
+        val s = corpusSh.sparkSession
+        import s.implicits._
         // the 3 bit positions ride the shingle row as columns and
         // membership is 3 no-fanout broadcast joins (bits are distinct)
         val marked = (0 until 3).foldLeft(
           corpusSh.select(col("doc_id") +:
             (0 until 3).map(i => bit(i, col("h")).as(s"bit$i")): _*)) {
           (df, i) =>
-            df.join(broadcast(bits.select(col("bit").as(s"bit$i"), lit(1).as(s"set$i"))),
+            df.join(broadcast(bitsLocal.toDF("bit")
+                      .select(col("bit").as(s"bit$i"), lit(1).as(s"set$i"))),
                     Seq(s"bit$i"), "left")
         }
         marked

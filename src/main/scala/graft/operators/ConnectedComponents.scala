@@ -61,9 +61,13 @@ object ConnectedComponents {
     // not a checkpoint job plus a separate aggregate scan.
     def checkpointWithSum(df: DataFrame): (DataFrame, java.math.BigDecimal) = {
       val obs = org.apache.spark.sql.Observation()
-      val out = df
+      // settled: the FINAL round's checkpoint outlives the loop (it backs
+      // the returned labels) — a runner scope frees it at query end;
+      // intermediate rounds are additionally freed eagerly below (the
+      // scope's second release of those is a safe no-op)
+      val out = graft.CacheTracker.settled(df
         .observe(obs, sum(col("comp").cast("decimal(38,0)")).as("s"))
-        .localCheckpoint()
+        .localCheckpoint())
       (out, obs.get("s").asInstanceOf[java.math.BigDecimal])
     }
     var (labels, prevSum) = checkpointWithSum(

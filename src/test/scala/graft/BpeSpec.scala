@@ -333,6 +333,29 @@ class BpeSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Bpe.train(docs("a b c a b"), rounds = 1))
   }
 
+  test("line terminators encode as symbols like any char — merges across them stay applicable") {
+    // tokens() splits on spaces only, so real text tokens DO carry \n/\r;
+    // without (?s) Java's '.' skipped them, leaving the char un-wrapped —
+    // pairCounts still REPORTED the pair but the merge pattern could never
+    // match, so training spun on the same un-applicable argmax
+    val nl = "a\nb"
+    val d = docs(s"$nl $nl $nl xy")
+    val (merges, words) = Bpe.train(d, rounds = 1)
+    val m = merges.collect().head
+    // (a, \n) and (\n, b) both count 3; lexicographic tie-break: "\n" < "a"
+    // so (\n, b)... comparing left first: "a" vs "\n" -> "\n" wins
+    assert((m.getAs[String]("left_sym"), m.getAs[String]("right_sym")) == ("\n", "b"),
+      s"got (${m.getString(1)}, ${m.getString(2)})")
+    val enc = encOf(words)(nl)
+    assert(enc == s"${Sep}a${Sep}${Sep}\nb${Sep}", s"got ${enc.replace(Sep, "|")}")
+    // \r parity: Java excluded \r from '.' while RE2 excluded only \n —
+    // with (?s) both wrap it; pin the engine side
+    import spark.implicits._
+    val encCr = Seq("x\ry").toDF("w")
+      .select(Bpe.charEncode(col("w"))).collect().head.getString(0)
+    assert(encCr == s"${Sep}x${Sep}${Sep}\r${Sep}${Sep}y${Sep}")
+  }
+
   test("astral (non-BMP) characters encode as ONE symbol — engine matches RE2 codepoint semantics") {
     // Java regex '(.)' matches a full code point (surrogate pair included),
     // exactly like the DuckDB oracle's RE2 — verified empirically; this
