@@ -118,6 +118,21 @@ object Runner {
           throw e
       }
 
+      // two sources emitting the SAME table name would have raced on one
+      // staging path and would double-swap the table — fail fast BEFORE
+      // any swap statement (the previous good snapshot stays intact),
+      // with the offending names and their sources in the error
+      val byName = results.flatMap { case (r, names) => names.map(_ -> r.name) }
+      val dups = byName.groupBy(_._1).filter(_._2.size > 1)
+      if (dups.nonEmpty) {
+        val msg = "duplicate table name(s) across sources: " + dups.map {
+          case (t, owners) => s"$t (from ${owners.map(_._2).mkString(", ")})"
+        }.mkString("; ")
+        sender.capture("error", Map("error" -> msg))
+        sender.flush()
+        throw new IllegalStateException(msg)
+      }
+
       // atomic snapshot swap, once, after all sources succeeded (K2);
       // progress ticks mirror collect.py:199-202. A swap failure goes down
       // the same error path as a source failure — no success-shaped
@@ -152,6 +167,10 @@ object Runner {
       sender.capture("collect", analytics)
       sender.flush()
       RunReport(results.map(_._1))
-    } finally pool.shutdown()
+    } finally pool.shutdownNow()
+    // shutdownNow, not shutdown: after a fail-fast throw, plain shutdown
+    // would let already-running straggler sources keep staging (including
+    // JDBC __tmp overwrites) for minutes, racing an immediate retry;
+    // interrupting them stops the work the run has already abandoned
   }
 }

@@ -32,7 +32,10 @@ object GraphNormalizer {
       val projected = g.nodes
         .filter(col("kind") === fqn)
         .withColumn("__doc", from_json(col("reported"), schema))
-        .select(schema.fieldNames.map(f => col(s"__doc.$f").as(f)).toSeq: _*)
+        // getField resolves the LITERAL field name — col("__doc.a.b")
+        // would parse a dotted property name as nested access and abort
+        // analysis for a model the rest of the pipeline accepts
+        .select(schema.fieldNames.map(f => col("__doc").getField(f).as(f)).toSeq: _*)
       fqn -> projected
     }.toMap
   }
@@ -74,9 +77,21 @@ object GraphNormalizer {
     resolvedEdges(g).write.mode("overwrite")
       .partitionBy("from_kind", "to_kind").parquet(path)
 
-  /** The full relational snapshot: kind tables + link tables. */
-  def normalize(g: Graph): Map[String, DataFrame] =
-    kindTables(g) ++ linkTables(g)
+  /** The full relational snapshot: kind tables + link tables. A kind
+    * whose fqn collides with a generated `link_<from>_<to>` name is
+    * rejected loudly — a Map merge would silently drop the kind table
+    * from the snapshot.
+    */
+  def normalize(g: Graph): Map[String, DataFrame] = {
+    val kt = kindTables(g)
+    val lt = linkTables(g)
+    val clash = kt.keySet.intersect(lt.keySet)
+    require(clash.isEmpty,
+      s"kind name(s) collide with generated link-table name(s): " +
+        s"${clash.mkString(", ")} — rename the kind or the snapshot would " +
+        "silently lose its table")
+    kt ++ lt
+  }
 
   /** JSON-lines export record shape (nodes, edges, and kind records). */
   val exportSchema: StructType = StructType(Seq(
@@ -156,16 +171,60 @@ object GraphNormalizer {
     * Model resolution: embedded kind records win; otherwise `fallback`;
     * otherwise the export is rejected (schemas are never guessed).
     */
+  /** Reserved column that carries each unparseable export line through the
+    * PERMISSIVE read so [[fromExportRecords]] can fail LOUDLY on it.
+    * FAILFAST is not usable here: the reference format embeds `reported`
+    * as a JSON OBJECT captured into a StringType field — legal in
+    * PERMISSIVE, counted as malformed by FAILFAST — so corrupt lines must
+    * be detected explicitly instead.
+    */
+  val CorruptCol = "_graft_corrupt"
+
+  /** [[exportSchema]] plus the corrupt-record capture column. */
+  val exportReadSchema: StructType = exportSchema.add(CorruptCol, StringType)
+
+  /** @param strict when true, an unparseable line fails the ingest loudly
+    *               instead of the contract's default drop (GRAPH_EXPORT.md
+    *               "Transport") — the right mode when a truncated export
+    *               silently committing a PARTIAL snapshot is worse than a
+    *               failed run.
+    */
   def fromJsonExport(
       spark: SparkSession,
       path: String,
-      fallback: Option[KindModel] = None): Graph =
-    fromExportRecords(spark.read.schema(exportSchema).json(path), fallback)
+      fallback: Option[KindModel] = None,
+      strict: Boolean = false): Graph =
+    fromExportRecords(
+      spark.read.schema(exportReadSchema)
+        .option("columnNameOfCorruptRecord", CorruptCol).json(path),
+      fallback, strict)
 
   /** Split an already-read record set (batch or one micro-batch of a
     * stream) into a typed [[Graph]].
     */
-  def fromExportRecords(raw: DataFrame, fallback: Option[KindModel]): Graph = {
+  def fromExportRecords(raw0: DataFrame, fallback: Option[KindModel],
+                        strict: Boolean = false): Graph = {
+    // Unparseable lines: the contract default (GRAPH_EXPORT.md
+    // "Transport") DROPS them — made explicit here via the corrupt-record
+    // column rather than relying on type filters skipping null-filled
+    // rows. Under `strict` the first such line fails the ingest (its
+    // batch) loudly instead: a truncated export silently committing a
+    // PARTIAL snapshot over the previous good one is the failure mode
+    // strict callers are buying out of.
+    val raw =
+      if (!raw0.columns.contains(CorruptCol)) raw0
+      else {
+        if (strict) {
+          // `type` rides along because Spark rejects a query whose only
+          // referenced column is the internal corrupt-record column
+          val bad = raw0.filter(col(CorruptCol).isNotNull)
+            .select(col(CorruptCol), col("type")).limit(1).collect()
+          require(bad.isEmpty,
+            s"graph export contains an unparseable line: ${bad.headOption
+              .map(_.getString(0).take(200)).getOrElse("")}")
+        }
+        raw0.filter(col(CorruptCol).isNull).drop(CorruptCol)
+      }
 
     // kind records are metadata-scale (|kinds|, not |nodes|) — the one
     // sanctioned driver-side collect, same as the kind-pair enumeration

@@ -332,7 +332,12 @@ final case class JdbcSnapshotCommit(cfg: JdbcDestination, tables: Seq[String]) e
       swapStatements(existing).foreach(st.executeUpdate)
       conn.commit()
     } catch {
-      case e: Throwable => conn.rollback(); throw e
+      case e: Throwable =>
+        // a rollback on a dead connection throws its own exception — keep
+        // the ORIGINAL swap failure as the propagated cause, with the
+        // rollback failure attached as suppressed
+        scala.util.Try(conn.rollback()).failed.foreach(e.addSuppressed)
+        throw e
     } finally conn.close()
   }
 }

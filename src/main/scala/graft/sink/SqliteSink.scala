@@ -70,6 +70,10 @@ object SqliteDdl {
     case b: Array[Byte]             => b
     case t: java.sql.Timestamp      => fmtInstant(t.toInstant)
     case i: java.time.Instant       => fmtInstant(i)
+    // TIMESTAMP_NTZ rows arrive as LocalDateTime — format like the zoned
+    // cases (isoformat sep=' '), not LocalDateTime.toString's 'T' form
+    // (which even drops :00 seconds), so DATETIME columns stay uniform
+    case d: java.time.LocalDateTime => fmtInstant(d.toInstant(ZoneOffset.UTC))
     case d: java.sql.Date           => d.toString
     case d: java.time.LocalDate     => d.toString
     case other                      => String.valueOf(other)

@@ -41,7 +41,14 @@ object StreamingGraphIngest {
       failOnError: Boolean = false,
       queryName: String = "graft-graph-ingest"): StreamingQuery = {
     val reader = spark.readStream
-      .schema(GraphNormalizer.exportSchema)
+      // the corrupt-record column makes a malformed/truncated line fail
+      // ITS batch (fromExportRecords probes it loudly) instead of
+      // null-filling into a silently-dropped row and committing a PARTIAL
+      // snapshot — FAILFAST can't serve here because the format embeds
+      // `reported` objects into a StringType capture (legal only in
+      // PERMISSIVE); see GraphNormalizer.CorruptCol
+      .schema(GraphNormalizer.exportReadSchema)
+      .option("columnNameOfCorruptRecord", GraphNormalizer.CorruptCol)
       .option("maxFilesPerTrigger", 1)
       .json(watchDir)
     val writer = reader.writeStream.queryName(queryName)
@@ -53,7 +60,11 @@ object StreamingGraphIngest {
         batch.persist()
         try {
           if (!batch.isEmpty) {
-            val g = GraphNormalizer.fromExportRecords(batch, fallback)
+            // strict: THIS path promises "a malformed export fails ITS
+            // batch" (scaladoc above) — a truncated file must not commit
+            // a partial snapshot over the previous good one
+            val g = GraphNormalizer.fromExportRecords(batch, fallback,
+              strict = true)
             val tables = GraphNormalizer.normalize(g)
             val runId = s"s$batchId"
             val staged = SnapshotSink.stage(tables, dest, runId)

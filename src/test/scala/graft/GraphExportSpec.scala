@@ -334,6 +334,19 @@ class GraphExportSpec extends AnyFunSuite {
     }
   }
 
+  test("strict ingest fails loudly on an unparseable line; default drops it per the contract") {
+    val dir = Files.createTempDirectory("graft-export-strict")
+    val truncated = """{"type":"node","id":"broken"""
+    Files.write(dir.resolve("graph.jsonl"), (exportLines :+ truncated).asJava)
+    // default: the contract's drop — tables come out complete
+    val g = GraphNormalizer.fromJsonExport(spark, dir.toString)
+    assert(GraphNormalizer.normalize(g)("example_region").count() == 2)
+    // strict: the first corrupt line aborts the ingest with the line text
+    val e = intercept[IllegalArgumentException](
+      GraphNormalizer.fromJsonExport(spark, dir.toString, strict = true))
+    assert(e.getMessage.contains("unparseable") && e.getMessage.contains("broken"))
+  }
+
   test("export without kind records is rejected unless a fallback model is given") {
     val dir = Files.createTempDirectory("graft-export-nomodel")
     val noKinds = exportLines.filterNot(_.contains("\"type\":\"kind\""))
