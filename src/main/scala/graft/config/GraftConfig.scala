@@ -130,7 +130,15 @@ object GraftConfig {
     require(root.contains("destinations"), "Config invalid: no destinations are defined")
 
     val sources = root("sources").asInstanceOf[Map[String, Any]].map {
-      case (k, v: Map[_, _]) => k -> v.asInstanceOf[Map[String, Any]].map { case (a, b) => a -> String.valueOf(b) }
+      case (k, v: Map[_, _]) => k -> v.asInstanceOf[Map[String, Any]].map {
+        // nested sub-blocks must fail loudly: String.valueOf(Map(...))
+        // would store Scala's toString as the config value — silent
+        // mangling a later consumer cannot detect
+        case (a, b: Map[_, _]) => sys.error(
+          s"Config invalid: source '$k' option '$a' is a nested block; " +
+            "source options must be flat key: value pairs")
+        case (a, b) => a -> String.valueOf(b)
+      }
       case (k, _)            => k -> Map.empty[String, String]
     }
     val dests = root("destinations").asInstanceOf[Map[String, Any]]
@@ -196,10 +204,20 @@ object GraftConfig {
   * functions returning None on non-matching input.
   */
 object UriNormalizer {
-  private val S3Plain  = "^s3://([^/]+).*$".r
-  private val S3VHost  = "^https?://([^./]+)\\.s3[.-][^/]+.*$".r
-  private val S3Path   = "^https?://s3[.-][^/]+/([^/]+).*$".r
-  private val S3Arn    = "^arn:aws:s3:::([^/]+)$".r
+  // Pattern CORES — the single definition shared with
+  // graft.functions.Scalars' declared URI queries, so a normalizer fix
+  // (e.g. dotted vhost bucket names) applies to both sides at once. The
+  // Regex instances below add `.*$` for Scala full-match extraction;
+  // regexp_extract consumers use the cores as-is (prefix-anchored).
+  val S3PlainCore = "^s3://([^/]+)"
+  val S3VHostCore = "^https?://([^./]+)\\.s3[.-][^/]+"
+  val S3PathCore  = "^https?://s3[.-][^/]+/([^/]+)"
+  val S3ArnCore   = "^arn:aws:s3:::([^/]+)$"
+  val GsCore      = "^gs://([^/]+)"
+  private val S3Plain  = (S3PlainCore + ".*$").r
+  private val S3VHost  = (S3VHostCore + ".*$").r
+  private val S3Path   = (S3PathCore + ".*$").r
+  private val S3Arn    = S3ArnCore.r
 
   def s3Bucket(uri: String): Option[String] = uri match {
     case S3Plain(b) => Some(b)
@@ -284,9 +302,13 @@ object MiniYaml {
   }
 
   private def scalar(v: String): Any = {
-    val s = v.stripPrefix("\"").stripSuffix("\"").stripPrefix("'").stripSuffix("'")
+    // strip quotes only when the value is FULLY quoted with one matching
+    // pair — a plain scalar that merely starts or ends with a quote char
+    // (e.g. a password like `secret'`) must pass through unmangled
+    def fullyQuoted(q: Char): Boolean =
+      v.length >= 2 && v.head == q && v.last == q
     if (v == "{}") Map.empty[String, Any]
-    else if (s != v) s
+    else if (fullyQuoted('"') || fullyQuoted('\'')) v.substring(1, v.length - 1)
     else if (v == "true" || v == "false") v.toBoolean
     else v.toLongOption.getOrElse(v.toDoubleOption.getOrElse(v): Any)
   }

@@ -75,7 +75,11 @@ case class PqEncode(
         while (j < subDim) {
           val t = v.getDouble(off + j) - cw(j); d += t * t; j += 1
         }
-        if (k == 0 || d < bestD) { bestD = d; bestK = k }
+        // compareDoubles: NaN orders GREATEST like the oracle's ORDER BY
+        // (a NaN distance from Inf-Inf must lose to any later finite one —
+        // a plain `<` would keep the k=0 NaN forever)
+        if (k == 0 || org.apache.spark.sql.catalyst.util.SQLOrderingUtil
+              .compareDoubles(d, bestD) < 0) { bestD = d; bestK = k }
         k += 1
       }
       packed |= bestK.toLong << (4 * (mOffset + m))
@@ -119,7 +123,7 @@ case class PqEncode(
          |    for (int $j = 0; $j < $sd; $j++) {
          |      double $t = $v.getDouble($off + $j) - $cw[$j]; $d += $t * $t;
          |    }
-         |    if ($k == 0 || $d < $bestD) { $bestD = $d; $bestK = $k; }
+         |    if ($k == 0 || org.apache.spark.sql.catalyst.util.SQLOrderingUtil.compareDoubles($d, $bestD) < 0) { $bestD = $d; $bestK = $k; }
          |  }
          |  $packed |= ((long) $bestK) << (4 * ($mOffset + $m));
          |}

@@ -11,12 +11,14 @@ import org.apache.spark.sql.types._
 object Scalars {
 
   // The reference's S3 URI shapes (cloud2sql collect.py:110-119) plus gs://,
-  // normalized to a bucket name by an anchored-regex coalesce chain.
-  private val PS3    = "^s3://([^/]+)"
-  private val PVHost = "^https?://([^./]+)\\.s3[.-][^/]+"
-  private val PPath  = "^https?://s3[.-][^/]+/([^/]+)"
-  private val PArn   = "^arn:aws:s3:::([^/]+)$"
-  private val PGs    = "^gs://([^/]+)"
+  // normalized to a bucket name by an anchored-regex coalesce chain. The
+  // pattern cores live in UriNormalizer (config) — ONE definition for the
+  // runtime normalizer and the declared query, so they cannot drift.
+  private val PS3    = graft.config.UriNormalizer.S3PlainCore
+  private val PVHost = graft.config.UriNormalizer.S3VHostCore
+  private val PPath  = graft.config.UriNormalizer.S3PathCore
+  private val PArn   = graft.config.UriNormalizer.S3ArnCore
+  private val PGs    = graft.config.UriNormalizer.GsCore
 
   val queries: Seq[Q] = Seq(
 

@@ -31,8 +31,13 @@ final case class KindModel(kinds: Seq[Kind]) {
     * override same-named base properties).
     */
   def allProperties(fqn: String): Seq[KindProperty] = {
+    // the (path-local) seen set breaks base CYCLES — a user-config error
+    // that would otherwise recurse forever; shared bases of a diamond
+    // still re-walk (their properties dedup in the groupBy below)
     def walk(k: Kind, seen: Set[String]): Seq[KindProperty] =
-      k.bases.flatMap(b => byFqn.get(b).toSeq.flatMap(walk(_, seen + k.fqn))) ++ k.properties
+      if (seen.contains(k.fqn)) Seq.empty
+      else k.bases.flatMap(b =>
+        byFqn.get(b).toSeq.flatMap(walk(_, seen + k.fqn))) ++ k.properties
     val props = walk(byFqn(fqn), Set.empty)
     props.groupBy(_.name).map(_._2.last).toSeq
       .sortBy(p => props.indexWhere(_.name == p.name))
@@ -55,7 +60,12 @@ final case class KindModel(kinds: Seq[Kind]) {
       val Array(k, v) = inner.split(",", 2).map(_.trim)
       MapType(sparkType(k), sparkType(v))
     case complex if byFqn.contains(complex) => toStructType(complex)
-    case enum_ => StringType // enum kinds persist as strings
+    // enum kinds (names the model does not declare) persist as strings —
+    // NOTE this also absorbs a typo'd scalar name ("int46") into a string
+    // column without error; the reference behaves the same way (enum
+    // members are open strings), so a stricter check would reject legal
+    // models. Validate type names upstream if that trade is wrong for you.
+    case enum_ => StringType
   }
 
   /** Runtime-generated table schema for a kind. */

@@ -73,7 +73,12 @@ object SqliteSource {
     val cols = SqliteFormat.columnsOf(sql)
     val schema = StructType(cols.map { case (n, t) => StructField(n, sparkType(t)) })
     val rows = reader.rowsAt(root).map { vs =>
-      Row.fromSeq(vs.zip(schema.fields).map { case (v, f) => coerce(v, f.dataType) })
+      // SQLite legally stores SHORT records after ALTER TABLE ADD COLUMN
+      // (old rows keep their pre-ALTER width) — pad with NULLs so the Row
+      // matches the schema instead of aborting createDataFrame, honoring
+      // the degrade-to-NULL contract above
+      Row.fromSeq(vs.padTo(schema.fields.length, null)
+        .zip(schema.fields).map { case (v, f) => coerce(v, f.dataType) })
     }.toSeq
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows, math.max(1, rows.size / 10000)), schema)
