@@ -20,7 +20,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * `SparkSession.builder().withExtensions(new GraftExtensions)`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  import GraftExtensions.{centroidsShape, codebookShape, foldedScala, intShape}
+  import GraftExtensions.{centroidsShape, codebookShape, exactPositiveInt, foldedScala, intShape}
 
   def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
@@ -39,8 +39,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 3, "pq_encode(v, codebook, sub_dim)")
         val cb = foldedScala(children(1), "codebook", codebookShape,
             "array<array<array<double>>>").asInstanceOf[Seq[Seq[Seq[Double]]]]
-        val sd = foldedScala(children(2), "sub_dim", intShape, "int")
-          .asInstanceOf[Number].intValue
+        val sd = exactPositiveInt(
+          foldedScala(children(2), "sub_dim", intShape, "int"), "sub_dim")
         PqEncode(children.head, cb.map(_.map(_.toIndexedSeq)), sd)
       }))
 
@@ -52,8 +52,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 4, "pq_adc(qv, code, codebook, sub_dim)")
         val cb = foldedScala(children(2), "codebook", codebookShape,
             "array<array<array<double>>>").asInstanceOf[Seq[Seq[Seq[Double]]]]
-        val sd = foldedScala(children(3), "sub_dim", intShape, "int")
-          .asInstanceOf[Number].intValue
+        val sd = exactPositiveInt(
+          foldedScala(children(3), "sub_dim", intShape, "int"), "sub_dim")
         PqAdc(children.head, children(1), cb.map(_.map(_.toIndexedSeq)), sd)
       }))
 
@@ -133,6 +133,18 @@ object GraftExtensions {
   private[graft] val intShape: DataType => Boolean = {
     case ByteType | ShortType | IntegerType | LongType => true
     case _ => false
+  }
+
+  /** Narrow a foldable integral argument to a positive Int. A plain
+    * `.intValue` on an oversized long literal (e.g. `4294967296L`) would
+    * silently truncate to 0 and produce a degenerate kernel geometry;
+    * fail with the argument name instead.
+    */
+  private[graft] def exactPositiveInt(v: Any, what: String): Int = {
+    val l = v.asInstanceOf[Number].longValue
+    require(l > 0 && l <= Int.MaxValue,
+      s"$what must be a positive 32-bit int, got $l")
+    l.toInt
   }
 
   /** Install on an already-running session (the builder conf only applies

@@ -27,8 +27,16 @@ object SparkEntry {
     ext.Bpe.queries ++
     ext.Multimodal.queries
 
-  private lazy val byName: Map[String, Q] =
+  private lazy val byName: Map[String, Q] = {
+    // toMap is last-wins: a duplicate name across modules would silently
+    // SHADOW the earlier query AND its oracle — the driver would then
+    // verify only the shadowing one, and coverage of the shadowed operator
+    // would vanish with zero signal. Fail at first use instead.
+    val dup = modules.groupBy(_.name).filter(_._2.size > 1).keys
+    require(dup.isEmpty,
+      s"duplicate declared query name(s): ${dup.mkString(", ")}")
     modules.map(q => q.name -> q).toMap
+  }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

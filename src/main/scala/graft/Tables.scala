@@ -66,6 +66,14 @@ object Tables {
         // loses sub-µs exactness at 1e18-scale nano counts
         raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
       case TimestampNTZType =>
+        // the NTZ→TZ cast interprets wall-clock values in the SESSION
+        // timezone; the producers write UTC instants, so any other session
+        // zone would silently shift every ts — fail loudly instead
+        val tz = raw.sparkSession.conf.get("spark.sql.session.timeZone", "")
+        require(tz == "UTC",
+          s"events.ts is TIMESTAMP_NTZ (UTC wall-clock); the session " +
+            s"timezone is '$tz' — set spark.sql.session.timeZone=UTC or " +
+            "the cast would shift every instant")
         raw.withColumn("ts", col("ts").cast(TimestampType))
       case TimestampType => raw
       case other => throw new IllegalArgumentException(
@@ -75,12 +83,6 @@ object Tables {
     }
   }
 
-  def all(s: SparkSession, d: String): Map[String, DataFrame] = Map(
-    "region" -> region(s, d), "nation" -> nation(s, d),
-    "customer" -> customer(s, d), "supplier" -> supplier(s, d),
-    "part" -> part(s, d), "orders" -> orders(s, d),
-    "lineitem" -> lineitem(s, d), "events" -> events(s, d),
-    "documents" -> documents(s, d), "embeddings" -> embeddings(s, d))
 }
 
 /** One named query: a Spark DataFrame builder plus (when SQL-expressible)

@@ -34,6 +34,11 @@ case class PqEncode(
     subDim: Int,
     mOffset: Int = 0) extends UnaryExpression {
 
+  // subDim <= 0 would make the coverage check below vacuous and encode
+  // every subspace to code 0 — a valid-looking packed long of garbage
+  // (the SQL route's .intValue can also silently truncate an oversized
+  // long literal to exactly such a value)
+  require(subDim > 0, s"subDim must be > 0, got $subDim")
   require(codebook.nonEmpty && codebook.forall(_.nonEmpty), "empty codebook")
   require(codebook.forall(_.length == codebook.head.length), "ragged codebook")
   require(codebook.head.length <= 16, "K must be <= 16 (4-bit codes)")

@@ -130,6 +130,23 @@ class EventsTsPortabilitySpec extends AnyFunSuite {
     }
   }
 
+  test("NTZ events refuse a non-UTC session timezone instead of shifting") {
+    // the NTZ→TZ cast reads wall-clock values in the SESSION timezone; a
+    // non-UTC session would silently shift every instant by the zone offset
+    val ntzDir = fixtures.find(_._1 == "ntz").get._2
+    val prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try {
+      val e = intercept[IllegalArgumentException](Tables.events(spark, ntzDir))
+      assert(e.getMessage.contains("session.timeZone"), e.getMessage)
+    } finally spark.conf.set("spark.sql.session.timeZone", prev)
+    // the UTC-adjusted shape carries its zone — still loads under any session tz
+    val utcDir = fixtures.find(_._1 == "utc").get._2
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try assert(canon(Tables.events(spark, utcDir)) == rows)
+    finally spark.conf.set("spark.sql.session.timeZone", prev)
+  }
+
   test("an unrecognized ts shape fails loudly, not silently") {
     import spark.implicits._
     val weird = Seq((1L, "2024-05-01")).toDF("event_id", "ts")

@@ -68,6 +68,14 @@ class OperatorSpec extends AnyFunSuite {
     val o = intercept[Exception](
       spark.sql(s"SELECT pq_adc(array(1.0d, 0.0d), 3L, $cb, 2)").collect())
     assert(o.getMessage.contains("exceeds codebook size"), o.getMessage)
+    // sub_dim is narrowed exactly: 2^32 would .intValue-truncate to 0 and
+    // encode every subspace to code 0 — rejected by name instead
+    val big = intercept[Exception](
+      spark.sql(s"SELECT pq_encode(array(1.0d), $cb, 4294967296L)").collect())
+    assert(big.getMessage.contains("sub_dim"), big.getMessage)
+    val neg = intercept[Exception](
+      spark.sql(s"SELECT pq_adc(array(1.0d, 0.0d), 1L, $cb, 0)").collect())
+    assert(neg.getMessage.contains("sub_dim"), neg.getMessage)
   }
 
   test("salted skew join equals the plain join on heavy-hitter data") {
