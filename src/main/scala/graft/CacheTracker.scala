@@ -39,6 +39,14 @@ object CacheTracker {
   private def keyOf(ds: Dataset[_]): LogicalPlan =
     ds.queryExecution.analyzed.canonicalized
 
+  /** Is a [[scope]] active on this thread? Builders whose cache is a pure
+    * internal optimization (no handle escapes to the caller) use this to
+    * skip caching entirely outside a scope — otherwise the entry would be
+    * unreleasable for the session's lifetime (the caller never receives
+    * the cached Dataset, so it cannot unpersist it).
+    */
+  def inScope: Boolean = current.value != null
+
   /** `ds.cache()`, recorded in the enclosing [[scope]] if one is active. */
   def cached[T](ds: Dataset[T]): Dataset[T] = {
     val buf = current.value

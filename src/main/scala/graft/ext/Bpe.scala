@@ -113,6 +113,15 @@ object Bpe {
     * empty m_i empties e_i via the CROSS JOIN) — the declared queries
     * never hit the degenerate case, but library callers composing their
     * own oracle should not train past vocabulary exhaustion.
+    *
+    * Cache lifetime: the word table is cached internally (it is rescanned
+    * every merge round AND backs the returned table). An enclosing
+    * [[graft.CacheTracker.scope]] (the Verify / [[writeTokenizer]] path)
+    * releases it when the consuming write finishes; a library caller
+    * outside any scope should wrap the call in `CacheTracker.scope` once
+    * the result is materialized, or accept the entry living until the
+    * session's MEMORY_AND_DISK eviction. (Same contract for
+    * [[trainBatched]].)
     */
   def train(docs: DataFrame, rounds: Int = Rounds): (DataFrame, DataFrame) = {
     var words = CacheTracker.cached(wordTable(docs))
@@ -413,9 +422,19 @@ object Bpe {
     * job).
     */
   def charPage(words: DataFrame): DataFrame = {
-    val main = CacheTracker.cached(symbolIds(words))
+    val main = internallyCached(symbolIds(words))
     charPageFrom(words, main, main.count())
   }
+
+  /** Cache a rank table used several times WITHIN one builder — but only
+    * under an active [[CacheTracker]] scope (Verify / [[writeTokenizer]]),
+    * which releases it. Outside a scope no handle would escape to the
+    * caller, so the entry would be unreleasable for the session lifetime;
+    * there we skip the cache and pay the (vocab-bounded) recompute
+    * instead.
+    */
+  private def internallyCached(df: DataFrame): DataFrame =
+    if (CacheTracker.inScope) CacheTracker.cached(df) else df
 
   private def charPageFrom(words: DataFrame, main: DataFrame,
                            mainCount: Long): DataFrame = {
@@ -434,7 +453,7 @@ object Bpe {
     * offset.
     */
   def fullSymbolIds(words: DataFrame): DataFrame = {
-    val main = CacheTracker.cached(symbolIds(words))
+    val main = internallyCached(symbolIds(words))
     main.unionAll(charPageFrom(words, main, main.count()))
   }
 

@@ -145,9 +145,6 @@ object Similarity {
       .sortBy(_._1)
       .toSeq
 
-  private def centroidLit(cents: Seq[(Long, Seq[Double], Double)]): Column =
-    typedLit(cents)
-
   /** Max centroids carried by one expression / literal. Past this the
     * assignment and probe-side selection switch to the chunked forms
     * (per-chunk argmax, then max-of-maxima) — still projection-only and
@@ -156,35 +153,30 @@ object Similarity {
     */
   private[ext] val CentroidChunk = 4096
 
-  /** Top-`nprobe` (cos, −cid) cells for a probe vector — per-chunk
-    * top-nprobe then a merge when the centroid set is chunked (top-n of
-    * the union of per-chunk top-n IS the global top-n).
+  /** Top-`nprobe` (cos, −cid) cells for a probe vector — the codegen'd
+    * [[graft.functions.CentroidTopCells]] kernel (probe norm computed
+    * once per row, primitive scoring loop, partial selection sort);
+    * per-chunk top-nprobe then a struct-sort merge when the centroid set
+    * is chunked (top-n of the union of per-chunk top-n IS the global
+    * top-n: struct ordering compares cos first, and on ties the larger
+    * −cid is the smaller cid — identical to the kernel's tie-break).
+    * Empty centroid set → empty cell array (every consumer explodes it:
+    * zero candidate rows, matching [[cidExpr]]'s null assignment).
     */
   private[graft] def topCells(cents: Seq[(Long, Seq[Double], Double)], v: Column,
                               nprobe: Int, chunk: Int = CentroidChunk): Column = {
-    val chunks = cents.grouped(chunk).toSeq
-    if (chunks.lengthCompare(1) <= 0)
-      slice(sort_array(centroidScores(centroidLit(cents), v), asc = false), 1, nprobe)
+    if (cents.isEmpty)
+      array().cast("array<struct<cos:double,ncid:bigint>>")
     else {
-      val merged = concat(chunks.map(ch =>
-        slice(sort_array(centroidScores(centroidLit(ch), v), asc = false), 1, nprobe)): _*)
-      slice(sort_array(merged, asc = false), 1, nprobe)
+      val chunks = cents.grouped(chunk).toSeq
+      if (chunks.lengthCompare(1) <= 0)
+        graft.functions.CentroidAssign.centroid_top_cells(v, cents, nprobe)
+      else {
+        val merged = concat(chunks.map(ch =>
+          graft.functions.CentroidAssign.centroid_top_cells(v, ch, nprobe)): _*)
+        slice(sort_array(merged, asc = false), 1, nprobe)
+      }
     }
-  }
-
-  /** Per-centroid (cos, -cid) scores of `v` against the literal centroid
-    * array — a pure projection. Struct ordering makes the max/descending
-    * sort equal a (cos DESC, cid ASC) ranking: cos compares first, and on
-    * ties the larger -cid is the smaller cid. The cosine is the same
-    * unrounded a/(b·c) the windowed form ordered by — bit-identical
-    * ranking. `vnorm` must be the row's own norm column (computed ONCE per
-    * row, not per centroid).
-    */
-  private def centroidScores(cArr: Column, v: Column): Column = {
-    val vnorm = sqrt(dot(v, v))
-    transform(cArr, c => struct(
-      (dot(v, c("_2")) / (vnorm * c("_3"))).as("cos"),
-      (-c("_1")).as("ncid")))
   }
 
   def ivfAssign(vecDf: DataFrame, centroidStride: Int): DataFrame =
@@ -289,9 +281,13 @@ object Similarity {
       .select(col("vec_id").as("qid"),
         explode(topCells(cents, col("v"), nprobe)).as("sc"))
       .select(col("qid"), (-col("sc.ncid")).as("cid"))
+    // each candidate lives in exactly ONE cell and a probe's nprobe cells
+    // are distinct (topCells slices distinct centroids), so (qid, cand)
+    // pairs are already unique — no dedup Exchange (same invariant as
+    // probeIndex)
     val cands = probes.join(asn, Seq("cid"))
       .filter(col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id").as("cand")).distinct()
+      .select(col("qid"), col("vec_id").as("cand"))
     val scored = cands
       .join(vecDf.select(col("vec_id").as("qid"), col("v").as("qv")), Seq("qid"))
       .join(vecDf.select(col("vec_id").as("cand"), col("v").as("cv2")), Seq("cand"))
@@ -360,10 +356,14 @@ object Similarity {
   val PqSub = 8     // dims per subspace (PqM * PqSub = Dim)
   val PqK = 16      // codewords per subspace -> 4-bit codes
 
-  /** Codebook(m)(k) = subspace m of training vector k (vec_id < PqK) — the
-    * deterministic no-training baseline (sampled codewords), collected once
-    * driver-side (metadata-scale: PqK vectors). A k-means-refined codebook
-    * drops in behind the same interface.
+  /** Codebook(m)(k) = subspace m of the k-th training vector, where k is
+    * the POSITION in the vec_id-sorted training set (the vectors with
+    * vec_id < PqK), NOT the vec_id itself — the codeword index stays dense
+    * 0..K-1 for any id set (ids starting past 0, gaps below PqK). The
+    * oracle mirror ([[pqCodeSql]]) uses the same positional rule via
+    * DENSE_RANK. Deterministic no-training baseline (sampled codewords),
+    * collected once driver-side (metadata-scale: ≤ PqK vectors). A
+    * k-means-refined codebook drops in behind the same interface.
     */
   private[graft] def pqCodebook(vecDf: DataFrame): Seq[Seq[Seq[Double]]] = {
     val train = vecDf.filter(col("vec_id") < PqK)
@@ -422,11 +422,8 @@ object Similarity {
     * graft.functions.PqEncode]] expression: no join, no shuffle, at any
     * corpus size.
     */
-  def pqCodes(vecDf: DataFrame): DataFrame = {
-    val cb = pqCodebook(vecDf)
-    vecDf.select(col("vec_id"),
-      graft.functions.PqEncode.pq_encode(col("v"), cb, PqSub).as("pq_code"))
-  }
+  def pqCodes(vecDf: DataFrame): DataFrame =
+    pqCodesWith(vecDf, pqCodebook(vecDf))
 
   /** ADC (asymmetric distance) top-k over the FULL corpus: probes keep
     * their raw vectors, every candidate is scanned as its packed 8-byte
@@ -560,7 +557,8 @@ object Similarity {
     val d2 = "list_reduce(list_transform(range(8), j -> " +
       "(x.v[c.m*8+j+1] - c.sub[j+1]) * (x.v[c.m*8+j+1] - c.sub[j+1])), (a, t) -> a + t)"
     s"""cb AS (
-       |  SELECT vec_id AS k, m, v[m*8+1 : m*8+8] AS sub
+       |  SELECT (DENSE_RANK() OVER (ORDER BY vec_id) - 1) AS k, m,
+       |    v[m*8+1 : m*8+8] AS sub
        |  FROM e, range($PqM) r(m) WHERE vec_id < $PqK
        |),
        |enc AS (
@@ -831,9 +829,11 @@ object Similarity {
          |  FROM scored
          |) WHERE rn = 1 ORDER BY qid""".stripMargin
     }) { (s, d) =>
-      // ranking uses the UNROUNDED cosine in both engines (identical IEEE
-      // doubles, left-to-right dot accumulation) — rounding first would
-      // manufacture rank ties
+      // cell assignment and probe→cell selection use the UNROUNDED cosine
+      // in both engines (identical IEEE doubles, left-to-right dot
+      // accumulation — rounding there would manufacture assignment ties);
+      // the final candidate ranking then orders by the 6dp-rounded cos_r,
+      // again identically on both sides
       ivfTopK(vecs(s, d), col("vec_id") < 20, centroidStride = 25, nprobe = 2, k = 1)
         .select("qid", "cand", "cos_r")
         .orderBy("qid")

@@ -245,6 +245,164 @@ case class CentroidBest(
     copy(child = newChild)
 }
 
+/** Top-`n` (cos, −cid) cells for a probe vector as ONE codegen'd
+  * expression — the probe-side sibling of [[CentroidAssign]] (IVF cell
+  * selection: `Similarity.topCells`). Replaces the interpreted
+  * `slice(sort_array(transform(...)), 1, n)` pipeline, whose lambda
+  * re-evaluated the probe's own norm `sqrt(dot(v,v))` PER CENTROID
+  * (Catalyst does not hoist subexpressions out of higher-order-function
+  * lambdas); here the norm is computed once per row and the selection is
+  * a primitive partial selection sort.
+  *
+  * Selection contract (bit-compatible with the struct sort it replaced
+  * and the oracle's `ORDER BY cos DESC, cid`): cosine = dot(v,c) /
+  * (sqrt(dot(v,v)) * norm_c) accumulated left-to-right; doubles compare
+  * with Spark's total order (NaN greatest, matching struct sort_array);
+  * ties on cosine order by ascending cid (larger −cid first, exactly the
+  * descending struct order). Output: the min(n, C) best cells as
+  * `array<struct<cos:double, ncid:bigint>>`, best first.
+  *
+  * Null contract: null input vector → null (the old form produced an
+  * array of null-cos structs; every consumer explodes and equi-joins on
+  * the cell id, so both shapes contribute zero candidate rows).
+  */
+case class CentroidTopCells(
+    child: Expression,
+    cids: Seq[Long],
+    cents: Seq[IndexedSeq[Double]],
+    norms: Seq[Double],
+    n: Int) extends UnaryExpression {
+
+  require(cids.nonEmpty && cids.length == cents.length && cids.length == norms.length,
+    "CentroidTopCells needs a non-empty, aligned centroid set")
+  require(cents.forall(_.length == cents.head.length),
+    "CentroidTopCells needs centroids of uniform dimension")
+  require(n >= 1, s"CentroidTopCells needs n >= 1, got $n")
+
+  @transient private lazy val cidArr: Array[Long] = cids.toArray
+  @transient private lazy val centArr: Array[Array[Double]] = cents.map(_.toArray).toArray
+  @transient private lazy val normArr: Array[Double] = norms.toArray
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("cos", DoubleType, nullable = false),
+    StructField("ncid", LongType, nullable = false))), containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"centroid_top_cells needs array<double>, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val nv = v.numElements()
+    if (nv != centArr(0).length) throw new IllegalArgumentException(
+      s"centroid_top_cells: vector has $nv elements, centroids have ${centArr(0).length}")
+    var vsq = 0.0
+    var i = 0
+    while (i < nv) { val x = v.getDouble(i); vsq += x * x; i += 1 }
+    val vnorm = math.sqrt(vsq)
+    val cCount = centArr.length
+    val cos = new Array[Double](cCount)
+    var c = 0
+    while (c < cCount) {
+      val cv = centArr(c)
+      var dot = 0.0
+      i = 0
+      while (i < nv) { dot += v.getDouble(i) * cv(i); i += 1 }
+      cos(c) = dot / (vnorm * normArr(c))
+      c += 1
+    }
+    val outN = math.min(n, cCount)
+    val idx = Array.tabulate(cCount)(identity)
+    var a = 0
+    while (a < outN) {
+      var best = a
+      var b = a + 1
+      while (b < cCount) {
+        val cmp = SQLOrderingUtil.compareDoubles(cos(idx(b)), cos(idx(best)))
+        if (cmp > 0 || (cmp == 0 && cidArr(idx(b)) < cidArr(idx(best)))) best = b
+        b += 1
+      }
+      val t = idx(a); idx(a) = idx(best); idx(best) = t
+      a += 1
+    }
+    val rows = new Array[Any](outN)
+    a = 0
+    while (a < outN) {
+      rows(a) = new GenericInternalRow(Array[Any](cos(idx(a)), -cidArr(idx(a))))
+      a += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(rows)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val cidsRef = ctx.addReferenceObj("cids", cidArr, "long[]")
+      val centsRef = ctx.addReferenceObj("cents", centArr, "double[][]")
+      val normsRef = ctx.addReferenceObj("norms", normArr, "double[]")
+      val i = ctx.freshName("i")
+      val c = ctx.freshName("c")
+      val nv = ctx.freshName("nv")
+      val vsq = ctx.freshName("vsq")
+      val vnorm = ctx.freshName("vnorm")
+      val dot = ctx.freshName("dot")
+      val cos = ctx.freshName("cos")
+      val cv = ctx.freshName("cv")
+      val x = ctx.freshName("x")
+      val outN = ctx.freshName("outN")
+      val idx = ctx.freshName("idx")
+      val a = ctx.freshName("a")
+      val b = ctx.freshName("b")
+      val best = ctx.freshName("best")
+      val cmp = ctx.freshName("cmp")
+      val t = ctx.freshName("t")
+      val rows = ctx.freshName("rows")
+      s"""
+         |int $nv = $v.numElements();
+         |if ($nv != $centsRef[0].length) {
+         |  throw new IllegalArgumentException("centroid_top_cells: vector has " +
+         |    $nv + " elements, centroids have " + $centsRef[0].length);
+         |}
+         |double $vsq = 0.0;
+         |for (int $i = 0; $i < $nv; $i++) {
+         |  double $x = $v.getDouble($i); $vsq += $x * $x;
+         |}
+         |double $vnorm = java.lang.Math.sqrt($vsq);
+         |double[] $cos = new double[$centsRef.length];
+         |for (int $c = 0; $c < $centsRef.length; $c++) {
+         |  double[] $cv = $centsRef[$c];
+         |  double $dot = 0.0;
+         |  for (int $i = 0; $i < $nv; $i++) { $dot += $v.getDouble($i) * $cv[$i]; }
+         |  $cos[$c] = $dot / ($vnorm * $normsRef[$c]);
+         |}
+         |int $outN = $centsRef.length < $n ? $centsRef.length : $n;
+         |int[] $idx = new int[$centsRef.length];
+         |for (int $c = 0; $c < $centsRef.length; $c++) { $idx[$c] = $c; }
+         |for (int $a = 0; $a < $outN; $a++) {
+         |  int $best = $a;
+         |  for (int $b = $a + 1; $b < $centsRef.length; $b++) {
+         |    int $cmp = org.apache.spark.sql.catalyst.util.SQLOrderingUtil.compareDoubles(
+         |      $cos[$idx[$b]], $cos[$idx[$best]]);
+         |    if ($cmp > 0 || ($cmp == 0 && $cidsRef[$idx[$b]] < $cidsRef[$idx[$best]])) {
+         |      $best = $b;
+         |    }
+         |  }
+         |  int $t = $idx[$a]; $idx[$a] = $idx[$best]; $idx[$best] = $t;
+         |}
+         |Object[] $rows = new Object[$outN];
+         |for (int $a = 0; $a < $outN; $a++) {
+         |  $rows[$a] = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+         |    new Object[]{ $cos[$idx[$a]], -$cidsRef[$idx[$a]] });
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($rows);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object CentroidAssign {
   import org.apache.spark.sql.graftbridge.ColumnBridge
   import org.apache.spark.sql.functions.greatest
@@ -267,6 +425,21 @@ object CentroidAssign {
     * structs — still ONE projection, no join/shuffle, and bit-identical
     * to [[centroid_assign]] (pinned by the SimilaritySpec property test).
     */
+  /** `centroid_top_cells(v, n)` over centroids given as (cid, vector,
+    * norm), pre-sorted here by cid to pin the tie-break order — the
+    * probe-side cell selection ([[CentroidTopCells]]).
+    */
+  def centroid_top_cells(v: Column, centroids: Seq[(Long, Seq[Double], Double)],
+                         n: Int): Column = {
+    val sorted = centroids.sortBy(_._1)
+    ColumnBridge.column(CentroidTopCells(
+      ColumnBridge.expression(v),
+      sorted.map(_._1),
+      sorted.map(_._2.toIndexedSeq),
+      sorted.map(_._3),
+      n))
+  }
+
   def centroid_assign_chunked(v: Column, centroids: Seq[(Long, Seq[Double], Double)],
                               chunkSize: Int): Column = {
     require(chunkSize > 0, "chunkSize must be positive")

@@ -399,6 +399,64 @@ class SimilaritySpec extends AnyFunSuite {
     assert(nul.select(centroid_assign(col("v"), cents)).head.isNullAt(0))
   }
 
+  test("CentroidTopCells matches the transform+sort_array struct form") {
+    import spark.implicits._
+    import graft.functions.CentroidAssign.centroid_top_cells
+    val rnd = new scala.util.Random(17)
+    val dim = 8
+    def norm(v: Seq[Double]): Double = math.sqrt(v.map(x => x * x).sum)
+    val cents = (0 until 9).map { i =>
+      val v = Seq.fill(dim)(rnd.nextDouble() - 0.5)
+      (i * 10L, v, norm(v))
+    }
+    val vecs = (0 until 200).map(i => (i.toLong, Seq.fill(dim)(rnd.nextDouble() - 0.5)))
+      .toDF("vec_id", "v").withColumn("v", col("v").cast("array<double>"))
+
+    // oracle: the interpreted slice(sort_array(transform(...))) pipeline
+    // the kernel replaced — bit-identical cos doubles, same tie-break
+    Seq(1, 3, 9, 12).foreach { np =>
+      val cArr = typedLit(cents)
+      val vnorm = sqrt(Similarity.dot(col("v"), col("v")))
+      val oldForm = slice(sort_array(transform(cArr, c => struct(
+        (Similarity.dot(col("v"), c("_2")) / (vnorm * c("_3"))).as("cos"),
+        (-c("_1")).as("ncid"))), asc = false), 1, np)
+      val expected = vecs.select(col("vec_id"), oldForm.as("sc"))
+        .select(col("vec_id"), explode(col("sc")).as("s"))
+        .select(col("vec_id"), col("s.cos"), col("s.ncid"))
+      val got = vecs.select(col("vec_id"),
+          centroid_top_cells(col("v"), cents, np).as("sc"))
+        .select(col("vec_id"), explode(col("sc")).as("s"))
+        .select(col("vec_id"), col("s.cos"), col("s.ncid"))
+      assert(got.except(expected).isEmpty && expected.except(got).isEmpty,
+        s"top-cells diverges from the struct-sort form at nprobe=$np")
+    }
+
+    // interpreted eval is the codegen template's twin
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val v0 = vecs.filter(col("vec_id") === 0).head.getSeq[Double](1)
+    val e = graft.functions.CentroidTopCells(
+      Literal.create(v0, ArrayType(DoubleType)),
+      cents.map(_._1), cents.map(_._2.toIndexedSeq), cents.map(_._3), 3)
+    val interp = e.eval(null)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val fromDf = vecs.filter(col("vec_id") === 0)
+      .select(explode(centroid_top_cells(col("v"), cents, 3)).as("s"))
+      .select(col("s.cos"), col("s.ncid")).collect()
+    assert(interp.numElements() == fromDf.length)
+    (0 until interp.numElements()).foreach { i =>
+      val row = interp.getStruct(i, 2)
+      assert(row.getDouble(0) == fromDf(i).getDouble(0)
+          && row.getLong(1) == fromDf(i).getLong(1),
+        s"interpreted eval diverges at position $i")
+    }
+
+    // null vector -> null cell array (consumers explode: zero candidates)
+    val nul = Seq((0L, Option.empty[Seq[Double]])).toDF("vec_id", "v")
+      .withColumn("v", col("v").cast("array<double>"))
+    assert(nul.select(centroid_top_cells(col("v"), cents, 2)).head.isNullAt(0))
+  }
+
   test("PqEncode: self-codes, codegen/interpreted agreement, tie-break, null") {
     import spark.implicits._
     import graft.functions.PqEncode
