@@ -47,8 +47,12 @@ object Bm25 {
       explode(toks).as("t"))
     val stats = docs.agg(count(lit(1)).cast("double").as("n"),
       avg(size(tokens(col("text")))).as("avgdl"))
-    val tf = base.filter(col("t").isin(terms: _*))
-      .groupBy("doc_id", "dl", "t").agg(count(lit(1)).cast("double").as("tf"))
+    // cached: tf feeds BOTH the df/idf aggregate and the final join —
+    // without it the corpus-wide tokenize+explode scan runs twice per
+    // search (same multi-consumer materialization as lshTopK's signature
+    // table; released by an enclosing CacheTracker scope)
+    val tf = graft.CacheTracker.cached(base.filter(col("t").isin(terms: _*))
+      .groupBy("doc_id", "dl", "t").agg(count(lit(1)).cast("double").as("tf")))
     val df = tf.groupBy("t").agg(count(lit(1)).cast("double").as("df"))
     val idf = df.crossJoin(broadcast(stats))
       .select(col("t"),

@@ -4,8 +4,6 @@ import graft.{Q, Tables}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
-import TextHash._
-
 /** The curation funnel as ONE oracle-checked report: every candidate
   * document annotated with its fate at each gate — quality cut, exact
   * keep-first dedup, benchmark decontamination — then counted per source
@@ -74,9 +72,19 @@ object CurationReport {
     * marks the held-out evaluation documents (excluded from the corpus,
     * their shingles form the contamination set). `q_curation_report` is
     * this over the documents table.
+    *
+    * The dirty flag is [[TextAnalysis.contaminationScore]] membership —
+    * ONE definition of the decontamination check across the engine.
+    * `strategy` defaults to [[TextAnalysis.ContamStrategy.Exact]] (the
+    * declared oracle replays exact membership); pass `Auto()`/`Bloom` to
+    * bound the shipped benchmark side when the eval suite outgrows a sane
+    * broadcast — Bloom's deterministic false positives then over-flag
+    * dirty, never under-flag.
     */
   def report(docs: org.apache.spark.sql.DataFrame,
-             benchPred: org.apache.spark.sql.Column): org.apache.spark.sql.DataFrame = {
+             benchPred: org.apache.spark.sql.Column,
+             strategy: TextAnalysis.ContamStrategy =
+               TextAnalysis.ContamStrategy.Exact): org.apache.spark.sql.DataFrame = {
       val base = docs
         .select(col("doc_id"), col("source"), col("text"),
           expr("length(text) - length(replace(text, ' ', '')) + 1")
@@ -91,16 +99,15 @@ object CurationReport {
       // only quality-passed docs can be flagged dirty (the clean flag
       // already requires first_keep, which requires the quality gate), so
       // the shingle explode — the funnel's heaviest stage — skips every
-      // document whose fate the first gate already sealed
-      def shingles(df: org.apache.spark.sql.DataFrame) = df
-        .select(col("doc_id"),
-          explode(shinglesFromTokens(tokens(col("text")), Dedup.K)).as("sh"))
-        .select(col("doc_id"), h48(col("sh")).as("h"))
-        .distinct()
-      val bench = shingles(base.filter(col("is_bench"))).select("h").distinct()
-      val dirty = shingles(q)
-        .join(broadcast(bench), Seq("h"))
-        .select(col("doc_id").as("dirty_id")).distinct()
+      // document whose fate the first gate already sealed. Membership is
+      // the shared contaminationScore operator over the shared
+      // shingle-hash shape — not a re-derivation that could drift.
+      val dirty = TextAnalysis.contaminationScore(
+          Dedup.shingleHash(q),
+          Dedup.shingleHash(base.filter(col("is_bench"))),
+          strategy)
+        .filter(col("n_hit") > 0)
+        .select(col("doc_id").as("dirty_id"))
       cand
         .join(u, Seq("doc_id"), "left")
         .join(dirty, col("doc_id") === col("dirty_id"), "left")

@@ -33,7 +33,15 @@ object Dedup {
     * string — an order of magnitude less shuffle IO at corpus scale.
     */
   private[ext] def shingleHashDf(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+    shingleHash(Tables.documents(s, d))
+
+  /** The (doc_id, h) distinct-shingle-hash pipeline over any
+    * `(doc_id, text)` frame — the shared corpus/benchmark shape every
+    * contamination consumer joins on ([[TextAnalysis.contaminationScore]],
+    * [[CurationReport.report]]; SQL mirror: [[shingleHashFrom]]).
+    */
+  private[ext] def shingleHash(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), explode(shinglesFromTokens(tokens(col("text")), K)).as("sh"))
       .select(col("doc_id"), h48(col("sh")).as("h"))
       .distinct()
@@ -627,6 +635,10 @@ object Dedup {
     // function inside its timed region), then reads the tree back and
     // aggregates per-band key counts, so the oracle checks the BYTES AT
     // REST, not an in-memory shortcut.
+    // The tree lands in ONE lazily-created per-(JVM, dataset) directory
+    // (mode overwrite replaces it in place): a fresh dir per invocation
+    // would leave every bench rep's full index on disk and stack one
+    // shutdown hook per rep until JVM exit.
     Q("q_dedup_index_build",
       s"""WITH sigs AS ($minhashSelect),
          |keys AS (
@@ -637,7 +649,7 @@ object Dedup {
          |  )
          |)
          |SELECT band, count(*) AS n_keys FROM keys GROUP BY band ORDER BY band""".stripMargin) { (s, d) =>
-      val dir = freshIndexDir()
+      val dir = buildDirs.computeIfAbsent(d, _ => freshIndexDir())
       DedupIndex.write(
         mhBandedDf(s, d).filter(col("doc_id") % 2 === 0), dir)
       DedupIndex.load(s, dir)
@@ -650,6 +662,13 @@ object Dedup {
     * builds at most once per dataset and times only the probe thereafter.
     */
   private val builtIndexes =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** q_dedup_index_build's per-(JVM, dataset) target dirs: the measured
+    * write re-runs (and overwrites) every invocation, but the directory —
+    * and its shutdown-hook cleanup — is created once.
+    */
+  private val buildDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** A fresh per-process index dir under java.io.tmpdir, recursively

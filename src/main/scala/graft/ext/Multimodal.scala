@@ -325,12 +325,20 @@ object Multimodal {
         if (size < 8 || p + size > moovEnd) return None
         tag(b, p + 4) match {
           case "mvhd" =>
+            // field reads are bounded by the mvhd box's OWN declared end,
+            // not the enclosing moov: an undersized mvhd with siblings
+            // would otherwise silently read the next box's bytes as
+            // timescale/duration, and an empty one at the buffer's end
+            // would read past the array — malformed sizes are unparseable,
+            // not guessed (the WavHeaders stance)
             val body = p + 8
+            val boxEnd = p + size.toInt
+            if (body >= boxEnd) return None
             val v = b(body) & 0xff
             hdr = v match {
-              case 0 if body + 20 <= moovEnd =>
+              case 0 if body + 20 <= boxEnd =>
                 Some((0, be32(b, body + 12), be32(b, body + 16)))
-              case 1 if body + 32 <= moovEnd =>
+              case 1 if body + 32 <= boxEnd =>
                 Some((1, be32(b, body + 20), be64(b, body + 24)))
               case _ => return None
             }
@@ -412,12 +420,15 @@ object Multimodal {
     import s.implicits._
     media.select(col("doc_id"), col("blob")).as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, bytes) =>
-        // ImageIO.read returns NULL (no exception) for undecodable bytes —
-        // a garbage blob must yield the family's null row, not an NPE that
-        // fails the whole batch (same contract as the header tables)
+        // ImageIO.read returns NULL (no exception) for undecodable bytes,
+        // but the JDK decoders also throw UNCHECKED exceptions on corrupt
+        // payloads (CMMException for a broken ICC profile, AIOOBE /
+        // NegativeArraySizeException from the JPEG reader) — a garbage
+        // blob must yield the family's null row, not a task failure that
+        // aborts the whole batch (same contract as the header tables)
         val img =
           try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-          catch { case _: java.io.IOException => null }
+          catch { case scala.util.control.NonFatal(_) => null }
         if (img == null) (id, None, None, None)
         else {
           val (w, h) = (img.getWidth, img.getHeight)

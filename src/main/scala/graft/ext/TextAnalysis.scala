@@ -84,13 +84,15 @@ object TextAnalysis {
           ((h % Mersenne31) * a + b) % Mersenne31 % m
         }
         // the set bit positions are a <= m-row driver artifact (<= 64 KiB):
-        // ONE benchmark scan collects them, and the three broadcast builds
-        // below are local frames — no cache (which a library caller could
-        // never release: the comment on Auto's sizing count applies here
-        // too), no triple re-derivation of the bench set
-        val bitsLocal: Seq[Long] = (0 until 3)
-          .map(i => bench.select(bit(i, col("h")).as("bit")))
-          .reduce(_ union _).distinct()
+        // ONE benchmark scan collects them — all three probe positions
+        // explode off the same row (a 3-select union would re-run the
+        // distinct bench scan per union child) — and the three broadcast
+        // builds below are local frames: no cache (which a library caller
+        // could never release: the comment on Auto's sizing count applies
+        // here too)
+        val bitsLocal: Seq[Long] = bench
+          .select(explode(array((0 until 3).map(i => bit(i, col("h"))): _*)).as("bit"))
+          .distinct()
           .collect().map(_.getLong(0)).toSeq
         val s = corpusSh.sparkSession
         import s.implicits._

@@ -180,6 +180,26 @@ class MultimodalHeaderSpec extends AnyFunSuite {
     val evil = good.clone()
     evil(0) = 0x7f.toByte // blow up the ftyp size field
     assert(Multimodal.Mp4Headers.parse(evil) === None)
+
+    // an mvhd whose OWN size is too small for its fields must be rejected,
+    // not read past its end (an empty size-8 mvhd as moov's last child
+    // ends exactly at the buffer — reading its version byte was an AIOOBE;
+    // with a sibling trak after it, the old bound read the trak's bytes
+    // as timescale/duration)
+    def be32(v: Long) = Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def box(typ: String, body: Array[Byte]): Array[Byte] =
+      be32(body.length + 8L) ++ typ.getBytes("US-ASCII") ++ body
+    val ftyp = box("ftyp", "isom".getBytes ++ be32(512) ++ "isom".getBytes)
+    // empty mvhd at the very end of the buffer: must parse to None, not throw
+    assert(Multimodal.Mp4Headers.parse(
+      ftyp ++ box("moov", box("mvhd", Array.empty[Byte]))) === None)
+    // undersized v0 mvhd (12-byte body, needs 20) followed by a sibling
+    // whose bytes would previously be misread as timescale/duration
+    val shortMvhd = box("mvhd", Array[Byte](0, 0, 0, 0) ++ be32(0) ++ be32(0))
+    val sibling = box("trak", be32(600) ++ be32(1200))
+    assert(Multimodal.Mp4Headers.parse(
+      ftyp ++ box("moov", shortMvhd ++ sibling)) === None)
   }
 
   test("resizeFit: aspect-preserving integer fit, never zero") {
