@@ -151,7 +151,10 @@ object ScaleCheck {
     val substrJson = if (!keep("substr_index")) None else {
       def probeAt(dir: String): (Double, Boolean) = {
         val docs = Tables.documents(spark, dir)
-        val idxDir = s"$dir/substr_index"
+        // "_mixed" = post-murmur-bucket layout: a stale tree written with
+        // the old h1-mod bucketing would otherwise be probed with the new
+        // bucket function and silently miss every hit
+        val idxDir = s"$dir/substr_index_mixed"
         if (!new java.io.File(idxDir).exists())
           ext.SubstringIndex.write(docs.filter(col("doc_id") % 7 =!= 0), idxDir)
         val index = ext.SubstringIndex.load(spark, idxDir)

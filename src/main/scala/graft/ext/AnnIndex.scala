@@ -29,10 +29,16 @@ object AnnIndex {
 
   /** Build and persist the index: one projection over the corpus
     * (codegen'd cell assignment + PQ encode), written partitioned by cell.
+    * The pre-write repartition on the partition column is load-bearing
+    * (same rule as [[DedupIndex.write]]/[[SubstringIndex.write]]):
+    * indexRows preserves the input's partitioning, so without it every
+    * task writes a sliver into every cell directory — tasks × √N-cells
+    * tiny files at scale.
     */
   def write(vecDf: DataFrame, cents: Seq[(Long, Seq[Double], Double)],
             cb: Seq[Seq[Seq[Double]]], path: String): Unit =
     Similarity.indexRows(vecDf, cents, cb)
+      .repartition(col("cid"))
       .write.mode("overwrite").partitionBy("cid").parquet(path)
 
   /** The partition column comes back through directory-name inference,

@@ -48,8 +48,17 @@ object SubstringIndex {
     */
   val Buckets = 16
 
+  // The bucket is a murmur MIX of h1, not h1 mod buckets: mod-sampling
+  // keeps only h1 ≡ 0 (mod sample), and a plain `pmod(h1, buckets)` is
+  // CORRELATED with that filter — with sample=s only buckets/gcd(s,
+  // buckets) directories are ever used, and a power-of-two s >= buckets
+  // (both knobs the scale docs say to raise together) funnels the ENTIRE
+  // index into bucket 0: one writer task, nothing for partition pruning
+  // to prune. hash() decorrelates for any (sample, buckets) pair while
+  // staying a pure function of the key, so bucket equality is still
+  // implied by key equality and probes compute it identically.
   private def bucketOf(buckets: Int) =
-    pmod(col("h1"), lit(buckets.toLong)).cast("int")
+    pmod(hash(col("h1")), lit(buckets)).cast("int")
 
   /** Attach the partition-bucket column to a window-hash frame — the one
     * definition write, batch probe, and streaming probe all derive the

@@ -61,6 +61,17 @@ object GraphNormalizer {
     // share the same resolved plan.
     val pairs = resolved.select("from_kind", "to_kind").distinct()
       .collect().map(r => (r.getString(0), r.getString(1)))
+    // underscores in kind fqns make the flattened name ambiguous: two
+    // DISTINCT pairs (a_b, c) and (a, b_c) both render "link_a_b_c", and
+    // toMap's last-wins merge would silently drop one pair's edge table
+    // from the snapshot — the same silent loss normalize() guards against
+    // for kind-vs-link names. Fail loudly instead.
+    val dup = pairs.groupBy { case (f, t) => s"link_${f}_$t" }
+      .filter(_._2.length > 1)
+    require(dup.isEmpty,
+      s"distinct kind pairs collide on a link-table name: " +
+        dup.map { case (n, ps) => s"$n <- ${ps.mkString(", ")}" }.mkString("; ") +
+        " — rename a kind or the snapshot would silently lose edges")
     pairs.map { case (f, t) =>
       s"link_${f}_$t" -> resolved
         .filter(col("from_kind") === f && col("to_kind") === t)

@@ -64,6 +64,17 @@ object AsofJoin {
       require(!left.columns.contains(n) && !right.columns.contains(n),
         s"leftAsof reserves column name $n; rename it on the input")
     }
+    // enforce (not just document) the outName contract: a collision with a
+    // left column would silently emit two same-named columns, failing far
+    // downstream with AMBIGUOUS_REFERENCE — same fail-fast stance as the
+    // reserved names above
+    val outDup = rightCols.map(_._2).diff(rightCols.map(_._2).distinct)
+    require(outDup.isEmpty,
+      s"leftAsof: duplicate output name(s) in rightCols: ${outDup.distinct.mkString(", ")}")
+    val outClash = rightCols.map(_._2).filter(left.columns.contains)
+    require(outClash.isEmpty,
+      s"leftAsof: rightCols output name(s) collide with left columns: " +
+        s"${outClash.mkString(", ")} — alias them via (rightName -> outName)")
     val payload = struct(rightCols.map { case (f, t) => col(f).as(t) }: _*)
     // NULL-ts right rows can never match (predicate UNKNOWN) — and unfiltered
     // they would sort NULLS FIRST and carry into every unmatched left row

@@ -35,6 +35,22 @@ object ConnectedComponents {
     * graph up to 2²⁵-diameter chains).
     */
   def run(nodes: DataFrame, edges: DataFrame, maxIter: Int = 25): DataFrame = {
+    // Integral ids only, enforced loudly: the convergence probe below sums
+    // `comp` as a decimal, and for a STRING id column every cast is null —
+    // the null initial sum would take the "no edges" early return and
+    // silently label every node its own component (and even numeric
+    // strings would pair a lexicographic min with a numeric probe,
+    // risking a premature "converged"). Hash or dense-rank string ids to
+    // longs first (GraphNormalizer exports string ids — map them before
+    // clustering).
+    Seq("nodes.id" -> nodes.schema("id").dataType,
+        "edges.src" -> edges.schema("src").dataType,
+        "edges.dst" -> edges.schema("dst").dataType).foreach { case (what, dt) =>
+      import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+      val integral = dt == ByteType || dt == ShortType || dt == IntegerType || dt == LongType
+      require(integral,
+        s"ConnectedComponents.run needs integral ids; $what is ${dt.simpleString}")
+    }
     // materialized ONCE: each round's action would otherwise re-execute
     // the whole upstream edge derivation (for dedup, the candidate-pair
     // join) — the loop must re-read a settled edge set, not re-plan it

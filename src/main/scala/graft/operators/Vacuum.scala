@@ -53,6 +53,38 @@ object Vacuum {
     VacuumReport(staging.map(_.getPath.getName), retired.map(_.getPath.getName))
   }
 
+  /** GC for [[Compaction]]'s swap siblings: a compaction that crashes
+    * after writing its staging copy strands `<table>.__compact_staging` —
+    * a FULL rewritten copy of the table that only a re-run of `compact`
+    * on the same path would otherwise reclaim (the base [[vacuum]] sweeps
+    * the snapshot `_staging/<runId>` layout, not this one). A leftover
+    * `.__compact_retired` is healed first (restored when the table itself
+    * is missing — it is then the only copy — dropped otherwise, the same
+    * DirSwap rule `compact` applies); stale staging is removed under the
+    * same age discipline as [[vacuum]].
+    */
+  def vacuumCompaction(spark: SparkSession, table: String,
+                       maxAgeMs: Long = 24L * 3600 * 1000,
+                       nowMs: Long = System.currentTimeMillis()): VacuumReport = {
+    val dir = new Path(table)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staging = new Path(dir.getParent, dir.getName + ".__compact_staging")
+    val retired = new Path(dir.getParent, dir.getName + ".__compact_retired")
+    val hadRetired = fs.exists(retired)
+    val hadLive = fs.exists(dir)
+    graft.sink.DirSwap.heal(fs, dir, retired)
+    val removedStaging =
+      if (fs.exists(staging) &&
+          nowMs - fs.getFileStatus(staging).getModificationTime > maxAgeMs) {
+        fs.delete(staging, true); Seq(staging.getName)
+      } else Seq.empty
+    // heal DELETED retired only when the live table already existed; with
+    // the table missing it RESTORED retired as the live dir instead —
+    // that is a recovery, not a removal, and stays out of the report
+    VacuumReport(removedStaging,
+      if (hadRetired && hadLive) Seq(retired.getName) else Seq.empty)
+  }
+
   /** GC for the native SQLite destination's work areas: a run that dies
     * before its commit strands `<database>.staging/<runId>` (parquet
     * stage) and possibly `<database>.tmp-<runId>` (partial db file);

@@ -133,13 +133,18 @@ object StreamingOps {
     */
   def minhashBanded(docs: DataFrame): DataFrame = {
     import graft.ext.TextHash._
+    // shingle width, row hash, and band layout come from the SAME
+    // constants the batch index uses (Dedup.K, h31, MinhashPerms) — a
+    // mirrored literal here would silently desync stream signatures from
+    // the batch-built index they join, turning every hit into a miss
     val hashes = transform(
-      shinglesFromTokens(tokens(col("text")), 5),
-      sh => h48(sh) % Mersenne31)
+      shinglesFromTokens(tokens(col("text")), graft.ext.Dedup.K),
+      sh => h31(sh))
     val sigs = MinhashPerms.map { case (a, b) =>
       array_min(transform(hashes, h => (h * a + b) % Mersenne31))
     }
-    docs.select(col("doc_id"), posexplode(array((0 until 4).map { b =>
+    val bands = MinhashPerms.size / 2
+    docs.select(col("doc_id"), posexplode(array((0 until bands).map { b =>
       struct(sigs(2 * b).as("k1"), sigs(2 * b + 1).as("k2"))
     }: _*)).as(Seq("band", "key")))
       // a shingle-less doc's key is struct(null, null) — Spark's struct

@@ -60,4 +60,19 @@ class SubstringIndexSpec extends AnyFunSuite {
     assert(fromDisk.exceptAll(inMemory).isEmpty && inMemory.exceptAll(fromDisk).isEmpty,
       "sampled stored-index probe diverges from sampled crossCorpusSpans")
   }
+
+  test("bucket fan survives mod-sampling (sample = buckets power of two)") {
+    // mod-sampling keeps h1 ≡ 0 (mod s); a bucket of plain h1 mod buckets
+    // was fully correlated with it — sample = buckets = 16 funneled the
+    // whole index into bucket=0 (one writer, nothing prunable). The murmur
+    // mix must spread the sampled keys across (nearly) the full fan.
+    val docs = Tables.documents(spark, sf)
+    val corpus = docs.filter(col("doc_id") % 7 =!= 0)
+    val dir = Files.createTempDirectory("graft-subidx-fan").toString
+    SubstringIndex.write(corpus, dir, sample = 16, buckets = 16)
+    val bucketDirs = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("bucket=")).toSeq
+    assert(bucketDirs.length > 8,
+      s"sampled index collapsed to ${bucketDirs.length} of 16 buckets")
+  }
 }

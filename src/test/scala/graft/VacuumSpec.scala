@@ -43,6 +43,41 @@ class VacuumSpec extends AnyFunSuite {
       "sole surviving snapshot must be preserved for self-heal")
   }
 
+  test("compaction GC reclaims stranded staging, heals retired, keeps fresh") {
+    val base = Files.createTempDirectory("graft-vacuum-compact").toString
+    val now = System.currentTimeMillis()
+
+    // crashed-after-staging-write: full table copy stranded next to a live
+    // table — must be reclaimed once stale
+    mkdir(s"$base/t1")
+    mkdir(s"$base/t1.__compact_staging")
+    new java.io.File(s"$base/t1.__compact_staging").setLastModified(now - 7L * 86400_000)
+    val r1 = Vacuum.vacuumCompaction(spark, s"$base/t1", maxAgeMs = 86400_000, nowMs = now)
+    assert(r1.removedStaging == Seq("t1.__compact_staging"))
+    assert(!new java.io.File(s"$base/t1.__compact_staging").exists())
+    assert(new java.io.File(s"$base/t1/part-0").exists(), "table untouched")
+
+    // fresh staging (a compaction may be in flight): kept
+    mkdir(s"$base/t2")
+    mkdir(s"$base/t2.__compact_staging")
+    val r2 = Vacuum.vacuumCompaction(spark, s"$base/t2", maxAgeMs = 86400_000, nowMs = now)
+    assert(r2.removedStaging.isEmpty)
+    assert(new java.io.File(s"$base/t2.__compact_staging").exists(), "fresh staging kept")
+
+    // crash inside the swap window: retired exists, table missing — the
+    // retired copy is the only data and must be RESTORED, not removed
+    mkdir(s"$base/t3.__compact_retired")
+    val r3 = Vacuum.vacuumCompaction(spark, s"$base/t3", maxAgeMs = 86400_000, nowMs = now)
+    assert(r3.removedRetired.isEmpty, "a restore is not a removal")
+    assert(new java.io.File(s"$base/t3/part-0").exists(), "retired promoted back to live")
+
+    // retired next to a live table is a stale duplicate: dropped
+    mkdir(s"$base/t4"); mkdir(s"$base/t4.__compact_retired")
+    val r4 = Vacuum.vacuumCompaction(spark, s"$base/t4", maxAgeMs = 86400_000, nowMs = now)
+    assert(r4.removedRetired == Seq("t4.__compact_retired"))
+    assert(!new java.io.File(s"$base/t4.__compact_retired").exists())
+  }
+
   test("sqlite staging GC removes stale runs and tmp files, keeps the rest") {
     val base = Files.createTempDirectory("graft-vacuum-sqlite").toString
     val db = s"$base/resoto.db"
