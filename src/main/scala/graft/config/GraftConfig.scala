@@ -161,14 +161,21 @@ object GraftConfig {
         val uri = str("uri").getOrElse(throw new IllegalArgumentException("S3 uri must be defined"))
         val bucket = UriNormalizer.s3Bucket(uri).getOrElse(
           throw new IllegalArgumentException(s"Invalid S3 uri: $uri"))
-        ArrowDest(FileDestination(str("format").getOrElse("parquet"),
+        // same format validation as `file`: an unknown format would fall
+        // through SnapshotSink's `case _ => parquet` and silently upload
+        // parquet where the user asked for csv/json
+        val s3fmt = str("format").getOrElse("parquet")
+        require(fileFormats(s3fmt), s"Unknown format: $s3fmt. Possible values: ${fileFormats.mkString(", ")}")
+        ArrowDest(FileDestination(s3fmt,
           str("path").getOrElse("/tmp/graft-stage"), int("batch_size", 100000),
           Some(bucket), Some(region), Some("s3")))
       case "gcs" =>
         val uri = str("uri").getOrElse(throw new IllegalArgumentException("GCS uri must be defined"))
         val bucket = UriNormalizer.gcsBucket(uri).getOrElse(
           throw new IllegalArgumentException(s"Invalid GCS uri: $uri"))
-        ArrowDest(FileDestination(str("format").getOrElse("parquet"),
+        val gcsFmt = str("format").getOrElse("parquet")
+        require(fileFormats(gcsFmt), s"Unknown format: $gcsFmt. Possible values: ${fileFormats.mkString(", ")}")
+        ArrowDest(FileDestination(gcsFmt,
           str("path").getOrElse("/tmp/graft-stage"), int("batch_size", 100000),
           Some(bucket), None, Some("gcs")))
       case "sqlite" =>
@@ -270,6 +277,15 @@ object MiniYaml {
       .map(stripComment)
       .filter(_.trim.nonEmpty)
       .toVector
+    // indentOf counts only spaces (the YAML spec forbids tab indentation),
+    // so a tab-indented child would read as indent 0 and silently parse as
+    // a TOP-LEVEL key — e.g. `sources:\n\taws:` yields an empty sources
+    // map plus a stray `aws` root key, surfacing later as the misleading
+    // "no source available". Reject the tab here, with the line.
+    lines.find(l => l.takeWhile(_.isWhitespace).contains('\t')).foreach { l =>
+      throw new IllegalArgumentException(
+        s"Config invalid: tab indentation is not allowed (use spaces): ${l.trim}")
+    }
     val (tree, rest) = parseBlock(lines, 0, 0)
     require(rest >= lines.size, s"Unparsed config at line $rest: ${lines(rest)}")
     tree

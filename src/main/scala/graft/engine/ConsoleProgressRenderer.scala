@@ -60,8 +60,12 @@ final class ConsoleProgressRenderer(
     order.asScala.toSeq.map(k => s"$k: ${state.get(k).message}")
 
   private def bar(current: Int, total: Int, width: Int = 10): String = {
-    // clamp: progressDone(t, 3, 2) must not overflow the column
-    val filled = (if (total <= 0) width else (width * current.toLong / total).toInt)
+    // clamp: progressDone(t, 3, 2) must not overflow the column. An empty
+    // work set (0/0) renders EMPTY, not full — a full bar would claim
+    // completion of work that never ran; nonzero progress against an
+    // unknown total renders full (all reported work done).
+    val filled = (if (total <= 0) { if (current > 0) width else 0 }
+                  else (width * current.toLong / total).toInt)
       .max(0).min(width)
     // ASCII bar: immune to non-UTF-8 console charsets
     "[" + "#" * filled + "-" * (width - filled) + "]"

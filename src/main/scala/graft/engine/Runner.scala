@@ -80,28 +80,39 @@ object Runner {
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool, _ => ())
 
     try {
+      // one Spark job group per source (thread-local, set inside the
+      // Future): interrupting the pool thread does NOT cancel an in-flight
+      // Spark action — without the group, a straggler's executors keep
+      // staging (e.g. inserting into a JDBC __tmp table) after a fail-fast
+      // return, racing an immediate retry's recreated staging. runId in
+      // the name keeps the sticky cancel from touching a retry's groups.
+      def groupOf(key: String) = s"graft-run-$runId-$key"
       val futures = active.map { case (key, src) =>
         Future {
-          progress.progress(key, "collect started")
-          val graph = src.collect(spark)
-          val tables = GraphNormalizer.normalize(graph)
-          // stage all tables; promotion is deferred past the barrier.
-          // Node/edge counts come from the writes' observed metrics
-          // (SnapshotSink.StagedTable) with NO second pass over the source
-          // (at 100 TB a count-after-write re-reads everything). They are
-          // the SNAPSHOT's counts — what actually landed in the
-          // destination: a node of an undeclared/non-root kind or an edge
-          // with an unresolvable endpoint is exported to no table and so
-          // counts zero, exactly like the destination's own row counts.
-          // Tables are split by the model's kind inventory, not by name —
-          // a kind literally named `link_…` still counts as nodes.
-          val staged = SnapshotSink.stage(tables, config.destination, runId)
-          val kindNames = graph.model.kinds.filter(_.aggregateRoot).map(_.fqn).toSet
-          val (kindT, linkT) = staged.partition(t => kindNames.contains(t.name))
-          val nodes = kindT.map(_.rows).sum
-          val edges = linkT.map(_.rows).sum
-          progress.progress(key, s"collect done: $nodes nodes, $edges edges")
-          (SourceReport(key, nodes, edges), staged.map(_.name))
+          spark.sparkContext.setJobGroup(groupOf(key), s"source $key",
+            interruptOnCancel = true)
+          try {
+            progress.progress(key, "collect started")
+            val graph = src.collect(spark)
+            val tables = GraphNormalizer.normalize(graph)
+            // stage all tables; promotion is deferred past the barrier.
+            // Node/edge counts come from the writes' observed metrics
+            // (SnapshotSink.StagedTable) with NO second pass over the source
+            // (at 100 TB a count-after-write re-reads everything). They are
+            // the SNAPSHOT's counts — what actually landed in the
+            // destination: a node of an undeclared/non-root kind or an edge
+            // with an unresolvable endpoint is exported to no table and so
+            // counts zero, exactly like the destination's own row counts.
+            // Tables are split by the model's kind inventory, not by name —
+            // a kind literally named `link_…` still counts as nodes.
+            val staged = SnapshotSink.stage(tables, config.destination, runId)
+            val kindNames = graph.model.kinds.filter(_.aggregateRoot).map(_.fqn).toSet
+            val (kindT, linkT) = staged.partition(t => kindNames.contains(t.name))
+            val nodes = kindT.map(_.rows).sum
+            val edges = linkT.map(_.rows).sum
+            progress.progress(key, s"collect done: $nodes nodes, $edges edges")
+            (SourceReport(key, nodes, edges), staged.map(_.name))
+          } finally spark.sparkContext.clearJobGroup()
         }
       }.toSeq
 
@@ -112,6 +123,13 @@ object Runner {
       val results = Try(Await.result(Future.sequence(futures), Duration.Inf)) match {
         case Success(r) => r
         case Failure(e) =>
+          // cancel every source's in-flight Spark jobs FIRST — the
+          // interrupt from shutdownNow below stops the pool threads, not
+          // the cluster-side work (AndFutureJobs: sticky, so a multi-job
+          // source between jobs at cancel time cannot just launch its next
+          // job and run to completion)
+          active.keys.foreach(k =>
+            spark.sparkContext.cancelJobGroupAndFutureJobs(groupOf(k)))
           // reference error path: analytics error event, flush, no swap
           sender.capture("error", Map("error" -> String.valueOf(e.getMessage)))
           sender.flush()

@@ -7,6 +7,94 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow
 import org.apache.spark.sql.catalyst.util.{ArrayData, SQLOrderingUtil}
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StructField, StructType}
 
+/** The ONE centroid argmax scan shared by [[CentroidAssign]] and
+  * [[CentroidBest]] — interpreted form and codegen template both live
+  * here, so the chunked-parity contract (per-chunk argmax + max-of-maxima
+  * ≡ single scan, bit-for-bit) can never be broken by editing one copy's
+  * accumulation or tie-break and missing the other. Contract: vnorm
+  * computed once per row; cosine = dot/(vnorm·norm_c) accumulated
+  * left-to-right; compareDoubles total order (NaN greatest); ties keep
+  * the first (smallest-cid) incumbent — centroids scan in ascending-cid
+  * order.
+  */
+private[functions] object CentroidScan {
+
+  def best(v: ArrayData, what: String, cidArr: Array[Long],
+           centArr: Array[Array[Double]], normArr: Array[Double]): (Double, Long) = {
+    val nv = v.numElements()
+    // a mismatched vector would otherwise silently dot only the shared
+    // prefix — a quietly wrong cosine, not an error
+    if (nv != centArr(0).length) throw new IllegalArgumentException(
+      s"$what: vector has $nv elements, centroids have ${centArr(0).length}")
+    var vsq = 0.0
+    var i = 0
+    while (i < nv) { val x = v.getDouble(i); vsq += x * x; i += 1 }
+    val vnorm = math.sqrt(vsq)
+    var best = 0.0
+    var bestCid = 0L
+    var first = true
+    var c = 0
+    while (c < centArr.length) {
+      val cv = centArr(c)
+      var dot = 0.0
+      i = 0
+      while (i < nv) { dot += v.getDouble(i) * cv(i); i += 1 }
+      val cos = dot / (vnorm * normArr(c))
+      if (first || SQLOrderingUtil.compareDoubles(cos, best) > 0) {
+        first = false; best = cos; bestCid = cidArr(c)
+      }
+      c += 1
+    }
+    (best, bestCid)
+  }
+
+  /** Emit the scan as generated Java; returns (code, bestVar, bestCidVar)
+    * for the caller to append its emission statement.
+    */
+  def genBest(ctx: CodegenContext, v: String, what: String,
+              cidArr: Array[Long], centArr: Array[Array[Double]],
+              normArr: Array[Double]): (String, String, String) = {
+    val cidsRef = ctx.addReferenceObj("cids", cidArr, "long[]")
+    val centsRef = ctx.addReferenceObj("cents", centArr, "double[][]")
+    val normsRef = ctx.addReferenceObj("norms", normArr, "double[]")
+    val i = ctx.freshName("i")
+    val c = ctx.freshName("c")
+    val nv = ctx.freshName("nv")
+    val vsq = ctx.freshName("vsq")
+    val vnorm = ctx.freshName("vnorm")
+    val dot = ctx.freshName("dot")
+    val cos = ctx.freshName("cos")
+    val best = ctx.freshName("best")
+    val bestCid = ctx.freshName("bestCid")
+    val first = ctx.freshName("first")
+    val cv = ctx.freshName("cv")
+    val x = ctx.freshName("x")
+    val code = s"""
+       |int $nv = $v.numElements();
+       |if ($nv != $centsRef[0].length) {
+       |  throw new IllegalArgumentException("$what: vector has " +
+       |    $nv + " elements, centroids have " + $centsRef[0].length);
+       |}
+       |double $vsq = 0.0;
+       |for (int $i = 0; $i < $nv; $i++) {
+       |  double $x = $v.getDouble($i); $vsq += $x * $x;
+       |}
+       |double $vnorm = java.lang.Math.sqrt($vsq);
+       |double $best = 0.0; long $bestCid = 0L; boolean $first = true;
+       |for (int $c = 0; $c < $centsRef.length; $c++) {
+       |  double[] $cv = $centsRef[$c];
+       |  double $dot = 0.0;
+       |  for (int $i = 0; $i < $nv; $i++) { $dot += $v.getDouble($i) * $cv[$i]; }
+       |  double $cos = $dot / ($vnorm * $normsRef[$c]);
+       |  if ($first || org.apache.spark.sql.catalyst.util.SQLOrderingUtil.compareDoubles($cos, $best) > 0) {
+       |    $first = false; $best = $cos; $bestCid = $cidsRef[$c];
+       |  }
+       |}
+     """.stripMargin
+    (code, best, bestCid)
+  }
+}
+
 /** Nearest-centroid assignment as ONE codegen'd expression: for an input
   * vector, returns the id of the cosine-nearest centroid from a fixed
   * centroid set baked in as reference objects (primitive double[][] — no
@@ -58,76 +146,15 @@ case class CentroidAssign(
       s"centroid_assign needs array<double>, got $other")
   }
 
-  override def nullSafeEval(input: Any): Any = {
-    val v = input.asInstanceOf[ArrayData]
-    val nv = v.numElements()
-    // a mismatched vector would otherwise silently dot only the shared
-    // prefix — a quietly wrong cosine, not an error
-    if (nv != centArr(0).length) throw new IllegalArgumentException(
-      s"centroid_assign: vector has $nv elements, centroids have ${centArr(0).length}")
-    var vsq = 0.0
-    var i = 0
-    while (i < nv) { val x = v.getDouble(i); vsq += x * x; i += 1 }
-    val vnorm = math.sqrt(vsq)
-    var best = 0.0
-    var bestCid = 0L
-    var first = true
-    var c = 0
-    while (c < centArr.length) {
-      val cv = centArr(c)
-      var dot = 0.0
-      i = 0
-      while (i < nv) { dot += v.getDouble(i) * cv(i); i += 1 }
-      val cos = dot / (vnorm * normArr(c))
-      if (first || SQLOrderingUtil.compareDoubles(cos, best) > 0) {
-        first = false; best = cos; bestCid = cidArr(c)
-      }
-      c += 1
-    }
-    bestCid
-  }
+  override def nullSafeEval(input: Any): Any =
+    CentroidScan.best(input.asInstanceOf[ArrayData], "centroid_assign",
+      cidArr, centArr, normArr)._2
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, v => {
-      val cidsRef = ctx.addReferenceObj("cids", cidArr, "long[]")
-      val centsRef = ctx.addReferenceObj("cents", centArr, "double[][]")
-      val normsRef = ctx.addReferenceObj("norms", normArr, "double[]")
-      val i = ctx.freshName("i")
-      val c = ctx.freshName("c")
-      val nv = ctx.freshName("nv")
-      val n = ctx.freshName("n")
-      val vsq = ctx.freshName("vsq")
-      val vnorm = ctx.freshName("vnorm")
-      val dot = ctx.freshName("dot")
-      val cos = ctx.freshName("cos")
-      val best = ctx.freshName("best")
-      val bestCid = ctx.freshName("bestCid")
-      val first = ctx.freshName("first")
-      val cv = ctx.freshName("cv")
-      val x = ctx.freshName("x")
-      s"""
-         |int $nv = $v.numElements();
-         |if ($nv != $centsRef[0].length) {
-         |  throw new IllegalArgumentException("centroid_assign: vector has " +
-         |    $nv + " elements, centroids have " + $centsRef[0].length);
-         |}
-         |double $vsq = 0.0;
-         |for (int $i = 0; $i < $nv; $i++) {
-         |  double $x = $v.getDouble($i); $vsq += $x * $x;
-         |}
-         |double $vnorm = java.lang.Math.sqrt($vsq);
-         |double $best = 0.0; long $bestCid = 0L; boolean $first = true;
-         |for (int $c = 0; $c < $centsRef.length; $c++) {
-         |  double[] $cv = $centsRef[$c];
-         |  double $dot = 0.0;
-         |  for (int $i = 0; $i < $nv; $i++) { $dot += $v.getDouble($i) * $cv[$i]; }
-         |  double $cos = $dot / ($vnorm * $normsRef[$c]);
-         |  if ($first || org.apache.spark.sql.catalyst.util.SQLOrderingUtil.compareDoubles($cos, $best) > 0) {
-         |    $first = false; $best = $cos; $bestCid = $cidsRef[$c];
-         |  }
-         |}
-         |${ev.value} = $bestCid;
-       """.stripMargin
+      val (scan, _, bestCid) =
+        CentroidScan.genBest(ctx, v, "centroid_assign", cidArr, centArr, normArr)
+      scan + s"\n${ev.value} = $bestCid;"
     })
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -171,74 +198,20 @@ case class CentroidBest(
   }
 
   override def nullSafeEval(input: Any): Any = {
-    val v = input.asInstanceOf[ArrayData]
-    val nv = v.numElements()
-    if (nv != centArr(0).length) throw new IllegalArgumentException(
-      s"centroid_best: vector has $nv elements, centroids have ${centArr(0).length}")
-    var vsq = 0.0
-    var i = 0
-    while (i < nv) { val x = v.getDouble(i); vsq += x * x; i += 1 }
-    val vnorm = math.sqrt(vsq)
-    var best = 0.0
-    var bestCid = 0L
-    var first = true
-    var c = 0
-    while (c < centArr.length) {
-      val cv = centArr(c)
-      var dot = 0.0
-      i = 0
-      while (i < nv) { dot += v.getDouble(i) * cv(i); i += 1 }
-      val cos = dot / (vnorm * normArr(c))
-      if (first || SQLOrderingUtil.compareDoubles(cos, best) > 0) {
-        first = false; best = cos; bestCid = cidArr(c)
-      }
-      c += 1
-    }
+    val (best, bestCid) = CentroidScan.best(
+      input.asInstanceOf[ArrayData], "centroid_best", cidArr, centArr, normArr)
     new GenericInternalRow(Array[Any](best, -bestCid))
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, v => {
-      val cidsRef = ctx.addReferenceObj("cids", cidArr, "long[]")
-      val centsRef = ctx.addReferenceObj("cents", centArr, "double[][]")
-      val normsRef = ctx.addReferenceObj("norms", normArr, "double[]")
-      val i = ctx.freshName("i")
-      val c = ctx.freshName("c")
-      val nv = ctx.freshName("nv")
-      val n = ctx.freshName("n")
-      val vsq = ctx.freshName("vsq")
-      val vnorm = ctx.freshName("vnorm")
-      val dot = ctx.freshName("dot")
-      val cos = ctx.freshName("cos")
-      val best = ctx.freshName("best")
-      val bestCid = ctx.freshName("bestCid")
-      val first = ctx.freshName("first")
-      val cv = ctx.freshName("cv")
-      val x = ctx.freshName("x")
-      s"""
-         |int $nv = $v.numElements();
-         |if ($nv != $centsRef[0].length) {
-         |  throw new IllegalArgumentException("centroid_best: vector has " +
-         |    $nv + " elements, centroids have " + $centsRef[0].length);
-         |}
-         |double $vsq = 0.0;
-         |for (int $i = 0; $i < $nv; $i++) {
-         |  double $x = $v.getDouble($i); $vsq += $x * $x;
-         |}
-         |double $vnorm = java.lang.Math.sqrt($vsq);
-         |double $best = 0.0; long $bestCid = 0L; boolean $first = true;
-         |for (int $c = 0; $c < $centsRef.length; $c++) {
-         |  double[] $cv = $centsRef[$c];
-         |  double $dot = 0.0;
-         |  for (int $i = 0; $i < $nv; $i++) { $dot += $v.getDouble($i) * $cv[$i]; }
-         |  double $cos = $dot / ($vnorm * $normsRef[$c]);
-         |  if ($first || org.apache.spark.sql.catalyst.util.SQLOrderingUtil.compareDoubles($cos, $best) > 0) {
-         |    $first = false; $best = $cos; $bestCid = $cidsRef[$c];
-         |  }
-         |}
-         |${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-         |  new Object[]{ $best, -$bestCid });
-       """.stripMargin
+      val (scan, best, bestCid) =
+        CentroidScan.genBest(ctx, v, "centroid_best", cidArr, centArr, normArr)
+      scan +
+        s"""
+           |${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+           |  new Object[]{ $best, -$bestCid });
+         """.stripMargin
     })
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

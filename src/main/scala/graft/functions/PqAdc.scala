@@ -34,9 +34,14 @@ case class PqAdc(
     codebook: Seq[Seq[IndexedSeq[Double]]], // (m)(k)(j)
     subDim: Int) extends BinaryExpression {
 
+  require(subDim > 0, s"subDim must be > 0, got $subDim")
   require(codebook.nonEmpty && codebook.forall(_.nonEmpty), "empty codebook")
   require(codebook.forall(_.length == codebook.head.length), "ragged codebook")
   require(codebook.head.length <= 16, "K must be <= 16 (4-bit codes)")
+  // every codeword must span EXACTLY subDim dims (see PqEncode) — shorter
+  // AIOOBEs in the executor, longer silently scores a prefix
+  require(codebook.forall(_.forall(_.length == subDim)),
+    s"codeword length must equal subDim=$subDim")
   require(codebook.length * 4 <= 64, "too many subspaces to unpack")
 
   // Seq fields give VALUE equality (semanticEquals / cached-plan reuse);
@@ -90,7 +95,6 @@ case class PqAdc(
       val j = ctx.freshName("j")
       val off = ctx.freshName("off")
       val cw = ctx.freshName("cw")
-      val n = ctx.freshName("n")
       val d = ctx.freshName("d")
       val t = ctx.freshName("t")
       s"""

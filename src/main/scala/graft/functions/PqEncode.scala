@@ -42,6 +42,11 @@ case class PqEncode(
   require(codebook.nonEmpty && codebook.forall(_.nonEmpty), "empty codebook")
   require(codebook.forall(_.length == codebook.head.length), "ragged codebook")
   require(codebook.head.length <= 16, "K must be <= 16 (4-bit codes)")
+  // every codeword must span EXACTLY subDim dims: shorter would AIOOBE
+  // deep in an executor loop, longer would silently score a prefix —
+  // a wrong distance with no error (input contract, checked here)
+  require(codebook.forall(_.forall(_.length == subDim)),
+    s"codeword length must equal subDim=$subDim")
   require(mOffset >= 0 && (mOffset + codebook.length) * 4 <= 64,
     "too many subspaces to pack")
 
@@ -105,7 +110,6 @@ case class PqEncode(
       val off = ctx.freshName("off")
       val ks = ctx.freshName("ks")
       val cw = ctx.freshName("cw")
-      val n = ctx.freshName("n")
       val d = ctx.freshName("d")
       val t = ctx.freshName("t")
       val bestK = ctx.freshName("bestK")

@@ -101,7 +101,7 @@ object Scalars {
       Tables.orders(s, d)
         .groupBy(date_trunc("month", col("o_orderdate")).as("mon"))
         .agg(count(lit(1)).as("n"),
-             sum(col("o_totalprice").cast("decimal(18,4)")).cast("double").as("total"))
+             graft.operators.Relational.dsum(col("o_totalprice"), 4).as("total"))
         .orderBy("mon")
     },
 
@@ -139,7 +139,7 @@ object Scalars {
       Tables.events(s, d)
         .groupBy((k % 10).as("jk_bucket"))
         .agg(count(lit(1)).as("n"),
-             sum(col("value").cast("decimal(18,4)")).cast("double").as("val_sum"))
+             graft.operators.Relational.dsum(col("value"), 4).as("val_sum"))
         .orderBy("jk_bucket")
     },
 

@@ -22,7 +22,7 @@ object Events {
       Tables.events(s, d)
         .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
         .agg(count(lit(1)).as("n"),
-             sum(col("value").cast("decimal(18,4)")).cast("double").as("val_sum"))
+             Relational.dsum(col("value"), 4).as("val_sum"))
         .select(col("w.start").as("ws"), col("event_type"), col("n"), col("val_sum"))
         .orderBy("ws", "event_type")
     },
@@ -163,7 +163,7 @@ object Events {
         .join(broadcast(Tables.customer(s, d)), col("user_id") === col("c_custkey"))
         .groupBy("c_mktsegment", "event_type")
         .agg(count(lit(1)).as("n"),
-             sum(col("value").cast("decimal(18,4)")).cast("double").as("val_sum"))
+             Relational.dsum(col("value"), 4).as("val_sum"))
         .orderBy("c_mktsegment", "event_type")
     }
   )

@@ -16,8 +16,13 @@ import org.apache.spark.sql.expressions.Window
   */
 object Relational {
 
-  /** Exact decimal sum of a (possibly computed) double column, as DOUBLE. */
-  private def dsum(c: Column, scale: Int = 6): Column =
+  /** Exact decimal sum of a (possibly computed) double column, as DOUBLE —
+    * the shared determinism contract (exact DECIMAL accumulation,
+    * order-independent, double out) for every plain aggregate sum the
+    * oracle replays; window sums inline the pattern (`.over` must attach
+    * to the aggregate node itself).
+    */
+  private[graft] def dsum(c: Column, scale: Int = 6): Column =
     sum(c.cast(s"decimal(18,$scale)")).cast("double")
 
   val queries: Seq[Q] = Seq(

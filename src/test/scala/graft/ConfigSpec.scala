@@ -49,6 +49,25 @@ class ConfigSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException](GraftConfig.parse(
       "sources:\n  example: {}\ndestinations:\n  file:\n    path: /a\n    format: orc\n"))
     assert(e.getMessage.contains("Unknown format"))
+    // bucket destinations enforce the SAME format validation: an unknown
+    // format previously fell through SnapshotSink's `case _ => parquet`
+    // and silently uploaded parquet where the user asked for json
+    val s3 = intercept[IllegalArgumentException](GraftConfig.parse(
+      "sources:\n  example: {}\ndestinations:\n  s3:\n    uri: s3://b\n" +
+        "    region: r\n    format: json\n"))
+    assert(s3.getMessage.contains("Unknown format"))
+    val gcs = intercept[IllegalArgumentException](GraftConfig.parse(
+      "sources:\n  example: {}\ndestinations:\n  gcs:\n    uri: gs://b\n    format: cvs\n"))
+    assert(gcs.getMessage.contains("Unknown format"))
+  }
+
+  test("tab indentation is rejected with a parse error, not silently flattened") {
+    // indentOf counts spaces only — a tab-indented child used to parse as
+    // a TOP-LEVEL key, emptying `sources` and surfacing later as the
+    // misleading "No source in the configuration is available"
+    val e = intercept[IllegalArgumentException](GraftConfig.parse(
+      "sources:\n\texample: {}\ndestinations:\n  file:\n    path: /a\n"))
+    assert(e.getMessage.contains("tab indentation"), e.getMessage)
   }
 
   test("s3 destination requires region and normalizes the bucket") {
