@@ -148,12 +148,18 @@ object GraftConfig {
     val v = rawv match { case m: Map[_, _] => m.asInstanceOf[Map[String, Any]] case _ => Map.empty[String, Any] }
     def str(k: String): Option[String] = v.get(k).map(String.valueOf)
     def int(k: String, dflt: Int): Int = str(k).map(_.toInt).getOrElse(dflt)
+    // ONE format gate for every file-shaped destination (file/s3/gcs): an
+    // unknown format would fall through SnapshotSink's `case _ => parquet`
+    // and silently write parquet where the user asked for csv/json
+    def checkedFormat(): String = {
+      val fmt = str("format").getOrElse("parquet")
+      require(fileFormats(fmt), s"Unknown format: $fmt. Possible values: ${fileFormats.mkString(", ")}")
+      fmt
+    }
 
     val dest: Destination = name match {
       case "file" =>
-        val fmt = str("format").getOrElse("parquet")
-        require(fileFormats(fmt), s"Unknown format: $fmt. Possible values: ${fileFormats.mkString(", ")}")
-        ArrowDest(FileDestination(fmt, str("path").getOrElse(
+        ArrowDest(FileDestination(checkedFormat(), str("path").getOrElse(
           throw new IllegalArgumentException("Path must be defined")), int("batch_size", 100000)))
       case "s3" =>
         val region = str("region").getOrElse(
@@ -161,21 +167,14 @@ object GraftConfig {
         val uri = str("uri").getOrElse(throw new IllegalArgumentException("S3 uri must be defined"))
         val bucket = UriNormalizer.s3Bucket(uri).getOrElse(
           throw new IllegalArgumentException(s"Invalid S3 uri: $uri"))
-        // same format validation as `file`: an unknown format would fall
-        // through SnapshotSink's `case _ => parquet` and silently upload
-        // parquet where the user asked for csv/json
-        val s3fmt = str("format").getOrElse("parquet")
-        require(fileFormats(s3fmt), s"Unknown format: $s3fmt. Possible values: ${fileFormats.mkString(", ")}")
-        ArrowDest(FileDestination(s3fmt,
+        ArrowDest(FileDestination(checkedFormat(),
           str("path").getOrElse("/tmp/graft-stage"), int("batch_size", 100000),
           Some(bucket), Some(region), Some("s3")))
       case "gcs" =>
         val uri = str("uri").getOrElse(throw new IllegalArgumentException("GCS uri must be defined"))
         val bucket = UriNormalizer.gcsBucket(uri).getOrElse(
           throw new IllegalArgumentException(s"Invalid GCS uri: $uri"))
-        val gcsFmt = str("format").getOrElse("parquet")
-        require(fileFormats(gcsFmt), s"Unknown format: $gcsFmt. Possible values: ${fileFormats.mkString(", ")}")
-        ArrowDest(FileDestination(gcsFmt,
+        ArrowDest(FileDestination(checkedFormat(),
           str("path").getOrElse("/tmp/graft-stage"), int("batch_size", 100000),
           Some(bucket), None, Some("gcs")))
       case "sqlite" =>

@@ -1304,7 +1304,7 @@ object Similarity {
            // decimals are exact doubles in both engines, while mean's
            // sum/count lands on half-ulp round-to-6 boundaries whenever
            // count divides the sum evenly (systematic cross-engine skew)
-           sum(col("cos_r").cast("decimal(18,6)")).cast("double").as("sum_cos"))
+           graft.operators.Relational.dsum(col("cos_r")).as("sum_cos"))
     val vw = Window.partitionBy("qid").orderBy(col("votes").desc, col("label").asc)
     votes.withColumn("vr", row_number().over(vw)).filter(col("vr") === 1)
       .select(col("qid"), col("label").as("pred_label"), col("votes"),

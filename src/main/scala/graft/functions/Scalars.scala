@@ -117,8 +117,8 @@ object Scalars {
         |FROM lineitem GROUP BY bucket ORDER BY bucket""".stripMargin) { (s, d) =>
       Tables.lineitem(s, d)
         .groupBy((col("l_orderkey") % 7).as("bucket"))
-        .agg(sum(sqrt(col("l_quantity")).cast("decimal(18,8)")).cast("double").as("sqrt_sum"),
-             sum(log(col("l_extendedprice") + 1).cast("decimal(18,6)")).cast("double").as("ln_sum"),
+        .agg(graft.operators.Relational.dsum(sqrt(col("l_quantity")), 8).as("sqrt_sum"),
+             graft.operators.Relational.dsum(log(col("l_extendedprice") + 1)).as("ln_sum"),
              max(abs(col("l_discount") - 0.05)).as("max_absdiff"),
              min(ceil(col("l_quantity"))).as("min_ceil"),
              max(floor(col("l_quantity"))).as("max_floor"),

@@ -60,7 +60,7 @@ object StreamingOps {
     events
       .groupBy(window(col("ts"), width).as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"),
-           sum(col("value").cast("decimal(18,4)")).cast("double").as("val_sum"))
+           graft.operators.Relational.dsum(col("value"), 4).as("val_sum"))
       .select(col("w.start").as("ws"), col("event_type"), col("n"), col("val_sum"))
 
   /** §2.J4 watermarked variant: append-mode emission, late data dropped
