@@ -50,9 +50,13 @@ object Dsir {
     */
   def select(docs: org.apache.spark.sql.DataFrame, targetPred: org.apache.spark.sql.Column,
              k: Int, salt: String = "dsir"): org.apache.spark.sql.DataFrame = {
-    val feats = featBuckets(docs, targetPred)
+    // cache the exploded features ONCE: both distribution estimates (the
+    // target side inside lamDf and the raw side below) filter this cache —
+    // caching only the raw branch left the target count re-scanning the
+    // full docs source a second time (a complete extra corpus read at the
+    // 100 TB design point)
+    val feats = featBuckets(docs, targetPred).transform(CacheTracker.cached)
     val rf = feats.filter(!col("is_target")).drop("is_target")
-      .transform(CacheTracker.cached)
     val lam = lamDf(feats, rf)
     val u = (conv(substring(md5(concat(col("doc_id").cast("string"), lit(":" + salt))),
                             1, 8), 16, 10).cast("long") + 0.5) / 4294967296.0
@@ -75,7 +79,10 @@ object Dsir {
     */
   def lambdaTable(docs: org.apache.spark.sql.DataFrame,
                   targetPred: org.apache.spark.sql.Column): IndexedSeq[Double] = {
-    val feats = featBuckets(docs, targetPred)
+    // same single-scan discipline as [[select]]: target + raw estimates
+    // are separate subtrees of one plan, so without the cache each would
+    // re-scan the docs source
+    val feats = featBuckets(docs, targetPred).transform(CacheTracker.cached)
     val rows = lamDf(feats, feats.filter(!col("is_target"))).collect()
     val m = rows.map(r => r.getLong(0).toInt -> r.getDouble(1)).toMap
     (0 until D).map(b => m.getOrElse(b, 0.0))
@@ -102,11 +109,13 @@ object Dsir {
     val rc = raw.groupBy("b").agg(count(lit(1)).as("rcnt"))
     // an empty side would make its total NULL and silently null every λ
     // (and with it every score); fail with the contract instead
-    val tt = tc.agg(coalesce(sum("tcnt"), lit(null)).cast("double").as("t"))
+    // sum() over an empty input is already NULL — the isNull guard below
+    // is what detects the empty side
+    val tt = tc.agg(sum("tcnt").cast("double").as("t"))
       .select(when(col("t").isNull,
         raise_error(lit("dsir: target set has no features (empty targetPred?)")))
         .otherwise(col("t")).as("t"))
-    val rt = rc.agg(coalesce(sum("rcnt"), lit(null)).cast("double").as("r"))
+    val rt = rc.agg(sum("rcnt").cast("double").as("r"))
       .select(when(col("r").isNull,
         raise_error(lit("dsir: raw candidate set has no features")))
         .otherwise(col("r")).as("r"))
@@ -138,13 +147,7 @@ object Dsir {
   }
 
   /** First 8 md5 hex chars as a BIGINT, DuckDB side (32 bits). */
-  private def hex8Sql(e: String): String = {
-    val terms = (1 to 8).map { i =>
-      val mult = math.pow(16, 8 - i).toLong
-      s"(strpos('0123456789abcdef', substr(md5($e), $i, 1)) - 1) * $mult"
-    }
-    s"CAST(${terms.mkString(" + ")} AS BIGINT)"
-  }
+  private def hex8Sql(e: String): String = TextHash.hexNSql(e, 8)
 
   val queries: Seq[Q] = Seq(
 

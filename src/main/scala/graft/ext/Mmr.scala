@@ -45,10 +45,17 @@ object Mmr {
     * observable difference from a lazily-nested recurrence whose step
     * cost grows with the step index.
     */
-  def rerank(cands: DataFrame, sims: DataFrame, k: Int): DataFrame = {
+  def rerank(cands0: DataFrame, sims0: DataFrame, k: Int): DataFrame = {
     require(k >= 1, "k must be >= 1")
-    val spark = cands.sparkSession
+    val spark = cands0.sparkSession
     import spark.implicits._
+    // normalize id types ONCE at entry: the per-step collects below read
+    // ids with getLong, which ClassCastExceptions on an IntegerType
+    // qid/cand pool — int-keyed callers are legitimate library inputs
+    val cands = cands0.select(col("qid").cast("long").as("qid"),
+      col("cand").cast("long").as("cand"), col("rel"))
+    val sims = sims0.select(col("qid").cast("long").as("qid"),
+      col("a").cast("long").as("a"), col("b").cast("long").as("b"), col("sim"))
     val byQ = Window.partitionBy("qid")
     // Each greedy step's winners are COLLECTED (probes rows — metadata,
     // the Lloyd-round idiom) and re-injected as a literal frame, so every

@@ -67,6 +67,17 @@ object SubstringDedup {
     */
   val K = 32
 
+  /** Resolve a caller-supplied merge gap: `-1` (the sentinel default)
+    * means `k * sample`; any other negative is an error, and `0` is a
+    * VALID minimal gap (merge only identical/adjacent starts) — the old
+    * `> 0` sentinel test silently turned 0 into the default.
+    */
+  private[ext] def resolvedGap(mergeGap: Int, k: Int, sample: Int): Int = {
+    require(mergeGap >= -1,
+      s"mergeGap must be >= 0, or -1 for the default k*sample; got $mergeGap")
+    if (mergeGap >= 0) mergeGap else k * sample
+  }
+
   /** Static upper bound for the oracle's generate_series; any document
     * longer than this at oracle scale would make the oracle silently
     * incomplete, so keep it generously above testdata's max (~600 chars).
@@ -151,7 +162,7 @@ object SubstringDedup {
     require(k > 0, "k must be positive")
     require(sample > 0, "sample must be positive")
     require(minDocs > 0, "minDocs must be positive")
-    val gap = if (mergeGap > 0) mergeGap else k * sample
+    val gap = resolvedGap(mergeGap, k, sample)
     spansFromHashes(windowHashes(docs, k, sample), k, gap, minDocs)
   }
 
@@ -221,7 +232,7 @@ object SubstringDedup {
                        sample: Int = 1, mergeGap: Int = -1): DataFrame = {
     require(k > 0, "k must be positive")
     require(sample > 0, "sample must be positive")
-    val gap = if (mergeGap > 0) mergeGap else k * sample
+    val gap = resolvedGap(mergeGap, k, sample)
     val c = windowHashes(corpus, k, sample).withColumn("side", lit(0))
     val p = windowHashes(probe, k, sample).withColumn("side", lit(1))
     val byH = Window.partitionBy("h1", "h2")
@@ -236,10 +247,16 @@ object SubstringDedup {
     * actual training-data action: every duplicated region survives ONLY at
     * its first occurrence (least (doc_id, pos) corpus-wide) and is cut
     * everywhere else. One window pass: a position is cut iff its content
-    * hash's `row_number` ordered by (doc_id, pos) exceeds 1 — no counts,
-    * no joins; occurrence 1 is untouched by construction, so exactly one
-    * copy of every duplicated k-gram remains. Cut positions island-merge
-    * and [[trimSpans]] rebuilds the text.
+    * hash's `row_number` ordered by (doc_id, pos) exceeds 1 AND it does
+    * not overlap the kept first occurrence's extent `[fp, fp + k)` in the
+    * same document — without that guard, self-overlapping repeats (text
+    * with period < k, e.g. periodic boilerplate) island-merge INTO the
+    * first occurrence and destroy the one copy the contract promises to
+    * keep. No counts, no joins (first_value rides the same ordered window
+    * as row_number). Cut positions island-merge and [[trimSpans]] rebuilds
+    * the text. Caveat, inherent to span-cutting: for period-p text with
+    * p < k, only the k-gram phase starting at the kept position survives
+    * intact — the other p−1 phases' grams overlap the cut tail.
     *
     * Returns `(doc_id, text_clean)` for the whole corpus (clean docs pass
     * through verbatim and never shuffle their text).
@@ -248,11 +265,16 @@ object SubstringDedup {
                    mergeGap: Int = -1): DataFrame = {
     require(k > 0, "k must be positive")
     require(sample > 0, "sample must be positive")
-    val gap = if (mergeGap > 0) mergeGap else k * sample
+    val gap = resolvedGap(mergeGap, k, sample)
     val pos = windowHashes(docs, k, sample)
-    val rn = row_number().over(
-      Window.partitionBy("h1", "h2").orderBy("doc_id", "pos"))
-    val cut = pos.withColumn("rn", rn).filter(col("rn") > 1).select("doc_id", "pos")
+    val byHOrd = Window.partitionBy("h1", "h2").orderBy("doc_id", "pos")
+    val cut = pos
+      .withColumn("rn", row_number().over(byHOrd))
+      .withColumn("fd", first(col("doc_id")).over(byHOrd))
+      .withColumn("fp", first(col("pos")).over(byHOrd))
+      .filter(col("rn") > 1 &&
+        !(col("fd") === col("doc_id") && col("pos") < col("fp") + k))
+      .select("doc_id", "pos")
     trimSpans(docs, mergeSpans(cut, k, gap))
   }
 
@@ -336,19 +358,31 @@ object SubstringDedup {
        |  HAVING count(*) >= 2 AND count(DISTINCT doc_id) >= 2
        |),
        |hits AS (SELECT p.doc_id, p.pos FROM pos p WHERE p.h IN (SELECT h FROM dup)),
-       |flagged AS (
-       |  SELECT doc_id, pos,
-       |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= $k
-       |         THEN 0 ELSE 1 END AS brk
-       |  FROM hits
+       |${mergeSqlCtes(k)}
+       |SELECT doc_id, span_start, span_end FROM spans""".stripMargin
+
+  /** cpos/ppos/hits CTEs for the decontam pair: corpus-side window hashes
+    * (doc_id % 7 ≠ 0), the probe slice's distinct hashes (doc_id % 7 = 0),
+    * and the corpus positions whose hash leaks — shared verbatim by
+    * q_text_decontam_spans and q_text_decontam_trim so the two oracles
+    * cannot drift apart.
+    */
+  private def decontamHitsCtes(k: Int): String =
+    s"""cpos AS (
+       |  SELECT d.doc_id, t.i AS pos, md5(substr(d.text, t.i::int, $k)) AS h
+       |  FROM documents d
+       |  JOIN generate_series(1, $OracleMaxLen) t(i)
+       |    ON t.i <= length(d.text) - $k + 1
+       |  WHERE d.doc_id % 7 <> 0
        |),
-       |grp AS (
-       |  SELECT doc_id, pos,
-       |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS g
-       |  FROM flagged
-       |)
-       |SELECT doc_id, min(pos) AS span_start, max(pos) + $k - 1 AS span_end
-       |FROM grp GROUP BY doc_id, g""".stripMargin
+       |ppos AS (
+       |  SELECT DISTINCT md5(substr(d.text, t.i::int, $k)) AS h
+       |  FROM documents d
+       |  JOIN generate_series(1, $OracleMaxLen) t(i)
+       |    ON t.i <= length(d.text) - $k + 1
+       |  WHERE d.doc_id % 7 = 0
+       |),
+       |hits AS (SELECT c.doc_id, c.pos FROM cpos c WHERE c.h IN (SELECT h FROM ppos))""".stripMargin
 
   /** flagged→grp→spans island-merge CTEs (expects a `hits(doc_id, pos)`
     * CTE upstream) — the SQL mirror of [[mergeSpans]].
@@ -431,34 +465,9 @@ object SubstringDedup {
     // the shingle contamination queries shares no 32-char window with the
     // corpus at oracle scale, which would make this a trivial 0-row check).
     Q("q_text_decontam_spans",
-      s"""WITH cpos AS (
-         |  SELECT d.doc_id, t.i AS pos, md5(substr(d.text, t.i::int, $K)) AS h
-         |  FROM documents d
-         |  JOIN generate_series(1, $OracleMaxLen) t(i)
-         |    ON t.i <= length(d.text) - $K + 1
-         |  WHERE d.doc_id % 7 <> 0
-         |),
-         |ppos AS (
-         |  SELECT DISTINCT md5(substr(d.text, t.i::int, $K)) AS h
-         |  FROM documents d
-         |  JOIN generate_series(1, $OracleMaxLen) t(i)
-         |    ON t.i <= length(d.text) - $K + 1
-         |  WHERE d.doc_id % 7 = 0
-         |),
-         |hits AS (SELECT c.doc_id, c.pos FROM cpos c WHERE c.h IN (SELECT h FROM ppos)),
-         |flagged AS (
-         |  SELECT doc_id, pos,
-         |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= $K
-         |         THEN 0 ELSE 1 END AS brk
-         |  FROM hits
-         |),
-         |grp AS (
-         |  SELECT doc_id, pos,
-         |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS g
-         |  FROM flagged
-         |)
-         |SELECT doc_id, min(pos) AS span_start, max(pos) + $K - 1 AS span_end
-         |FROM grp GROUP BY doc_id, g
+      s"""WITH ${decontamHitsCtes(K)},
+         |${mergeSqlCtes(K)}
+         |SELECT doc_id, span_start, span_end FROM spans
          |ORDER BY doc_id, span_start""".stripMargin) { (s, d) =>
       val docs = Tables.documents(s, d)
       crossCorpusSpans(
@@ -469,62 +478,9 @@ object SubstringDedup {
 
     // ---- the actionable cut: corpus text with every leaked range removed ----
     Q("q_text_decontam_trim",
-      s"""WITH cpos AS (
-         |  SELECT d.doc_id, t.i AS pos, md5(substr(d.text, t.i::int, $K)) AS h
-         |  FROM documents d
-         |  JOIN generate_series(1, $OracleMaxLen) t(i)
-         |    ON t.i <= length(d.text) - $K + 1
-         |  WHERE d.doc_id % 7 <> 0
-         |),
-         |ppos AS (
-         |  SELECT DISTINCT md5(substr(d.text, t.i::int, $K)) AS h
-         |  FROM documents d
-         |  JOIN generate_series(1, $OracleMaxLen) t(i)
-         |    ON t.i <= length(d.text) - $K + 1
-         |  WHERE d.doc_id % 7 = 0
-         |),
-         |hits AS (SELECT c.doc_id, c.pos FROM cpos c WHERE c.h IN (SELECT h FROM ppos)),
-         |flagged AS (
-         |  SELECT doc_id, pos,
-         |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= $K
-         |         THEN 0 ELSE 1 END AS brk
-         |  FROM hits
-         |),
-         |grp AS (
-         |  SELECT doc_id, pos,
-         |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS g
-         |  FROM flagged
-         |),
-         |spans AS (
-         |  SELECT doc_id, min(pos) AS span_start, max(pos) + $K - 1 AS span_end
-         |  FROM grp GROUP BY doc_id, g
-         |),
-         |bounds AS (
-         |  SELECT doc_id, span_start, span_end,
-         |    coalesce(lag(span_end) OVER (PARTITION BY doc_id ORDER BY span_start), 0) AS prev_end
-         |  FROM spans
-         |),
-         |mid AS (SELECT doc_id, prev_end + 1 AS a, span_start - 1 AS b FROM bounds),
-         |tails AS (
-         |  SELECT s.doc_id, max(s.span_end) + 1 AS a, length(d.text) AS b
-         |  FROM spans s JOIN documents d USING (doc_id)
-         |  GROUP BY s.doc_id, length(d.text)
-         |),
-         |pieces AS (SELECT * FROM mid UNION ALL SELECT * FROM tails),
-         |glued AS (
-         |  SELECT p.doc_id,
-         |    string_agg(substr(d.text, p.a::int, (p.b - p.a + 1)::int), '' ORDER BY p.a) AS clean
-         |  FROM pieces p JOIN documents d USING (doc_id)
-         |  WHERE p.a <= p.b GROUP BY p.doc_id
-         |),
-         |affected AS (SELECT DISTINCT doc_id FROM spans)
-         |SELECT d.doc_id,
-         |  CASE WHEN a.doc_id IS NULL THEN d.text ELSE coalesce(g2.clean, '') END AS text_clean
-         |FROM documents d
-         |LEFT JOIN affected a USING (doc_id)
-         |LEFT JOIN glued g2 USING (doc_id)
-         |WHERE d.doc_id % 7 <> 0
-         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      s"""WITH ${decontamHitsCtes(K)},
+         |${mergeSqlCtes(K)},
+         |${trimSqlTail("WHERE d.doc_id % 7 <> 0")}""".stripMargin) { (s, d) =>
       val docs = Tables.documents(s, d)
       val corpus = docs.filter(col("doc_id") % 7 =!= 0)
       val probe = docs.filter(col("doc_id") % 7 === 0)
@@ -541,10 +497,13 @@ object SubstringDedup {
          |),
          |rns AS (
          |  SELECT doc_id, pos,
-         |    row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+         |    row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn,
+         |    first_value(doc_id) OVER (PARTITION BY h ORDER BY doc_id, pos) AS fd,
+         |    first_value(pos) OVER (PARTITION BY h ORDER BY doc_id, pos) AS fp
          |  FROM pos
          |),
-         |hits AS (SELECT doc_id, pos FROM rns WHERE rn > 1),
+         |hits AS (SELECT doc_id, pos FROM rns
+         |         WHERE rn > 1 AND NOT (doc_id = fd AND pos < fp + $K)),
          |${mergeSqlCtes(K)},
          |${trimSqlTail("")}""".stripMargin) { (s, d) =>
       selfDedupCut(Tables.documents(s, d)).orderBy("doc_id")

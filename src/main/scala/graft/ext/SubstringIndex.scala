@@ -100,7 +100,7 @@ object SubstringIndex {
   def probe(index: DataFrame, batch: DataFrame, k: Int = SubstringDedup.K,
             sample: Int = 1, buckets: Int = Buckets,
             mergeGap: Int = -1): DataFrame = {
-    val gap = if (mergeGap > 0) mergeGap else k * sample
+    val gap = SubstringDedup.resolvedGap(mergeGap, k, sample)
     val bw = withBucket(SubstringDedup.windowHashes(batch, k, sample), buckets)
     val hits = index
       .join(broadcast(bw), Seq("bucket", "h1", "h2"))

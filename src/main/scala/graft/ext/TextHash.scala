@@ -18,14 +18,20 @@ object TextHash {
   def h48(c: Column): Column =
     conv(substring(md5(c), 1, 12), 16, 10).cast("long")
 
-  /** Same hash as DuckDB SQL over an expression string. */
-  def h48Sql(e: String): String = {
-    val terms = (1 to 12).map { i =>
-      val mult = math.pow(16, 12 - i).toLong
+  /** First `n` md5 hex chars of an expression as BIGINT, DuckDB side —
+    * the one hex-decoding idiom every oracle shares (DuckDB has no conv).
+    */
+  def hexNSql(e: String, n: Int): String = {
+    require(n >= 1 && n <= 15, s"n must be 1..15 to fit a BIGINT, got $n")
+    val terms = (1 to n).map { i =>
+      val mult = math.pow(16, n - i).toLong
       s"(strpos('0123456789abcdef', substr(md5($e), $i, 1)) - 1) * $mult"
     }
     s"CAST(${terms.mkString(" + ")} AS BIGINT)"
   }
+
+  /** Same hash as DuckDB SQL over an expression string. */
+  def h48Sql(e: String): String = hexNSql(e, 12)
 
   /** 31-bit reduction used as minhash/simhash input. */
   def h31(c: Column): Column = h48(c) % Mersenne31

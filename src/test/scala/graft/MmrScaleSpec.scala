@@ -65,6 +65,19 @@ class MmrScaleSpec extends AnyFunSuite {
     assert(got.length == Probes * k)
   }
 
+  test("rerank accepts int-typed ids (library callers are not bound to LongType)") {
+    import spark.implicits._
+    val c = Seq((0, 1, 0.9), (0, 2, 0.8), (0, 3, 0.7))
+      .toDF("qid", "cand", "rel")
+    val s = Seq((0, 1, 2, 0.99), (0, 2, 1, 0.99), (0, 1, 3, 0.1),
+                (0, 3, 1, 0.1), (0, 2, 3, 0.1), (0, 3, 2, 0.1))
+      .toDF("qid", "a", "b", "sim")
+    val got = Mmr.rerank(c, s, 2).orderBy("step").collect()
+      .map(r => (r.getLong(1), r.getInt(2)))
+    // step 1 = top rel (cand 1); step 2 = cand 3 (cand 2 is near-dup of 1)
+    assert(got.toSeq === Seq((1L, 1), (3L, 2)))
+  }
+
   private def jobsFor(k: Int): Int = {
     val counter = new java.util.concurrent.atomic.AtomicInteger(0)
     val listener = new SparkListener {

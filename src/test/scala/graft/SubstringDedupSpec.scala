@@ -226,6 +226,36 @@ class SubstringDedupSpec extends AnyFunSuite {
     assert(graft.ext.SubstringDedup.duplicatedSpans(cleaned, k = 16).count() === 0L)
   }
 
+  test("selfDedupCut on self-overlapping periodic text keeps the first k chars intact") {
+    import spark.implicits._
+    // period-1 text: every 32-gram is identical, all occurrences overlap
+    // the first. Without the keep-first overlap guard the cut spans
+    // island-merge INTO the first occurrence and the doc collapses to one
+    // char — zero surviving copies of a duplicated gram.
+    val docs = Seq((0L, "a" * 100)).toDF("doc_id", "text")
+    val out = graft.ext.SubstringDedup.selfDedupCut(docs, k = 32).collect()
+    assert(out(0).getString(1) === "a" * 32)
+  }
+
+  test("mergeGap = 0 is honored as a minimal gap, not silently replaced by the default") {
+    import spark.implicits._
+    val x = noise(20)
+    // two copies of x in each of two docs, separated by > k noise: with
+    // gap 0 the per-copy windows still merge only where starts are
+    // adjacent... gap 0 means consecutive starts (diff <= 0) never merge,
+    // so every flagged position becomes its own span
+    val docs = Seq((0L, x + noise(40) + x), (1L, x + noise(35) + x))
+      .toDF("doc_id", "text")
+    val dflt = graft.ext.SubstringDedup.duplicatedSpans(docs, k = 16)
+    val zero = graft.ext.SubstringDedup.duplicatedSpans(docs, k = 16, mergeGap = 0)
+    // default merges each copy's overlapping windows into one span; gap 0
+    // leaves one span PER flagged window start — strictly more rows
+    assert(zero.count() > dflt.count())
+    val bad = intercept[IllegalArgumentException](
+      graft.ext.SubstringDedup.duplicatedSpans(docs, k = 16, mergeGap = -2))
+    assert(bad.getMessage.contains("mergeGap"))
+  }
+
   test("selfDedupCut within one doc keeps the first copy only") {
     import spark.implicits._
     val rep = noise(40)
