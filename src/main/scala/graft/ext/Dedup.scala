@@ -142,7 +142,7 @@ object Dedup {
     */
   private[graft] def mhBandedDf(s: SparkSession, d: String): DataFrame =
     minhashDf(s, d)
-      .select(col("doc_id"), posexplode(array((0 until 4).map { b =>
+      .select(col("doc_id"), posexplode(array((0 until MinhashBands).map { b =>
         struct(col(s"sig_${2 * b}").as("k1"), col(s"sig_${2 * b + 1}").as("k2"))
       }: _*)).as(Seq("band", "key")))
 
@@ -212,7 +212,7 @@ object Dedup {
     * reachable through the minhash candidate-pair graph.
     */
   private def closureWithSql: String = {
-    val bandCond = (0 until 4)
+    val bandCond = (0 until MinhashBands)
       .map(b => s"(a.sig_${2 * b} = b.sig_${2 * b} AND a.sig_${2 * b + 1} = b.sig_${2 * b + 1})")
       .mkString(" OR ")
     s"""WITH RECURSIVE sigs AS ($minhashSelect),
@@ -231,7 +231,7 @@ object Dedup {
   }
 
   /** "a and b agree on some LSH band" — the oracle-side join condition. */
-  private def bandCondSql(a: String, b: String): String = (0 until 4)
+  private def bandCondSql(a: String, b: String): String = (0 until MinhashBands)
     .map(x => s"($a.sig_${2 * x} = $b.sig_${2 * x} AND $a.sig_${2 * x + 1} = $b.sig_${2 * x + 1})")
     .mkString(" OR ")
 
@@ -269,7 +269,7 @@ object Dedup {
 
     // ---- LSH candidate pairs: 4 bands × 2 rows, equi-join per band ----
     Q("q_dedup_minhash_pairs", {
-      val bandCond = (0 until 4)
+      val bandCond = (0 until MinhashBands)
         .map(b => s"(a.sig_${2 * b} = b.sig_${2 * b} AND a.sig_${2 * b + 1} = b.sig_${2 * b + 1})")
         .mkString(" OR ")
       s"""WITH sigs AS ($minhashSelect)
@@ -328,7 +328,7 @@ object Dedup {
 
     // ---- simhash near-dup pairs: 8-bit band candidates + hamming rank ----
     Q("q_dedup_simhash_pairs", {
-      val bandCond = (0 until 4)
+      val bandCond = (0 until MinhashBands)
         .map(b => s"((a.simhash >> ${8 * b}) & 255 = (b.simhash >> ${8 * b}) & 255)")
         .mkString(" OR ")
       s"""WITH sims AS (SELECT * FROM ($simhashSelect) WHERE doc_id < 200)
@@ -341,7 +341,7 @@ object Dedup {
       // 4 bands of 8 simhash bits each, fingerprints carried through
       val banded = simhashDf(s, d, docFilter = col("doc_id") < 200)
         .select(col("doc_id"), col("simhash").as("sim"),
-          posexplode(array((0 until 4).map { b =>
+          posexplode(array((0 until MinhashBands).map { b =>
             shiftright(col("simhash"), 8 * b).bitwiseAND(255)
           }: _*)).as(Seq("band", "key")))
         .transform(CacheTracker.cached)
@@ -607,7 +607,7 @@ object Dedup {
     // PROBE, so that is what bench reps measure here; the one-time build
     // has its own timed line (q_dedup_index_build below).
     Q("q_dedup_incremental", {
-      val hit = (0 until 4).map { b =>
+      val hit = (0 until MinhashBands).map { b =>
         s"""(CASE WHEN EXISTS (SELECT 1 FROM sigs e WHERE e.doc_id % 2 = 0
            |  AND e.sig_${2 * b} = i.sig_${2 * b} AND e.sig_${2 * b + 1} = i.sig_${2 * b + 1})
            |  THEN 1 ELSE 0 END)""".stripMargin
@@ -643,7 +643,7 @@ object Dedup {
       s"""WITH sigs AS ($minhashSelect),
          |keys AS (
          |  SELECT DISTINCT band, k1, k2 FROM (
-         |    ${(0 until 4).map(b =>
+         |    ${(0 until MinhashBands).map(b =>
                s"SELECT $b AS band, sig_${2 * b} AS k1, sig_${2 * b + 1} AS k2 FROM sigs WHERE doc_id % 2 = 0")
                .mkString("\n    UNION ALL ")}
          |  )

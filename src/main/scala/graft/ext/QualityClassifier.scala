@@ -118,6 +118,11 @@ object QualityClassifier {
       bias = gBias.getDouble(1)
       r += 1
     }
+    // feats is fully consumed by the rounds above. Inside a CacheTracker
+    // scope the runner releases it at scope exit; outside one (library
+    // caller) nothing else ever could — the handle never escapes — so
+    // drop it here rather than strand a corpus-scale cache entry.
+    if (!CacheTracker.inScope) feats.unpersist(false)
     (w, bias)
   }
 

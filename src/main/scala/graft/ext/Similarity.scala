@@ -442,7 +442,9 @@ object Similarity {
     val cb = pqCodebook(vecDf)
     val probes = vecDf.filter(probePred)
       .select(col("vec_id").as("qid"), col("v").as("qv"))
-    val scored = pqCodes(vecDf)
+    // reuse the already-collected codebook: pqCodes(vecDf) would rebuild
+    // it — a second driver-side collect over the corpus plan per call
+    val scored = pqCodesWith(vecDf, cb)
       .join(broadcast(probes), col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("cand"),
         graft.functions.PqAdc.pq_adc(col("qv"), col("pq_code"), cb, PqSub).as("adc"))

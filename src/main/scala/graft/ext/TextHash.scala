@@ -73,4 +73,14 @@ object TextHash {
     (69069L, 362437L), (1664525L, 1013904223L),
     (22695477L, 1L), (134775813L, 1L),
     (214013L, 2531011L), (1597334677L, 51L))
+
+  /** LSH band layout: 2 signature rows per band. The band COUNT derives
+    * from the permutation count here — the one place — so the batch index
+    * ([[Dedup]]), its DuckDB oracles, and the streaming probe
+    * ([[graft.streaming.StreamingOps.minhashBanded]]) can never disagree
+    * when MinhashPerms grows (a mirrored literal in any of them would
+    * silently desync stream signatures from the at-rest index).
+    */
+  val MinhashRowsPerBand = 2
+  def MinhashBands: Int = MinhashPerms.size / MinhashRowsPerBand
 }

@@ -246,6 +246,13 @@ object GraphNormalizer {
         // a property-less kind is legal (all columns inherited/absent)
         val props = if (r.isNullAt(1)) Seq.empty[graft.model.KindProperty]
         else r.getSeq[Row](1).map { p =>
+          // validate BOTH fields here, with names — a null property kind
+          // otherwise survives to KindModel.sparkType and dies there as a
+          // bare NPE, far from the ingest and naming nothing
+          require(!p.isNullAt(0),
+            s"graph export: kind '${r.getString(0)}' has a property without a name")
+          require(!p.isNullAt(1),
+            s"graph export: kind '${r.getString(0)}' property '${p.getString(0)}' has no kind")
           graft.model.KindProperty(p.getString(0), p.getString(1),
             !p.isNullAt(2) && p.getBoolean(2))
         }

@@ -28,9 +28,12 @@ object GraphTraversal {
     // each hop's frontier is cached and materialized by the isEmpty probe,
     // so hop k never re-executes hops 1..k-1 (uncached, the chained lineage
     // would cost Θ(h²) join executions); `visited` is a union of cached
-    // nodes, cheap to scan at the end. Caches stay alive for the returned
-    // plan — callers drop them with spark.catalog.clearCache() / unpersist.
+    // nodes, cheap to scan at the end. Inside a CacheTracker scope the
+    // runner releases the per-hop caches at scope exit; outside one they
+    // are consolidated below so the CALLER can release everything.
+    val hops = scala.collection.mutable.ListBuffer.empty[DataFrame]
     var visited = starts.select(col("id")).distinct().withColumn("hops", lit(0)).transform(CacheTracker.cached)
+    hops += visited
     var frontier = visited
     var hop = 0
     while (hop < maxHops && !frontier.isEmpty) {
@@ -40,9 +43,21 @@ object GraphTraversal {
         .join(visited.select("id"), Seq("id"), "left_anti")
         .withColumn("hops", lit(hop))
         .transform(CacheTracker.cached)
+      hops += next
       visited = visited.unionByName(next)
       frontier = next // isEmpty materializes the cache on the next loop test
     }
-    visited
+    if (CacheTracker.inScope) visited
+    else {
+      // library caller, no scope to release the per-hop caches — and the
+      // returned union is the only handle they'd have, which unpersists
+      // NONE of them. Consolidate: materialize the result as ONE cache,
+      // drop the hop frontiers, and `result.unpersist()` now releases
+      // everything this call pinned.
+      val out = visited.cache()
+      out.count()
+      hops.foreach(_.unpersist(false))
+      out
+    }
   }
 }

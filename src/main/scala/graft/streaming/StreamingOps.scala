@@ -64,15 +64,12 @@ object StreamingOps {
       .select(col("w.start").as("ws"), col("event_type"), col("n"), col("val_sum"))
 
   /** §2.J4 watermarked variant: append-mode emission, late data dropped
-    * once the watermark passes the window end.
+    * once the watermark passes the window end. Same aggregate (and same
+    * output schema) as [[tumblingCounts]] — consumers can switch between
+    * the bounded-state and unbounded forms without a schema change.
     */
   def tumblingWithWatermark(events: DataFrame, width: String, lateness: String): DataFrame =
-    tumblingCountsOn(events.withWatermark("ts", lateness), width)
-
-  private def tumblingCountsOn(events: DataFrame, width: String): DataFrame =
-    events.groupBy(window(col("ts"), width).as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n"))
-      .select(col("w.start").as("ws"), col("event_type"), col("n"))
+    tumblingCounts(events.withWatermark("ts", lateness), width)
 
   /** §2.J5 stateful dedup bounded by the watermark (state is evictable —
     * the unbounded `dropDuplicates` would grow state forever on a real
@@ -143,8 +140,7 @@ object StreamingOps {
     val sigs = MinhashPerms.map { case (a, b) =>
       array_min(transform(hashes, h => (h * a + b) % Mersenne31))
     }
-    val bands = MinhashPerms.size / 2
-    docs.select(col("doc_id"), posexplode(array((0 until bands).map { b =>
+    docs.select(col("doc_id"), posexplode(array((0 until MinhashBands).map { b =>
       struct(sigs(2 * b).as("k1"), sigs(2 * b + 1).as("k2"))
     }: _*)).as(Seq("band", "key")))
       // a shingle-less doc's key is struct(null, null) — Spark's struct

@@ -347,6 +347,18 @@ class GraphExportSpec extends AnyFunSuite {
     assert(e.getMessage.contains("unparseable") && e.getMessage.contains("broken"))
   }
 
+  test("kind record with a property missing its kind fails at ingest, naming the property") {
+    val dir = Files.createTempDirectory("graft-export-badprop")
+    // property object lacks "kind": must fail AT INGEST with a diagnostic,
+    // not as a bare NPE later inside KindModel.sparkType
+    val badKind = """{"type":"kind","fqn":"bad_kind","properties":[{"name":"p"}]}"""
+    Files.write(dir.resolve("graph.jsonl"), (exportLines :+ badKind).asJava)
+    val e = intercept[IllegalArgumentException](
+      GraphNormalizer.fromJsonExport(spark, dir.toString))
+    assert(e.getMessage.contains("bad_kind") && e.getMessage.contains("'p'"),
+      e.getMessage)
+  }
+
   test("export without kind records is rejected unless a fallback model is given") {
     val dir = Files.createTempDirectory("graft-export-nomodel")
     val noKinds = exportLines.filterNot(_.contains("\"type\":\"kind\""))

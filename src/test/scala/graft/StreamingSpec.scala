@@ -107,21 +107,25 @@ class StreamingSpec extends AnyFunSuite {
     import spark.implicits._
     def ts(min: Int) = new Timestamp(3600_000L + min * 60_000L)
 
-    val mem = MemoryStream[(Timestamp, String)]
+    val mem = MemoryStream[(Timestamp, String, Double)]
     val q = StreamingOps
-      .tumblingWithWatermark(mem.toDF.toDF("ts", "event_type"), "10 minutes", "5 minutes")
+      .tumblingWithWatermark(mem.toDF.toDF("ts", "event_type", "value"),
+        "10 minutes", "5 minutes")
       .writeStream.format("memory").queryName("late_out")
       .outputMode("append").start()
     try {
-      mem.addData((ts(1), "a"), (ts(2), "a"))     // window [0,10)
+      mem.addData((ts(1), "a", 1.5), (ts(2), "a", 2.5))  // window [0,10)
       q.processAllAvailable()
-      mem.addData((ts(30), "a"))                  // watermark -> 25min: closes [0,10)
+      mem.addData((ts(30), "a", 0.0))             // watermark -> 25min: closes [0,10)
       q.processAllAvailable()
-      mem.addData((ts(3), "late"))                // < watermark: DROPPED
-      mem.addData((ts(31), "a"))
+      mem.addData((ts(3), "late", 9.0))           // < watermark: DROPPED
+      mem.addData((ts(31), "a", 0.0))
       q.processAllAvailable()
       val emitted = spark.table("late_out").collect().toSeq
       assert(emitted.map(_.getLong(2)).sum == 2)  // only the two on-time [0,10) events
+      // the watermarked variant carries the SAME aggregate schema as
+      // tumblingCounts — val_sum present and exact
+      assert(emitted.map(_.getDouble(3)).sum == 4.0)
       assert(!emitted.exists(_.getString(1) == "late"))
     } finally q.stop()
   }
