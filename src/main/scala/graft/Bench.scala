@@ -112,7 +112,7 @@ object Bench {
     // exit 0 even with failures: the driver consumes the stdout JSON line,
     // and a nonzero exit could zero the whole round's bench artifact — the
     // "failed" field is the loud signal
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":${Verify.jsonStr(sfDir)}}""")
     spark.stop()
   }
 }

@@ -30,11 +30,23 @@ import scala.util.DynamicVariable
   * entered [[scope]] (a DynamicVariable is thread-local), which is how
   * Verify's per-query futures behave; Spark's own executor threads never
   * call [[cached]].
+  *
+  * Ownership: a plan whose CacheManager entry existed BEFORE its first
+  * in-scope reference is treated as foreign — an outside-scope caller
+  * created it, and scope exits will never unpersist it. The converse
+  * (a library caller cache()-ing a plan a scope already holds) is
+  * undetectable — their cache() no-ops on the scope's entry — so
+  * long-lived external caches should be created before scoped work
+  * probes them (the write-once/probe-many index pattern already does).
   */
 object CacheTracker {
   private val current = new DynamicVariable[java.util.List[Dataset[_]]](null)
   private val currentCp = new DynamicVariable[java.util.List[Dataset[_]]](null)
   private val refs = new java.util.HashMap[LogicalPlan, Int]()
+  // plans whose CacheManager entry PRE-EXISTED the first in-scope
+  // reference: an outside-scope caller (library user holding an index)
+  // owns those — scopes borrow them and must never unpersist them
+  private val foreign = new java.util.HashSet[LogicalPlan]()
 
   private def keyOf(ds: Dataset[_]): LogicalPlan =
     ds.queryExecution.analyzed.canonicalized
@@ -47,14 +59,31 @@ object CacheTracker {
     */
   def inScope: Boolean = current.value != null
 
-  /** `ds.cache()`, recorded in the enclosing [[scope]] if one is active. */
+  /** `ds.cache()`, recorded in the enclosing [[scope]] if one is active.
+    *
+    * Register + cache happen under the refs lock, paired with the
+    * decrement + unpersist in [[scope]]'s exit: without that pairing, a
+    * scope exiting between a sibling's register and its cache() call
+    * could unpersist the shared entry the sibling just adopted (its
+    * cache() no-ops against the still-present CacheManager entry), and
+    * the sibling would run uncached — or worse, lose blocks mid-job.
+    */
   def cached[T](ds: Dataset[T]): Dataset[T] = {
     val buf = current.value
     if (buf != null) {
-      refs.synchronized { refs.merge(keyOf(ds), 1, (a, b) => a + b); () }
+      refs.synchronized {
+        val k = keyOf(ds)
+        val n = refs.merge(k, 1, (a, b) => a + b)
+        // first in-scope reference to an ALREADY-cached plan: an
+        // outside-scope caller owns the entry (e.g. a write-once index
+        // cached by a library user, probed by scoped queries) — mark it
+        // so no scope ever drops it out from under them
+        if (n == 1 && ds.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
+          foreign.add(k)
+        ds.cache()
+      }
       buf.add(ds)
-    }
-    ds.cache()
+    } else ds.cache()
     ds
   }
 
@@ -99,12 +128,18 @@ object CacheTracker {
     try current.withValue(buf)(currentCp.withValue(cpBuf)(body))
     finally {
       buf.forEach { ds =>
-        val k = keyOf(ds)
-        val remaining = refs.synchronized {
+        // decrement AND unpersist inside the lock — see [[cached]] for
+        // the register-side pairing (unpersist is non-blocking, so the
+        // critical section stays short)
+        refs.synchronized {
+          val k = keyOf(ds)
           val n = refs.getOrDefault(k, 1) - 1
-          if (n <= 0) { refs.remove(k); 0 } else { refs.put(k, n); n }
+          if (n <= 0) {
+            refs.remove(k)
+            val ownedOutside = foreign.remove(k)
+            if (!ownedOutside) ds.unpersist(blocking = false)
+          } else refs.put(k, n)
         }
-        if (remaining == 0) ds.unpersist(blocking = false)
       }
       cpBuf.forEach(releaseLocalCheckpoint)
     }

@@ -102,7 +102,11 @@ object Main {
 
   def main(argv: Array[String]): Unit = {
     val args = try parseArgs(argv.toSeq) catch {
-      case e: IllegalArgumentException => sys.error(e.getMessage)
+      case e: IllegalArgumentException =>
+        // argparse-style CLI error: one line on stderr + exit 2, not a
+        // JVM stack trace (sys.error would just rethrow)
+        System.err.println(s"error: ${e.getMessage}")
+        sys.exit(2)
     }
     if (args.version) { println(s"Graft Version $Version (cloud2sql-compatible)"); return }
     if (args.createConfig) { print(createConfigYaml); return }

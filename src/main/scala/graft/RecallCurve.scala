@@ -201,7 +201,7 @@ object RecallCurve {
     }
     index.unpersist()
 
-    println(s"""{"sf":"$sfDir","k":$K,"n_probes":${truth.size},"corpus":$corpusN,""" +
+    println(s"""{"sf":${Verify.jsonStr(sfDir)},"k":$K,"n_probes":${truth.size},"corpus":$corpusN,""" +
       s""""points":[${points.mkString(",")}]}""")
     spark.stop()
   }

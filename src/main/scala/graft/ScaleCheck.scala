@@ -155,7 +155,10 @@ object ScaleCheck {
         // the old h1-mod bucketing would otherwise be probed with the new
         // bucket function and silently miss every hit
         val idxDir = s"$dir/substr_index_mixed"
-        if (!new java.io.File(idxDir).exists())
+        // _SUCCESS, not bare dir existence: a run killed mid-write leaves
+        // the directory with partial buckets, and probing a partial index
+        // reports silently-wrong exponents instead of re-building
+        if (!new java.io.File(s"$idxDir/_SUCCESS").exists())
           ext.SubstringIndex.write(docs.filter(col("doc_id") % 7 =!= 0), idxDir)
         val index = ext.SubstringIndex.load(spark, idxDir)
         // copy 0 keeps original doc ids: the same 20 probe docs exist at
@@ -257,12 +260,13 @@ object ScaleCheck {
   }
 
   /** Write `c` tagged copies of documents+embeddings under `out`
-    * (idempotent: skipped only when BOTH tables exist — a run killed
-    * between the two writes must re-fire, and overwrite mode makes the
-    * re-write safe). */
+    * (idempotent: skipped only when BOTH tables carry their _SUCCESS
+    * marker — bare directory existence would accept a write the run was
+    * killed in the middle of, and every later run would silently measure
+    * against a truncated table; overwrite mode makes the re-write safe). */
   private def gen(spark: SparkSession, src: String, out: String, c: Int): Unit = {
-    if (new java.io.File(s"$out/documents.parquet").exists() &&
-        new java.io.File(s"$out/embeddings.parquet").exists()) return
+    if (new java.io.File(s"$out/documents.parquet/_SUCCESS").exists() &&
+        new java.io.File(s"$out/embeddings.parquet/_SUCCESS").exists()) return
     val docs = Tables.documents(spark, src)
     val emb = Tables.embeddings(spark, src)
     val docCopies = (0 until c).map { i =>

@@ -62,9 +62,14 @@ object Tables {
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     raw.schema("ts").dataType match {
       case LongType =>
-        // integer DIV, not `/`: long `/` is double division in Spark and
-        // loses sub-µs exactness at 1e18-scale nano counts
-        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+        // integer FLOOR division, not `/` (double division loses sub-µs
+        // exactness at 1e18-scale nano counts) and not bare DIV (DIV
+        // truncates toward zero, so a PRE-EPOCH nano count with a sub-µs
+        // remainder would land 1 µs late vs DuckDB's flooring nanos→micros
+        // conversion). `(ts - pmod(ts, 1000)) DIV 1000` floors exactly for
+        // either sign: pmod is the nonnegative remainder
+        raw.withColumn("ts",
+          timestamp_micros(expr("(ts - pmod(ts, 1000)) DIV 1000")))
       case TimestampNTZType =>
         // the NTZ→TZ cast interprets wall-clock values in the SESSION
         // timezone; the producers write UTC instants, so any other session

@@ -9,6 +9,10 @@ object Verify {
     val (sfDir, outDir, only) = args match {
       case Array(s, o)    => (s, o, None)
       case Array(s, o, f) => (s, o, Some(f.split(',').toSet))
+      case _ =>
+        System.err.println(
+          "usage: graft.Verify <sfDir> <outDir> [comma-separated query names]")
+        sys.exit(2)
     }
     def keep(name: String): Boolean = only.forall(_.contains(name))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -119,8 +123,9 @@ object Verify {
   // JSON string escape: backslash, quote, and ALL control chars (<0x20)
   // — a tab or CR in builder-authored SQL (or a multi-line exception
   // message) would otherwise make the driver's json.load fail and silently
-  // zero the round's correctness.
-  private def jsonStr(s: String): String = "\"" + s.flatMap {
+  // zero the round's correctness. Shared by Bench/ScaleCheck/RecallCurve
+  // for their interpolated path fields — one escaping implementation.
+  private[graft] def jsonStr(s: String): String = "\"" + s.flatMap {
     case '"'  => "\\\""
     case '\\' => "\\\\"
     case '\n' => "\\n"

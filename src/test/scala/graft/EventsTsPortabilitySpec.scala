@@ -130,6 +130,17 @@ class EventsTsPortabilitySpec extends AnyFunSuite {
     }
   }
 
+  test("nano normalization FLOORS pre-epoch timestamps (DIV truncates toward zero)") {
+    import spark.implicits._
+    // -1500 ns = 1969-12-31T23:59:59.9999985Z. Floor → -2 µs; bare DIV
+    // would truncate to -1 µs, one microsecond LATE vs DuckDB's flooring
+    // nanos→micros conversion.
+    val raw = Seq((-1500L, "pre"), (1500L, "post")).toDF("ts", "event_type")
+    val got = Tables.normalizeEventsTs(raw)
+      .select(unix_micros(col("ts"))).as[Long].collect().sorted
+    assert(got.toSeq === Seq(-2L, 1L))
+  }
+
   test("NTZ events refuse a non-UTC session timezone instead of shifting") {
     // the NTZ→TZ cast reads wall-clock values in the SESSION timezone; a
     // non-UTC session would silently shift every instant by the zone offset
