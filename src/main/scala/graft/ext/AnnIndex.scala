@@ -53,11 +53,18 @@ object AnnIndex {
     * selection is projection-only, candidates come from the cid join
     * (dynamic partition pruning restricts the scan to probed cells), and
     * scoring reads stored codes only.
+    *
+    * `excludeSelf` (default true) drops index rows whose vec_id equals
+    * the probe's — correct when probes are drawn FROM the indexed corpus.
+    * Pass false when the probe set is external (its own id space): an id
+    * collision there is coincidence, and excluding it would silently drop
+    * a true neighbor from the top-k.
     */
   def probe(index: DataFrame, probeVecs: DataFrame,
             cents: Seq[(Long, Seq[Double], Double)],
-            cb: Seq[Seq[Seq[Double]]], nprobe: Int, k: Int): DataFrame =
-    Similarity.probeIndex(index, probeVecs, cents, cb, nprobe, k)
+            cb: Seq[Seq[Seq[Double]]], nprobe: Int, k: Int,
+            excludeSelf: Boolean = true): DataFrame =
+    Similarity.probeIndex(index, probeVecs, cents, cb, nprobe, k, excludeSelf)
 
   /** Static-pruning scan of known cells: the literal IN-predicate reaches
     * the scan as a `PartitionFilters` entry, so unprobed cell directories

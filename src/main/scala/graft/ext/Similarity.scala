@@ -506,15 +506,21 @@ object Similarity {
   private[graft] def probeIndex(index: DataFrame, probeVecs: DataFrame,
                                 cents: Seq[(Long, Seq[Double], Double)],
                                 cb: Seq[Seq[Seq[Double]]],
-                                nprobe: Int, k: Int): DataFrame = {
+                                nprobe: Int, k: Int,
+                                excludeSelf: Boolean = true): DataFrame = {
     val probes = probeVecs
       .select(col("vec_id").as("qid"), col("v").as("qv"),
         explode(topCells(cents, col("v"), nprobe)).as("sc"))
       .select(col("qid"), col("qv"), (-col("sc.ncid")).as("cid"))
     // each candidate lives in exactly one cell and a probe's nprobe cells
     // are distinct, so (qid, cand) pairs need no dedup
-    val scored = index.join(broadcast(probes), Seq("cid"))
-      .filter(col("vec_id") =!= col("qid"))
+    val joined = index.join(broadcast(probes), Seq("cid"))
+    // excludeSelf drops the probe's own corpus row — correct when probes
+    // ARE corpus rows (the declared queries); set false for an EXTERNAL
+    // probe set, whose ids are a different id space and an equal id is a
+    // coincidence, not self (dropping it would silently lose a true
+    // neighbor)
+    val scored = (if (excludeSelf) joined.filter(col("vec_id") =!= col("qid")) else joined)
       .select(col("qid"), col("vec_id").as("cand"),
         graft.functions.PqAdc.pq_adc(col("qv"), col("pq_code"), cb, PqSub).as("adc"))
     val w = Window.partitionBy("qid").orderBy(col("adc").asc, col("cand").asc)

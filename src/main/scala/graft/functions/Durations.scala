@@ -9,7 +9,13 @@ import org.apache.spark.sql.functions._
   * codegen.
   */
 object Durations {
-  private val Pat = "^(\\d+)([smhdw])$"
+  // 1..13 digits: 9999999999999 * 604800 ≈ 6.0e18 < Long.MaxValue, so an
+  // in-pattern match can NEVER overflow the cast or the multiply. An
+  // unbounded \d+ would diverge cross-engine on absurd inputs: Spark's
+  // non-ANSI cast yields NULL (or a silently wrapped product) where
+  // DuckDB raises a conversion error. Longer digit runs now simply fail
+  // the pattern -> NULL in BOTH engines, like any other malformed string.
+  private val Pat = "^(\\d{1,13})([smhdw])$"
 
   /** `'60d'` -> 5184000L (seconds); null for non-matching strings. */
   def durationToSeconds(c: Column): Column = {

@@ -77,8 +77,13 @@ object AsofJoin {
         s"${outClash.mkString(", ")} — alias them via (rightName -> outName)")
     val payload = struct(rightCols.map { case (f, t) => col(f).as(t) }: _*)
     // NULL-ts right rows can never match (predicate UNKNOWN) — and unfiltered
-    // they would sort NULLS FIRST and carry into every unmatched left row
-    val r0 = right.filter(col(rightTs).isNotNull)
+    // they would sort NULLS FIRST and carry into every unmatched left row.
+    // NULL-KEY right rows likewise: SQL equality never matches NULL = NULL,
+    // but Window.partitionBy groups the NULLs into ONE partition, so
+    // without the filter a NULL-key right row would phantom-match every
+    // NULL-key left row (a NULL-key LEFT row needs no filter — its
+    // partition is then empty of right rows and the payload stays null)
+    val r0 = right.filter(col(rightTs).isNotNull && col(key).isNotNull)
       .select(col(key).as("__k"), col(rightTs).as("__ts"),
               lit(0).as("__tag"), payload.as("__rp"))
     val rpType = r0.schema("__rp").dataType

@@ -38,6 +38,14 @@ object BandJoin {
     require(radius > 0, s"radius must be > 0, got $radius")
     require(!(probe.columns ++ build.columns).contains("__band"),
       "__band is reserved by BandJoin.range")
+    // enforce (not just document) the disjointness: overlapping names
+    // would join fine and then fail far downstream with
+    // AMBIGUOUS_REFERENCE on first use — the deferred failure the
+    // reserved-name requires exist to prevent
+    val overlap = probe.columns.intersect(build.columns)
+    require(overlap.isEmpty,
+      s"BandJoin.range: probe and build share column name(s): " +
+        s"${overlap.mkString(", ")} — rename one side")
     val p = probe.withColumn("__band", floor(probeVal / radius).cast("long"))
     // ±2, not ±1: covers the one-sided upward floor flip at FP bucket
     // edges (object doc) — a pair exactly at the radius boundary with a

@@ -20,6 +20,14 @@ import org.apache.spark.sql.SparkSession
   */
 object Compaction {
 
+  /** Sibling-directory suffixes of the crash-safe swap — shared with
+    * [[Vacuum.vacuumCompaction]], which must heal/collect EXACTLY the
+    * names `compact` writes (a drifting literal would leave crashed
+    * compactions stranding full table copies the vacuum never finds).
+    */
+  private[operators] val StagingSuffix = ".__compact_staging"
+  private[operators] val RetiredSuffix = ".__compact_retired"
+
   final case class CompactionReport(
       filesBefore: Int, filesAfter: Int, bytes: Long, targetFiles: Int)
 
@@ -35,19 +43,27 @@ object Compaction {
     */
   def compact(spark: SparkSession, path: String,
               targetBytes: Long = 128L * 1024 * 1024): CompactionReport = {
+    // 0 would make the partition target Infinity → Int.MaxValue
+    // repartition; negative would silently compact everything to 1 file
+    require(targetBytes > 0, s"targetBytes must be > 0, got $targetBytes")
     val dir = new Path(path)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // derive siblings from the NORMALIZED path — string concatenation on a
     // trailing-slash `path` would nest them INSIDE the table directory and
     // the promote rename would fail after the rewrite was already paid
-    val staging = new Path(dir.getParent, dir.getName + ".__compact_staging")
-    val retired = new Path(dir.getParent, dir.getName + ".__compact_retired")
+    val staging = new Path(dir.getParent, dir.getName + StagingSuffix)
+    val retired = new Path(dir.getParent, dir.getName + RetiredSuffix)
     // self-heal a previous crash FIRST (before sizing the input)
     graft.sink.DirSwap.heal(fs, dir, retired)
     fs.delete(staging, true)
 
+    // exclude BOTH hidden-name conventions Spark's reader skips: '_'
+    // (markers like _SUCCESS) and '.' (e.g. .part-*.crc on checksum
+    // filesystems) — counting dotfiles would inflate the report's
+    // files/bytes and let a data-less dir pass the nonEmpty gate
     def listData() = fs.listStatus(dir)
-      .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
+      .filter(f => f.isFile && !f.getPath.getName.startsWith("_") &&
+        !f.getPath.getName.startsWith("."))
     // (name, length, mtime) — mtime catches a same-size in-place overwrite
     // that the (name, length) pair alone would miss
     def sig(fst: Array[org.apache.hadoop.fs.FileStatus]) =

@@ -29,9 +29,23 @@ object SkewJoin {
     require(!fact.columns.contains("__salt") && !dim.columns.contains("__salt"),
       "salted reserves column name __salt; rename it on the input")
     // per-row content hash — deterministic, spreads a hot KEY because its
-    // rows differ in the other columns
+    // rows differ in the other columns. Map-bearing columns are excluded:
+    // hash() rejects MapType at analysis time (map equality is unordered),
+    // and a fact table with an attrs map would otherwise fail salted where
+    // the plain join works. If ONLY map columns exist beyond the keys the
+    // salt degenerates to per-key (no spread) — the documented limit.
+    def mapFree(dt: org.apache.spark.sql.types.DataType): Boolean = {
+      import org.apache.spark.sql.types._
+      dt match {
+        case s: StructType => s.fields.forall(f => mapFree(f.dataType))
+        case a: ArrayType  => mapFree(a.elementType)
+        case _: MapType    => false
+        case _             => true
+      }
+    }
+    val saltCols = fact.schema.fields.filter(f => mapFree(f.dataType)).map(f => col(f.name)).toSeq
     val saltedFact = fact.withColumn("__salt",
-      pmod(hash(fact.columns.map(col).toSeq: _*), lit(saltFactor)))
+      pmod(hash((if (saltCols.nonEmpty) saltCols else keys.map(col)): _*), lit(saltFactor)))
     val replicatedDim = dim.withColumn("__salt",
       explode(array((0 until saltFactor).map(lit): _*)))
     saltedFact.join(replicatedDim, keys :+ "__salt").drop("__salt")

@@ -15,7 +15,13 @@ import org.apache.spark.sql.functions._
   */
 object SnapshotDiff {
 
-  /** @return one row per key present in either snapshot:
+  /** PRECONDITION: `keys` uniquely identifies a row within each snapshot
+    * (the snapshot model's primary key). Duplicate keys are NOT detected
+    * — enforcing uniqueness would cost a full aggregation pass per call —
+    * and make the full-outer join emit a per-key cross product with mixed
+    * statuses instead of one row.
+    *
+    * @return one row per key present in either snapshot:
     *         (keys…, status ∈ added|removed|changed|unchanged)
     */
   def diff(prev: DataFrame, curr: DataFrame, keys: Seq[String]): DataFrame = {

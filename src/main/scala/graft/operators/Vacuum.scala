@@ -68,8 +68,8 @@ object Vacuum {
                        nowMs: Long = System.currentTimeMillis()): VacuumReport = {
     val dir = new Path(table)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val staging = new Path(dir.getParent, dir.getName + ".__compact_staging")
-    val retired = new Path(dir.getParent, dir.getName + ".__compact_retired")
+    val staging = new Path(dir.getParent, dir.getName + Compaction.StagingSuffix)
+    val retired = new Path(dir.getParent, dir.getName + Compaction.RetiredSuffix)
     val hadRetired = fs.exists(retired)
     val hadLive = fs.exists(dir)
     graft.sink.DirSwap.heal(fs, dir, retired)

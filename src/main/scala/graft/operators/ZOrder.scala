@@ -62,6 +62,10 @@ object ZOrder {
       .write.mode("overwrite").parquet(path)
 
   private val Bits = 10 // keys bucketed to [0, 1024)
+  // top 6 of the 2·Bits interleaved z bits = 64 segments; DERIVED so a
+  // Bits change cannot silently leave a stale shift in engine + oracle
+  // (both share this constant) and break the 64-segment contract
+  private val SegShift = 2 * Bits - 6
 
   val queries: Seq[Q] = Seq(
 
@@ -77,7 +81,7 @@ object ZOrder {
          |  CAST(sum(CASE WHEN x >= 256 AND x < 384 AND y >= 512 AND y < 640
          |       THEN 1 ELSE 0 END) AS BIGINT) AS n_in_box
          |FROM (
-         |  SELECT $z AS z, ($z) >> 14 AS seg,
+         |  SELECT $z AS z, ($z) >> $SegShift AS seg,
          |    l_partkey % 1024 AS x, l_orderkey % 1024 AS y
          |  FROM lineitem
          |)
@@ -87,7 +91,7 @@ object ZOrder {
         (col("l_partkey") % 1024).as("x"), (col("l_orderkey") % 1024).as("y"))
       base
         .select(col("x"), col("y"), zval(col("x"), col("y"), Bits).as("z"))
-        .groupBy(shiftright(col("z"), 14).as("seg"))
+        .groupBy(shiftright(col("z"), SegShift).as("seg"))
         .agg(count(lit(1)).as("n"), min("z").as("min_z"), max("z").as("max_z"),
              sum(when(col("x") >= 256 && col("x") < 384 &&
                       col("y") >= 512 && col("y") < 640, 1).otherwise(0))

@@ -149,6 +149,31 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("asof join: NULL keys never match (SQL equality), left NULL-key rows get no payload") {
+    def ts(s: Int) = new Timestamp(s * 1000L)
+    // SQL `l.k = r.k` is UNKNOWN for NULL keys, but Window.partitionBy
+    // groups NULLs into ONE partition — without the right-side key filter
+    // a NULL-key right row would phantom-match every NULL-key left row
+    val left = Seq((Option.empty[Long], ts(10), "p1"), (Option(1L), ts(10), "p2"))
+      .toDF("k", "ts", "pid")
+    val right = Seq((Option.empty[Long], ts(5), "vN"), (Option(1L), ts(5), "v1"))
+      .toDF("k", "ts", "vid")
+    val got = AsofJoin.leftAsof(left, right, "k", "ts", "ts",
+        Seq("vid" -> "match_vid"))
+      .select("pid", "match_vid").as[(String, Option[String])].collect().toMap
+    assert(got == Map("p1" -> None, "p2" -> Some("v1")), s"got $got")
+  }
+
+  test("salted skew join tolerates map-typed fact columns (hash excludes them)") {
+    val fact = Seq((1, Map("a" -> "b")), (1, Map("c" -> "d")), (2, Map.empty[String, String]))
+      .toDF("k", "attrs")
+    val dim = Seq((1, "one"), (2, "two")).toDF("k", "name")
+    val got = graft.operators.SkewJoin.salted(fact, dim, Seq("k"), saltFactor = 4)
+      .groupBy("k", "name").count().orderBy("k")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == Seq((1, "one", 2L), (2, "two", 1L)))
+  }
+
   test("shingles guard short documents") {
     val df = Seq("a b", "a b c d e f").toDF("text")
       .select(TextHash.shinglesFromTokens(TextHash.tokens(col("text")), 5).as("sh"))
