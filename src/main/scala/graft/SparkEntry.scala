@@ -48,7 +48,10 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
+    * Built THROUGH byName so a duplicate query name fails here too — a
+    * driver that only enumerates oracles must hit the same guard, not a
+    * silently shadowed map.
     */
   def oracleSql: Map[String, String] =
-    modules.flatMap(q => q.oracle.map(q.name -> _)).toMap
+    byName.flatMap { case (n, q) => q.oracle.map(n -> _) }
 }

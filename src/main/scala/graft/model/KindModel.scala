@@ -44,7 +44,9 @@ final case class KindModel(kinds: Seq[Kind]) {
   }
 
   /** Spark type for a model type name (SURVEY §1.2 mapping). */
-  def sparkType(kindName: String): DataType = kindName match {
+  def sparkType(kindName: String): DataType = sparkType(kindName, Set.empty)
+
+  private def sparkType(kindName: String, expanding: Set[String]): DataType = kindName match {
     case "string" | "any"          => StringType // `any` carries JSON text
     case "int32"                   => IntegerType
     case "int64"                   => LongType
@@ -54,12 +56,21 @@ final case class KindModel(kinds: Seq[Kind]) {
     case "datetime"                => TimestampType
     case "date"                    => DateType
     case "duration"                => LongType // seconds
-    case a if a.endsWith("[]")     => ArrayType(sparkType(a.dropRight(2)))
+    case a if a.endsWith("[]")     => ArrayType(sparkType(a.dropRight(2), expanding))
     case d if d.startsWith("dictionary[") =>
       val inner = d.stripPrefix("dictionary[").stripSuffix("]")
       val Array(k, v) = inner.split(",", 2).map(_.trim)
-      MapType(sparkType(k), sparkType(v))
-    case complex if byFqn.contains(complex) => toStructType(complex)
+      MapType(sparkType(k, expanding), sparkType(v, expanding))
+    case complex if byFqn.contains(complex) =>
+      // cycle guard, parallel to allProperties' base-inheritance guard: a
+      // self/mutually-referential complex property would otherwise recurse
+      // to a raw StackOverflowError (Spark's StructType cannot express a
+      // recursive schema anyway) — fail as the model-validation error it is
+      require(!expanding.contains(complex),
+        s"kind '$complex' is part of a property-type cycle " +
+          s"(${(expanding + complex).mkString(" -> ")}); recursive " +
+          "schemas cannot be expressed as a Spark StructType")
+      toStructType(complex, expanding + complex)
     // enum kinds (names the model does not declare) persist as strings —
     // NOTE this also absorbs a typo'd scalar name ("int46") into a string
     // column without error; the reference behaves the same way (enum
@@ -69,9 +80,11 @@ final case class KindModel(kinds: Seq[Kind]) {
   }
 
   /** Runtime-generated table schema for a kind. */
-  def toStructType(fqn: String): StructType =
+  def toStructType(fqn: String): StructType = toStructType(fqn, Set(fqn))
+
+  private def toStructType(fqn: String, expanding: Set[String]): StructType =
     StructType(allProperties(fqn).map(p =>
-      StructField(p.name, sparkType(p.kind), nullable = !p.required)))
+      StructField(p.name, sparkType(p.kind, expanding), nullable = !p.required)))
 }
 
 object KindModel {

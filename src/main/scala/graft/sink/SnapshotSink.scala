@@ -27,10 +27,13 @@ object SnapshotSink {
     * both csv and jdbc degrade through the same canonical to_json.
     */
   def flattenForSql(df: DataFrame): DataFrame = {
+    // backtick-quote: a column literally named `a.b` would otherwise be
+    // parsed as struct-field access on a nonexistent column `a`
     val cols = df.schema.fields.map { f =>
       f.dataType match {
-        case _: StructType | _: ArrayType | _: MapType => to_json(col(f.name)).as(f.name)
-        case _ => col(f.name)
+        case _: StructType | _: ArrayType | _: MapType =>
+          to_json(col(s"`${f.name}`")).as(f.name)
+        case _ => col(s"`${f.name}`")
       }
     }
     df.select(cols.toSeq: _*)
@@ -162,7 +165,13 @@ object HadoopBucketUploader extends BucketUploader {
     val srcFs = tableDir.getFileSystem(conf)
     val dstFs = target.getFileSystem(conf) // throws if no s3a/gs connector
     try replaceCopy(srcFs, tableDir, dstFs, target, conf)
-    finally if (cfg.region.isDefined) dstFs.close()
+    finally if (cfg.region.isDefined) {
+      dstFs.close()
+      // the cache-disable applies to BOTH getFileSystem calls: when the
+      // snapshot base shares the bucket's scheme, srcFs is a SECOND
+      // uncached instance with its own pools — close it too
+      if (!(srcFs eq dstFs) && srcFs.getScheme == scheme) srcFs.close()
+    }
     // ^ an uncached FS owns its own thread/connection pools; leaving one
     //   per upload alive would leak them across a streaming run's commits.
     //   The cached default (no region) must NOT be closed — it's shared.
@@ -231,9 +240,19 @@ final case class FileSnapshotCommit(base: String, runId: String) extends Snapsho
     val staging = new Path(s"$base/_staging/$runId")
     val current = new Path(s"$base/current")
     val retired = new Path(s"$base/_retired_$runId")
-    // self-heal covers a prior crash of THIS runId (streaming replays
-    // reuse it); then the standard retire/promote/rollback sequence (K3:
-    // a failed run leaves the previous snapshot readable)
+    // heal a PRIOR run's crash first: retired dirs are runId-keyed, so a
+    // run that died between retire and promote left `_retired_<otherId>`
+    // as the ONLY copy — batch runs draw fresh runIds and would otherwise
+    // never restore it, leaving readers with no snapshot at all until the
+    // next fully-successful run (newest mtime wins if several exist)
+    if (!fs.exists(current)) {
+      val stale = fs.globStatus(new Path(s"$base/_retired_*"))
+      if (stale != null && stale.nonEmpty)
+        DirSwap.heal(fs, current, stale.maxBy(_.getModificationTime).getPath)
+    }
+    // then THIS runId's heal (streaming replays reuse the id) + the
+    // standard retire/promote/rollback sequence (K3: a failed run leaves
+    // the previous snapshot readable)
     DirSwap.heal(fs, current, retired)
     DirSwap.promote(fs, staging, current, retired)
   }

@@ -196,7 +196,18 @@ object SqliteFormat {
       case _ =>
     }
     parts += inner.substring(start)
-    parts.toSeq.map(_.trim).filter(_.nonEmpty).map { colDef =>
+    // table-level constraints are NOT column definitions: SQLAlchemy-style
+    // DDL ends with e.g. `PRIMARY KEY (id)` — parsing that as a column
+    // would emit a phantom `PRIMARY` column silently NULL-padded on every
+    // row. A quoted name (`"primary"`) starts with '"' and is never
+    // filtered.
+    val tableConstraint = Set("PRIMARY", "FOREIGN", "UNIQUE", "CHECK", "CONSTRAINT")
+    parts.toSeq.map(_.trim).filter(_.nonEmpty)
+      .filterNot { p =>
+        !p.startsWith("\"") &&
+          tableConstraint.contains(p.takeWhile(c => !c.isWhitespace && c != '(').toUpperCase)
+      }
+      .map { colDef =>
       val (name, rest) =
         if (colDef.startsWith("\"")) {
           // scan to the closing quote, un-doubling "" back to "
@@ -494,8 +505,20 @@ final class SqliteDbReader(file: File) {
     val (rv, wv) = (h(18) & 0xff, h(19) & 0xff)
     require(rv >= 1 && rv <= 2 && wv >= 1 && wv <= 2,
       s"$file: unsupported file format version (read=$rv write=$wv)")
+    // a journal is HOT only when its header carries the live magic —
+    // journal_mode=PERSIST leaves a committed database with a non-empty
+    // journal whose header is zeroed, which is perfectly consistent
     val journal = new File(file.getPath + "-journal")
-    require(!(journal.isFile && journal.length > 0),
+    def hotJournal: Boolean = journal.isFile && journal.length > 0 && {
+      val in = new java.io.FileInputStream(journal)
+      try {
+        val m = new Array[Byte](8)
+        val magic = Array(0xd9, 0xd5, 0x05, 0xf9, 0x20, 0xa1, 0x63, 0xd7)
+          .map(_.toByte)
+        in.read(m) == 8 && java.util.Arrays.equals(m, magic)
+      } finally in.close()
+    }
+    require(!hotJournal,
       s"$file has a hot rollback journal ($journal) — the last writer is " +
         "mid-transaction or crashed; open it once with sqlite3 to recover " +
         "before ingesting")

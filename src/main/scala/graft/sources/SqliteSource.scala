@@ -57,8 +57,19 @@ object SqliteSource {
       case (l: Long, DoubleType)        => l.toDouble
       case (d: Double, DoubleType)      => d
       case (s: String, DoubleType)      => opt(s.trim.toDouble)
-      case (s: String, TimestampType)   => opt(java.sql.Timestamp.from(
-        LocalDateTime.parse(s.trim, tsFmt).toInstant(ZoneOffset.UTC)))
+      case (s: String, TimestampType)   => opt {
+        val t = s.trim
+        // tz-aware producers (python's sqlite3 adapter stores tz-aware
+        // datetimes as `isoformat(sep=' ')` WITH offset, e.g.
+        // `2023-01-01 00:00:00+00:00`) fall through to the offset parse —
+        // swallowing them as null would silently erase every DATETIME of
+        // a genuine reference export
+        val instant =
+          try LocalDateTime.parse(t, tsFmt).toInstant(ZoneOffset.UTC)
+          catch { case _: Exception =>
+            java.time.OffsetDateTime.parse(t.replace(' ', 'T')).toInstant }
+        java.sql.Timestamp.from(instant)
+      }
       case (l: Long, TimestampType)     => new java.sql.Timestamp(l * 1000L) // epoch-sec
       case (s: String, DateType)        => opt(java.sql.Date.valueOf(LocalDate.parse(s.trim)))
       case (b: Array[Byte], BinaryType) => b

@@ -233,6 +233,25 @@ class EnginePipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("a later run heals a prior run's crash window (retired dir from ANOTHER runId)") {
+    // run X died between retire(current -> _retired_X) and promote:
+    // `current` is missing, _retired_X is the only copy. Run Y (fresh
+    // runId) must restore it before its own swap — previously the heal
+    // was keyed to Y's runId and never found X's leftovers.
+    val base = Files.createTempDirectory("graft-heal").toString
+    val retiredX = new java.io.File(s"$base/_retired_runX/t")
+    assert(retiredX.mkdirs())
+    Files.write(retiredX.toPath.resolve("data.txt"), "old".getBytes)
+    val stagingY = new java.io.File(s"$base/_staging/runY/t2")
+    assert(stagingY.mkdirs())
+    Files.write(stagingY.toPath.resolve("data.txt"), "new".getBytes)
+    graft.sink.FileSnapshotCommit(base, "runY").commit(spark)
+    // staging promoted; the healed old snapshot was retired + dropped
+    assert(new java.io.File(s"$base/current/t2/data.txt").exists())
+    assert(!new java.io.File(s"$base/_retired_runX").exists())
+    assert(!new java.io.File(s"$base/_retired_runY").exists())
+  }
+
   test("s3 destination uploads every table to the bucket after the swap") {
     val base = Files.createTempDirectory("graft-s3stage").toString
     val bucketRoot = Files.createTempDirectory("graft-fake-bucket")

@@ -28,6 +28,17 @@ class OperatorSpec extends AnyFunSuite {
     assert(!st("id").nullable && st("name").nullable)
   }
 
+  test("kind model rejects property-type cycles with a model error, not StackOverflow") {
+    val m = KindModel(Seq(
+      Kind("a", Seq(KindProperty("child", "b"))),
+      Kind("b", Seq(KindProperty("parent", "a")))))
+    val e = intercept[IllegalArgumentException](m.toStructType("a"))
+    assert(e.getMessage.contains("cycle"), e.getMessage)
+    val self = KindModel(Seq(Kind("s", Seq(KindProperty("me", "s")))))
+    val e2 = intercept[IllegalArgumentException](self.toStructType("s"))
+    assert(e2.getMessage.contains("cycle"), e2.getMessage)
+  }
+
   test("GraftExtensions surfaces dot_product in SQL") {
     GraftExtensions.install(spark)
     val r = spark.sql("SELECT dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")

@@ -144,6 +144,19 @@ class SqliteFileSpec extends AnyFunSuite {
     r.close()
   }
 
+  test("columnsOf skips table-level constraints instead of parsing phantom columns") {
+    // SQLAlchemy-style DDL: constraints listed AFTER the columns
+    val ddl = """CREATE TABLE t ("id" VARCHAR NOT NULL, "n" BIGINT,
+                | PRIMARY KEY (id), UNIQUE("n"), CHECK (n > 0),
+                | FOREIGN KEY (n) REFERENCES o(n),
+                | CONSTRAINT c1 UNIQUE (id, n))""".stripMargin.replace("\n", " ")
+    val cols = SqliteFormat.columnsOf(ddl)
+    assert(cols.map(_._1) == Seq("id", "n"), cols)
+    // a quoted column NAMED like a constraint keyword is still a column
+    val ddl2 = """CREATE TABLE t2 ("primary" VARCHAR, "check" BIGINT)"""
+    assert(SqliteFormat.columnsOf(ddl2).map(_._1) == Seq("primary", "check"))
+  }
+
   test("identifiers with embedded quotes and parens survive DDL round-trip") {
     import org.apache.spark.sql.types._
     val tbl = """we"ird (tbl)"""
@@ -174,11 +187,18 @@ class SqliteFileSpec extends AnyFunSuite {
     t.addRow(Seq(1L))
     w.close()
 
-    // hot rollback journal: committed state may live outside the main file
+    // hot rollback journal (live header magic): committed state may live
+    // outside the main file
     val j = new File(f.getPath + "-journal")
-    Files.write(j.toPath, Array[Byte](1, 2, 3))
+    val hotMagic = Array(0xd9, 0xd5, 0x05, 0xf9, 0x20, 0xa1, 0x63, 0xd7)
+      .map(_.toByte)
+    Files.write(j.toPath, hotMagic ++ Array[Byte](0, 0, 0, 1))
     val e1 = intercept[IllegalArgumentException](new SqliteDbReader(f))
     assert(e1.getMessage.contains("journal"))
+    // a COLD journal (zeroed header, journal_mode=PERSIST leftovers) is a
+    // committed database — must read fine
+    Files.write(j.toPath, Array[Byte](0, 0, 0, 0, 0, 0, 0, 0, 1, 2, 3))
+    assert(new SqliteDbReader(f).rows("t").toSeq == Seq(Seq(1L)))
     assert(j.delete())
 
     // WAL format-version bytes + a non-empty -wal sibling
