@@ -30,7 +30,7 @@ object CurationReport {
     Q("q_curation_report", {
       s"""WITH base AS (
          |  SELECT doc_id, source, text,
-         |    CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_toks
+         |    ${TextHash.wsTokenCountSql("text")} AS n_toks
          |  FROM documents
          |),
          |cand AS (SELECT * FROM base WHERE doc_id % 97 <> 0),
@@ -87,8 +87,7 @@ object CurationReport {
                TextAnalysis.ContamStrategy.Exact): org.apache.spark.sql.DataFrame = {
       val base = docs
         .select(col("doc_id"), col("source"), col("text"),
-          expr("length(text) - length(replace(text, ' ', '')) + 1")
-            .cast("long").as("n_toks"), benchPred.as("is_bench"))
+          TextHash.wsTokenCount(col("text")).as("n_toks"), benchPred.as("is_bench"))
       val cand = base.filter(!col("is_bench"))
       val q = cand.filter(col("n_toks") >= MinTokens)
       val u = q.select(col("doc_id"),

@@ -90,8 +90,7 @@ object MixtureSample {
     require(shares.values.forall(_ >= 0.0) && defaultShare >= 0.0,
       "shares must be non-negative")
     val tok = docs.select(col("doc_id"), col("source"),
-      expr("length(text) - length(replace(text, ' ', '')) + 1")
-        .cast("long").as("n_tokens"))
+      TextHash.wsTokenCount(col("text")).as("n_tokens"))
     val dom = tok.groupBy("source")
       .agg(sum(col("n_tokens")).cast("long").as("dom_tokens"))
     val share: Column = shares.foldLeft(lit(defaultShare)) {
@@ -139,9 +138,9 @@ object MixtureSample {
 
     // ---- sample to a token budget with target domain shares ----
     Q("q_sample_token_budget",
-      """WITH tok AS (
+      s"""WITH tok AS (
         |  SELECT doc_id, source,
-        |    CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens
+        |    ${TextHash.wsTokenCountSql("text")} AS n_tokens
         |  FROM documents
         |),
         |dom AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS dom_tokens FROM tok GROUP BY source),
@@ -206,6 +205,10 @@ object MixtureSample {
   def clusterCap(vecDf: DataFrame,
                  cents: Seq[(Long, Seq[Double], Double)], m: Int): DataFrame = {
     require(m > 0, "m must be positive")
+    // empty centroids would make cidExpr lit(null): every row lands in one
+    // null-cid partition and m hash-arbitrary rows survive with cid=null —
+    // silently wrong where the oracle shape yields zero rows
+    require(cents.nonEmpty, "clusterCap needs a non-empty centroid set")
     val w = org.apache.spark.sql.expressions.Window.partitionBy("cid")
     val ord = w.orderBy(md5(concat(col("vec_id").cast("string"), lit(":cap"))),
                         col("vec_id"))

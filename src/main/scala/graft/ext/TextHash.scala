@@ -37,6 +37,16 @@ object TextHash {
   def h31(c: Column): Column = h48(c) % Mersenne31
   def h31Sql(e: String): String = s"(${h48Sql(e)} % ${Mersenne31})"
 
+  /** Cheap whitespace token COUNT (`length − length(sans spaces) + 1`) —
+    * the one definition for the curation gate and the budget sampler,
+    * with its SQL mirror below: the pair must stay in lockstep or Spark
+    * and its oracle (or gate and sampler) silently desync.
+    */
+  def wsTokenCount(text: Column): Column =
+    (length(text) - length(replace(text, lit(" "), lit(""))) + 1).cast("long")
+  def wsTokenCountSql(e: String): String =
+    s"CAST(length($e) - length(replace($e, ' ', '')) + 1 AS BIGINT)"
+
   /** Whitespace tokens; keeps order, drops empties. */
   def tokens(text: Column): Column =
     filter(split(text, " ", -1), t => t =!= "")

@@ -54,8 +54,13 @@ object ConnectedComponents {
     // materialized ONCE: each round's action would otherwise re-execute
     // the whole upstream edge derivation (for dedup, the candidate-pair
     // join) — the loop must re-read a settled edge set, not re-plan it
-    val sym = edges.select(col("src"), col("dst"))
-      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+    // a NULL endpoint references no node: such an edge can link nothing
+    // (SQL equality never matches NULL), and unfiltered it would emit a
+    // phantom (null, comp) row while leaving the real neighbors unlinked
+    val e = edges.select(col("src"), col("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+    val sym = e
+      .union(e.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .localCheckpoint()
     // Isolated nodes (no incident edge) can never change label — they keep

@@ -176,6 +176,14 @@ object DistributedRank {
     */
   private def prefixCore(df: DataFrame, scoreCol: String, idCol: String,
                          weight: Column, outCol: String): (DataFrame, Long) = {
+    // fail fast instead of silently clobbering-then-dropping a caller
+    // column — the same reserved-name contract as BandJoin's __band and
+    // AsofJoin's __k/__ts/__tag/__rp (__graft_rk is ntileDesc's temp,
+    // which feeds its input back through this core)
+    val clash = df.columns.filter(c => c == "__graft_grp" || c == "__graft_rk")
+    require(clash.isEmpty,
+      s"DistributedRank reserves column name(s) ${clash.mkString(", ")}; " +
+        "rename them on the input")
     val spark = df.sparkSession
     val cached = CacheTracker.cached(df)
     val p = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt.max(1)

@@ -93,11 +93,22 @@ object Events {
 
     // ---- §2.C5: as-of join — latest prior 'view' for each 'purchase' ----
     Q("q_events_asof",
-      """SELECT p.event_id, v.event_id AS view_id,
-        |  epoch_us(CAST(p.ts AS TIMESTAMP)) - epoch_us(CAST(v.ts AS TIMESTAMP)) AS gap_us
-        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
-        |  ON p.user_id = v.user_id AND v.ts <= p.ts
+      // explicit windowed replay, NOT DuckDB's ASOF JOIN: among several
+      // views sharing the latest v.ts, ASOF picks an UNSPECIFIED row,
+      // while the engine deterministically carries the greatest payload
+      // struct (max view event_id at that ts) — the rn ordering pins the
+      // same row so equal-ts testdata can never flake the compare
+      """WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+        |v AS (SELECT * FROM events WHERE event_type = 'view'),
+        |m AS (
+        |  SELECT p.event_id, v.event_id AS view_id, v.ts AS vts,
+        |    row_number() OVER (PARTITION BY p.event_id
+        |      ORDER BY v.ts DESC, v.event_id DESC) AS rn
+        |  FROM p JOIN v ON p.user_id = v.user_id AND v.ts <= p.ts
+        |)
+        |SELECT p.event_id, m.view_id,
+        |  epoch_us(CAST(p.ts AS TIMESTAMP)) - epoch_us(CAST(m.vts AS TIMESTAMP)) AS gap_us
+        |FROM p LEFT JOIN (SELECT * FROM m WHERE rn = 1) m USING (event_id)
         |ORDER BY p.event_id""".stripMargin) { (s, d) =>
       val ev = Tables.events(s, d)
       val purchases = ev.filter(col("event_type") === "purchase")
