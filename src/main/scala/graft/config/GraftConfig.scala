@@ -146,7 +146,16 @@ object GraftConfig {
 
     val (name, rawv) = dests.head
     val v = rawv match { case m: Map[_, _] => m.asInstanceOf[Map[String, Any]] case _ => Map.empty[String, Any] }
-    def str(k: String): Option[String] = v.get(k).map(String.valueOf)
+    // scalars only: an empty-valued key (`database:`) or nested sub-block
+    // parses as a Map, and String.valueOf would silently mangle it into
+    // the literal "Map()" (a SQLite file named Map(), a jdbc url host
+    // Map()) — reject it the way the sources parser does
+    def str(k: String): Option[String] = v.get(k).map {
+      case m: Map[_, _] => throw new IllegalArgumentException(
+        s"Destination option '$k' must be a scalar value" +
+          (if (m.isEmpty) " (it is empty)" else ""))
+      case s => String.valueOf(s)
+    }
     def int(k: String, dflt: Int): Int = str(k).map(_.toInt).getOrElse(dflt)
     // ONE format gate for every file-shaped destination (file/s3/gcs): an
     // unknown format would fall through SnapshotSink's `case _ => parquet`

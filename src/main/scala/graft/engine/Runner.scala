@@ -69,7 +69,14 @@ object Runner {
       uploader: graft.sink.BucketUploader = graft.sink.HadoopBucketUploader,
       sender: AnalyticsEventSender = NoopEventSender): RunReport = {
 
-    // source-enable filter (B3): only configured sources are instantiated
+    // source-enable filter (B3): only configured sources are instantiated.
+    // A configured name the registry doesn't know is a config error (a
+    // typo'd `gpc:` would otherwise silently collect nothing while the
+    // run reports success) — fail loudly with the unknown names.
+    val unknown = config.sources.keySet.diff(registry.keySet)
+    require(unknown.isEmpty,
+      s"Unknown source(s) in the configuration: ${unknown.toSeq.sorted.mkString(", ")} " +
+        s"— available: ${registry.keySet.toSeq.sorted.mkString(", ")}")
     val active = registry.filter { case (key, _) => config.sources.contains(key) }
     require(active.nonEmpty, "No source in the configuration is available")
 

@@ -104,6 +104,12 @@ object Multimodal {
           if (len < 2) return None
           val isSof = m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc
           if (isSof) {
+            // the h/w/nc fields live INSIDE the segment's own declared
+            // length (2 len + 1 precision + 2 h + 2 w + 1 nc = 8 min) —
+            // bounding only by the buffer would read the NEXT segment's
+            // bytes on a truncated-length SOF and emit garbage dimensions
+            // instead of the null row malformed payloads are contracted to
+            if (len < 8) return None
             if (seg + 7 >= b.length) return None
             val h = ((b(seg + 3) & 0xff) << 8) | (b(seg + 4) & 0xff)
             val w = ((b(seg + 5) & 0xff) << 8) | (b(seg + 6) & 0xff)
@@ -419,7 +425,12 @@ object Multimodal {
     val s = media.sparkSession
     import s.implicits._
     media.select(col("doc_id"), col("blob")).as[(Long, Array[Byte])]
-      .mapPartitions(_.map { case (id, bytes) =>
+      .mapPartitions { it =>
+        // ImageIO defaults to useCache=true: a temp-file-backed stream
+        // PER BLOB — pure filesystem churn for bytes already in memory.
+        // JVM-wide and idempotent, so set once per partition.
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { case (id, bytes) =>
         // ImageIO.read returns NULL (no exception) for undecodable bytes,
         // but the JDK decoders also throw UNCHECKED exceptions on corrupt
         // payloads (CMMException for a broken ICC profile, AIOOBE /
@@ -449,7 +460,8 @@ object Multimodal {
           }
           (id, Some(ow), Some(oh), Some(sum))
         }
-      })
+        }
+      }
       .toDF("doc_id", "out_w", "out_h", "pix_sum")
   }
 
@@ -482,6 +494,23 @@ object Multimodal {
               md5(expr(s"substring(blob, off, $frameBytes)")).as("frame_md5"))
   }
 
+  /** The shared image fixture of the declared queries (headers + resize):
+    * 60 deterministic blobs, dims/kind derived from doc_id exactly as the
+    * oracles' SQL derives them — ONE definition so the two queries'
+    * fixtures (and their oracle mirrors) cannot silently diverge.
+    */
+  private def imageFixture(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val kinds = IndexedSeq("png_rgb", "jpeg_gray", "png_argb", "jpeg_rgb", "png_gray")
+    Tables.documents(s, d).filter(col("doc_id") < 60)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val w = 16 + (id % 32).toInt
+        val h = 8 + (id % 16).toInt
+        (id, encodeImage(w, h, kinds((id % 5).toInt)))
+      }).toDF("doc_id", "blob")
+  }
+
   val queries: Seq[Q] = Seq(
 
     // ---- REAL container-header decode over genuine PNG/JPEG bytes ----
@@ -499,16 +528,7 @@ object Multimodal {
         |  CAST(CASE doc_id % 5 WHEN 0 THEN 3 WHEN 1 THEN 1 WHEN 2 THEN 4
         |       WHEN 3 THEN 3 ELSE 1 END AS INT) AS channels
         |FROM documents WHERE doc_id < 60 ORDER BY doc_id""".stripMargin) { (s, d) =>
-      import s.implicits._
-      val kinds = IndexedSeq("png_rgb", "jpeg_gray", "png_argb", "jpeg_rgb", "png_gray")
-      val media = Tables.documents(s, d).filter(col("doc_id") < 60)
-        .select(col("doc_id")).as[Long]
-        .mapPartitions(_.map { id =>
-          val w = 16 + (id % 32).toInt
-          val h = 8 + (id % 16).toInt
-          (id, encodeImage(w, h, kinds((id % 5).toInt)))
-        }).toDF("doc_id", "blob")
-      headerTable(media).orderBy("doc_id")
+      headerTable(imageFixture(s, d)).orderBy("doc_id")
     },
 
     // ---- MP4/ISO-BMFF movie-header decode (video leg) ----
@@ -599,16 +619,7 @@ object Multimodal {
         |SELECT d2.doc_id, CAST(out_w AS INT) AS out_w, CAST(out_h AS INT) AS out_h,
         |  CASE WHEN d2.doc_id % 5 IN (0, 2) THEN CAST(p.s AS BIGINT) END AS pix_sum
         |FROM d2 LEFT JOIN pix p USING (doc_id) ORDER BY doc_id""".stripMargin) { (s, d) =>
-      import s.implicits._
-      val kinds = IndexedSeq("png_rgb", "jpeg_gray", "png_argb", "jpeg_rgb", "png_gray")
-      val media = Tables.documents(s, d).filter(col("doc_id") < 60)
-        .select(col("doc_id")).as[Long]
-        .mapPartitions(_.map { id =>
-          val w = 16 + (id % 32).toInt
-          val h = 8 + (id % 16).toInt
-          (id, encodeImage(w, h, kinds((id % 5).toInt)))
-        }).toDF("doc_id", "blob")
-      resizeTable(media, maxDim = 8)
+      resizeTable(imageFixture(s, d), maxDim = 8)
         .select(col("doc_id"), col("out_w"), col("out_h"),
           when(col("doc_id") % 5 === 0 || col("doc_id") % 5 === 2, col("pix_sum"))
             .cast("long").as("pix_sum"))

@@ -28,6 +28,9 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * Poison-file isolation: a malformed export fails ITS batch only — the
   * error is reported through `progress` and ingestion continues with the
   * next file (set `failOnError=true` to fail the whole query instead).
+  * The skip is scoped to the PARSE window: stage/commit failures are
+  * environmental and always fail the batch before its checkpoint
+  * commits, so a well-formed snapshot is retried, never silently lost.
   */
 object StreamingGraphIngest {
 
@@ -63,21 +66,33 @@ object StreamingGraphIngest {
             // strict: THIS path promises "a malformed export fails ITS
             // batch" (scaladoc above) — a truncated file must not commit
             // a partial snapshot over the previous good one
-            val g = GraphNormalizer.fromExportRecords(batch, fallback,
-              strict = true)
-            val tables = GraphNormalizer.normalize(g)
-            val runId = s"s$batchId"
-            val staged = SnapshotSink.stage(tables, dest, runId)
-            SnapshotSink.committer(dest, runId, staged.map(_.name)).commit(batch.sparkSession)
-            progress.progress("graph_export", s"snapshot $runId committed: ${staged.size} tables")
+            // skip-on-error covers ONLY the poison-file window (parse +
+            // normalize): a malformed export is permanently bad and
+            // retrying it forever would wedge the stream. Stage/commit
+            // failures are environmental (S3 timeout, disk-full, JDBC
+            // blip) — rethrowing them fails the batch BEFORE the
+            // checkpoint commits, so the well-formed snapshot is retried
+            // instead of silently lost.
+            val tables = try {
+              val g = GraphNormalizer.fromExportRecords(batch, fallback,
+                strict = true)
+              GraphNormalizer.normalize(g)
+            } catch {
+              // NonFatal only: an OOM/StackOverflow/interrupt must fail
+              // the query, not be reported as a skipped batch over a
+              // possibly corrupted JVM
+              case scala.util.control.NonFatal(e) if !failOnError =>
+                progress.progress("graph_export",
+                  s"batch $batchId FAILED (skipped, previous snapshot intact): ${e.getMessage}")
+                null
+            }
+            if (tables != null) {
+              val runId = s"s$batchId"
+              val staged = SnapshotSink.stage(tables, dest, runId)
+              SnapshotSink.committer(dest, runId, staged.map(_.name)).commit(batch.sparkSession)
+              progress.progress("graph_export", s"snapshot $runId committed: ${staged.size} tables")
+            }
           }
-        } catch {
-          // NonFatal only: an OOM/StackOverflow/interrupt must fail the
-          // query, not be reported as a skipped batch over a possibly
-          // corrupted JVM
-          case scala.util.control.NonFatal(e) if !failOnError =>
-            progress.progress("graph_export",
-              s"batch $batchId FAILED (skipped, previous snapshot intact): ${e.getMessage}")
         } finally batch.unpersist()
       }
       .start()

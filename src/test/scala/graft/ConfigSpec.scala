@@ -61,6 +61,14 @@ class ConfigSpec extends AnyFunSuite {
     assert(gcs.getMessage.contains("Unknown format"))
   }
 
+  test("empty-valued destination option is rejected, not stringified to 'Map()'") {
+    // `database:` with no value parses as an empty map; String.valueOf
+    // would produce a SQLite file literally named Map()
+    val e = intercept[IllegalArgumentException](GraftConfig.parse(
+      "sources:\n  example: {}\ndestinations:\n  sqlite:\n    database:\n"))
+    assert(e.getMessage.contains("scalar"), e.getMessage)
+  }
+
   test("tab indentation is rejected with a parse error, not silently flattened") {
     // indentOf counts spaces only — a tab-indented child used to parse as
     // a TOP-LEVEL key, emptying `sources` and surfacing later as the

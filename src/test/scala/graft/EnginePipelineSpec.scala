@@ -233,6 +233,17 @@ class EnginePipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("a configured source unknown to the registry fails loudly, naming it") {
+    // a typo'd source name would otherwise silently collect nothing while
+    // the run reports success
+    val base = Files.createTempDirectory("graft-unknown-src").toString
+    val badCfg = GraftConfig(Map("example" -> Map.empty, "gpc" -> Map.empty),
+      ArrowDest(FileDestination("parquet", base)))
+    val e = intercept[IllegalArgumentException](Runner.run(spark, badCfg, registry))
+    assert(e.getMessage.contains("gpc") && e.getMessage.contains("Unknown source"),
+      e.getMessage)
+  }
+
   test("a later run heals a prior run's crash window (retired dir from ANOTHER runId)") {
     // run X died between retire(current -> _retired_X) and promote:
     // `current` is missing, _retired_X is the only copy. Run Y (fresh

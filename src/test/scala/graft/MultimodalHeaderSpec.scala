@@ -74,7 +74,11 @@ class MultimodalHeaderSpec extends AnyFunSuite {
       Array(0x89, 0x50).map(_.toByte),                     // truncated PNG sig
       Multimodal.encodeImage(16, 16, "png_rgb").take(20),  // truncated IHDR
       Array(0xff, 0xd8, 0xff, 0xd9).map(_.toByte),         // SOI then EOI, no SOF
-      Array(0xff, 0xd8, 0x00, 0x11).map(_.toByte)          // broken marker stream
+      Array(0xff, 0xd8, 0x00, 0x11).map(_.toByte),         // broken marker stream
+      // SOF0 whose declared segment length (2) cannot hold h/w/nc: the
+      // fields must NOT be read from the following bytes
+      (Array(0xff, 0xd8, 0xff, 0xc0, 0x00, 0x02) ++
+        Array(0x01, 0x00, 0x10, 0x00, 0x10, 0x03)).map(_.toByte)
     )
     cases.foreach(c => assert(ImageHeaders.parse(c).isEmpty))
   }
