@@ -50,6 +50,47 @@ object LmGate {
     (c12, c1)
   }
 
+  /** Truncate a joint count table to its top `maxBigrams` rows by count —
+    * the CCNet-style MODEL-SIZE bound: an uncapped gate's c12 grows with
+    * the corpus's bigram vocabulary (adversarially linear, Heaps ~N^0.5 on
+    * real text), which is the one piece of the gate that is NOT
+    * vocab-bounded at 100 TB. The cut is an exact deterministic top-N —
+    * (c12 DESC, w1||' '||w2 ASC) through [[DistributedRank.rankDesc]]'s
+    * partition-parallel rank, never a single-partition window — so the
+    * stored artifact and a DuckDB `row_number()` oracle replay produce the
+    * SAME surviving rows. The space-joined tie-break key is compared as
+    * ONE string in both engines (binary UTF-8 order either side), dodging
+    * any question of how a two-column ORDER BY interleaves.
+    */
+  def capBigrams(c12: DataFrame, maxBigrams: Int): DataFrame = {
+    require(maxBigrams >= 1, s"maxBigrams must be >= 1, got $maxBigrams")
+    DistributedRank.rankDesc(
+        c12.withColumn("__bkey", concat_ws(" ", col("w1"), col("w2"))),
+        "c12", "__bkey", "__cap_rk")
+      .filter(col("__cap_rk") <= maxBigrams)
+      .select("w1", "w2", "c12")
+  }
+
+  /** Capped model tables: the top-`maxBigrams` joint counts plus the
+    * marginal OF THE CAPPED TABLE (≤ maxBigrams rows). Deriving c1 from
+    * the truncated c12 — rather than keeping the full-corpus marginal —
+    * makes the entire artifact bounded by the cap alone: both join build
+    * sides and the smoothing vocabulary `V = |c1|` are ≤ maxBigrams rows
+    * regardless of corpus size, so scoring at 100 TB is two BROADCAST
+    * joins against a fixed-size model. Self-consistent too:
+    * `c1 = Σ_w2 c12` holds inside the model, so the smoothed probability
+    * `(c12+1)/(c1+V)` never exceeds 1. Serve capped tables with
+    * [[scoreSmoothed]] — under closed-world [[score]] every truncated
+    * bigram silently drops, which defeats the point of the cap.
+    */
+  def cappedTables(docs: DataFrame, maxBigrams: Int): (DataFrame, DataFrame) = {
+    val c12 = capBigrams(
+      bigrams(docs).groupBy("w1", "w2").agg(count(lit(1)).as("c12")),
+      maxBigrams)
+    val c1 = c12.groupBy("w1").agg(sum("c12").as("c1"))
+    (c12, c1)
+  }
+
   /** Score documents against a (possibly at-rest) LM:
     * (doc_id, n_bigrams, avg_logprob).
     */
@@ -98,7 +139,8 @@ object LmGate {
     */
   final case class Gate(c12: DataFrame, c1: DataFrame,
                         boundaries: Seq[(Double, Long)],
-                        smoothed: Boolean = false) {
+                        smoothed: Boolean = false,
+                        maxBigrams: Int = 0) {
     /** Score + bucket a document set against the frozen artifact —
       * streaming-safe (no windows, no state). Under a smoothed gate,
       * documents made ENTIRELY of unseen bigrams still score (low) and
@@ -121,13 +163,15 @@ object LmGate {
     * reads.
     */
   def write(docs: DataFrame, dir: String, buckets: Int = 3,
-            smoothed: Boolean = false): Unit =
+            smoothed: Boolean = false, maxBigrams: Int = 0): Unit =
     // terminal writer: scope the internal rank caches so library callers
     // don't inherit an unreleasable cached Dataset (runner scopes nest
     // fine — release is reference-counted)
     graft.CacheTracker.scope {
       val s = docs.sparkSession
-      val (c12, c1) = countTables(docs)
+      val (c12, c1) =
+        if (maxBigrams > 0) cappedTables(docs, maxBigrams)
+        else countTables(docs)
       c12.write.mode("overwrite").parquet(s"$dir/c12.parquet")
       c1.write.mode("overwrite").parquet(s"$dir/c1.parquet")
       val c12r = s.read.parquet(s"$dir/c12.parquet")
@@ -142,9 +186,11 @@ object LmGate {
         .toDF("bucket_idx", "b_score", "b_id")
         .coalesce(1)
         .write.mode("overwrite").parquet(s"$dir/bounds.parquet")
-      // the scoring mode is part of the artifact: boundaries trained on
-      // one scoring are meaningless under the other
-      Seq((smoothed, buckets)).toDF("smoothed", "n_buckets")
+      // the scoring mode AND the model-size cap are part of the artifact:
+      // boundaries trained on one scoring are meaningless under the
+      // other, and a capped model's provenance must travel with it
+      Seq((smoothed, buckets, maxBigrams))
+        .toDF("smoothed", "n_buckets", "max_bigrams")
         .coalesce(1)
         .write.mode("overwrite").parquet(s"$dir/meta.parquet")
     }
@@ -162,11 +208,20 @@ object LmGate {
     // boundary/scoring-mode drift the meta file exists to prevent.
     val metaPath = new org.apache.hadoop.fs.Path(s"$dir/meta.parquet")
     val fs = metaPath.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val smoothed =
-      if (!fs.exists(metaPath)) false
-      else s.read.parquet(s"$dir/meta.parquet")
-        .collect().head.getAs[Boolean]("smoothed")
+    val (smoothed, maxBigrams) =
+      if (!fs.exists(metaPath)) (false, 0)
+      else {
+        val meta = s.read.parquet(s"$dir/meta.parquet")
+        val row = meta.collect().head
+        // pre-cap artifacts (written before the maxBigrams option) have no
+        // max_bigrams column; genuine absence reads as uncapped
+        val cap =
+          if (meta.schema.fieldNames.contains("max_bigrams"))
+            row.getAs[Int]("max_bigrams")
+          else 0
+        (row.getAs[Boolean]("smoothed"), cap)
+      }
     Gate(s.read.parquet(s"$dir/c12.parquet"),
-      s.read.parquet(s"$dir/c1.parquet"), bs, smoothed)
+      s.read.parquet(s"$dir/c1.parquet"), bs, smoothed, maxBigrams)
   }
 }

@@ -708,6 +708,59 @@ object TextAnalysis {
         .orderBy("doc_id")
     },
 
+    // ---- size-capped perplexity bucketing: the 100 TB model bound ----
+    // q_text_ppl_buckets with the one unbounded piece bounded: the joint
+    // count table is truncated to its top-500 bigrams by count (exact
+    // deterministic top-N — (c12 DESC, w1||' '||w2) through
+    // DistributedRank's partition-parallel rank, no single-partition
+    // window), the marginal and smoothing vocabulary derive from the
+    // TRUNCATED table, and scoring runs the add-one-smoothed OOV path so
+    // truncated bigrams get a defined low probability instead of
+    // dropping. The served model is therefore ≤ maxBigrams rows no matter
+    // how large the corpus — both scoring joins broadcast at any scale —
+    // which is the CCNet stance: cap the model, not the corpus. The
+    // oracle replays the same cap with a row_number() window over the
+    // same one-string tie-break key.
+    Q("q_text_ppl_capped",
+      s"""WITH toks AS (SELECT doc_id, ${tokensSql("text")} AS toks FROM documents),
+         |bg AS (
+         |  SELECT doc_id, sh[1] AS w1, sh[2] AS w2 FROM (
+         |    SELECT doc_id, string_split(b, ' ') AS sh FROM (
+         |      SELECT doc_id, unnest(${shinglesFromTokensSql("toks", 2)}) AS b FROM toks
+         |    )
+         |  )
+         |),
+         |c12full AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+         |c12 AS (
+         |  SELECT w1, w2, c12 FROM (
+         |    SELECT w1, w2, c12,
+         |      row_number() OVER (ORDER BY c12 DESC, w1 || ' ' || w2) AS rn
+         |    FROM c12full
+         |  ) WHERE rn <= 500
+         |),
+         |c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c12 GROUP BY w1),
+         |v AS (SELECT count(*) AS vsz FROM c1),
+         |scored AS (
+         |  SELECT doc_id,
+         |    round(CAST(sum(CAST(round(ln(CAST(coalesce(c12, 0) + 1 AS DOUBLE)
+         |          / CAST(coalesce(c1, 0) + vsz AS DOUBLE)), 9) AS DECIMAL(20,9))) AS DOUBLE)
+         |          / count(*), 6) AS avg_logprob
+         |  FROM bg LEFT JOIN c12 USING (w1, w2) LEFT JOIN c1 USING (w1)
+         |  CROSS JOIN v
+         |  GROUP BY doc_id
+         |)
+         |SELECT doc_id, avg_logprob,
+         |  CAST(ntile(3) OVER (ORDER BY avg_logprob DESC, doc_id) AS INT) AS bucket
+         |FROM scored ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val (c12, c1) = LmGate.cappedTables(docs, 500)
+      val scored = LmGate.scoreSmoothed(docs, c12, c1)
+        .select(col("doc_id"), col("avg_logprob"))
+      graft.operators.DistributedRank.ntileDesc(scored, "avg_logprob", "doc_id", 3)
+        .select(col("doc_id"), col("avg_logprob"), col("bucket"))
+        .orderBy("doc_id")
+    },
+
     // ---- per-source (domain) quality gating ----
     // Curation decides at SOURCE granularity too: a domain whose aggregate
     // stopword ratio is far from natural language gets dropped wholesale.

@@ -29,6 +29,39 @@ class LmGateSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("stored CAPPED gate reproduces q_text_ppl_capped, and the artifact is bounded by the cap") {
+    val docs = Tables.documents(spark, dir)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-lm-capped").toString
+    LmGate.write(docs, tmp, smoothed = true, maxBigrams = 500)
+    val gate = LmGate.load(spark, tmp)
+    assert(gate.smoothed && gate.maxBigrams == 500,
+      "cap + scoring mode must travel with the artifact")
+    // the whole stored model is bounded by the cap — the property that
+    // makes serving two broadcast joins at any corpus size
+    assert(gate.c12.count() <= 500 && gate.c1.count() <= 500)
+    val served = gate.bucketed(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Double]("avg_logprob"), r.getAs[Int]("bucket"))).toMap
+    spark.catalog.clearCache()
+    val declared = SparkEntry.queries("q_text_ppl_capped")(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Double]("avg_logprob"), r.getAs[Int]("bucket"))).toMap
+    assert(served == declared, "at-rest capped gate diverges from the declared query")
+    spark.catalog.clearCache()
+  }
+
+  test("capBigrams keeps exactly the deterministic top-N (count desc, key asc)") {
+    import spark.implicits._
+    val c12 = Seq(
+      ("a", "b", 5L), ("a", "c", 3L), ("b", "a", 3L),
+      ("c", "d", 3L), ("d", "e", 1L)).toDF("w1", "w2", "c12")
+    val kept = LmGate.capBigrams(c12, 3).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    // ties at c12=3 break on "w1 w2" string order: "a c" < "b a" < "c d"
+    assert(kept == Set(("a", "b"), ("a", "c"), ("b", "a")), s"got $kept")
+    spark.catalog.clearCache()
+  }
+
   test("boundary scalars round-trip through parquet bit-exactly") {
     import spark.implicits._
     val docsDf = Seq(

@@ -214,7 +214,11 @@ class PlanAuditSpec extends AnyFunSuite {
     // The only acceptable single-partition stages are none at all: the
     // grouped windows hash on the threshold group, the final orderBy
     // range-partitions, and the driver collects are cluster-bounded.
-    Seq("q_text_ppl_buckets", "q_sample_quality_budget").foreach { name =>
+    // q_text_ppl_capped additionally runs its model-truncation top-N
+    // through the same construction — the cap must not smuggle the
+    // single-partition window back in via row_number.
+    Seq("q_text_ppl_buckets", "q_text_ppl_capped",
+        "q_sample_quality_budget").foreach { name =>
       val plan = queryPlan(name)
       assert(!plan.contains("Exchange SinglePartition"),
         s"$name planned a single-partition exchange:\n$plan")
