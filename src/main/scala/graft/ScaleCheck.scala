@@ -65,6 +65,11 @@ object ScaleCheck {
     // a single-partition ntile window — this point validates that the
     // LM-score explode dominates and the rank layer stays ~flat
     "q_text_ppl_buckets",
+    // round-12: the size-capped gate (top-500 bigram model, smoothed
+    // serving) — the bounded-model answer to ppl_buckets' adversarial
+    // vocab growth: the scoring join's build side is ≤cap rows at any
+    // corpus size, so only the linear count-table build should remain
+    "q_text_ppl_capped",
     // the distributed prefix-sum sibling (quality-ranked token budget):
     // same two-level shape, weight offsets instead of counts
     "q_sample_quality_budget")

@@ -679,6 +679,56 @@ object Bpe {
           concat_ws(",", transform(col("token_ids"), x => x.cast("string")))
             .as("token_ids"))
         .orderBy("doc_id")
+    },
+
+    // ---- tokenizer DECODE: ids back to flat text, cross-engine ----
+    // The inverse serving path: the same trained id table maps each id
+    // sequence back to its symbol stream, concatenated in sequence order
+    // (the flat-text view — inter-token spaces are not represented in the
+    // id stream, so they don't come back). The oracle replays the FULL
+    // encode→decode chain — id assignment, (tpos, spos)-ordered sequence,
+    // then the id→symbol re-join and ordered string_agg — so the decode
+    // algebra (not just "decode inverts encode" as a tautology) is
+    // hash-checked across engines; the spec-local round-trip property in
+    // BpeSpec becomes cross-engine here. Engine side: one positional
+    // explode + one vocab-bounded equi-join + per-document array_sort —
+    // the mirror of encode, no window over the corpus.
+    Q("q_text_bpe_decode",
+      s"""WITH ${trainingCtes(Rounds)},
+         |sym AS (
+         |  SELECT s AS sym, CAST(sum(freq) AS BIGINT) AS sfreq
+         |  FROM (SELECT unnest(${symsSql("enc")}) AS s, freq FROM e$Rounds)
+         |  GROUP BY 1
+         |),
+         |sid AS (
+         |  SELECT sym, CAST(row_number() OVER (ORDER BY sfreq DESC, sym) AS INT) AS sym_id
+         |  FROM sym
+         |),
+         |tok AS (
+         |  SELECT doc_id, unnest(toks) AS w, unnest(range(1, len(toks) + 1)) AS tpos
+         |  FROM (SELECT doc_id, ${tokensSql("text")} AS toks FROM documents WHERE doc_id < 100)
+         |),
+         |ts AS (
+         |  SELECT doc_id, tpos, unnest(syms) AS sym, unnest(range(1, len(syms) + 1)) AS spos
+         |  FROM (
+         |    SELECT doc_id, tpos, ${symsSql("enc")} AS syms
+         |    FROM tok JOIN e$Rounds USING (w)
+         |    WHERE NOT contains(w, chr(1))
+         |  )
+         |),
+         |idseq AS (
+         |  SELECT doc_id, sym_id,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY tpos, spos) AS pos
+         |  FROM ts JOIN sid USING (sym)
+         |)
+         |SELECT doc_id, string_agg(sym, '' ORDER BY pos) AS text
+         |FROM idseq JOIN sid USING (sym_id)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val words = train(docs)._2
+      val ids = symbolIds(words)
+      decode(encodeWith(docs.filter(col("doc_id") < 100), words, ids), ids)
+        .orderBy("doc_id")
     }
   )
 }

@@ -49,6 +49,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_dedup_substring_cut", "q_sample_token_budget", "q_text_classifier",
     "q_curation_report", "q_sample_cluster_cap", "q_embed_cluster_profile",
     "q_text_bpe_merges", "q_text_bpe_apply", "q_text_bpe_encode",
+    "q_text_bpe_decode",
     "q_text_bpe_batched", "q_text_bpe_stats", "q_text_ppl_buckets",
     "q_embed_knn_ann")
   // q_text_tfidf is NOT in the no-BNLJ list: its corpus-size scalar rides a
