@@ -1209,6 +1209,96 @@ object Similarity {
         .orderBy("qid")
     },
 
+    // ---- ANN recall@k, hash-checked: the RECALL.json headline as a row ----
+    // The recall measurement itself is deterministic — exact brute-force
+    // top-10 per probe, the ivf_refined candidate-rule top-10 (2 Lloyd
+    // rounds, the q_embed_ivf_kmeans machinery), and the per-probe overlap
+    // count — so both engines can replay it and the ANN quality claim
+    // becomes an oracle-checked row instead of a committed offline
+    // artifact. Operating point: 50 probes, nprobe=8 of the 20 sf0.01
+    // cells = the same ~0.4 candidate fraction as the headline
+    // ivf_refined nprobe=32-of-80 point RECALL.json records at sf0.1.
+    // Plan shape: the ANN leg is all equi-joins (cell-probe candidate
+    // join + two id lookups); the only NLJ is the exact-baseline
+    // bounded-probe broadcast — ground truth is BY DEFINITION a per-probe
+    // corpus scan, and it broadcasts the fixed 50-probe batch, never the
+    // corpus (the q_embed_knn_classify baseline shape).
+    Q("q_embed_recall",
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 25 = 0),
+         |${lloydRoundSql("c0", "1", "c1")},
+         |${lloydRoundSql("c1", "2", "c2")},
+         |asn AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT e.vec_id, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${cosRawSql("e.v", "c.cv")} DESC, c.cid) AS rn
+         |    FROM e, c2 c
+         |  ) WHERE rn = 1
+         |),
+         |probes AS (
+         |  SELECT qid, cid FROM (
+         |    SELECT e.vec_id AS qid, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${cosRawSql("e.v", "c.cv")} DESC, c.cid) AS rn
+         |    FROM e, c2 c WHERE e.vec_id % 5 = 0 AND e.vec_id < 250
+         |  ) WHERE rn <= 8
+         |),
+         |cand AS (
+         |  SELECT DISTINCT p.qid, a.vec_id AS cand
+         |  FROM probes p JOIN asn a ON a.cid = p.cid AND a.vec_id <> p.qid
+         |),
+         |annscored AS (
+         |  SELECT qid, cand, ${cosSql("x.v", "y.v")} AS cos_r
+         |  FROM cand JOIN e x ON x.vec_id = qid JOIN e y ON y.vec_id = cand
+         |),
+         |ann AS (
+         |  SELECT qid, cand FROM (
+         |    SELECT qid, cand,
+         |      row_number() OVER (PARTITION BY qid ORDER BY cos_r DESC, cand) AS rn
+         |    FROM annscored
+         |  ) WHERE rn <= 10
+         |),
+         |ex AS (
+         |  SELECT qid, cand FROM (
+         |    SELECT q.vec_id AS qid, t.vec_id AS cand,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ${cosSql("q.v", "t.v")} DESC, t.vec_id) AS rn
+         |    FROM e q JOIN e t ON t.vec_id <> q.vec_id
+         |    WHERE q.vec_id % 5 = 0 AND q.vec_id < 250
+         |  ) WHERE rn <= 10
+         |),
+         |hits AS (
+         |  SELECT qid, count(*) AS hits FROM ex JOIN ann USING (qid, cand)
+         |  GROUP BY qid
+         |)
+         |SELECT q.vec_id AS qid, CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
+         |  round(coalesce(h.hits, 0) / 10.0, 6) AS recall
+         |FROM (SELECT vec_id FROM e WHERE vec_id % 5 = 0 AND vec_id < 250) q
+         |LEFT JOIN hits h ON h.qid = q.vec_id
+         |ORDER BY qid""".stripMargin) { (s, d) =>
+      val v = vecs(s, d)
+      val probePred = col("vec_id") % 5 === 0 && col("vec_id") < 250
+      val refined = refineCentroids(v, centroidSet(v, 25), rounds = 2)
+      val ann = ivfTopKWith(v, refined, probePred, nprobe = 8, k = 10)
+        .select("qid", "cand")
+      val probes = v.filter(probePred)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      val pairs = v.select(col("vec_id").as("cand"), col("v").as("cv"))
+        .join(broadcast(probes), col("cand") =!= col("qid"))
+        .select(col("qid"), col("cand"),
+          round(cosine(col("qv"), col("cv")), 6).as("cos_r"))
+      val w = Window.partitionBy("qid").orderBy(col("cos_r").desc, col("cand").asc)
+      val exact = pairs.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 10).select("qid", "cand")
+      val hits = exact.join(ann, Seq("qid", "cand"))
+        .groupBy("qid").agg(count(lit(1)).as("hits"))
+      probes.select("qid").join(hits, Seq("qid"), "left")
+        .select(col("qid"), coalesce(col("hits"), lit(0L)).as("hits"),
+          round(coalesce(col("hits"), lit(0L)) / lit(10.0), 6).as("recall"))
+        .orderBy("qid")
+    },
+
     // ---- corpus cartography: per-cluster document profile ----
     // The "map of the corpus" step of a curation recipe: assign every
     // document's embedding to a semantic cell, join the text table, and

@@ -137,6 +137,20 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("recall: ANN candidate leg is equi-joins; only the exact baseline may NLJ") {
+    val plan = queryPlan("q_embed_recall")
+    assert(!plan.contains("CartesianProduct"), s"q_embed_recall cartesian:\n$plan")
+    // ground truth is BY DEFINITION a per-probe corpus scan — it
+    // broadcasts the fixed 50-probe batch (never the corpus). That is the
+    // single NLJ allowed; the IVF candidate generation, rescoring id
+    // lookups, and the overlap join must all stay hash/sort equi-joins.
+    assert(count(plan, "BroadcastNestedLoopJoin") <= 1,
+      s"q_embed_recall grew a second NLJ:\n$plan")
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
+      s"q_embed_recall candidate/overlap joins must be equi-joins:\n$plan")
+    spark.catalog.clearCache()
+  }
+
   test("tfidf: only the corpus-count scalar may nested-loop (1-row broadcast)") {
     val plan = queryPlan("q_text_tfidf")
     assert(!plan.contains("CartesianProduct"), s"q_text_tfidf cartesian:\n$plan")
