@@ -1,0 +1,47 @@
+#!/usr/bin/env bash
+# Full-surface robustness replay — the per-round gate that rules out two
+# silent result-dependence classes the sf0.01 correctness run cannot see:
+#
+#   1. scale dependence  — every declared query re-verified against its
+#      DuckDB oracle at sf0.1 (10x the gate's data, default partitions);
+#   2. partition dependence — every query re-verified at 13 shuffle
+#      partitions (odd, non-power-of-two, != the 32 the queries were
+#      written under) — the cheap local stand-in for "a real cluster
+#      repartitioned the data", which is where accidental reliance on
+#      partition count or intra-partition order shows up.
+#
+# Usage: scripts/replay.sh <round-number>
+# Writes REPLAY_r{N}.json at the repo root (one line per replay leg with
+# the check.py verdict) and prints the two verdict lines. Runs sbt twice,
+# SEQUENTIALLY (concurrent sbt invocations contend on the project lock).
+set -euo pipefail
+ROUND="${1:?usage: replay.sh <round-number>}"
+REPO="$(cd "$(dirname "$0")/.." && pwd)"
+cd "$REPO"
+
+leg() { # name sfdir partitions workdir -> prints "N/M queries match"
+  local name="$1" sf="$2" parts="$3" dir="$4"
+  rm -rf "$dir"
+  echo "[replay] $name: full Verify over $sf at $parts shuffle partitions" >&2
+  SPARK_GRAFT_CPUS=32 SPARK_GRAFT_SHUFFLE_PARTITIONS="$parts" \
+    sbt -batch "runMain graft.Verify $sf $dir" >"$dir.log" 2>&1 \
+    || { echo "[replay] $name: Verify FAILED (see $dir.log)" >&2; exit 1; }
+  python3 scripts/check.py "$dir" "$sf" | tail -1
+}
+
+R1="$(leg sf0.1_default /root/testdata/sf0.1 32 /tmp/replay_sf01)"
+R2="$(leg sf0.01_p13 /root/testdata/sf0.01 13 /tmp/replay_p13)"
+echo "[replay] sf0.1 @32 partitions: $R1" >&2
+echo "[replay] sf0.01 @13 partitions: $R2" >&2
+
+DATE="$(date -u +%F)"
+cat > "REPLAY_r${ROUND}.json" <<EOF
+{"round": ${ROUND}, "date": "${DATE}",
+ "legs": [
+  {"name": "sf0.1_default_partitions", "sf": "/root/testdata/sf0.1",
+   "shuffle_partitions": 32, "result": "${R1}"},
+  {"name": "sf0.01_13_partitions", "sf": "/root/testdata/sf0.01",
+   "shuffle_partitions": 13, "result": "${R2}"}
+ ]}
+EOF
+echo "[replay] wrote REPLAY_r${ROUND}.json" >&2

@@ -16,9 +16,14 @@ object Verify {
     }
     def keep(name: String): Boolean = only.forall(_.contains(name))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // decoupled from the thread count so the robustness replay
+    // (scripts/replay.sh) can re-verify the whole surface at an odd
+    // partition count — the cheap stand-in for "a real cluster
+    // repartitioned the data" — without giving up local parallelism
+    val parts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", parts)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true") // events.ts INT64(NANOS)
