@@ -87,6 +87,16 @@ object CacheTracker {
     ds
   }
 
+  /** [[cached]] only under an active [[scope]], passthrough otherwise —
+    * for caches that are a builder's PRIVATE optimization (the handle
+    * never escapes to the caller): outside a scope nobody could ever
+    * release the entry, so the builder pays the recompute instead of
+    * leaking session-lifetime storage. The one definition of the pattern
+    * Bpe hand-rolled as `internallyCached`, now shared with Bm25.
+    */
+  def cachedInScope[T](ds: Dataset[T]): Dataset[T] =
+    if (inScope) cached(ds) else ds
+
   /** Record a `localCheckpoint()`-ed Dataset for release when the
     * enclosing [[scope]] exits — the checkpoint sibling of [[cached]].
     * No refcounting: unlike cache() plans, every localCheckpoint call

@@ -160,10 +160,11 @@ object ScaleCheck {
         // the old h1-mod bucketing would otherwise be probed with the new
         // bucket function and silently miss every hit
         val idxDir = s"$dir/substr_index_mixed"
-        // _SUCCESS, not bare dir existence: a run killed mid-write leaves
-        // the directory with partial buckets, and probing a partial index
-        // reports silently-wrong exponents instead of re-building
-        if (!new java.io.File(s"$idxDir/_SUCCESS").exists())
+        // _SUCCESS + bucketing marker, not bare dir existence: a run
+        // killed mid-write leaves partial buckets, and a pre-marker tree
+        // would now fail load() loudly — rebuild in either case
+        if (!new java.io.File(s"$idxDir/_SUCCESS").exists() ||
+            !new java.io.File(s"$idxDir/${ext.SubstringIndex.BucketingMarker}").exists())
           ext.SubstringIndex.write(docs.filter(col("doc_id") % 7 =!= 0), idxDir)
         val index = ext.SubstringIndex.load(spark, idxDir)
         // copy 0 keeps original doc ids: the same 20 probe docs exist at

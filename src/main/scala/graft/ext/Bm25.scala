@@ -50,8 +50,11 @@ object Bm25 {
     // cached: tf feeds BOTH the df/idf aggregate and the final join —
     // without it the corpus-wide tokenize+explode scan runs twice per
     // search (same multi-consumer materialization as lshTopK's signature
-    // table; released by an enclosing CacheTracker scope)
-    val tf = graft.CacheTracker.cached(base.filter(col("t").isin(terms: _*))
+    // table). In-scope ONLY: the handle never escapes search(), so
+    // outside a CacheTracker scope the entry would be unreleasable for
+    // the session lifetime (one leak per distinct term set) — there we
+    // pay the second scan instead.
+    val tf = graft.CacheTracker.cachedInScope(base.filter(col("t").isin(terms: _*))
       .groupBy("doc_id", "dl", "t").agg(count(lit(1)).cast("double").as("tf")))
     val df = tf.groupBy("t").agg(count(lit(1)).cast("double").as("df"))
     val idf = df.crossJoin(broadcast(stats))

@@ -163,7 +163,12 @@ object Bpe {
     val s = docs.sparkSession
     import s.implicits._
     (merges.toDF("round", "left_sym", "right_sym", "pair_count").orderBy("round"),
-      words)
+      // the FINAL lineage-cut checkpoint (when one happened) backs the
+      // returned frame: register it so the enclosing runner scope frees
+      // its RDD blocks like every superseded cut — otherwise they outlive
+      // the scope until ContextCleaner GC (no-op when no cut occurred or
+      // outside a scope, where the caller owns the lifetime)
+      CacheTracker.settled(words))
   }
 
   /** Batched training: up to `batchK` SYMBOL-DISJOINT merges per engine
@@ -248,7 +253,8 @@ object Bpe {
     val s = docs.sparkSession
     import s.implicits._
     (merges.toDF("round", "left_sym", "right_sym", "pair_count").orderBy("round"),
-      words)
+      // final-cut checkpoint registered for scope release (see train)
+      CacheTracker.settled(words))
   }
 
   /** Merge count between lineage cuts in [[trainBatched]]: deep enough to
@@ -434,7 +440,7 @@ object Bpe {
     * instead.
     */
   private def internallyCached(df: DataFrame): DataFrame =
-    if (CacheTracker.inScope) CacheTracker.cached(df) else df
+    CacheTracker.cachedInScope(df)
 
   private def charPageFrom(words: DataFrame, main: DataFrame,
                            mainCount: Long): DataFrame = {

@@ -60,6 +60,16 @@ object SubstringIndex {
   private def bucketOf(buckets: Int) =
     pmod(hash(col("h1")), lit(buckets)).cast("int")
 
+  /** Bucket-function version marker written into every index directory.
+    * The bucket is derived INDEPENDENTLY on the write and probe sides —
+    * if the function ever changes again (it did once: h1-mod → murmur
+    * mix), a stored tree probed with the new function misses every hit
+    * with zero hits and NO error. The marker makes that failure loud:
+    * [[load]] refuses a directory whose marker doesn't match the code's
+    * bucketing version instead of serving silent empty results.
+    */
+  private[graft] val BucketingMarker = "_GRAFT_BUCKETING_2"
+
   /** Attach the partition-bucket column to a window-hash frame — the one
     * definition write, batch probe, and streaming probe all derive the
     * bucket from.
@@ -79,16 +89,35 @@ object SubstringIndex {
     * directory (tasks × buckets tiny files).
     */
   def write(docs: DataFrame, path: String, k: Int = SubstringDedup.K,
-            sample: Int = 1, buckets: Int = Buckets): Unit =
+            sample: Int = 1, buckets: Int = Buckets): Unit = {
     indexRows(docs, k, sample, buckets)
       .repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(path)
+    // versioned AFTER the data lands: a write killed mid-stream leaves no
+    // marker, so load() refuses the partial tree too
+    val marker = new org.apache.hadoop.fs.Path(path, BucketingMarker)
+    val fs = marker.getFileSystem(
+      docs.sparkSession.sparkContext.hadoopConfiguration)
+    fs.create(marker, true).close()
+  }
 
   /** Partition columns come back through directory-name inference — pin
     * bucket to int so the at-rest schema matches [[indexRows]] exactly.
+    * Fails loudly on a tree without the current [[BucketingMarker]]: a
+    * stale layout probed with today's bucket function returns zero hits
+    * with no error — the one failure mode an at-rest index must never
+    * have.
     */
-  def load(spark: SparkSession, path: String): DataFrame =
+  def load(spark: SparkSession, path: String): DataFrame = {
+    val marker = new org.apache.hadoop.fs.Path(path, BucketingMarker)
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(marker),
+      s"substring index at $path lacks $BucketingMarker: it was written " +
+        "by an older bucket-function version (or the write was killed " +
+        "mid-stream) — probing it would silently miss every hit. Rebuild " +
+        "with SubstringIndex.write.")
     spark.read.parquet(path).withColumn("bucket", col("bucket").cast("int"))
+  }
 
   /** Maximal spans of `batch` documents whose text occurs verbatim in the
     * indexed corpus — identical output to

@@ -244,7 +244,15 @@ final case class FileSnapshotCommit(base: String, runId: String) extends Snapsho
     // run that died between retire and promote left `_retired_<otherId>`
     // as the ONLY copy — batch runs draw fresh runIds and would otherwise
     // never restore it, leaving readers with no snapshot at all until the
-    // next fully-successful run (newest mtime wins if several exist)
+    // next fully-successful run (newest mtime wins if several exist).
+    //
+    // CONTRACT: one writer per base path at a time (the swap design's
+    // standing assumption — promote itself retires/renames `current`
+    // unguarded). Under a CONCURRENT same-base committer this heal could
+    // misfire: between that run's retire and promote steps `current` is
+    // legitimately absent, and restoring ITS freshly-retired dir here
+    // would make its promote rename fail. Serialize commits per base
+    // (distinct bases are fine — all paths below are base-scoped).
     if (!fs.exists(current)) {
       val stale = fs.globStatus(new Path(s"$base/_retired_*"))
       if (stale != null && stale.nonEmpty)

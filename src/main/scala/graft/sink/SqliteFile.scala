@@ -512,10 +512,14 @@ final class SqliteDbReader(file: File) {
     def hotJournal: Boolean = journal.isFile && journal.length > 0 && {
       val in = new java.io.FileInputStream(journal)
       try {
-        val m = new Array[Byte](8)
+        // readNBytes, not a single read(): a short read is legal for any
+        // InputStream, and treating it as "not the magic" would classify
+        // a genuinely hot journal as cold and ingest a mid-transaction
+        // database
+        val m = in.readNBytes(8)
         val magic = Array(0xd9, 0xd5, 0x05, 0xf9, 0x20, 0xa1, 0x63, 0xd7)
           .map(_.toByte)
-        in.read(m) == 8 && java.util.Arrays.equals(m, magic)
+        m.length == 8 && java.util.Arrays.equals(m, magic)
       } finally in.close()
     }
     require(!hotJournal,

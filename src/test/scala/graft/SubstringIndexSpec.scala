@@ -75,4 +75,20 @@ class SubstringIndexSpec extends AnyFunSuite {
     assert(bucketDirs.length > 8,
       s"sampled index collapsed to ${bucketDirs.length} of 16 buckets")
   }
+
+  test("load refuses a tree without the bucketing-version marker") {
+    // write/probe derive the bucket independently; a tree written under a
+    // different bucket function probes to ZERO hits with no error — the
+    // marker turns that silent miss into a loud load failure
+    val docs = Tables.documents(spark, sf)
+    val corpus = docs.filter(col("doc_id") % 7 =!= 0)
+    val dir = Files.createTempDirectory("graft-subidx-ver").toString
+    SubstringIndex.write(corpus, dir)
+    val marker = new java.io.File(dir, SubstringIndex.BucketingMarker)
+    assert(marker.isFile, "write() must stamp the bucketing marker")
+    assert(marker.delete())
+    val e = intercept[IllegalArgumentException](SubstringIndex.load(spark, dir))
+    assert(e.getMessage.contains("bucket-function"),
+      s"marker-less load must explain the stale-layout risk: ${e.getMessage}")
+  }
 }
