@@ -124,4 +124,66 @@ object CurationReport {
                .cast("long").as("clean_tokens"))
         .orderBy("source")
   }
+
+  /** The funnel SERVED from the stored artifacts — what a production
+    * admission run looks like once the corpus is in steady state: instead
+    * of re-deriving every gate from scratch like [[report]], an incoming
+    * batch is scored against the trained [[LmGate.Gate]] (quality:
+    * head/middle terciles pass, tail drops), probed against the at-rest
+    * [[DedupIndex]] (any band hit means "near-dup of something already
+    * ingested" — not novel), and decontaminated against the stored Bloom
+    * bit artifact ([[TextAnalysis.loadBloomBits]]). This is the
+    * composition proof for the at-rest pieces: each leg is the SAME
+    * serving method its individual artifact ships, so the funnel cannot
+    * drift from the per-artifact semantics.
+    *
+    * Plan shape at 100 TB: the gate legs are broadcast equi-joins plus a
+    * CASE projection (zero windows — [[LmGate.Gate.bucketed]] serves from
+    * two frozen boundary scalars), the index probe is a partition-pruned
+    * scan of the batch's (band, bucket) directories, and the Bloom leg is
+    * three no-fanout broadcast joins; the report is one per-source hash
+    * aggregate. Nothing re-reads or re-shuffles the INDEXED corpus — the
+    * whole funnel's cost tracks the batch.
+    *
+    * `bandedBatch` is the batch in the [[Dedup]] (doc_id, band, key)
+    * LSH shape (the caller usually has it from signature computation);
+    * funnel stages gate in order: quality → novel → clean.
+    */
+  def servedReport(batch: org.apache.spark.sql.DataFrame,
+                   bandedBatch: org.apache.spark.sql.DataFrame,
+                   index: org.apache.spark.sql.DataFrame,
+                   gate: LmGate.Gate,
+                   bloomBits: Seq[Long]): org.apache.spark.sql.DataFrame = {
+    val base = batch.select(col("doc_id"), col("source"),
+      TextHash.wsTokenCount(col("text")).as("n_toks"))
+    // smoothed gates score every document; an MLE gate's closed-world
+    // drops (all-unseen docs) read here as tail-bucket failures, which is
+    // the conservative admission stance
+    val q = gate.bucketed(batch)
+      .select(col("doc_id"), (col("bucket") < gate.boundaries.size + 1).as("pass_q"))
+    val dup = DedupIndex.probe(index, bandedBatch)
+      .select(col("doc_id").as("dup_id"))
+    val dirty = TextAnalysis
+      .scoreAgainstBloomBits(Dedup.shingleHash(batch), bloomBits)
+      .filter(col("n_hit") > 0)
+      .select(col("doc_id").as("dirty_id"))
+    base
+      .join(q, Seq("doc_id"), "left")
+      .join(dup, col("doc_id") === col("dup_id"), "left")
+      .join(dirty, col("doc_id") === col("dirty_id"), "left")
+      .select(col("source"), col("n_toks"),
+        when(coalesce(col("pass_q"), lit(false)), 1).otherwise(0).as("pq"),
+        when(coalesce(col("pass_q"), lit(false)) && col("dup_id").isNull, 1)
+          .otherwise(0).as("nv"),
+        when(coalesce(col("pass_q"), lit(false)) && col("dup_id").isNull &&
+             col("dirty_id").isNull, 1).otherwise(0).as("cl"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_raw"),
+           sum("pq").cast("long").as("n_quality"),
+           sum("nv").cast("long").as("n_novel"),
+           sum("cl").cast("long").as("n_clean"),
+           sum(when(col("cl") === 1, col("n_toks")).otherwise(0L))
+             .cast("long").as("clean_tokens"))
+      .orderBy("source")
+  }
 }

@@ -40,7 +40,7 @@ object Dedup {
     * contamination consumer joins on ([[TextAnalysis.contaminationScore]],
     * [[CurationReport.report]]; SQL mirror: [[shingleHashFrom]]).
     */
-  private[ext] def shingleHash(docs: DataFrame): DataFrame =
+  private[graft] def shingleHash(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), explode(shinglesFromTokens(tokens(col("text")), K)).as("sh"))
       .select(col("doc_id"), h48(col("sh")).as("h"))

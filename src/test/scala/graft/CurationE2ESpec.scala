@@ -184,4 +184,74 @@ class CurationE2ESpec extends AnyFunSuite {
     assert(sel.forall(id => id < 20L || id == 40L || id == 41L || id == 42L),
       s"DSIR selected junk-vocabulary docs: $sel")
   }
+
+  test("at-rest artifacts compose: served funnel == rebuilt funnel, probe prunes") {
+    import graft.ext.{CurationReport, Dedup, DedupIndex, LmGate, TextAnalysis}
+    // the steady-state admission run: the corpus is already ingested (its
+    // LM gate, band index, and the eval suite's Bloom bits are ON DISK),
+    // and an incoming batch flows through quality -> novelty -> decontam
+    // served ENTIRELY from those artifacts. Pinned against the identical
+    // composition over in-memory-rebuilt pieces: the at-rest forms must
+    // compose, not just exist individually.
+    val sf = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, sf)
+    val isBench = col("doc_id") % 97 === 0
+    val isBatch = col("doc_id") % 2 === 1
+    val bench = docs.filter(isBench)
+    val corpusDocs = docs.filter(!isBench && !isBatch)
+    val batch = docs.filter(!isBench && isBatch)
+    val banded = Dedup.mhBandedDf(spark, sf).cache()
+    try {
+      val bandedCorpus = banded.filter(!isBench && !isBatch)
+      val bandedBatch = banded.filter(!isBench && isBatch)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-funnel").toString
+      LmGate.write(corpusDocs, s"$tmp/gate", smoothed = true, maxBigrams = 500)
+      DedupIndex.write(bandedCorpus, s"$tmp/dedup")
+      TextAnalysis.writeBloomBits(Dedup.shingleHash(bench), s"$tmp/bloom")
+
+      def served() = CurationReport.servedReport(batch, bandedBatch,
+        DedupIndex.load(spark, s"$tmp/dedup"),
+        LmGate.load(spark, s"$tmp/gate"),
+        TextAnalysis.loadBloomBits(spark, s"$tmp/bloom"))
+
+      val (c12, c1) = LmGate.cappedTables(corpusDocs, 500)
+      val bs = graft.operators.DistributedRank.boundariesDesc(
+        LmGate.scoreSmoothed(corpusDocs, c12, c1)
+          .select(col("doc_id"), col("avg_logprob")),
+        "avg_logprob", "doc_id", 3)
+      val rebuilt = CurationReport.servedReport(batch, bandedBatch,
+        DedupIndex.indexRows(bandedCorpus),
+        LmGate.Gate(c12, c1, bs, smoothed = true, maxBigrams = 500),
+        TextAnalysis.bloomBits(Dedup.shingleHash(bench)))
+
+      val sRows = served().collect().map(_.toSeq).toSeq
+      val rRows = rebuilt.collect().map(_.toSeq).toSeq
+      assert(sRows == rRows,
+        s"served funnel diverges from rebuilt:\n$sRows\nvs\n$rRows")
+
+      // the funnel is a funnel: per-source counts monotone, raw total
+      // covers the batch, and at least one stage actually cut something
+      // (all-pass would vacuously satisfy the equivalence)
+      val byCols = served().collect()
+      assert(byCols.map(_.getAs[Long]("n_raw")).sum == batch.count())
+      byCols.foreach { r =>
+        val (raw, q, nv, cl) = (r.getAs[Long]("n_raw"), r.getAs[Long]("n_quality"),
+          r.getAs[Long]("n_novel"), r.getAs[Long]("n_clean"))
+        assert(raw >= q && q >= nv && nv >= cl, s"non-monotone funnel row: $r")
+      }
+      assert(byCols.map(_.getAs[Long]("n_clean")).sum <
+             byCols.map(_.getAs[Long]("n_raw")).sum,
+        "funnel cut nothing — the composition check is vacuous")
+
+      // executed plan: the index probe leg keeps dynamic partition
+      // pruning inside the composed funnel, and composition introduces no
+      // cartesian pairing
+      val df = served()
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("dynamicpruning"),
+        s"composed funnel lost partition pruning on the index probe:\n${plan.take(2000)}")
+      assert(!plan.contains("CartesianProduct"), "composed funnel plans a cartesian")
+    } finally { banded.unpersist(); spark.catalog.clearCache(); () }
+  }
 }
