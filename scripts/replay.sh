@@ -12,25 +12,40 @@
 #
 # Usage: scripts/replay.sh <round-number>
 # Writes REPLAY_r{N}.json at the repo root (one line per replay leg with
-# the check.py verdict) and prints the two verdict lines. Runs sbt twice,
-# SEQUENTIALLY (concurrent sbt invocations contend on the project lock).
-set -euo pipefail
+# the check.py verdict — written even when a leg FAILS, so the artifact
+# records the red state), prints both verdicts, and exits non-zero if any
+# leg mismatches. Full check.py output (incl. per-query FAIL diffs) lands
+# in <workdir>.check. Runs sbt twice, SEQUENTIALLY (concurrent sbt
+# invocations contend on the project lock).
+set -uo pipefail
 ROUND="${1:?usage: replay.sh <round-number>}"
 REPO="$(cd "$(dirname "$0")/.." && pwd)"
 cd "$REPO"
 
-leg() { # name sfdir partitions workdir -> prints "N/M queries match"
+leg() { # name sfdir partitions workdir -> prints "N/M queries match" or FAIL note
   local name="$1" sf="$2" parts="$3" dir="$4"
   rm -rf "$dir"
   echo "[replay] $name: full Verify over $sf at $parts shuffle partitions" >&2
-  SPARK_GRAFT_CPUS=32 SPARK_GRAFT_SHUFFLE_PARTITIONS="$parts" \
-    sbt -batch "runMain graft.Verify $sf $dir" >"$dir.log" 2>&1 \
-    || { echo "[replay] $name: Verify FAILED (see $dir.log)" >&2; exit 1; }
-  python3 scripts/check.py "$dir" "$sf" | tail -1
+  if ! SPARK_GRAFT_CPUS=32 SPARK_GRAFT_SHUFFLE_PARTITIONS="$parts" \
+      sbt -batch "runMain graft.Verify $sf $dir" >"$dir.log" 2>&1; then
+    echo "VERIFY FAILED (see $dir.log)"
+    return 1
+  fi
+  # keep the FULL check output (per-query FAIL diffs) in $dir.check and
+  # surface it on stderr on mismatch — a swallowed diff costs a re-run
+  python3 scripts/check.py "$dir" "$sf" >"$dir.check" 2>&1
+  local rc=$?
+  tail -1 "$dir.check"
+  if [ $rc -ne 0 ]; then
+    echo "[replay] $name MISMATCH — check output:" >&2
+    cat "$dir.check" >&2
+    return 1
+  fi
 }
 
-R1="$(leg sf0.1_default /root/testdata/sf0.1 32 /tmp/replay_sf01)"
-R2="$(leg sf0.01_p13 /root/testdata/sf0.01 13 /tmp/replay_p13)"
+STATUS=0
+R1="$(leg sf0.1_default /root/testdata/sf0.1 32 /tmp/replay_sf01)" || STATUS=1
+R2="$(leg sf0.01_p13 /root/testdata/sf0.01 13 /tmp/replay_p13)" || STATUS=1
 echo "[replay] sf0.1 @32 partitions: $R1" >&2
 echo "[replay] sf0.01 @13 partitions: $R2" >&2
 
@@ -44,4 +59,5 @@ cat > "REPLAY_r${ROUND}.json" <<EOF
    "shuffle_partitions": 13, "result": "${R2}"}
  ]}
 EOF
-echo "[replay] wrote REPLAY_r${ROUND}.json" >&2
+echo "[replay] wrote REPLAY_r${ROUND}.json (status $STATUS)" >&2
+exit $STATUS

@@ -428,19 +428,9 @@ object Bpe {
     * job).
     */
   def charPage(words: DataFrame): DataFrame = {
-    val main = internallyCached(symbolIds(words))
+    val main = CacheTracker.cachedInScope(symbolIds(words))
     charPageFrom(words, main, main.count())
   }
-
-  /** Cache a rank table used several times WITHIN one builder — but only
-    * under an active [[CacheTracker]] scope (Verify / [[writeTokenizer]]),
-    * which releases it. Outside a scope no handle would escape to the
-    * caller, so the entry would be unreleasable for the session lifetime;
-    * there we skip the cache and pay the (vocab-bounded) recompute
-    * instead.
-    */
-  private def internallyCached(df: DataFrame): DataFrame =
-    CacheTracker.cachedInScope(df)
 
   private def charPageFrom(words: DataFrame, main: DataFrame,
                            mainCount: Long): DataFrame = {
@@ -459,7 +449,7 @@ object Bpe {
     * offset.
     */
   def fullSymbolIds(words: DataFrame): DataFrame = {
-    val main = internallyCached(symbolIds(words))
+    val main = CacheTracker.cachedInScope(symbolIds(words))
     main.unionAll(charPageFrom(words, main, main.count()))
   }
 

@@ -56,19 +56,31 @@ object DedupIndex {
     * With it each directory gets one chunky file, which is also the
     * layout a cluster-scale probe wants to list.
     */
-  def write(banded: DataFrame, path: String, buckets: Int = Buckets): Unit =
+  /** Bucket-function version marker ([[IndexVersion]]): v1 = the
+    * `pmod(hash(k1, k2), buckets)` derivation above. A probe against a
+    * tree written under a DIFFERENT derivation reports every true
+    * near-dup as novel — silent duplicate admission — so [[load]] refuses
+    * unstamped trees.
+    */
+  private[graft] val BucketingMarker = "_GRAFT_BUCKETING_1"
+
+  def write(banded: DataFrame, path: String, buckets: Int = Buckets): Unit = {
     indexRows(banded, buckets).repartition(col("band"), col("bucket"))
       .write.mode("overwrite")
       .partitionBy("band", "bucket").parquet(path)
+    IndexVersion.stamp(banded.sparkSession, path, BucketingMarker)
+  }
 
   /** Partition columns come back through directory-name inference — pin
     * them to int so the at-rest schema matches [[indexRows]] exactly
     * (same rule as [[AnnIndex.load]]).
     */
-  def load(spark: SparkSession, path: String): DataFrame =
+  def load(spark: SparkSession, path: String): DataFrame = {
+    IndexVersion.check(spark, path, BucketingMarker, "dedup band index")
     spark.read.parquet(path)
       .withColumn("band", col("band").cast("int"))
       .withColumn("bucket", col("bucket").cast("int"))
+  }
 
   /** (doc_id, n_bands_hit) for every incoming document that shares at
     * least one band key with the stored corpus: any hit flags the doc as

@@ -84,9 +84,14 @@ object LmGate {
     * bigram silently drops, which defeats the point of the cap.
     */
   def cappedTables(docs: DataFrame, maxBigrams: Int): (DataFrame, DataFrame) = {
-    val c12 = capBigrams(
+    // cached (in-scope only — the handle doesn't escape as a releasable
+    // cache): the ≤cap-row capped table feeds THREE consumers in a scoring
+    // plan (the c12 join, the c1 derivation, and V = |c1|), and each would
+    // otherwise re-run the rank-and-filter window pipeline over the full
+    // bigram vocabulary
+    val c12 = graft.CacheTracker.cachedInScope(capBigrams(
       bigrams(docs).groupBy("w1", "w2").agg(count(lit(1)).as("c12")),
-      maxBigrams)
+      maxBigrams))
     val c1 = c12.groupBy("w1").agg(sum("c12").as("c1"))
     (c12, c1)
   }
@@ -163,7 +168,14 @@ object LmGate {
     * reads.
     */
   def write(docs: DataFrame, dir: String, buckets: Int = 3,
-            smoothed: Boolean = false, maxBigrams: Int = 0): Unit =
+            smoothed: Boolean = false, maxBigrams: Int = 0): Unit = {
+    // a capped artifact under closed-world MLE would DROP every document
+    // touching a truncated bigram from scoring — the silent mass-reject
+    // cappedTables' doc warns about. Refuse to build one.
+    require(maxBigrams <= 0 || smoothed,
+      "a capped gate (maxBigrams > 0) must be smoothed: under closed-world " +
+        "MLE scoring every truncated bigram silently drops its documents " +
+        "from the scored output")
     // terminal writer: scope the internal rank caches so library callers
     // don't inherit an unreleasable cached Dataset (runner scopes nest
     // fine — release is reference-counted)
@@ -194,6 +206,7 @@ object LmGate {
         .coalesce(1)
         .write.mode("overwrite").parquet(s"$dir/meta.parquet")
     }
+  }
 
   def load(s: SparkSession, dir: String): Gate = {
     val bs = s.read.parquet(s"$dir/bounds.parquet")

@@ -60,13 +60,8 @@ object SubstringIndex {
   private def bucketOf(buckets: Int) =
     pmod(hash(col("h1")), lit(buckets)).cast("int")
 
-  /** Bucket-function version marker written into every index directory.
-    * The bucket is derived INDEPENDENTLY on the write and probe sides —
-    * if the function ever changes again (it did once: h1-mod → murmur
-    * mix), a stored tree probed with the new function misses every hit
-    * with zero hits and NO error. The marker makes that failure loud:
-    * [[load]] refuses a directory whose marker doesn't match the code's
-    * bucketing version instead of serving silent empty results.
+  /** Bucket-function version marker ([[IndexVersion]]): v2 = the murmur
+    * mix above (v1, the unstamped h1-mod layout, changed in round 11).
     */
   private[graft] val BucketingMarker = "_GRAFT_BUCKETING_2"
 
@@ -93,12 +88,7 @@ object SubstringIndex {
     indexRows(docs, k, sample, buckets)
       .repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(path)
-    // versioned AFTER the data lands: a write killed mid-stream leaves no
-    // marker, so load() refuses the partial tree too
-    val marker = new org.apache.hadoop.fs.Path(path, BucketingMarker)
-    val fs = marker.getFileSystem(
-      docs.sparkSession.sparkContext.hadoopConfiguration)
-    fs.create(marker, true).close()
+    IndexVersion.stamp(docs.sparkSession, path, BucketingMarker)
   }
 
   /** Partition columns come back through directory-name inference — pin
@@ -109,13 +99,7 @@ object SubstringIndex {
     * have.
     */
   def load(spark: SparkSession, path: String): DataFrame = {
-    val marker = new org.apache.hadoop.fs.Path(path, BucketingMarker)
-    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    require(fs.exists(marker),
-      s"substring index at $path lacks $BucketingMarker: it was written " +
-        "by an older bucket-function version (or the write was killed " +
-        "mid-stream) — probing it would silently miss every hit. Rebuild " +
-        "with SubstringIndex.write.")
+    IndexVersion.check(spark, path, BucketingMarker, "substring index")
     spark.read.parquet(path).withColumn("bucket", col("bucket").cast("int"))
   }
 

@@ -248,7 +248,13 @@ class CurationE2ESpec extends AnyFunSuite {
       // cartesian pairing
       val df = served()
       df.collect()
-      val plan = df.queryExecution.executedPlan.toString
+      // grade only the FINAL AQE-resolved plan (PlanAuditSpec.planOf
+      // rule): AdaptiveSparkPlanExec.toString appends the initial plan,
+      // which would mask a final-plan pruning loss and report pre-AQE
+      // join shapes
+      val fullPlan = df.queryExecution.executedPlan.toString
+      val cut = fullPlan.indexOf("== Initial Plan ==")
+      val plan = if (cut >= 0) fullPlan.take(cut) else fullPlan
       assert(plan.contains("dynamicpruning"),
         s"composed funnel lost partition pruning on the index probe:\n${plan.take(2000)}")
       assert(!plan.contains("CartesianProduct"), "composed funnel plans a cartesian")
