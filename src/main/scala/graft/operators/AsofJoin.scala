@@ -39,15 +39,10 @@ object AsofJoin {
 
   private val Reserved = Seq("__k", "__ts", "__tag", "__rp")
 
-  private def orderable(dt: org.apache.spark.sql.types.DataType): Boolean = {
-    import org.apache.spark.sql.types._
-    dt match {
-      case s: StructType => s.fields.forall(f => orderable(f.dataType))
-      case a: ArrayType  => orderable(a.elementType)
-      case _: MapType    => false
-      case _             => true
-    }
-  }
+  // a payload is orderable iff no MapType appears anywhere in its type
+  // tree — the same invariant (and walk) as SkewJoin's salt-column pick
+  private def orderable(dt: org.apache.spark.sql.types.DataType): Boolean =
+    SkewJoin.mapFree(dt)
 
   /** @param rightCols right payload columns to carry, as (rightName -> outName);
     *                  outNames must not collide with left column names.

@@ -75,7 +75,12 @@ object Compaction {
     val totalBytes = files.map(_.getLen).sum
     val target = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
 
-    spark.read.parquet(path)
+    // mergeSchema: without it Spark infers the schema from ONE arbitrary
+    // footer, and a directory whose files evolved (a later producer added
+    // a column) would be rewritten — and promoted — WITHOUT the newer
+    // column: permanent silent data loss. Merging unions the fields (old
+    // rows read null for added columns, the normal evolution semantics).
+    spark.read.option("mergeSchema", "true").parquet(path)
       .repartition(target)
       .write.parquet(staging.toString)
 
@@ -91,7 +96,10 @@ object Compaction {
     }
     graft.sink.DirSwap.promote(fs, staging, dir, retired)
 
-    val after = fs.listStatus(dir).count(f => f.isFile && !f.getPath.getName.startsWith("_"))
+    // same BOTH-conventions exclusion as listData: counting .crc
+    // siblings would report filesAfter ≈ 2× target on checksum filesystems
+    val after = fs.listStatus(dir).count(f => f.isFile &&
+      !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith("."))
     CompactionReport(files.length, after, totalBytes, target)
   }
 }

@@ -59,10 +59,14 @@ object ConnectedComponents {
     // phantom (null, comp) row while leaving the real neighbors unlinked
     val e = edges.select(col("src"), col("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
-    val sym = e
+    // settled like the label checkpoints below: the returned plan
+    // references sym through attach(), so its blocks must live until the
+    // query finishes — and then be freed by the runner scope, not linger
+    // until ContextCleaner GC
+    val sym = graft.CacheTracker.settled(e
       .union(e.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
-      .localCheckpoint()
+      .localCheckpoint())
     // Isolated nodes (no incident edge) can never change label — they keep
     // comp = id by definition. The loop therefore iterates ONLY over edge
     // endpoints: for dedup graphs that is the near-dup subgraph, orders of

@@ -60,6 +60,9 @@ object DistributedRank {
   def ntileDesc(df: DataFrame, scoreCol: String, idCol: String, n: Int,
                 bucketCol: String = "bucket"): DataFrame = {
     require(n >= 1, s"ntile bucket count must be >= 1, got $n")
+    require(!df.columns.contains(bucketCol),
+      s"ntileDesc output column '$bucketCol' already exists on the input — " +
+        "it would be silently clobbered; pass a different bucketCol")
     val (ranked, total) = rankCore(df, scoreCol, idCol, "__graft_rk")
     // standard ntile sizing: q = N/n rows per bucket, the first N%n
     // buckets take one extra; k(i) = cumulative row count of buckets 1..i
@@ -88,6 +91,7 @@ object DistributedRank {
   def boundariesDesc(df: DataFrame, scoreCol: String, idCol: String,
                      n: Int): Seq[(Double, Long)] = {
     require(n >= 2, s"boundary extraction needs n >= 2, got $n")
+    requireIntegralId(df, idCol, "boundariesDesc")
     val (ranked, total) = rankCore(df, scoreCol, idCol, "__graft_rk")
     val q = total / n
     val r = total % n
@@ -118,6 +122,10 @@ object DistributedRank {
   def bucketByBoundaries(df: DataFrame, scoreCol: String, idCol: String,
                          boundaries: Seq[(Double, Long)],
                          bucketCol: String = "bucket"): DataFrame = {
+    requireIntegralId(df, idCol, "bucketByBoundaries")
+    require(!df.columns.contains(bucketCol),
+      s"bucketByBoundaries output column '$bucketCol' already exists on " +
+        "the input — it would be silently clobbered; pass a different bucketCol")
     val score = col(scoreCol)
     val id = col(idCol)
     var bucket: Column = lit(boundaries.size + 1)
@@ -125,6 +133,24 @@ object DistributedRank {
       bucket = when(score > bs || (score === bs && id <= bi), idx + 1)
         .otherwise(bucket)
     df.withColumn(bucketCol, bucket.cast("int"))
+  }
+
+  /** The boundary-scalar pair (score, id) stores the id as a LONG and
+    * [[bucketByBoundaries]] compares `id <= bi` against a long literal —
+    * NUMERIC order. [[rankDesc]]/[[ntileDesc]] order `idCol` by its OWN
+    * type; for a numeric-string id the two orders disagree ("10" < "9"
+    * lexicographically), so serving would diverge from training exactly
+    * at tied boundary scores — silently. Restrict the boundary path to
+    * integral ids up front (string-keyed ranking stays supported in
+    * rankDesc, e.g. LmGate.capBigrams).
+    */
+  private def requireIntegralId(df: DataFrame, idCol: String, op: String): Unit = {
+    import org.apache.spark.sql.types._
+    val dt = df.schema(idCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+      s"$op needs an integral idCol (its boundary scalars store ids as " +
+        s"long and compare numerically); '$idCol' is $dt — rank on a " +
+        "surrogate integral key instead")
   }
 
   /** Range-group index for a score against the sorted threshold literals:
@@ -184,6 +210,12 @@ object DistributedRank {
     require(clash.isEmpty,
       s"DistributedRank reserves column name(s) ${clash.mkString(", ")}; " +
         "rename them on the input")
+    // the OUTPUT column gets the same fail-fast as the reserved temps: a
+    // caller whose input already carries `rk`/`cum` (or a custom outCol)
+    // would otherwise have that data column silently replaced
+    require(outCol == "__graft_rk" || !df.columns.contains(outCol),
+      s"DistributedRank output column '$outCol' already exists on the " +
+        "input — it would be silently clobbered; pass a different name")
     val spark = df.sparkSession
     val cached = CacheTracker.cached(df)
     val p = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt.max(1)

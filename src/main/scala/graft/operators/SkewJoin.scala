@@ -18,6 +18,22 @@ import org.apache.spark.sql.functions._
   */
 object SkewJoin {
 
+  /** No MapType anywhere in the type tree — the shared invariant behind
+    * two operator guards: `hash()` rejects maps at analysis time (map
+    * equality is unordered), and sort order is undefined over them, so
+    * both the salt-column pick here and AsofJoin's payload-ordering check
+    * need the same recursive walk.
+    */
+  private[operators] def mapFree(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case s: StructType => s.fields.forall(f => mapFree(f.dataType))
+      case a: ArrayType  => mapFree(a.elementType)
+      case _: MapType    => false
+      case _             => true
+    }
+  }
+
   /** Inner equi-join of `fact` with `dim` on `keys`, fact side salted,
     * dim side replicated `saltFactor`×. Equivalent to
     * `fact.join(dim, keys)` for any saltFactor >= 1.
@@ -34,15 +50,6 @@ object SkewJoin {
     // and a fact table with an attrs map would otherwise fail salted where
     // the plain join works. If ONLY map columns exist beyond the keys the
     // salt degenerates to per-key (no spread) — the documented limit.
-    def mapFree(dt: org.apache.spark.sql.types.DataType): Boolean = {
-      import org.apache.spark.sql.types._
-      dt match {
-        case s: StructType => s.fields.forall(f => mapFree(f.dataType))
-        case a: ArrayType  => mapFree(a.elementType)
-        case _: MapType    => false
-        case _             => true
-      }
-    }
     val saltCols = fact.schema.fields.filter(f => mapFree(f.dataType)).map(f => col(f.name)).toSeq
     val saltedFact = fact.withColumn("__salt",
       pmod(hash((if (saltCols.nonEmpty) saltCols else keys.map(col)): _*), lit(saltFactor)))
