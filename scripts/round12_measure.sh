@@ -1,0 +1,45 @@
+#!/usr/bin/env bash
+# Round-12 measurement battery — run at (near-)final HEAD, sequentially
+# (one sbt at a time). Produces:
+#   BENCH_LOCAL_r12.json        full surface at sf0.1, reps=3 medians
+#   BENCH_LOCAL_r12_10x.json    30 heavy queries at /tmp/graft-scale/x10
+#   SCALING.json refresh        10x block + x100 re-measure (single file,
+#                               assembled by the committer from stderr)
+# The JSON assembly/protocol fields are added by the committer; this
+# script only runs the timed legs and tees raw outputs to /tmp/r12m/.
+set -euo pipefail
+REPO="$(cd "$(dirname "$0")/.." && pwd)"; cd "$REPO"
+mkdir -p /tmp/r12m
+
+TEN_X_QUERIES="q_dedup_jaccard,q_dedup_clusters,q_dedup_corpus,q_dedup_editdist,q_dedup_incremental,q_dedup_index_build,q_dedup_substring,q_dedup_substring_cut,q_dedup_substring_profile,q_text_decontam_spans,q_text_decontam_trim,q_text_bloom_decontam,q_text_contamination,q_text_classifier,q_text_fingerprint,q_curation_report,q_sample_dsir,q_sample_quality_budget,q_graph_pagerank,q_embed_mmr,q_text_bpe_apply,q_text_bpe_encode,q_text_bpe_batched,q_text_dup_ngrams,q_text_lm_smoothed,q_text_ppl_buckets,q_text_bpe_stats,q_text_lm_score,q_text_ppl_capped,q_text_bpe_decode"
+
+case "${1:-all}" in
+  bench)
+    SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 SPARK_GRAFT_REPS=3 \
+      sbt -batch "runMain graft.Bench" 2>/tmp/r12m/bench.err | grep '{"metric"' | sed 's/^\[info\] //' \
+      > /tmp/r12m/bench.json
+    ;;
+  synth)  # make sure x1/x10 synthesis exists without timing queries
+    SPARK_GRAFT_SCALE_ONLY=__none__ sbt -batch "runMain graft.ScaleCheck" 2>&1 | tail -3
+    ;;
+  bench10x)
+    SPARK_GRAFT_SF_DIR=/tmp/graft-scale/x10 SPARK_GRAFT_CPUS=32 SPARK_GRAFT_REPS=3 \
+      SPARK_GRAFT_ONLY="$TEN_X_QUERIES" \
+      sbt -batch "runMain graft.Bench" 2>/tmp/r12m/bench10x.err | grep '{"metric"' | sed 's/^\[info\] //' \
+      > /tmp/r12m/bench10x.json
+    # the same set at 1x for the cost ratio
+    SPARK_GRAFT_SF_DIR=/tmp/graft-scale/x1 SPARK_GRAFT_CPUS=32 SPARK_GRAFT_REPS=3 \
+      SPARK_GRAFT_ONLY="$TEN_X_QUERIES" \
+      sbt -batch "runMain graft.Bench" 2>/tmp/r12m/bench1x.err | grep '{"metric"' | sed 's/^\[info\] //' \
+      > /tmp/r12m/bench1x.json
+    ;;
+  scaling10)
+    sbt -batch "runMain graft.ScaleCheck" 2>/tmp/r12m/scaling10.err | tail -1 > /tmp/r12m/scaling10.json
+    ;;
+  scaling100)
+    SPARK_GRAFT_SCALE_COPIES=100 \
+      SPARK_GRAFT_SCALE_ONLY="q_text_bloom_decontam,q_sample_dsir,q_text_bpe_merges,q_text_ppl_buckets,q_text_ppl_capped,q_sample_quality_budget,q_dedup_substring,q_text_decontam_spans,substr_index,knn_ann" \
+      sbt -batch "runMain graft.ScaleCheck" 2>/tmp/r12m/scaling100.err | tail -1 > /tmp/r12m/scaling100.json
+    ;;
+  *) echo "usage: $0 {bench|synth|bench10x|scaling10|scaling100}"; exit 2;;
+esac

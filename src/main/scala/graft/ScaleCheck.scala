@@ -60,6 +60,9 @@ object ScaleCheck {
     // operator; real corpora grow vocab ~N^0.5 (Heaps), so the measured
     // exponent here UPPER-bounds production behavior
     "q_text_bpe_merges",
+    // round-12: corpus-wide tokenizer statistics (explode + vocab-bounded
+    // joins) — never measured beyond an isolated 10x point before
+    "q_text_bpe_stats",
     // round-10 rewrite: the tercile cut now runs through DistributedRank
     // (threshold groups + grouped windows + bounded collects) instead of
     // a single-partition ntile window — this point validates that the
