@@ -34,12 +34,16 @@ case "${1:-all}" in
       > /tmp/r12m/bench1x.json
     ;;
   scaling10)
-    sbt -batch "runMain graft.ScaleCheck" 2>/tmp/r12m/scaling10.err | tail -1 > /tmp/r12m/scaling10.json
+    # grep the JSON line (sbt appends its own footer to stdout; an
+    # unanchored tail -1 captures that instead — the bench.py lesson)
+    sbt -batch "runMain graft.ScaleCheck" 2>/tmp/r12m/scaling10.err \
+      | grep '{"copies"' | sed 's/^\[info\] //' > /tmp/r12m/scaling10.json
     ;;
   scaling100)
     SPARK_GRAFT_SCALE_COPIES=100 \
       SPARK_GRAFT_SCALE_ONLY="q_text_bloom_decontam,q_sample_dsir,q_text_bpe_merges,q_text_ppl_buckets,q_text_ppl_capped,q_sample_quality_budget,q_dedup_substring,q_text_decontam_spans,substr_index,knn_ann" \
-      sbt -batch "runMain graft.ScaleCheck" 2>/tmp/r12m/scaling100.err | tail -1 > /tmp/r12m/scaling100.json
+      sbt -batch "runMain graft.ScaleCheck" 2>/tmp/r12m/scaling100.err \
+      | grep '{"copies"' | sed 's/^\[info\] //' > /tmp/r12m/scaling100.json
     ;;
   *) echo "usage: $0 {bench|synth|bench10x|scaling10|scaling100}"; exit 2;;
 esac

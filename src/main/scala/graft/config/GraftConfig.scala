@@ -139,7 +139,15 @@ object GraftConfig {
             "source options must be flat key: value pairs")
         case (a, b) => a -> String.valueOf(b)
       }
-      case (k, _)            => k -> Map.empty[String, String]
+      // bare `aws:` (empty block) legitimately means "enable with
+      // defaults" — MiniYaml parses it as an empty Map and the branch
+      // above handles it. A non-empty SCALAR value (`aws: profile=prod`)
+      // is a misconfiguration that silently dropping would make
+      // undetectable; reject it the same way a nested option block fails.
+      case (k, other) => sys.error(
+        s"Config invalid: source '$k' has scalar value '$other'; a source " +
+          "is configured as an indented block of key: value options (or " +
+          "left bare to enable with defaults)")
     }
     val dests = root("destinations").asInstanceOf[Map[String, Any]]
     require(dests.size == 1, "Exactly one destination must be configured")
@@ -309,6 +317,12 @@ object MiniYaml {
       val colon = line.indexOf(':')
       require(colon > 0, s"Invalid config line: $line")
       val key = line.substring(0, colon).trim
+      // a duplicate key in one block would last-win silently — a second
+      // `sources:` block (the classic YAML-merge mistake) would drop the
+      // first block's sources while the run reports success
+      require(!out.contains(key),
+        s"Config invalid: duplicate key '$key' in one block — the earlier " +
+          "value would be silently discarded")
       val value = line.substring(colon + 1).trim
       if (value.nonEmpty) {
         out(key) = scalar(value)

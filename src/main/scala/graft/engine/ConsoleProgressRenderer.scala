@@ -36,15 +36,23 @@ final class ConsoleProgressRenderer(
 
   private val ticker = new Thread(() => {
     while (!ended.get()) {
-      if (live) repaint()
+      repaint()
       try Thread.sleep(pollMillis) catch { case _: InterruptedException => }
     }
   }, "graft-progress-render")
   ticker.setDaemon(true)
-  ticker.start()
+  // non-live renderers never repaint — don't spin a 1 Hz no-op wakeup
+  // thread for their whole lifetime (close() interrupts unconditionally;
+  // interrupting a never-started thread is a harmless flag set)
+  if (live) ticker.start()
 
   private def put(key: String, message: String, done: Option[(Int, Int)]): Unit = {
-    val fresh = Entry(message, System.nanoTime(), done)
+    // one PHYSICAL line per entry: painted counts entries, and the ANSI
+    // cursor-up repaint math breaks if a message smuggles line breaks in
+    // (Spark exception messages routinely embed plans) — stale lines
+    // would then accumulate on every tick
+    val flat = message.replaceAll("[\r\n]+", " ¶ ")
+    val fresh = Entry(flat, System.nanoTime(), done)
     val prev = state.putIfAbsent(key, fresh)
     if (prev == null) order.add(key)
     else state.put(key, fresh.copy(startedNanos = prev.startedNanos))

@@ -140,11 +140,13 @@ object Dedup {
     * bands (2 signature rows per band, keyed as a struct) — the shared
     * index shape for pair generation AND incremental lookups.
     */
-  private[graft] def mhBandedDf(s: SparkSession, d: String): DataFrame =
+  private[graft] def mhBandedDf(s: SparkSession, d: String): DataFrame = {
+    TextHash.requireTwoRowBandKey()
     minhashDf(s, d)
       .select(col("doc_id"), posexplode(array((0 until MinhashBands).map { b =>
         struct(col(s"sig_${2 * b}").as("k1"), col(s"sig_${2 * b + 1}").as("k2"))
       }: _*)).as(Seq("band", "key")))
+  }
 
   /** Distinct (doc_a < doc_b) MinHash-LSH candidate pairs: 4 bands of
     * 2 signature rows each, keyed as a (k1, k2) struct.

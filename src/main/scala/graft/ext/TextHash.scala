@@ -93,4 +93,19 @@ object TextHash {
     */
   val MinhashRowsPerBand = 2
   def MinhashBands: Int = MinhashPerms.size / MinhashRowsPerBand
+
+  /** The `(k1, k2)` struct band key is the AT-REST schema of every stored
+    * band index and the join key of every banded operator and oracle —
+    * it bakes in exactly [[MinhashRowsPerBand]] = 2 signature rows. Each
+    * band-layout builder calls this guard so a constant bump without the
+    * accompanying key-schema migration (struct fields, DedupIndex
+    * columns, oracle sig pairs) fails loudly at first use instead of
+    * silently emitting 2-row keys under a layout that claims more.
+    */
+  def requireTwoRowBandKey(): Unit =
+    require(MinhashRowsPerBand == 2,
+      s"band key schema (k1, k2) pins MinhashRowsPerBand = 2, found " +
+        s"$MinhashRowsPerBand — changing it is a key-schema migration " +
+        "(struct fields, at-rest index columns, oracle sig pairs), not a " +
+        "constant bump")
 }

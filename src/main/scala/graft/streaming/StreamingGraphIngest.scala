@@ -61,8 +61,17 @@ object StreamingGraphIngest {
         // one JSON parse per snapshot: the batch plan is otherwise
         // re-executed by every kind-table write + the pair enumeration
         batch.persist()
+        // FULL materialization BEFORE the poison-file window: isEmpty
+        // touches only the first partition, so the source file would
+        // otherwise still be read inside the try below — and a transient
+        // read error (S3 503, timeout) there would be classified as a
+        // permanently-bad export and the well-formed snapshot silently
+        // skipped. count() pulls every partition into the cache here,
+        // where an I/O failure fails the batch and the checkpoint retries
+        // it — keeping the skip branch to genuine parse errors.
+        val nRows = batch.count()
         try {
-          if (!batch.isEmpty) {
+          if (nRows > 0) {
             // strict: THIS path promises "a malformed export fails ITS
             // batch" (scaladoc above) — a truncated file must not commit
             // a partial snapshot over the previous good one

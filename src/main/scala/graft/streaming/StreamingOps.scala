@@ -137,6 +137,7 @@ object StreamingOps {
     val hashes = transform(
       shinglesFromTokens(tokens(col("text")), graft.ext.Dedup.K),
       sh => h31(sh))
+    graft.ext.TextHash.requireTwoRowBandKey()
     val sigs = MinhashPerms.map { case (a, b) =>
       array_min(transform(hashes, h => (h * a + b) % Mersenne31))
     }
@@ -158,8 +159,15 @@ object StreamingOps {
     * incrementally (e.g. via [[maintainSnapshot]]).
     */
   def incrementalDedup(incoming: DataFrame, bandIndex: DataFrame): DataFrame =
+    // CONTRACT: bandIndex rows are distinct (band, key) — which is what
+    // DedupIndex stores by construction (indexRows .distinct() before
+    // write) and asBandKey preserves. No defensive re-distinct here: the
+    // static side of a stream-static join re-executes EVERY micro-batch,
+    // so a distinct would re-shuffle the whole corpus index per batch for
+    // zero effect on a conforming producer. A non-distinct side fans out
+    // duplicate (doc_id, band) hit rows — visible, not wrong-answer.
     minhashBanded(incoming)
-      .join(bandIndex.select("band", "key").distinct(), Seq("band", "key"))
+      .join(bandIndex.select("band", "key"), Seq("band", "key"))
       .select(col("doc_id"), col("band"))
 
   /** Streaming exact-substring probe — the [[graft.ext.SubstringIndex]]
