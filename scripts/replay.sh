@@ -8,7 +8,11 @@
 #      partitions (odd, non-power-of-two, != the 32 the queries were
 #      written under) — the cheap local stand-in for "a real cluster
 #      repartitioned the data", which is where accidental reliance on
-#      partition count or intra-partition order shows up.
+#      partition count or intra-partition order shows up;
+#   3. degenerate inputs — every query re-verified at sf0.001 with 5
+#      shuffle partitions: tiny tables, empty shuffle partitions,
+#      single-row groups, LIMITs larger than their input — the edge-case
+#      class the two scale legs never exercise.
 #
 # Usage: scripts/replay.sh <round-number>
 # Writes REPLAY_r{N}.json at the repo root (one line per replay leg with
@@ -46,18 +50,34 @@ leg() { # name sfdir partitions workdir -> prints "N/M queries match" or FAIL no
 STATUS=0
 R1="$(leg sf0.1_default /root/testdata/sf0.1 32 /tmp/replay_sf01)" || STATUS=1
 R2="$(leg sf0.01_p13 /root/testdata/sf0.01 13 /tmp/replay_p13)" || STATUS=1
+# leg 3: tiny data + few partitions — the degenerate-input leg (empty
+# shuffle partitions, single-row groups, LIMITs larger than their input)
+# that neither scale leg exercises
+R3="$(leg sf0.001_p5 /root/testdata/sf0.001 5 /tmp/replay_sf0001)" || STATUS=1
 echo "[replay] sf0.1 @32 partitions: $R1" >&2
 echo "[replay] sf0.01 @13 partitions: $R2" >&2
+echo "[replay] sf0.001 @5 partitions: $R3" >&2
 
-DATE="$(date -u +%F)"
-cat > "REPLAY_r${ROUND}.json" <<EOF
-{"round": ${ROUND}, "date": "${DATE}",
- "legs": [
-  {"name": "sf0.1_default_partitions", "sf": "/root/testdata/sf0.1",
-   "shuffle_partitions": 32, "result": "${R1}"},
-  {"name": "sf0.01_13_partitions", "sf": "/root/testdata/sf0.01",
-   "shuffle_partitions": 13, "result": "${R2}"}
- ]}
+# python writes the artifact: leg results are captured command output
+# (check.py verdicts, or an sbt failure note on a red leg) and must be
+# JSON-ESCAPED — a shell heredoc would emit malformed JSON exactly in
+# the failure case the artifact exists to record
+ROUND="$ROUND" R1="$R1" R2="$R2" R3="$R3" python3 - <<'EOF'
+import json, os, datetime
+legs = [
+    {"name": "sf0.1_default_partitions", "sf": "/root/testdata/sf0.1",
+     "shuffle_partitions": 32, "result": os.environ["R1"]},
+    {"name": "sf0.01_13_partitions", "sf": "/root/testdata/sf0.01",
+     "shuffle_partitions": 13, "result": os.environ["R2"]},
+    {"name": "sf0.001_5_partitions", "sf": "/root/testdata/sf0.001",
+     "shuffle_partitions": 5, "result": os.environ["R3"]},
+]
+out = {"round": int(os.environ["ROUND"]),
+       "date": datetime.datetime.now(datetime.timezone.utc).strftime("%Y-%m-%d"),
+       "legs": legs}
+with open(f"REPLAY_r{os.environ['ROUND']}.json", "w") as f:
+    json.dump(out, f, indent=1)
+    f.write("\n")
 EOF
 echo "[replay] wrote REPLAY_r${ROUND}.json (status $STATUS)" >&2
 exit $STATUS

@@ -161,10 +161,18 @@ object CurationReport {
     // the conservative admission stance
     val q = gate.bucketed(batch)
       .select(col("doc_id"), (col("bucket") < gate.boundaries.size + 1).as("pass_q"))
-    val dup = DedupIndex.probe(index, bandedBatch)
+    // only quality-passed docs can count as novel/clean (nv and cl below
+    // both require pass_q), so the funnel's heavier stages — the index
+    // probe and the decontamination shingle explode — skip every document
+    // whose fate the first gate already sealed, the same stance report()
+    // takes with its quality filter. The survivor id set is batch-scale
+    // (broadcastable), so these are no-fanout pre-filters, not new
+    // shuffles.
+    val qIds = q.filter(col("pass_q")).select("doc_id")
+    val dup = DedupIndex.probe(index, bandedBatch.join(qIds, Seq("doc_id")))
       .select(col("doc_id").as("dup_id"))
     val dirty = TextAnalysis
-      .scoreAgainstBloomBits(Dedup.shingleHash(batch), bloomBits)
+      .scoreAgainstBloomBits(Dedup.shingleHash(batch.join(qIds, Seq("doc_id"))), bloomBits)
       .filter(col("n_hit") > 0)
       .select(col("doc_id").as("dirty_id"))
     base

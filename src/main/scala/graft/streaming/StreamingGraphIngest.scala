@@ -34,6 +34,24 @@ import org.apache.spark.sql.streaming.StreamingQuery
   */
 object StreamingGraphIngest {
 
+  /** Does this failure mark the FILE as permanently bad (truncated gzip,
+    * malformed compressed stream, undecodable bytes) rather than the
+    * ENVIRONMENT as transiently failing (S3 503, socket timeout, disk
+    * pressure)? Spark wraps task failures in layers of SparkException, so
+    * the cause chain is walked (bounded — exotic exceptions can
+    * self-cycle). Retrying a corrupt file wedges the stream forever;
+    * skipping a transient failure silently drops a good snapshot — this
+    * split is what keeps both promises in the scaladoc above.
+    */
+  private[graft] def isCorruptionCause(t: Throwable): Boolean =
+    Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(16).exists {
+      case _: java.io.EOFException                     => true // truncated gzip/stream
+      case _: java.util.zip.ZipException               => true // corrupt deflate data
+      case _: java.nio.charset.CharacterCodingException => true // undecodable bytes
+      case _: com.fasterxml.jackson.core.JacksonException => true // died mid-token
+      case _                                           => false
+    }
+
   def run(
       spark: SparkSession,
       watchDir: String,
@@ -61,16 +79,30 @@ object StreamingGraphIngest {
         // one JSON parse per snapshot: the batch plan is otherwise
         // re-executed by every kind-table write + the pair enumeration
         batch.persist()
-        // FULL materialization BEFORE the poison-file window: isEmpty
-        // touches only the first partition, so the source file would
-        // otherwise still be read inside the try below — and a transient
-        // read error (S3 503, timeout) there would be classified as a
-        // permanently-bad export and the well-formed snapshot silently
-        // skipped. count() pulls every partition into the cache here,
-        // where an I/O failure fails the batch and the checkpoint retries
-        // it — keeping the skip branch to genuine parse errors.
-        val nRows = batch.count()
         try {
+          // FULL materialization BEFORE the poison-file window below:
+          // isEmpty touches only the first partition, so the source file
+          // would otherwise still be read inside the normalize try — and a
+          // transient read error (S3 503, timeout) there would be
+          // classified as a permanently-bad export and the well-formed
+          // snapshot silently skipped. count() pulls every partition into
+          // the cache here, where failures split by CAUSE: a corruption
+          // class (truncated gzip, undecodable bytes — the file itself is
+          // permanently bad, PERMISSIVE can't surface it as a corrupt-
+          // record row because the scan dies before producing rows) skips
+          // the batch like a parse error, while an environmental failure
+          // rethrows so the checkpoint retries the well-formed snapshot.
+          // Without the split, either kind of error wedges the stream on
+          // the same file forever or silently drops a good snapshot.
+          val nRows =
+            try batch.count()
+            catch {
+              case scala.util.control.NonFatal(e)
+                  if !failOnError && isCorruptionCause(e) =>
+                progress.progress("graph_export",
+                  s"batch $batchId UNREADABLE (skipped, previous snapshot intact): ${e.getMessage}")
+                -1L
+            }
           if (nRows > 0) {
             // strict: THIS path promises "a malformed export fails ITS
             // batch" (scaladoc above) — a truncated file must not commit

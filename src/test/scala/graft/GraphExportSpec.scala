@@ -109,6 +109,48 @@ class GraphExportSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming ingest skips a truncated gzip export and keeps going") {
+    // the cause classifier behind the skip: corruption classes (truncated
+    // gzip → EOFException) are permanently-bad FILES, environmental ones
+    // (S3 503 → IOException) must rethrow so the checkpoint retries
+    import graft.streaming.StreamingGraphIngest.isCorruptionCause
+    assert(isCorruptionCause(new org.apache.spark.SparkException("task died",
+      new java.io.EOFException("Unexpected end of ZLIB input stream"))))
+    assert(!isCorruptionCause(new org.apache.spark.SparkException("task died",
+      new java.io.IOException("Service Unavailable"))))
+
+    val watch = Files.createTempDirectory("graft-ingest-poison")
+    val base = Files.createTempDirectory("graft-ingest-poison-dest").toString
+    val dest = graft.config.ArrowDest(graft.config.FileDestination("parquet", base))
+    val q = graft.streaming.StreamingGraphIngest.run(spark, watch.toString, dest)
+    try {
+      Files.write(watch.resolve("export1.jsonl"), exportLines.asJava)
+      q.processAllAvailable()
+      assert(spark.read.parquet(s"$base/current/example_region").count() == 2)
+
+      // valid gzip header, deflate stream cut mid-block: the scan dies
+      // with EOFException BEFORE producing rows, so PERMISSIVE's
+      // corrupt-record column never sees it — this is exactly the case
+      // the count()-materialization skip window exists for. The stream
+      // must advance past the file, not retry it forever.
+      val bos = new java.io.ByteArrayOutputStream()
+      val gz = new java.util.zip.GZIPOutputStream(bos)
+      gz.write(exportLines.mkString("\n").getBytes("UTF-8")); gz.close()
+      val full = bos.toByteArray
+      Files.write(watch.resolve("export2.json.gz"), full.take(full.length / 2))
+      q.processAllAvailable()
+      assert(spark.read.parquet(s"$base/current/example_region").count() == 2,
+        "previous snapshot must survive an unreadable export")
+
+      // and the next well-formed export still commits over it
+      val without = exportLines.filterNot(l => l.contains("\"c1\"") || l.contains(":\"c1\""))
+      Files.write(watch.resolve("export3.jsonl"), without.asJava)
+      q.processAllAvailable()
+      assert(!new java.io.File(s"$base/current/link_example_region_example_custom_resource").exists(),
+        "ingestion must continue with the file AFTER the unreadable one")
+    } finally q.stop()
+  }
+
   test("normalizes a 100k-node synthetic graph (data-scale smoke)") {
     import org.apache.spark.sql.functions._
     import graft.model.{Kind, KindModel, KindProperty}
