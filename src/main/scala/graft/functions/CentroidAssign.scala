@@ -391,13 +391,6 @@ object CentroidAssign {
       sorted.map(_._3)))
   }
 
-  /** Chunked assignment for centroid sets past what one expression should
-    * carry (≈√N grows to 10⁵+ at billion-vector scale): the set is split
-    * into `chunkSize` chunks, each scanned by its own [[CentroidBest]],
-    * and the global winner is `greatest` over the per-chunk (cos, −cid)
-    * structs — still ONE projection, no join/shuffle, and bit-identical
-    * to [[centroid_assign]] (pinned by the SimilaritySpec property test).
-    */
   /** `centroid_top_cells(v, n)` over centroids given as (cid, vector,
     * norm), pre-sorted here by cid to pin the tie-break order — the
     * probe-side cell selection ([[CentroidTopCells]]).
@@ -413,6 +406,13 @@ object CentroidAssign {
       n))
   }
 
+  /** Chunked assignment for centroid sets past what one expression should
+    * carry (≈√N grows to 10⁵+ at billion-vector scale): the set is split
+    * into `chunkSize` chunks, each scanned by its own [[CentroidBest]],
+    * and the global winner is `greatest` over the per-chunk (cos, −cid)
+    * structs — still ONE projection, no join/shuffle, and bit-identical
+    * to [[centroid_assign]] (pinned by the SimilaritySpec property test).
+    */
   def centroid_assign_chunked(v: Column, centroids: Seq[(Long, Seq[Double], Double)],
                               chunkSize: Int): Column = {
     require(chunkSize > 0, "chunkSize must be positive")

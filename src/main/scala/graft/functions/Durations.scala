@@ -15,7 +15,10 @@ object Durations {
   // non-ANSI cast yields NULL (or a silently wrapped product) where
   // DuckDB raises a conversion error. Longer digit runs now simply fail
   // the pattern -> NULL in BOTH engines, like any other malformed string.
-  private val Pat = "^(\\d{1,13})([smhdw])$"
+  // \z, not $: Java's '$' (no MULTILINE) still matches BEFORE a trailing
+  // newline ("60d\n" would parse), while RE2's '$' is end-of-text — \z
+  // pins end-of-input identically in both engines.
+  private val Pat = "^(\\d{1,13})([smhdw])\\z"
 
   /** `'60d'` -> 5184000L (seconds); null for non-matching strings. */
   def durationToSeconds(c: Column): Column = {

@@ -66,6 +66,12 @@ case class PqAdc(
     if (v.numElements() != cbArr.length * subDim) throw new IllegalArgumentException(
       s"pq_adc: query vector has ${v.numElements()} elements, expected " +
         s"${cbArr.length * subDim} (M=${cbArr.length} x subDim=$subDim)")
+    // bits above 4·M can't come from pq_encode — a code carrying them is
+    // malformed input, same contract as the per-subspace check below
+    if (cbArr.length * 4 < 64 && (c >>> (4 * cbArr.length)) != 0L)
+      throw new IllegalArgumentException(
+        s"pq_adc: code has set bits above 4*M=${4 * cbArr.length} " +
+          s"(not a pq_encode output): $c")
     var total = 0.0
     var m = 0
     while (m < cbArr.length) {
@@ -103,6 +109,10 @@ case class PqAdc(
          |if ($nv != $cbRef.length * $sd) {
          |  throw new IllegalArgumentException("pq_adc: query vector has " + $nv +
          |    " elements, expected " + ($cbRef.length * $sd));
+         |}
+         |if ($cbRef.length * 4 < 64 && ($c >>> (4 * $cbRef.length)) != 0L) {
+         |  throw new IllegalArgumentException("pq_adc: code has set bits above 4*M=" +
+         |    (4 * $cbRef.length) + " (not a pq_encode output): " + $c);
          |}
          |double $total = 0.0;
          |for (int $m = 0; $m < $cbRef.length; $m++) {

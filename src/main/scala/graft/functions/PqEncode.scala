@@ -23,16 +23,25 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
   *
   * Null contract: null vector → null; the codebook must be non-empty and
   * rectangular (same K per subspace, K ≤ 16). The vector must cover every
-  * subspace this expression scores — numElements ≥ (mOffset+M)·subDim; a
-  * shorter vector is an error, not a silently truncated encoding (in the
-  * chunked composition the LAST chunk's bound equals the full M·subDim,
-  * so full coverage is always enforced).
+  * subspace this expression scores — numElements ≥ (mOffset+M)·subDim,
+  * and EXACTLY that under `exact` — a shorter vector is an error, and so
+  * is a longer one where exactness applies (it would silently encode a
+  * prefix). In the chunked composition only the LAST chunk is exact (its
+  * bound is the full M·subDim), so total coverage and total length are
+  * both enforced.
   */
 case class PqEncode(
     child: Expression,
     codebook: Seq[Seq[IndexedSeq[Double]]], // (m)(k)(j) — subspaces mOffset until mOffset+len
     subDim: Int,
-    mOffset: Int = 0) extends UnaryExpression {
+    mOffset: Int = 0,
+    // exact: the vector must have EXACTLY (mOffset+M)·subDim elements — a
+    // longer one silently encodes a prefix and drops trailing dims (the
+    // same wrong-but-valid-looking class as a short vector). True for the
+    // plain route and for the LAST chunk of a chunked composition (whose
+    // bound is the full M·subDim); non-last chunks legitimately see the
+    // longer full vector and only lower-bound it.
+    exact: Boolean = true) extends UnaryExpression {
 
   // subDim <= 0 would make the coverage check below vacuous and encode
   // every subspace to code 0 — a valid-looking packed long of garbage
@@ -66,9 +75,10 @@ case class PqEncode(
   override def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
     val nv = v.numElements()
-    if (nv < (mOffset + cbArr.length) * subDim) throw new IllegalArgumentException(
-      s"pq_encode: vector has $nv elements, needs at least " +
-        s"${(mOffset + cbArr.length) * subDim} to cover subspaces " +
+    val bound = (mOffset + cbArr.length) * subDim
+    if (if (exact) nv != bound else nv < bound) throw new IllegalArgumentException(
+      s"pq_encode: vector has $nv elements, needs ${if (exact) "exactly" else "at least"} " +
+        s"$bound to cover subspaces " +
         s"[$mOffset, ${mOffset + cbArr.length}) x subDim=$subDim")
     var packed = 0L
     var m = 0
@@ -117,9 +127,11 @@ case class PqEncode(
       s"""
          |final int $sd = $subDim;
          |int $nv = $v.numElements();
-         |if ($nv < ($mOffset + $cbRef.length) * $sd) {
+         |if (${if (exact) s"$nv != ($mOffset + $cbRef.length) * $sd"
+               else s"$nv < ($mOffset + $cbRef.length) * $sd"}) {
          |  throw new IllegalArgumentException("pq_encode: vector has " + $nv +
-         |    " elements, needs at least " + (($mOffset + $cbRef.length) * $sd));
+         |    " elements, needs ${if (exact) "exactly" else "at least"} " +
+         |    (($mOffset + $cbRef.length) * $sd));
          |}
          |long $packed = 0L;
          |for (int $m = 0; $m < $cbRef.length; $m++) {
@@ -167,12 +179,15 @@ object PqEncode {
     require(mChunk > 0, "mChunk must be positive")
     val groups = codebook.zipWithIndex.grouped(mChunk).toSeq
     if (groups.lengthCompare(1) <= 0) pq_encode(v, codebook, subDim)
-    else groups.map { g =>
+    else groups.zipWithIndex.map { case (g, gi) =>
       ColumnBridge.column(PqEncode(
         ColumnBridge.expression(v),
         g.map(_._1.map(_.toIndexedSeq)),
         subDim,
-        mOffset = g.head._2)): Column
+        mOffset = g.head._2,
+        // only the LAST chunk's bound is the full M·subDim — its exact
+        // check enforces total coverage for the whole composition
+        exact = gi == groups.length - 1)): Column
     }.reduce(_.bitwiseOR(_))
   }
 }

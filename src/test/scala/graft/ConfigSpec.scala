@@ -194,7 +194,11 @@ class ConfigSpec extends AnyFunSuite {
       val (u, mult) = units.toSeq(rnd.nextInt(units.size))
       val n = rnd.nextLong(100000L)
       (s"$n$u", n * mult)
-    } :+ ("garbage", -1L) :+ ("12x", -1L)
+    } :+ ("garbage", -1L) :+ ("12x", -1L) :+
+      // trailing newline must NOT parse: Java's '$' would accept it while
+      // DuckDB's RE2 '$' would not — the \z anchor pins both engines to
+      // end-of-input (cross-engine parity for the shared pattern)
+      ("60d\n", -1L) :+ ("60d ", -1L)
     val got = cases.map(_._1).toDF("d")
       .select(coalesce(graft.functions.Durations.durationToSeconds(col("d")), lit(-1L)))
       .collect().map(_.getLong(0)).toSeq
