@@ -111,8 +111,15 @@ object Bench {
     val total = f"${good.map(_._2).sum}%.3f"
     // exit 0 even with failures: the driver consumes the stdout JSON line,
     // and a nonzero exit could zero the whole round's bench artifact — the
-    // "failed" field is the loud signal
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":${Verify.jsonStr(sfDir)}}""")
+    // "failed" field is the loud signal.
+    // The headline fields appear TWICE: leading (greps anchored on
+    // '{"metric"' — the verify skill and the measurement scripts — keep
+    // matching) and again trailing, because the driver keeps only the TAIL
+    // of stdout and with 136 queries the line outgrows that capture —
+    // r11/r12 driver artifacts lost metric/value to front-truncation.
+    // Duplicate keys are valid JSON; parsers keep the LAST occurrence and
+    // both carry identical values, so a full parse is unchanged.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":${Verify.jsonStr(sfDir)},"n_queries":${good.size},"metric":"total","unit":"sec","value":$total}""")
     spark.stop()
   }
 }

@@ -25,7 +25,8 @@ object SparkEntry {
     ext.Similarity.queries ++
     ext.TextAnalysis.queries ++
     ext.Bpe.queries ++
-    ext.Multimodal.queries
+    ext.Multimodal.queries ++
+    ext.Sharding.queries
 
   private lazy val byName: Map[String, Q] = {
     // toMap is last-wins: a duplicate name across modules would silently

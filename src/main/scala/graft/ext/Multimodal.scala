@@ -670,6 +670,46 @@ object Multimodal {
         .select(col("doc_id"), posexplode(col("features")).as(Seq("idx", "feat")))
         .select(col("doc_id"), col("idx"), round(col("feat"), 6).as("feat"))
         .orderBy("doc_id", "idx")
+    },
+
+    // ---- chunk-level binary dedup (storage-dedup style) ----
+    // Media blobs are chunked at fixed 64-byte boundaries (final partial
+    // chunk included), hashed per chunk, and duplicated chunks reported —
+    // the fixed-block flavor of content-addressed storage dedup, run on
+    // the raw binary column. At 100 TB: chunking is a per-row generator
+    // (explode of a sequence — no shuffle), and the duplicate detection
+    // is one hash aggregate on chunk_md5 with map-side partial combine;
+    // output is bounded by the number of DUPLICATED chunks. ASCII blobs
+    // make byte chunks == char chunks, so the oracle replays over VARCHAR
+    // (same contract as q_multimodal_frames).
+    Q("q_multimodal_dedup",
+      """WITH c AS (
+        |  SELECT doc_id, md5(substr(text, 1 + i * 64, 64)) AS chunk_md5
+        |  FROM (
+        |    SELECT doc_id, text,
+        |      unnest(range((octet_length(encode(text)) + 63) // 64)) AS i
+        |    FROM documents
+        |  )
+        |)
+        |SELECT chunk_md5, count(*) AS copies,
+        |  count(DISTINCT doc_id) AS n_docs, min(doc_id) AS keep_doc
+        |FROM c GROUP BY 1 HAVING count(*) > 1
+        |ORDER BY copies DESC, chunk_md5""".stripMargin) { (s, d) =>
+      mediaTable(s, d)
+        .select(col("doc_id"), col("blob"),
+          // n_bytes >= 1 on this corpus; greatest() keeps a hypothetical
+          // empty blob from turning sequence(0, -1) into a descent
+          greatest(ceil(col("meta.n_bytes") / lit(64.0)).cast("long"), lit(1L)).as("nc"))
+        .select(col("doc_id"),
+          explode(sequence(lit(0L), col("nc") - 1)).as("i"), col("blob"))
+        .select(col("doc_id"),
+          md5(expr("substring(blob, CAST(1 + i * 64 AS INT), 64)")).as("chunk_md5"))
+        .groupBy("chunk_md5")
+        .agg(count(lit(1)).as("copies"),
+          countDistinct(col("doc_id")).as("n_docs"),
+          min(col("doc_id")).as("keep_doc"))
+        .filter(col("copies") > 1)
+        .orderBy(col("copies").desc, col("chunk_md5"))
     }
   )
 }

@@ -176,6 +176,42 @@ object Events {
         .agg(count(lit(1)).as("n"),
              Relational.dsum(col("value"), 4).as("val_sum"))
         .orderBy("c_mktsegment", "event_type")
+    },
+
+    // ---- CDC changelog apply: materialize current state from an event
+    // log. Each event upserts its user's state; an 'error' event is the
+    // tombstone (the user's record is withdrawn until a later non-error
+    // event re-creates it) — the standard latest-wins merge a snapshot
+    // consumer runs over a captured change stream. Window is keyed by
+    // user_id, so the plan is partition-parallel at any key cardinality;
+    // the (ts DESC, event_id DESC) tie-break makes latest-wins exact and
+    // engine-portable. user_id IS NOT NULL on both sides: Spark's
+    // partitionBy would pool NULL keys into one partition-sized group
+    // (the r11 asof lesson) and SQL row_number treats NULLs as one
+    // partition too — symmetric exclusion beats divergent NULL merges.
+    Q("q_events_cdc_apply",
+      """SELECT user_id, event_type AS last_type,
+        |  CAST(ts AS TIMESTAMP) AS last_ts,
+        |  round(value, 6) AS last_value, n_events
+        |FROM (
+        |  SELECT user_id, event_type, ts, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |                       ORDER BY ts DESC, event_id DESC) AS rn,
+        |    count(*) OVER (PARTITION BY user_id) AS n_events
+        |  FROM events WHERE user_id IS NOT NULL
+        |) WHERE rn = 1 AND event_type <> 'error'
+        |ORDER BY user_id""".stripMargin) { (s, d) =>
+      val byUser = Window.partitionBy("user_id")
+      val latest = byUser.orderBy(col("ts").desc, col("event_id").desc)
+      Tables.events(s, d)
+        .filter(col("user_id").isNotNull)
+        .withColumn("rn", row_number().over(latest))
+        .withColumn("n_events", count(lit(1)).over(byUser))
+        .filter(col("rn") === 1 && col("event_type") =!= "error")
+        .select(col("user_id"), col("event_type").as("last_type"),
+          col("ts").as("last_ts"), round(col("value"), 6).as("last_value"),
+          col("n_events"))
+        .orderBy("user_id")
     }
   )
 }

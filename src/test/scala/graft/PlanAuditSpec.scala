@@ -233,7 +233,11 @@ class PlanAuditSpec extends AnyFunSuite {
     // through the same construction — the cap must not smuggle the
     // single-partition window back in via row_number.
     Seq("q_text_ppl_buckets", "q_text_ppl_capped",
-        "q_sample_quality_budget").foreach { name =>
+        "q_sample_quality_budget",
+        // round 13: the epoch-shuffle / shard-planning pair are global
+        // ranks over the whole corpus — the exact shape this test exists
+        // to keep partition-parallel
+        "q_shuffle_epoch", "q_shard_token_balanced").foreach { name =>
       val plan = queryPlan(name)
       assert(!plan.contains("Exchange SinglePartition"),
         s"$name planned a single-partition exchange:\n$plan")
