@@ -75,7 +75,23 @@ object ScaleCheck {
     "q_text_ppl_capped",
     // the distributed prefix-sum sibling (quality-ranked token budget):
     // same two-level shape, weight offsets instead of counts
-    "q_sample_quality_budget")
+    "q_sample_quality_budget",
+    // round-13: the epoch permutation + serpentine shard plan are both
+    // one DistributedRank pass + projection arithmetic + a ≤K-row
+    // aggregate — the rank layer should track the corpus ~linearly with
+    // a tiny constant (same construction ppl_buckets validates)
+    "q_shuffle_epoch", "q_shard_token_balanced",
+    // round-13: fixed-block chunk dedup is one explode + one map-side
+    // combined hash aggregate on chunk_md5 — linear in total bytes
+    "q_multimodal_dedup",
+    // round-13: changelog apply over synthesized events (per-copy user_id
+    // offsets: state cardinality grows linearly, per-key group size
+    // stays constant — the honest shape for keyed-window state)
+    "q_events_cdc_apply",
+    // round-13: the served bucketed join; the layout build is amortized
+    // per corpus (computeIfAbsent), so timed reps measure the serving
+    // join over the at-rest buckets (min statistic keeps the warm rep)
+    "q_layout_bucketed")
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -274,34 +290,72 @@ object ScaleCheck {
     * killed in the middle of, and every later run would silently measure
     * against a truncated table; overwrite mode makes the re-write safe). */
   private def gen(spark: SparkSession, src: String, out: String, c: Int): Unit = {
-    if (new java.io.File(s"$out/documents.parquet/_SUCCESS").exists() &&
-        new java.io.File(s"$out/embeddings.parquet/_SUCCESS").exists()) return
-    val docs = Tables.documents(spark, src)
-    val emb = Tables.embeddings(spark, src)
-    val docCopies = (0 until c).map { i =>
-      if (i == 0) docs
-      else docs.select(
-        (col("doc_id") + lit(i * 10000000L)).as("doc_id"),
-        // per-copy token tag: intra-copy shingle/minhash structure is the
-        // original's, cross-copy shingles can never match
-        regexp_replace(col("text"), "(^|\\s)", s"$$1c${i}q").as("text"),
-        col("lang"), col("source"), col("n_chars"))
+    // per-table guard: an x-dir synthesized by an earlier round carries
+    // documents/embeddings but not the round-13 tables — only the missing
+    // ones are written (a whole-dir guard would re-run the expensive
+    // document/embedding synthesis at 100 copies just to add events)
+    def missing(t: String): Boolean =
+      !new java.io.File(s"$out/$t.parquet/_SUCCESS").exists()
+    if (missing("documents")) {
+      val docs = Tables.documents(spark, src)
+      (0 until c).map { i =>
+        if (i == 0) docs
+        else docs.select(
+          (col("doc_id") + lit(i * 10000000L)).as("doc_id"),
+          // per-copy token tag: intra-copy shingle/minhash structure is the
+          // original's, cross-copy shingles can never match
+          regexp_replace(col("text"), "(^|\\s)", s"$$1c${i}q").as("text"),
+          col("lang"), col("source"), col("n_chars"))
+      }.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$out/documents.parquet")
     }
-    docCopies.reduce(_ unionByName _)
-      .write.mode("overwrite").parquet(s"$out/documents.parquet")
-    val embCopies = (0 until c).map { i =>
-      if (i == 0) emb
-      else emb.select(
-        (col("vec_id") + lit(i * 10000000L)).as("vec_id"),
-        // deterministic per-copy perturbation: rotate mass between
-        // dimensions so copies occupy distinct regions
-        transform(col("embedding"),
-          (x, j) => (x * (lit(1.0f) + lit(0.002f * i)) +
-            (cos(j.cast("double") * lit(0.7) + lit(i.toDouble)) * lit(0.05))
-              .cast("float")).cast("float")).as("embedding"),
-        col("label"))
+    if (missing("embeddings")) {
+      val emb = Tables.embeddings(spark, src)
+      (0 until c).map { i =>
+        if (i == 0) emb
+        else emb.select(
+          (col("vec_id") + lit(i * 10000000L)).as("vec_id"),
+          // deterministic per-copy perturbation: rotate mass between
+          // dimensions so copies occupy distinct regions
+          transform(col("embedding"),
+            (x, j) => (x * (lit(1.0f) + lit(0.002f * i)) +
+              (cos(j.cast("double") * lit(0.7) + lit(i.toDouble)) * lit(0.05))
+                .cast("float")).cast("float")).as("embedding"),
+          col("label"))
+      }.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
     }
-    embCopies.reduce(_ unionByName _)
-      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    // events: per-copy user_id offset — key cardinality (window-state
+    // size) grows with the corpus while per-key history stays constant,
+    // the realistic growth mode for a changelog. Reading via
+    // Tables.events normalizes ts; the copies land as plain TIMESTAMP,
+    // one of the three producer shapes the normalizer accepts back.
+    if (missing("events")) {
+      val ev = Tables.events(spark, src)
+      (0 until c).map { i =>
+        if (i == 0) ev
+        else ev.withColumn("event_id", col("event_id") + lit(i * 10000000L))
+          .withColumn("user_id", col("user_id") + lit(i * 1000000L))
+      }.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$out/events.parquet")
+    }
+    // lineitem/orders: per-copy order-key offset on BOTH sides, so the
+    // join fan-out per key is the original's and output grows linearly
+    if (missing("lineitem")) {
+      val li = Tables.lineitem(spark, src)
+      (0 until c).map { i =>
+        if (i == 0) li
+        else li.withColumn("l_orderkey", col("l_orderkey") + lit(i * 100000000L))
+      }.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+    }
+    if (missing("orders")) {
+      val ord = Tables.orders(spark, src)
+      (0 until c).map { i =>
+        if (i == 0) ord
+        else ord.withColumn("o_orderkey", col("o_orderkey") + lit(i * 100000000L))
+      }.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$out/orders.parquet")
+    }
   }
 }

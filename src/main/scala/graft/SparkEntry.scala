@@ -11,6 +11,7 @@ object SparkEntry {
 
   private def modules: Seq[Q] =
     operators.Relational.queries ++
+    operators.PhysicalLayout.queries ++
     operators.ZOrder.queries ++
     operators.Events.queries ++
     functions.Scalars.queries ++

@@ -697,9 +697,12 @@ object Multimodal {
         |ORDER BY copies DESC, chunk_md5""".stripMargin) { (s, d) =>
       mediaTable(s, d)
         .select(col("doc_id"), col("blob"),
-          // n_bytes >= 1 on this corpus; greatest() keeps a hypothetical
-          // empty blob from turning sequence(0, -1) into a descent
-          greatest(ceil(col("meta.n_bytes") / lit(64.0)).cast("long"), lit(1L)).as("nc"))
+          ceil(col("meta.n_bytes") / lit(64.0)).cast("long").as("nc"))
+        // zero-chunk (empty) and NULL blobs drop — the oracle's
+        // unnest(range(0)) / range(NULL) semantics; a greatest(nc, 1)
+        // guard here would instead hash one empty chunk per empty blob
+        // and silently diverge from the oracle on such a corpus
+        .filter(col("nc") > 0)
         .select(col("doc_id"),
           explode(sequence(lit(0L), col("nc") - 1)).as("i"), col("blob"))
         .select(col("doc_id"),
