@@ -65,8 +65,170 @@ object CurationReport {
          |FROM flags GROUP BY source ORDER BY source""".stripMargin
     }) { (s, d) =>
       report(Tables.documents(s, d), col("doc_id") % 97 === 0)
+    },
+
+    // ---- the funnel SERVED from the at-rest artifacts, declared ----
+    // The steady-state admission run (see [[servedReport]]): the corpus
+    // (non-bench, even ids) is already ingested — its capped smoothed LM
+    // gate, its MinHash band index, and the eval suite's Bloom bits all
+    // live ON DISK (built once per JVM+dataset, like the dedup index
+    // queries) — and the incoming batch (non-bench, odd ids) flows
+    // quality → novelty → decontamination served ENTIRELY from those
+    // artifacts. The oracle re-derives every stage from the base tables:
+    // the capped/smoothed scores and the frozen tercile cut pair replay
+    // q_text_ppl_capped's chain, the band-hit probe replays
+    // q_dedup_incremental's EXISTS, and the Bloom membership replays
+    // q_text_bloom_decontam's bit arithmetic — so the DRIVER (not just
+    // CurationE2ESpec) verifies that the composed at-rest serving path
+    // equals the from-scratch semantics.
+    Q("q_curation_stored", {
+      val m = TextAnalysis.BloomM
+      def bitSql(i: Int, e: String) = {
+        val (a, b) = TextHash.MinhashPerms(i)
+        s"(((($e % ${TextHash.Mersenne31}) * $a + $b) % ${TextHash.Mersenne31}) % $m)"
+      }
+      val benchBits = (0 until 3).map(i =>
+        s"SELECT DISTINCT ${bitSql(i, "h")} AS bit FROM bench_sh")
+        .mkString(" UNION ")
+      val bandHit = (0 until TextHash.MinhashBands).map { b =>
+        s"""EXISTS (SELECT 1 FROM sigs e
+           |      WHERE e.doc_id % 97 <> 0 AND e.doc_id % 2 = 0
+           |        AND e.sig_${2 * b} = i.sig_${2 * b}
+           |        AND e.sig_${2 * b + 1} = i.sig_${2 * b + 1})""".stripMargin
+      }.mkString("\n    OR ")
+      val smoothedScore =
+        """round(CAST(sum(CAST(round(ln(CAST(coalesce(c12, 0) + 1 AS DOUBLE)
+          |      / CAST(coalesce(c1, 0) + vsz AS DOUBLE)), 9) AS DECIMAL(20,9))) AS DOUBLE)
+          |      / count(*), 6)""".stripMargin
+      s"""WITH toks AS (SELECT doc_id, ${TextHash.tokensSql("text")} AS toks FROM documents),
+         |bg AS (
+         |  SELECT doc_id, sh[1] AS w1, sh[2] AS w2 FROM (
+         |    SELECT doc_id, string_split(b, ' ') AS sh FROM (
+         |      SELECT doc_id, unnest(${TextHash.shinglesFromTokensSql("toks", 2)}) AS b FROM toks
+         |    )
+         |  )
+         |),
+         |cbg AS (SELECT * FROM bg WHERE doc_id % 97 <> 0 AND doc_id % 2 = 0),
+         |c12full AS (SELECT w1, w2, count(*) AS c12 FROM cbg GROUP BY w1, w2),
+         |c12 AS (
+         |  SELECT w1, w2, c12 FROM (
+         |    SELECT w1, w2, c12,
+         |      row_number() OVER (ORDER BY c12 DESC, w1 || ' ' || w2) AS rn
+         |    FROM c12full
+         |  ) WHERE rn <= 500
+         |),
+         |c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c12 GROUP BY w1),
+         |v AS (SELECT count(*) AS vsz FROM c1),
+         |corpus_scored AS (
+         |  SELECT doc_id, $smoothedScore AS s
+         |  FROM cbg LEFT JOIN c12 USING (w1, w2) LEFT JOIN c1 USING (w1)
+         |  CROSS JOIN v GROUP BY doc_id
+         |),
+         |bnd AS (
+         |  SELECT s AS bs, doc_id AS bi FROM (
+         |    SELECT doc_id, s,
+         |      row_number() OVER (ORDER BY s DESC, doc_id) AS rk,
+         |      count(*) OVER () AS total
+         |    FROM corpus_scored
+         |  ) WHERE rk = 2 * (total // 3) + least(2, total % 3)
+         |),
+         |batch_scored AS (
+         |  SELECT doc_id, $smoothedScore AS s
+         |  FROM (SELECT * FROM bg WHERE doc_id % 97 <> 0 AND doc_id % 2 = 1)
+         |  LEFT JOIN c12 USING (w1, w2) LEFT JOIN c1 USING (w1)
+         |  CROSS JOIN v GROUP BY doc_id
+         |),
+         |q AS (
+         |  SELECT b.doc_id FROM batch_scored b, bnd
+         |  WHERE b.s > bnd.bs OR (b.s = bnd.bs AND b.doc_id <= bnd.bi)
+         |),
+         |sigs AS ($minhashSigsSql),
+         |dup AS (
+         |  SELECT i.doc_id FROM sigs i
+         |  WHERE i.doc_id % 97 <> 0 AND i.doc_id % 2 = 1
+         |    AND ($bandHit)
+         |),
+         |sh AS (${Dedup.shingleHashFrom}),
+         |bench_sh AS (SELECT DISTINCT h FROM sh WHERE doc_id % 97 = 0),
+         |bits AS ($benchBits),
+         |dirty AS (
+         |  SELECT DISTINCT p.doc_id FROM (
+         |    SELECT doc_id, ${bitSql(0, "h")} AS bit0, ${bitSql(1, "h")} AS bit1,
+         |      ${bitSql(2, "h")} AS bit2
+         |    FROM sh WHERE doc_id % 97 <> 0 AND doc_id % 2 = 1
+         |  ) p
+         |  JOIN bits b0 ON b0.bit = p.bit0
+         |  JOIN bits b1 ON b1.bit = p.bit1
+         |  JOIN bits b2 ON b2.bit = p.bit2
+         |),
+         |base AS (
+         |  SELECT doc_id, source, ${TextHash.wsTokenCountSql("text")} AS n_toks
+         |  FROM documents WHERE doc_id % 97 <> 0 AND doc_id % 2 = 1
+         |),
+         |flags AS (
+         |  SELECT b.source, b.n_toks,
+         |    CASE WHEN q.doc_id IS NOT NULL THEN 1 ELSE 0 END AS pq,
+         |    CASE WHEN q.doc_id IS NOT NULL AND dup.doc_id IS NULL
+         |         THEN 1 ELSE 0 END AS nv,
+         |    CASE WHEN q.doc_id IS NOT NULL AND dup.doc_id IS NULL
+         |              AND dirty.doc_id IS NULL THEN 1 ELSE 0 END AS cl
+         |  FROM base b
+         |  LEFT JOIN q ON q.doc_id = b.doc_id
+         |  LEFT JOIN dup ON dup.doc_id = b.doc_id
+         |  LEFT JOIN dirty ON dirty.doc_id = b.doc_id
+         |)
+         |SELECT source, count(*) AS n_raw,
+         |  CAST(sum(pq) AS BIGINT) AS n_quality,
+         |  CAST(sum(nv) AS BIGINT) AS n_novel,
+         |  CAST(sum(cl) AS BIGINT) AS n_clean,
+         |  CAST(sum(CASE WHEN cl = 1 THEN n_toks ELSE 0 END) AS BIGINT) AS clean_tokens
+         |FROM flags GROUP BY source ORDER BY source""".stripMargin
+    }) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val isBench = col("doc_id") % 97 === 0
+      val isOdd = col("doc_id") % 2 === 1
+      val banded = Dedup.mhBandedDf(s, d).transform(graft.CacheTracker.cached)
+      val root = storedFunnels.computeIfAbsent(d, _ => {
+        val r = freshFunnelDir()
+        LmGate.write(docs.filter(!isBench && !isOdd), s"$r/gate",
+          smoothed = true, maxBigrams = 500)
+        DedupIndex.write(banded.filter(!isBench && !isOdd), s"$r/dedup")
+        TextAnalysis.writeBloomBits(
+          Dedup.shingleHash(docs.filter(isBench)), s"$r/bloom")
+        r
+      })
+      servedReport(docs.filter(!isBench && isOdd),
+        banded.filter(!isBench && isOdd),
+        DedupIndex.load(s, s"$root/dedup"),
+        LmGate.load(s, s"$root/gate"),
+        TextAnalysis.loadBloomBits(s, s"$root/bloom"))
     }
   )
+
+  /** SQL mirror of the minhash signature table ([[Dedup.minhashSelect]]),
+    * aliased locally so the oracle string above reads as one chain.
+    */
+  private def minhashSigsSql: String = Dedup.minhashSelect
+
+  /** Funnel artifact trees built this JVM, keyed by dataset dir — the
+    * artifacts are write-once/amortized in production, so bench reps time
+    * the SERVED funnel (the probe + two broadcast gates), not the build.
+    */
+  private val storedFunnels =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def freshFunnelDir(): String = {
+    val root = java.nio.file.Files.createTempDirectory("graft-funnel-")
+    sys.addShutdownHook {
+      import scala.jdk.CollectionConverters._
+      if (java.nio.file.Files.exists(root))
+        scala.util.Using.resource(java.nio.file.Files.walk(root)) { st =>
+          st.iterator().asScala.toSeq.reverse
+            .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        }
+    }
+    root.toString
+  }
 
   /** The funnel over any `(doc_id, source, text)` frame; `benchPred`
     * marks the held-out evaluation documents (excluded from the corpus,

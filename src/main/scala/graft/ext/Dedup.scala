@@ -201,7 +201,7 @@ object Dedup {
        |    FROM ($toksFrom)
        |  )
        |)""".stripMargin
-  private def minhashSelect = {
+  private[ext] def minhashSelect = {
     val sigCols = MinhashPerms.zipWithIndex.map { case ((a, b), i) =>
       s"min(($a * h + $b) % $Mersenne31) AS sig_$i"
     }.mkString(",\n  ")

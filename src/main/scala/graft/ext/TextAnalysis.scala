@@ -82,7 +82,7 @@ object TextAnalysis {
     * with the SQL oracle. h is reduced mod 2^31-1 first so the affine
     * products fit a long.
     */
-  private val BloomM = 8192
+  private[ext] val BloomM = 8192
   private def bloomBitCol(i: Int, h: org.apache.spark.sql.Column) = {
     val (a, b) = MinhashPerms(i)
     ((h % Mersenne31) * a + b) % Mersenne31 % BloomM

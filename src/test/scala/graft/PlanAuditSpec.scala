@@ -58,6 +58,11 @@ class PlanAuditSpec extends AnyFunSuite {
   // q_sample_dsir is NOT in the list for the same reason: the D-row λ
   // table build crosses two 1-row scalar totals (target/raw feature mass)
   // — metadata-scale BNLJs; the corpus-side joins are equi-joins.
+  // q_curation_stored is NOT in the list for the same reason again: its
+  // smoothed-gate legs ship the 1-row vocab-size scalar via the
+  // broadcast cross join (as q_text_ppl_capped's serving does); the
+  // probe/decontam legs are equi-joins and CurationE2ESpec asserts the
+  // composed plan keeps dynamic partition pruning and no cartesian.
   // q_embed_knn_classify is the declared brute-force baseline (probes ×
   // corpus broadcast NLJ, like q_embed_topk); the scale path swaps
   // candidate generation to probeIndex. q_embed_mmr's candidate pool is
