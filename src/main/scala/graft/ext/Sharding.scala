@@ -83,6 +83,22 @@ object Sharding {
           .cast("int").as("shard"))
   }
 
+  /** The production writer the declared queries' Scaladoc promises: the
+    * epoch-shuffled corpus lands as `shard=<i>` directories, ONE file per
+    * shard, rows inside each file in permutation order — exactly what a
+    * K-reader training job consumes. The hash repartition on `shard`
+    * sends every shard's rows to one task (so one output file), and the
+    * within-partition sort by `pos` makes the FILE order the epoch order.
+    * Payload columns ride along via the doc_id equi-join.
+    */
+  def writeShards(docs: org.apache.spark.sql.DataFrame, epochTag: String,
+                  k: Int, path: String): Unit =
+    epochAssign(docs.select("doc_id"), epochTag, k)
+      .join(docs, Seq("doc_id"))
+      .repartition(k, col("shard"))
+      .sortWithinPartitions("shard", "pos")
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
+
   def queries: Seq[Q] = Seq(
 
     // ---- deterministic epoch shuffle + round-robin sharding ----

@@ -269,6 +269,53 @@ object StreamingOps {
       }
   }
 
+  final case class CdcEvent(user_id: Long, event_id: Long,
+                            ts: java.sql.Timestamp, event_type: String,
+                            value: Double)
+  final case class CdcState(user_id: Long, last_type: String,
+                            last_ts: java.sql.Timestamp, last_value: Double,
+                            n_events: Long)
+
+  /** Streaming face of the CDC changelog apply (q_events_cdc_apply):
+    * latest-wins per-key state held across micro-batches via
+    * `flatMapGroupsWithState`. Every batch that touches a key emits that
+    * key's CURRENT state; downstream serving filters the tombstone type
+    * exactly like the batch query. Latest-wins under the (ts, event_id)
+    * order is ARRIVAL-ORDER-INDEPENDENT — max over a set — so replaying
+    * the same events in any batch split converges to the batch window's
+    * rn=1 row (StreamingSpec pins stream ≡ batch on the real events
+    * table). State per key is one row; production adds a timeout for
+    * eviction, same stance as [[runningSpend]].
+    */
+  def cdcLatestState(events: org.apache.spark.sql.Dataset[CdcEvent])
+      : org.apache.spark.sql.Dataset[CdcState] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import events.sparkSession.implicits._
+    def later(a: CdcEvent, b: CdcEvent): Boolean = {
+      val c = a.ts.compareTo(b.ts)
+      c > 0 || (c == 0 && a.event_id > b.event_id)
+    }
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[(CdcEvent, Long), CdcState](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        case (user, batch, state: GroupState[(CdcEvent, Long)]) =>
+          val init = state.getOption
+          var latest = init.map(_._1).orNull
+          var n = init.map(_._2).getOrElse(0L)
+          var touched = false
+          batch.foreach { e =>
+            touched = true; n += 1
+            if (latest == null || later(e, latest)) latest = e
+          }
+          if (!touched) Iterator.empty
+          else {
+            state.update((latest, n))
+            Iterator.single(CdcState(user, latest.event_type, latest.ts,
+              latest.value, n))
+          }
+      }
+  }
+
   /** Incremental snapshot maintenance: every micro-batch of a complete-mode
     * aggregate is written to staging and promoted with the SAME atomic
     * swap the batch engine uses (K2, [[graft.sink.FileSnapshotCommit]]) —

@@ -51,7 +51,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_text_bpe_merges", "q_text_bpe_apply", "q_text_bpe_encode",
     "q_text_bpe_decode",
     "q_text_bpe_batched", "q_text_bpe_stats", "q_text_ppl_buckets",
-    "q_embed_knn_ann")
+    "q_embed_knn_ann",
+    // round 13: the served bucketed-layout join
+    "q_layout_bucketed")
   // q_text_tfidf is NOT in the no-BNLJ list: its corpus-size scalar rides a
   // 1-row broadcast cross join (the legitimate scalar-broadcast shape) —
   // covered by its own assertion below instead.

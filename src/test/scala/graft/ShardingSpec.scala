@@ -70,6 +70,31 @@ class ShardingSpec extends AnyFunSuite {
       s"serpentine ($spread) should beat round-robin (${rr.max - rr.min}) on skewed sizes")
   }
 
+  test("writeShards: one file per shard dir, file order IS the epoch permutation") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text")
+    val k = 8
+    val path = java.nio.file.Files.createTempDirectory("graft-shards").toString
+    ext.Sharding.writeShards(docs, "e1#", k, path)
+    val expected = ext.Sharding.epochAssign(docs.select("doc_id"), "e1#", k)
+      .collect().map(r => (r.getInt(1), r.getLong(2), r.getLong(0)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    (0 until k).foreach { i =>
+      val dir = new java.io.File(s"$path/shard=$i")
+      assert(dir.isDirectory, s"missing shard dir $i")
+      val files = dir.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length == 1,
+        s"shard $i should be ONE file, got ${files.length}")
+      // single small file => single input split => scan preserves row
+      // order; the file order must be the permutation order
+      val inFileOrder = spark.read.parquet(files.head.getPath)
+        .select("doc_id").collect().map(_.getLong(0)).toSeq
+      assert(inFileOrder == expected(i),
+        s"shard $i file order diverges from the epoch permutation")
+    }
+    assert(expected.values.map(_.size).sum == docs.count())
+  }
+
   test("every doc is assigned exactly one shard; totals conserved") {
     import spark.implicits._
     val weighted = (0L until 57L).map(i => (i, i % 13 + 1)).toDF("doc_id", "n_tokens")

@@ -263,6 +263,44 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("CDC latest-wins state across batches equals the batch changelog apply") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.StreamingOps.{CdcEvent, CdcState}
+    val sf = "/root/testdata/sf0.001"
+    val all = Tables.events(spark, sf)
+      .select("user_id", "event_id", "ts", "event_type", "value")
+      .as[CdcEvent].collect()
+    val mem = MemoryStream[CdcEvent]
+    val q = StreamingOps.cdcLatestState(mem.toDS())
+      .writeStream.format("memory").queryName("cdc_out")
+      .outputMode("update").start()
+    try {
+      // three arbitrary micro-batch splits; latest-wins is a max over a
+      // set, so the split must not matter
+      all.grouped(math.max(1, all.length / 3 + 1)).foreach { chunk =>
+        mem.addData(chunk.toIndexedSeq)
+        q.processAllAvailable()
+      }
+      // each touched key re-emits its state per batch with monotone
+      // n_events — the final state is the max-n_events row per user
+      val streamed = spark.table("cdc_out").as[CdcState].collect()
+        .groupBy(_.user_id).map(_._2.maxBy(_.n_events))
+        .filter(_.last_type != "error") // tombstone serving filter
+        .map(s => (s.user_id, s.last_type, s.last_ts,
+          BigDecimal(s.last_value).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+          s.n_events))
+        .toSet
+      val batch = SparkEntry.queries("q_events_cdc_apply")(spark, sf)
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2),
+          r.getDouble(3), r.getLong(4)))
+        .toSet
+      assert(streamed == batch,
+        s"stream state diverges from batch apply: ${streamed.size} vs ${batch.size}")
+    } finally q.stop()
+  }
+
   test("per-row minhash bands equal the batch groupBy signature") {
     // the streaming operator computes signatures inside the row; the batch
     // dedup pipeline aggregates exploded shingles — identical bands per doc
