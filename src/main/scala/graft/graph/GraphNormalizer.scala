@@ -31,7 +31,13 @@ object GraphNormalizer {
       val schema = g.model.toStructType(fqn)
       val projected = g.nodes
         .filter(col("kind") === fqn)
-        .withColumn("__doc", from_json(col("reported"), schema))
+        // FAILFAST: a malformed `reported` document must throw, not emit
+        // an all-NULL row (id included) that is indistinguishable from
+        // real data — the ingest path guards corrupt LINES the same way;
+        // a NULL reported still projects to NULLs (mode only governs
+        // malformed input, not absent input)
+        .withColumn("__doc",
+          from_json(col("reported"), schema, Map("mode" -> "FAILFAST")))
         // getField resolves the LITERAL field name — col("__doc.a.b")
         // would parse a dotted property name as nested access and abort
         // analysis for a model the rest of the pipeline accepts
@@ -43,6 +49,9 @@ object GraphNormalizer {
   /** Edge endpoints resolved to kinds with two joins against the (id, kind)
     * projection; the id lookup side is broadcast when small, otherwise a
     * shuffled equi-join on id — never a driver-side collect of the edge set.
+    * INNER joins by design: dangling edges are silently dropped per the
+    * producer contract (docs/GRAPH_EXPORT.md conformance checklist);
+    * [[normalize]] guards the duplicate-node-id fan-out case loudly.
     */
   def resolvedEdges(g: Graph): DataFrame = {
     val idKind = g.nodes.select(col("id"), col("kind"))
@@ -54,7 +63,12 @@ object GraphNormalizer {
 
   /** Link tables keyed by `link_<from>_<to>`. */
   def linkTables(g: Graph): Map[String, DataFrame] = {
-    val resolved = resolvedEdges(g)
+    // scoped cache: the resolved plan feeds the pair enumeration AND every
+    // per-pair table — uncached, the edges×nodes double join re-executes
+    // once per link table (P+1 full passes); inside a runner scope this is
+    // one pass + P filtered scans, outside a scope it degrades to the old
+    // recompute instead of leaking a pinned Dataset
+    val resolved = graft.CacheTracker.cachedInScope(resolvedEdges(g))
     // The kind-pair inventory is bounded by |kinds|^2 (metadata-scale, not
     // data-scale) — safe to enumerate on the driver. At 100 TB use
     // [[writeLinksPartitioned]] instead; the per-pair DataFrames below
@@ -94,6 +108,19 @@ object GraphNormalizer {
     * from the snapshot.
     */
   def normalize(g: Graph): Map[String, DataFrame] = {
+    // Duplicate node ids, checked LOUDLY at snapshot-write time: each
+    // duplicate would silently MULTIPLY its incident edges into every
+    // link table (resolvedEdges joins on id) — the same silent-corruption
+    // class the name-collision requires below exist for. Dangling edges
+    // are NOT an error: docs/GRAPH_EXPORT.md pins "dangling edges are
+    // silently dropped" as the producer contract, and resolvedEdges'
+    // inner joins implement exactly that. Cost: one distinct-count over
+    // node ids, write-time only.
+    val ids = g.nodes.select("id")
+    val dupIds = ids.count() - ids.distinct().count()
+    require(dupIds == 0,
+      s"$dupIds duplicate node id(s) — each would multiply its incident " +
+        "edges into every link table; deduplicate the node set first")
     val kt = kindTables(g)
     val lt = linkTables(g)
     val clash = kt.keySet.intersect(lt.keySet)

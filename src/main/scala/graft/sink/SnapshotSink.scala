@@ -28,12 +28,14 @@ object SnapshotSink {
     */
   def flattenForSql(df: DataFrame): DataFrame = {
     // backtick-quote: a column literally named `a.b` would otherwise be
-    // parsed as struct-field access on a nonexistent column `a`
+    // parsed as struct-field access on a nonexistent column `a`; an
+    // embedded backtick must itself be doubled or the quoting breaks
+    def q(n: String) = s"`${n.replace("`", "``")}`"
     val cols = df.schema.fields.map { f =>
       f.dataType match {
         case _: StructType | _: ArrayType | _: MapType =>
-          to_json(col(s"`${f.name}`")).as(f.name)
-        case _ => col(s"`${f.name}`")
+          to_json(col(q(f.name))).as(f.name)
+        case _ => col(q(f.name))
       }
     }
     df.select(cols.toSeq: _*)
@@ -350,9 +352,14 @@ final case class JdbcSnapshotCommit(cfg: JdbcDestination, tables: Seq[String]) e
       // one metadata scan for the whole swap, not one per table — scoped to
       // the CONNECTION's catalog/schema so a same-named table in another
       // database can never poison the swap
+      // plain try/catch on Throwable, NOT scala.util.Try: a pre-JDBC-4.1
+      // driver raises AbstractMethodError here — a LinkageError, fatal to
+      // Try/NonFatal — and the null fallback is exactly the case this
+      // shield exists for
+      def metaOrNull(get: => String): String =
+        try get catch { case _: Exception | _: LinkageError => null }
       val (catalog, schema) =
-        (scala.util.Try(conn.getCatalog).getOrElse(null),
-         scala.util.Try(conn.getSchema).getOrElse(null))
+        (metaOrNull(conn.getCatalog), metaOrNull(conn.getSchema))
       val rs = conn.getMetaData.getTables(catalog, schema, null, Array("TABLE"))
       val existing = Iterator.continually(rs)
         .takeWhile(_.next()).map(_.getString("TABLE_NAME").toLowerCase).toSet

@@ -173,25 +173,38 @@ object SqliteFormat {
     * and [[graft.sources.SqliteSource]].
     */
   def columnsOf(sql: String): Seq[(String, String)] = {
-    // first '(' at quote-depth 0 opens the column list (a quoted table
-    // name may itself contain parens)
-    var open = -1; var inQ = false; var i = 0
+    // first '(' outside BOTH quote kinds opens the column list (a quoted
+    // table name may itself contain parens). Single-quoted SQL string
+    // literals matter too: a DEFAULT 'x,y' or CHECK ('(') would otherwise
+    // corrupt the depth/split tracking and silently misalign columns.
+    // Toggling on every ' also handles the '' escape (leave+re-enter nets
+    // to "still inside" across the pair) for delimiter-scanning purposes.
+    var open = -1; var inDq = false; var inSq = false; var i = 0
     while (open < 0 && i < sql.length) {
       sql.charAt(i) match {
-        case '"'          => inQ = !inQ
-        case '(' if !inQ  => open = i
-        case _            =>
+        case '"' if !inSq           => inDq = !inDq
+        case '\'' if !inDq          => inSq = !inSq
+        case '(' if !inDq && !inSq  => open = i
+        case _                      =>
       }
       i += 1
     }
-    val inner = sql.substring(open + 1, sql.lastIndexOf(')'))
+    val close = sql.lastIndexOf(')')
+    // a stored statement without a parenthesized column list (e.g.
+    // `CREATE TABLE t AS SELECT ...`) declares no columns to parse —
+    // return empty and let the CALLER decide (register skips loudly,
+    // table() refuses by name) instead of throwing a bare
+    // StringIndexOutOfBounds that names neither table nor cause
+    if (open < 0 || close < open) return Seq.empty
+    val inner = sql.substring(open + 1, close)
     val parts = scala.collection.mutable.ArrayBuffer.empty[String]
-    var depth = 0; var start = 0; inQ = false
+    var depth = 0; var start = 0; inDq = false; inSq = false
     inner.zipWithIndex.foreach {
-      case ('"', _)               => inQ = !inQ
-      case ('(', _) if !inQ       => depth += 1
-      case (')', _) if !inQ       => depth -= 1
-      case (',', i) if !inQ && depth == 0 =>
+      case ('"', _) if !inSq      => inDq = !inDq
+      case ('\'', _) if !inDq     => inSq = !inSq
+      case ('(', _) if !inDq && !inSq => depth += 1
+      case (')', _) if !inDq && !inSq => depth -= 1
+      case (',', i) if !inDq && !inSq && depth == 0 =>
         parts += inner.substring(start, i); start = i + 1
       case _ =>
     }

@@ -121,7 +121,11 @@ final case class SqliteSnapshotCommit(cfg: SqliteDestination, runId: String,
       // are Vacuum.vacuumSqlite's job (same discipline as _staging/<runId>).
       val fs = new org.apache.hadoop.fs.Path(stagingDir)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      fs.delete(new org.apache.hadoop.fs.Path(stagingDir), true)
+      // guarded: a transient cleanup failure in this finally would
+      // otherwise REPLACE the real commit exception; a stranded staging
+      // subdir is Vacuum's job either way
+      try fs.delete(new org.apache.hadoop.fs.Path(stagingDir), true)
+      catch { case _: java.io.IOException => () }
       // opportunistic: remove the .staging root iff it is now empty
       // (non-recursive delete refuses a non-empty directory)
       try fs.delete(new org.apache.hadoop.fs.Path(s"${cfg.database}.staging"), false)

@@ -70,7 +70,13 @@ object SqliteSource {
             java.time.OffsetDateTime.parse(t.replace(' ', 'T')).toInstant }
         java.sql.Timestamp.from(instant)
       }
-      case (l: Long, TimestampType)     => new java.sql.Timestamp(l * 1000L) // epoch-sec
+      case (l: Long, TimestampType)     =>
+        // SQLite's own integer-datetime convention (unixepoch()) is
+        // SECONDS; a magnitude that would overflow the millis Long (or a
+        // producer storing micros/nanos here) degrades to NULL per the
+        // module contract rather than wrapping into a nonsense instant
+        if (math.abs(l) < Long.MaxValue / 1000L) new java.sql.Timestamp(l * 1000L)
+        else null
       case (s: String, DateType)        => opt(java.sql.Date.valueOf(LocalDate.parse(s.trim)))
       case (b: Array[Byte], BinaryType) => b
       case (b: Array[Byte], StringType) => new String(b, "UTF-8")
@@ -95,12 +101,30 @@ object SqliteSource {
       spark.sparkContext.parallelize(rows, math.max(1, rows.size / 10000)), schema)
   }
 
+  /** A table this reader cannot decode, with the reason: WITHOUT ROWID
+    * tables store rows in index-format b-tree pages the rowid walk does
+    * not read, and paren-less DDL (CREATE TABLE ... AS SELECT) declares
+    * no parseable column list. One shared classifier so [[register]]'s
+    * skip and [[table]]'s refusal can never disagree.
+    */
+  private def unsupported(name: String, sql: String): Option[String] = {
+    val norm = sql.toUpperCase.replaceAll("\\s+", " ").trim
+    if (norm.endsWith("WITHOUT ROWID"))
+      Some(s"table '$name' is WITHOUT ROWID (index-format pages; not supported by the rowid b-tree walk)")
+    else if (SqliteFormat.columnsOf(sql).isEmpty)
+      Some(s"table '$name' has no parseable column list (CREATE TABLE ... AS SELECT?)")
+    else None
+  }
+
   /** One table as a DataFrame. */
   def table(spark: SparkSession, dbPath: String, name: String): DataFrame = {
     val r = new SqliteDbReader(new File(dbPath))
     try {
       val (_, root, sql) = r.masterRows.find(_._1 == name)
         .getOrElse(throw new IllegalArgumentException(s"no such table: $name"))
+      // an explicitly-requested table fails LOUDLY when undecodable — a
+      // silent skip here would read as "empty table"
+      unsupported(name, sql).foreach(m => throw new IllegalArgumentException(m))
       toDf(spark, r, root, sql)
     } finally r.close()
   }
@@ -114,10 +138,19 @@ object SqliteSource {
     val r = new SqliteDbReader(new File(dbPath))
     try {
       val tables = r.masterRows.sortBy(_._1)
-      tables.foreach { case (name, root, sql) =>
+      // whole-database ingest skips undecodable tables LOUDLY and keeps
+      // going: one exotic table (WITHOUT ROWID, CREATE TABLE AS) must not
+      // abort registration of every other table in the file
+      val (bad, good) = tables.partition { case (name, _, sql) =>
+        unsupported(name, sql).isDefined
+      }
+      bad.foreach { case (name, _, sql) =>
+        System.err.println(s"[sqlite-source] SKIPPED: ${unsupported(name, sql).get}")
+      }
+      good.foreach { case (name, root, sql) =>
         toDf(spark, r, root, sql).createOrReplaceTempView(name)
       }
-      tables.map(_._1)
+      good.map(_._1)
     } finally r.close()
   }
 }

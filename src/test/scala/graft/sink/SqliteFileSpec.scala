@@ -157,6 +157,19 @@ class SqliteFileSpec extends AnyFunSuite {
     assert(SqliteFormat.columnsOf(ddl2).map(_._1) == Seq("primary", "check"))
   }
 
+  test("columnsOf survives commas/parens inside single-quoted literals") {
+    // a comma inside a DEFAULT string literal must not split the column
+    // list, and an unbalanced '(' inside one must not corrupt the depth
+    val ddl = """CREATE TABLE t ("a" VARCHAR DEFAULT 'x,y', "b" BIGINT,
+                | "c" VARCHAR DEFAULT '(', "d" VARCHAR DEFAULT 'it''s, fine',
+                | "e" BIGINT)""".stripMargin.replace("\n", " ")
+    assert(SqliteFormat.columnsOf(ddl).map(_._1) == Seq("a", "b", "c", "d", "e"))
+  }
+
+  test("columnsOf returns empty (not a crash) for paren-less DDL") {
+    assert(SqliteFormat.columnsOf("CREATE TABLE t AS SELECT 1 AS a").isEmpty)
+  }
+
   test("identifiers with embedded quotes and parens survive DDL round-trip") {
     import org.apache.spark.sql.types._
     val tbl = """we"ird (tbl)"""
