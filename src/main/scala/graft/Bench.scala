@@ -40,6 +40,13 @@ object Bench {
     try { Tables.lineitem(spark, sfDir).count(); Tables.events(spark, sfDir).count() }
     catch { case e: Throwable => System.err.println(s"[bench] warmup failed: $e") }
 
+    // a typo'd SPARK_GRAFT_ONLY name must fail loudly — silently timing
+    // zero queries produces a valid-looking empty artifact
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"unknown query name(s) in SPARK_GRAFT_ONLY: ${unknown.toSeq.sorted.mkString(", ")}")
+    }
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
 

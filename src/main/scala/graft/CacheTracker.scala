@@ -73,14 +73,28 @@ object CacheTracker {
     if (buf != null) {
       refs.synchronized {
         val k = keyOf(ds)
+        val live = ds.storageLevel != org.apache.spark.storage.StorageLevel.NONE
         val n = refs.merge(k, 1, (a, b) => a + b)
         // first in-scope reference to an ALREADY-cached plan: an
         // outside-scope caller owns the entry (e.g. a write-once index
         // cached by a library user, probed by scoped queries) — mark it
         // so no scope ever drops it out from under them
-        if (n == 1 && ds.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
-          foreign.add(k)
-        ds.cache()
+        if (n == 1 && live) foreign.add(k)
+        // a LATER reference finding NO live entry means the outside owner
+        // unpersisted while scopes still held refs — this call's cache()
+        // re-creates the entry, and the scopes now own it; a stale
+        // foreign bit would make the final scope exit skip the unpersist
+        // of an entry no external owner holds (session-lifetime leak)
+        if (n > 1 && !live) foreign.remove(k)
+        // refcount must not outlive a FAILED cache(): an orphaned +1
+        // (no paired buf entry, so no scope ever decrements it) would pin
+        // every future entry for this plan at refcount >= 1 forever
+        try ds.cache()
+        catch { case e: Throwable =>
+          refs.merge(k, -1, (a, b) => a + b)
+          refs.remove(k, 0)
+          throw e
+        }
       }
       buf.add(ds)
     } else ds.cache()

@@ -91,7 +91,12 @@ object ScaleCheck {
     // round-13: the served bucketed join; the layout build is amortized
     // per corpus (computeIfAbsent), so timed reps measure the serving
     // join over the at-rest buckets (min statistic keeps the warm rep)
-    "q_layout_bucketed")
+    "q_layout_bucketed",
+    // round-13: the at-rest funnel — artifacts build once per dataset
+    // (computeIfAbsent, like the layout above), so the measured point is
+    // the SERVED admission cost: two ≤cap-row broadcast gate joins, the
+    // partition-pruned index probe, and the Bloom bit joins
+    "q_curation_stored")
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")

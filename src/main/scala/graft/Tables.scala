@@ -75,7 +75,14 @@ object Tables {
         // timezone; the producers write UTC instants, so any other session
         // zone would silently shift every ts — fail loudly instead
         val tz = raw.sparkSession.conf.get("spark.sql.session.timeZone", "")
-        require(tz == "UTC",
+        // accept every UTC spelling (UTC, Etc/UTC, GMT, Z, +00:00, …):
+        // normalized() folds fixed-offset-zero region ids to ZoneOffset.UTC,
+        // so only a genuinely shifted session zone fails
+        val isUtc =
+          try java.time.ZoneId.of(tz, java.time.ZoneId.SHORT_IDS)
+            .normalized() == java.time.ZoneOffset.UTC
+          catch { case _: Exception => false }
+        require(isUtc,
           s"events.ts is TIMESTAMP_NTZ (UTC wall-clock); the session " +
             s"timezone is '$tz' — set spark.sql.session.timeZone=UTC or " +
             "the cast would shift every instant")

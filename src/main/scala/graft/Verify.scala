@@ -35,6 +35,18 @@ object Verify {
     // through, the driver can still score every query that did finish.
     writeOracleJson(outDir, keep)
     val selected = SparkEntry.queries.filter(kv => keep(kv._1)).toSeq
+    // a typo'd filter name must fail LOUDLY here: silently matching
+    // nothing exits 0 with empty artifacts — the "verified" query was
+    // never run (same guard Runner applies to unknown source names)
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      if (unknown.nonEmpty) {
+        System.err.println(
+          s"[verify] unknown query name(s): ${unknown.toSeq.sorted.mkString(", ")}")
+        spark.stop()
+        sys.exit(2)
+      }
+    }
     val total = selected.size
     val done = new java.util.concurrent.atomic.AtomicInteger(0)
     // Queries run on a small driver-side pool: they are independent — each
@@ -62,6 +74,10 @@ object Verify {
     val watchdog = java.util.concurrent.Executors.newSingleThreadScheduledExecutor { r =>
       val t = new Thread(r, "verify-watchdog"); t.setDaemon(true); t
     }
+    // progress trackers for the no-progress stall detector below: every
+    // query completion (ok or failed) is "activity"
+    val okNames = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val lastActivity = new java.util.concurrent.atomic.AtomicLong(System.nanoTime())
     val runs = selected.map { case (name, fn) =>
       scala.concurrent.Future {
         val t0 = System.nanoTime()
@@ -85,6 +101,7 @@ object Verify {
         try CacheTracker.scope {
           fn(spark, sfDir).coalesce(1).write.mode("overwrite")
             .parquet(s"$outDir/$name")
+          okNames.add(name)
           // one line per query so a partial/timed-out driver run leaves a
           // diagnosable trail instead of an empty CORRECTNESS json
           System.err.println(
@@ -98,23 +115,68 @@ object Verify {
           errors.put(name, msg)
           // a marker directory named like the output dir: any scorer that
           // globs per-query outputs sees the failure by name instead of a
-          // silent absence
-          val marker = Paths.get(s"$outDir/$name/_FAILED")
-          Files.createDirectories(marker.getParent)
-          Files.writeString(marker, msg)
+          // silent absence. Guarded: if the marker write itself fails
+          // (ENOSPC is exactly when queries fail), the error must still
+          // reach errors.json rather than escaping as a second exception
+          // that kills the Future and with it the whole run's artifacts.
+          try {
+            val marker = Paths.get(s"$outDir/$name/_FAILED")
+            Files.createDirectories(marker.getParent)
+            Files.writeString(marker, msg)
+          } catch { case e2: Throwable =>
+            System.err.println(s"[verify] $name marker write failed: $e2")
+          }
         } finally {
           kill.cancel(false)
           spark.sparkContext.clearJobGroup()
+          lastActivity.set(System.nanoTime())
         }
       }
     }
-    scala.concurrent.Await.result(
-      scala.concurrent.Future.sequence(runs), scala.concurrent.duration.Duration.Inf)
-    pool.shutdown()
-    // ALWAYS written (empty {} on a clean run) so "no errors.json" is a
-    // diagnosable partial run, never ambiguous with "all green"
-    writeErrorsJson(outDir, errors)
-    spark.stop()
+    // The per-query job-group watchdog cannot see DRIVER-side stalls
+    // (Catalyst planning loops, uninterruptible waits) — they never submit
+    // a job to cancel, and an Await(Duration.Inf) on them wedges the whole
+    // run with zero artifacts (the round-5 failure mode). No-progress
+    // detector: when NOTHING completes for timeout+120 s, interrupt the
+    // pool (Spark's driver-side waits are interrupt-responsive); if still
+    // no progress after a second grace, ABANDON the stragglers — record
+    // them in errors.json by name, stop spark, exit nonzero. Loud partial
+    // artifacts beat a silent infinite hang.
+    val all = scala.concurrent.Future.sequence(runs)
+    val grace = (timeoutSec + 120) * 1000000000L
+    var interrupted = false
+    var abandoned = false
+    try {
+      while (!all.isCompleted && !abandoned) {
+        try scala.concurrent.Await.ready(
+          all, scala.concurrent.duration.Duration(30, "seconds"))
+        catch { case _: java.util.concurrent.TimeoutException => }
+        if (!all.isCompleted && System.nanoTime() - lastActivity.get() > grace) {
+          if (!interrupted) {
+            System.err.println(
+              s"[verify] NO PROGRESS for ${grace / 1000000000L} s — driver-side stall; interrupting workers")
+            interrupted = true
+            lastActivity.set(System.nanoTime())
+            pool.shutdownNow()
+          } else abandoned = true
+        }
+      }
+    } finally {
+      if (abandoned) {
+        val unfinished = selected.map(_._1)
+          .filterNot(n => okNames.contains(n) || errors.containsKey(n))
+        unfinished.foreach { n =>
+          System.err.println(s"[verify] $n ABANDONED (driver-side stall)")
+          errors.put(n, "abandoned: driver-side stall (no progress past interrupt grace)")
+        }
+      }
+      pool.shutdown()
+      // ALWAYS written (empty {} on a clean run) so "no errors.json" is a
+      // diagnosable partial run, never ambiguous with "all green"
+      writeErrorsJson(outDir, errors)
+      spark.stop()
+    }
+    if (abandoned) sys.exit(1)
   }
 
   private def writeErrorsJson(

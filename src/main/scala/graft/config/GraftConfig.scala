@@ -173,12 +173,25 @@ object GraftConfig {
       require(fileFormats(fmt), s"Unknown format: $fmt. Possible values: ${fileFormats.mkString(", ")}")
       fmt
     }
+    // unknown option keys fail LOUDLY: a typo'd key (`formats:`,
+    // `batchsize:`) would otherwise silently fall back to its default —
+    // the same silent-wrong-output class checkedFormat() closes for
+    // format VALUES, closed here for option NAMES
+    def checkedKeys(allowed: Set[String]): Unit = {
+      val unknown = v.keySet -- allowed
+      require(unknown.isEmpty,
+        s"Unknown option(s) for destination '$name': " +
+          s"${unknown.toSeq.sorted.mkString(", ")} — allowed: " +
+          allowed.toSeq.sorted.mkString(", "))
+    }
 
     val dest: Destination = name match {
       case "file" =>
+        checkedKeys(Set("format", "path", "batch_size"))
         ArrowDest(FileDestination(checkedFormat(), str("path").getOrElse(
           throw new IllegalArgumentException("Path must be defined")), int("batch_size", 100000)))
       case "s3" =>
+        checkedKeys(Set("format", "path", "batch_size", "region", "uri"))
         val region = str("region").getOrElse(
           throw new IllegalArgumentException("S3 region must be defined"))
         val uri = str("uri").getOrElse(throw new IllegalArgumentException("S3 uri must be defined"))
@@ -188,6 +201,7 @@ object GraftConfig {
           str("path").getOrElse("/tmp/graft-stage"), int("batch_size", 100000),
           Some(bucket), Some(region), Some("s3")))
       case "gcs" =>
+        checkedKeys(Set("format", "path", "batch_size", "uri"))
         val uri = str("uri").getOrElse(throw new IllegalArgumentException("GCS uri must be defined"))
         val bucket = UriNormalizer.gcsBucket(uri).getOrElse(
           throw new IllegalArgumentException(s"Invalid GCS uri: $uri"))
@@ -199,11 +213,23 @@ object GraftConfig {
         // the file-format writer, so no driver probe applies. A batch_size
         // key is accepted (reference config shape) but has no effect — the
         // writer streams rows page by page.
+        checkedKeys(Set("database", "batch_size"))
         SqliteDest(SqliteDestination(
           str("database").getOrElse(
             throw new IllegalArgumentException("Database must be defined"))))
       case dialect =>
+        checkedKeys(Set("url", "host", "port", "database", "user", "password",
+          "batch_size", "args"))
         val canonical = dialectAliases.getOrElse(dialect, dialect)
+        // a typo'd destination name (`files:`, `sqllite:`) would otherwise
+        // ride this JDBC catch-all to a cryptic 'No suitable driver' deep
+        // inside a Spark write, minutes after config load. Unknown
+        // dialects stay supported for genuinely custom JDBC targets — but
+        // only with an EXPLICIT url, which a typo never has.
+        require(driverClasses.keys.exists(canonical.startsWith) || str("url").isDefined,
+          s"Unknown destination type '$name'. Known types: file, s3, gcs, sqlite, " +
+            (driverClasses.keys.toSeq ++ dialectAliases.keys).sorted.mkString(", ") +
+            "; a custom JDBC dialect must configure an explicit 'url'")
         checkDbDriver(canonical)
         val args = argsOf(v)
         // JDBC URLs don't embed credentials — they travel as connection

@@ -50,8 +50,15 @@ final class ConsoleProgressRenderer(
     // one PHYSICAL line per entry: painted counts entries, and the ANSI
     // cursor-up repaint math breaks if a message smuggles line breaks in
     // (Spark exception messages routinely embed plans) — stale lines
-    // would then accumulate on every tick
-    val flat = message.replaceAll("[\r\n]+", " ¶ ")
+    // would then accumulate on every tick. Same hazard for LENGTH: a row
+    // wider than the terminal WRAPS onto several physical lines the
+    // cursor-up-N math undercounts, so cap to the terminal width
+    // ($COLUMNS when exported, else a conservative 80) minus the table
+    // prefix the renderer adds.
+    val width = sys.env.get("COLUMNS").flatMap(_.toIntOption).getOrElse(80)
+    val maxMsg = math.max(20, width - 30)
+    val flat0 = message.replaceAll("[\r\n]+", " ¶ ")
+    val flat = if (flat0.length <= maxMsg) flat0 else flat0.take(maxMsg - 1) + "…"
     val fresh = Entry(flat, System.nanoTime(), done)
     val prev = state.putIfAbsent(key, fresh)
     if (prev == null) order.add(key)

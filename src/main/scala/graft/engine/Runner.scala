@@ -69,6 +69,22 @@ object Runner {
       uploader: graft.sink.BucketUploader = graft.sink.HadoopBucketUploader,
       sender: AnalyticsEventSender = NoopEventSender): RunReport = {
 
+    // Analytics is telemetry, never control flow: a throwing sender must
+    // not mask the source failure it is REPORTING, and must not fail a
+    // run whose snapshot already promoted (the reference's PostHog sender
+    // never propagates either). Isolate every capture/flush here, once,
+    // instead of try-wrapping each call site.
+    val rawSender = sender
+    val safeSender = new AnalyticsEventSender {
+      private def guard(what: String)(body: => Unit): Unit =
+        try body catch { case e: Throwable =>
+          System.err.println(s"[analytics] $what failed (ignored): $e")
+        }
+      def capture(event: String, props: Map[String, Any]): Unit =
+        guard(s"capture($event)")(rawSender.capture(event, props))
+      override def flush(): Unit = guard("flush")(rawSender.flush())
+    }
+
     // source-enable filter (B3): only configured sources are instantiated.
     // A configured name the registry doesn't know is a config error (a
     // typo'd `gpc:` would otherwise silently collect nothing while the
@@ -138,8 +154,8 @@ object Runner {
           active.keys.foreach(k =>
             spark.sparkContext.cancelJobGroupAndFutureJobs(groupOf(k)))
           // reference error path: analytics error event, flush, no swap
-          sender.capture("error", Map("error" -> String.valueOf(e.getMessage)))
-          sender.flush()
+          safeSender.capture("error", Map("error" -> String.valueOf(e.getMessage)))
+          safeSender.flush()
           throw e
       }
 
@@ -153,8 +169,8 @@ object Runner {
         val msg = "duplicate table name(s) across sources: " + dups.map {
           case (t, owners) => s"$t (from ${owners.map(_._2).mkString(", ")})"
         }.mkString("; ")
-        sender.capture("error", Map("error" -> msg))
-        sender.flush()
+        safeSender.capture("error", Map("error" -> msg))
+        safeSender.flush()
         throw new IllegalStateException(msg)
       }
 
@@ -170,8 +186,8 @@ object Runner {
         progress.progressDone(swapTask, 1, 1)
       } catch {
         case e: Throwable =>
-          sender.capture("error", Map("error" -> String.valueOf(e.getMessage)))
-          sender.flush()
+          safeSender.capture("error", Map("error" -> String.valueOf(e.getMessage)))
+          safeSender.flush()
           throw e
       }
 
@@ -189,8 +205,8 @@ object Runner {
           results.flatMap { case (r, _) =>
             Seq(s"${r.name}_nodes" -> r.nodes, s"${r.name}_edges" -> r.edges)
           }
-      sender.capture("collect", analytics)
-      sender.flush()
+      safeSender.capture("collect", analytics)
+      safeSender.flush()
       RunReport(results.map(_._1))
     } finally pool.shutdownNow()
     // shutdownNow, not shutdown: after a fail-fast throw, plain shutdown
