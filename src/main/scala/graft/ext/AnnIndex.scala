@@ -21,11 +21,37 @@ import org.apache.spark.sql.functions._
   *    `cid IN (…)` predicate that prunes at planning time
   *    (`PartitionFilters` in the scan, also asserted by the spec).
   *
-  * The centroids/codebook are training artifacts versioned NEXT TO the
-  * index by the caller (re-training ⇒ re-encode): [[probe]] takes them as
-  * arguments, exactly like [[graft.streaming.StreamingOps.incrementalAnn]].
+  * The centroids/codebook are the training artifacts the index rows were
+  * ENCODED under (re-training ⇒ re-encode): [[write]] stamps a
+  * fingerprint of both next to the data and [[load]] verifies the
+  * caller's against it — re-trained centroids keep the SAME cid ids
+  * (refineCentroids preserves them), so a stale tree's cid equi-join
+  * would match directories cleanly while every stored assignment is
+  * wrong: recall silently collapses with no error, the same
+  * silent-wrong-result class the [[DedupIndex]]/[[SubstringIndex]]
+  * markers close.
   */
 object AnnIndex {
+
+  /** Layout-version + training-artifact marker: digests the exact
+    * centroid set (ids, components, norms) and PQ codebook at full
+    * double precision — a rounded fingerprint would accept a retrain
+    * that moved every assignment slightly.
+    */
+  private def fingerprint(cents: Seq[(Long, Seq[Double], Double)],
+                          cb: Seq[Seq[Seq[Double]]]): String = {
+    val sb = new StringBuilder
+    cents.sortBy(_._1).foreach { case (id, v, n) =>
+      sb.append(id).append(':').append(v.mkString(",")).append(':').append(n).append(';')
+    }
+    sb.append('|')
+    cb.foreach { sub => sub.foreach(c => sb.append(c.mkString(",")).append(';')); sb.append('#') }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(sb.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+  }
+  private def markerOf(cents: Seq[(Long, Seq[Double], Double)],
+                       cb: Seq[Seq[Seq[Double]]]): String =
+    s"_GRAFT_ANN_1_${fingerprint(cents, cb)}"
 
   /** Build and persist the index: one projection over the corpus
     * (codegen'd cell assignment + PQ encode), written partitioned by cell.
@@ -36,18 +62,26 @@ object AnnIndex {
     * tiny files at scale.
     */
   def write(vecDf: DataFrame, cents: Seq[(Long, Seq[Double], Double)],
-            cb: Seq[Seq[Seq[Double]]], path: String): Unit =
+            cb: Seq[Seq[Seq[Double]]], path: String): Unit = {
     Similarity.indexRows(vecDf, cents, cb)
       .repartition(col("cid"))
       .write.mode("overwrite").partitionBy("cid").parquet(path)
+    IndexVersion.stamp(vecDf.sparkSession, path, markerOf(cents, cb))
+  }
 
   /** The partition column comes back through directory-name inference,
     * which types small cell ids as int — cast it back to long so the
     * at-rest schema is identical to the in-memory [[Similarity.indexRows]]
     * one and probe joins never lean on implicit int/long casts.
     */
-  def load(spark: SparkSession, path: String): DataFrame =
+  def load(spark: SparkSession, path: String,
+           cents: Seq[(Long, Seq[Double], Double)],
+           cb: Seq[Seq[Seq[Double]]]): DataFrame = {
+    IndexVersion.check(spark, path, markerOf(cents, cb),
+      "ANN index (the stored rows were encoded under different centroids/" +
+        "codebook than the ones passed — re-encode the index)")
     spark.read.parquet(path).withColumn("cid", col("cid").cast("long"))
+  }
 
   /** ADC top-k of `probeVecs` (vec_id, v) against the stored index: cell
     * selection is projection-only, candidates come from the cid join

@@ -89,9 +89,10 @@ object LmGate {
     // plan (the c12 join, the c1 derivation, and V = |c1|), and each would
     // otherwise re-run the rank-and-filter window pipeline over the full
     // bigram vocabulary
-    val c12 = graft.CacheTracker.cachedInScope(capBigrams(
-      bigrams(docs).groupBy("w1", "w2").agg(count(lit(1)).as("c12")),
-      maxBigrams))
+    // lazy DataFrames: reusing countTables' joint derivation costs
+    // nothing and keeps the counting definition in ONE place
+    val c12 = graft.CacheTracker.cachedInScope(
+      capBigrams(countTables(docs)._1, maxBigrams))
     val c1 = c12.groupBy("w1").agg(sum("c12").as("c1"))
     (c12, c1)
   }
@@ -184,6 +185,19 @@ object LmGate {
       val (c12, c1) =
         if (maxBigrams > 0) cappedTables(docs, maxBigrams)
         else countTables(docs)
+      // meta lands FIRST: a write killed at ANY later point leaves a
+      // missing data file load() reads loudly, so a partial first write
+      // can never masquerade as a complete pre-meta (MLE) legacy artifact
+      // — the old meta-last order let a kill between bounds and meta
+      // serve a CAPPED table under MLE fallback (the silent mass-reject
+      // the require above forbids). Rebuild-in-place of a LIVE artifact
+      // dir still isn't atomic; production rebuilds should write a fresh
+      // dir and swap (the snapshot-sink discipline).
+      import s.implicits._
+      Seq((smoothed, buckets, maxBigrams))
+        .toDF("smoothed", "n_buckets", "max_bigrams")
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/meta.parquet")
       c12.write.mode("overwrite").parquet(s"$dir/c12.parquet")
       c1.write.mode("overwrite").parquet(s"$dir/c1.parquet")
       val c12r = s.read.parquet(s"$dir/c12.parquet")
@@ -192,19 +206,11 @@ object LmGate {
                     else score(docs, c12r, c1r))
         .select(col("doc_id"), col("avg_logprob"))
       val bs = DistributedRank.boundariesDesc(scored, "avg_logprob", "doc_id", buckets)
-      import s.implicits._
       bs.zipWithIndex
         .map { case ((bScore, bId), i) => (i + 1, bScore, bId) }
         .toDF("bucket_idx", "b_score", "b_id")
         .coalesce(1)
         .write.mode("overwrite").parquet(s"$dir/bounds.parquet")
-      // the scoring mode AND the model-size cap are part of the artifact:
-      // boundaries trained on one scoring are meaningless under the
-      // other, and a capped model's provenance must travel with it
-      Seq((smoothed, buckets, maxBigrams))
-        .toDF("smoothed", "n_buckets", "max_bigrams")
-        .coalesce(1)
-        .write.mode("overwrite").parquet(s"$dir/meta.parquet")
     }
   }
 

@@ -113,19 +113,6 @@ object Similarity {
 
   // ---------------- IVF (inverted-file) coarse quantization ----------------
 
-  /** (vec_id, cid): each vector assigned to its nearest centroid. The
-    * centroid set is a deterministic strided sample (IVF-Flat with random
-    * centroids — the standard no-training baseline). Centroids are
-    * collected once (metadata-scale: ≈ sqrt(N) rows, the same data a
-    * broadcast would ship) and embedded as ONE array literal; the argmax
-    * is then a single projection — `array_max` over a `transform` that
-    * scores every centroid per row — so assignment is genuinely map-side:
-    * no join, no window, no Exchange between the corpus scan and the
-    * (vec_id, cid) output. Scaling rule: centroids ≈ sqrt(N) keeps cells
-    * at sqrt(N) rows; `nprobe` buys recall linearly in scanned cells. For
-    * centroid sets too big for one literal (≳10⁵), chunk the centroid
-    * array and take the max of per-chunk maxima — still projection-only.
-    */
   /** Centroid set as one array literal: metadata-scale (≈ sqrt(N) rows,
     * the same data a broadcast would ship), collected once driver-side.
     * Each entry carries its pre-computed norm — sqrt of the SAME
@@ -133,7 +120,12 @@ object Similarity {
     * downstream cosines are bit-identical to computing the norm per row
     * (but ~half the per-centroid work).
     */
-  private[graft] def centroidSet(vecDf: DataFrame, centroidStride: Int): Seq[(Long, Seq[Double], Double)] =
+  private[graft] def centroidSet(vecDf: DataFrame, centroidStride: Int): Seq[(Long, Seq[Double], Double)] = {
+    // stride 0 would make `vec_id % stride` NULL: the filter drops every
+    // row and downstream IVF/semdedup/kNN return EMPTY results posing as
+    // "no neighbors found" — fail loudly like the other knobs
+    require(centroidStride >= 1,
+      s"centroidStride must be >= 1, got $centroidStride")
     vecDf.filter(col("vec_id") % centroidStride === 0)
       .select(col("vec_id"), col("v"))
       .collect()
@@ -144,6 +136,7 @@ object Similarity {
       }
       .sortBy(_._1)
       .toSeq
+  }
 
   /** Max centroids carried by one expression / literal. Past this the
     * assignment and probe-side selection switch to the chunked forms
@@ -545,6 +538,11 @@ object Similarity {
                             cents: Seq[(Long, Seq[Double], Double)],
                             cb: Seq[Seq[Seq[Double]]], probePred: Column,
                             nprobe: Int, k: Int, shortlist: Int): DataFrame = {
+    // a shortlist below k silently truncates the rerank output to
+    // shortlist rows where the caller asked for k
+    require(shortlist >= k,
+      s"shortlist ($shortlist) must be >= k ($k): the rescore stage can " +
+        "only return candidates the ADC shortlist produced")
     val short = ivfPqTopKWith(vecDf, cents, cb, probePred, nprobe, shortlist)
       .select("qid", "cand")
     val rescored = short

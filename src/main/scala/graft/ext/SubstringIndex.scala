@@ -62,8 +62,16 @@ object SubstringIndex {
 
   /** Bucket-function version marker ([[IndexVersion]]): v2 = the murmur
     * mix above (v1, the unstamped h1-mod layout, changed in round 11).
+    * The stamped name additionally carries the LAYOUT PARAMETERS
+    * (k, sample, buckets): all three are derived independently on the
+    * write and probe sides, and a mismatch (e.g. a fan raised at write
+    * time but probed at the default) silently loses hits the same way a
+    * changed bucket function would — load() verifies the caller's
+    * parameters against the stored tree's.
     */
   private[graft] val BucketingMarker = "_GRAFT_BUCKETING_2"
+  private[graft] def markerOf(k: Int, sample: Int, buckets: Int): String =
+    s"${BucketingMarker}_k${k}_s${sample}_b$buckets"
 
   /** Attach the partition-bucket column to a window-hash frame — the one
     * definition write, batch probe, and streaming probe all derive the
@@ -88,7 +96,7 @@ object SubstringIndex {
     indexRows(docs, k, sample, buckets)
       .repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(path)
-    IndexVersion.stamp(docs.sparkSession, path, BucketingMarker)
+    IndexVersion.stamp(docs.sparkSession, path, markerOf(k, sample, buckets))
   }
 
   /** Partition columns come back through directory-name inference — pin
@@ -98,8 +106,10 @@ object SubstringIndex {
     * with no error — the one failure mode an at-rest index must never
     * have.
     */
-  def load(spark: SparkSession, path: String): DataFrame = {
-    IndexVersion.check(spark, path, BucketingMarker, "substring index")
+  def load(spark: SparkSession, path: String, k: Int = SubstringDedup.K,
+           sample: Int = 1, buckets: Int = Buckets): DataFrame = {
+    IndexVersion.check(spark, path, markerOf(k, sample, buckets),
+      s"substring index (expected layout k=$k sample=$sample buckets=$buckets)")
     spark.read.parquet(path).withColumn("bucket", col("bucket").cast("int"))
   }
 

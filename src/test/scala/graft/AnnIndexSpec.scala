@@ -25,7 +25,12 @@ class AnnIndexSpec extends AnyFunSuite {
     val cb = Similarity.pqCodebook(c)
     AnnIndex.write(c, cents, cb, dir)
 
-    val index = AnnIndex.load(spark, dir)
+    val index = AnnIndex.load(spark, dir, cents, cb)
+    // a stale tree (different training artifacts) is refused by name
+    val retrained = Similarity.refineCentroids(c, cents, rounds = 1)
+    val e = intercept[IllegalArgumentException](
+      AnnIndex.load(spark, dir, retrained, cb))
+    assert(e.getMessage.contains("ANN index"))
     // one directory per cell on disk
     val cells = index.select("cid").distinct().count()
     val dirs = new java.io.File(dir).listFiles().count(_.getName.startsWith("cid="))

@@ -54,7 +54,13 @@ class SubstringIndexSpec extends AnyFunSuite {
     val batch = docs.filter(col("doc_id") % 7 === 0)
     val dir = Files.createTempDirectory("graft-subidx-s").toString
     SubstringIndex.write(corpus, dir, sample = 4)
-    val index = SubstringIndex.load(spark, dir)
+    // the layout parameters are part of the load contract now: loading a
+    // sample=4 tree at the default sample must refuse, not silently
+    // probe half-empty
+    val eMismatch = intercept[IllegalArgumentException](
+      SubstringIndex.load(spark, dir))
+    assert(eMismatch.getMessage.contains("sample=1"))
+    val index = SubstringIndex.load(spark, dir, sample = 4)
     val fromDisk = SubstringIndex.probe(index, batch, sample = 4)
     val inMemory = SubstringDedup.crossCorpusSpans(batch, corpus, sample = 4)
     assert(fromDisk.exceptAll(inMemory).isEmpty && inMemory.exceptAll(fromDisk).isEmpty,
@@ -84,7 +90,8 @@ class SubstringIndexSpec extends AnyFunSuite {
     val corpus = docs.filter(col("doc_id") % 7 =!= 0)
     val dir = Files.createTempDirectory("graft-subidx-ver").toString
     SubstringIndex.write(corpus, dir)
-    val marker = new java.io.File(dir, SubstringIndex.BucketingMarker)
+    val marker = new java.io.File(dir,
+      SubstringIndex.markerOf(graft.ext.SubstringDedup.K, 1, SubstringIndex.Buckets))
     assert(marker.isFile, "write() must stamp the bucketing marker")
     assert(marker.delete())
     val e = intercept[IllegalArgumentException](SubstringIndex.load(spark, dir))
