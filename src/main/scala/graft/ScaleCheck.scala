@@ -96,7 +96,10 @@ object ScaleCheck {
     // (computeIfAbsent, like the layout above), so the measured point is
     // the SERVED admission cost: two ≤cap-row broadcast gate joins, the
     // partition-pruned index probe, and the Bloom bit joins
-    "q_curation_stored")
+    "q_curation_stored",
+    // round-13: curriculum plan = the capped-LM scoring pass (the linear
+    // term, already measured via ppl_capped) + two DistributedRank layers
+    "q_sample_curriculum")
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")

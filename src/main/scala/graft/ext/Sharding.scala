@@ -44,6 +44,26 @@ object Sharding {
     */
   val Shards = 16
 
+  /** Modulus for the order-checksum aggregates: `sum(doc_id * pos)` RAW
+    * overflows Long once position × id products stack up (caught live at
+    * the 100× scale point: ids ~1e9 × global positions ~5e5 summed over
+    * 5e5 rows ≈ 1.2e20 > 2^63). The modular form keeps every term under
+    * M and the running sum under rows × M — exact in both engines for
+    * any corpus below ~9e9 rows per output group, i.e. far past the
+    * declared surface. Spark ANSI mode makes the raw overflow a loud
+    * failure rather than a silent wrap, which is how the 100× run
+    * caught it.
+    */
+  val SigMod = 1000000007L
+
+  /** `sum((a%M)*(b%M) % M) % M` — the overflow-safe order checksum, one
+    * definition for every declared sig column and its oracle mirror.
+    */
+  private def sigSum(a: org.apache.spark.sql.Column,
+                     b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    pmod(sum(pmod(pmod(a, lit(SigMod)) * pmod(b, lit(SigMod)), lit(SigMod))),
+      lit(SigMod)).cast("long")
+
   /** Per-document epoch assignment: `(doc_id, shard, pos)` where `pos` is
     * the document's 0-based position WITHIN its shard and the permutation
     * is the global rank of the epoch-seeded hash. Round-robin by rank, so
@@ -119,14 +139,95 @@ object Sharding {
          |SELECT CAST(rk0 % $Shards AS INT) AS shard,
          |  count(*) AS n_docs,
          |  min(CASE WHEN rk0 < $Shards THEN doc_id END) AS first_doc,
-         |  CAST(sum(doc_id * (rk0 // $Shards)) AS BIGINT) AS order_sig
+         |  CAST(sum((doc_id % $SigMod) * ((rk0 // $Shards) % $SigMod) % $SigMod)
+         |       % $SigMod AS BIGINT) AS order_sig
          |FROM r GROUP BY 1 ORDER BY shard""".stripMargin) { (s, d) =>
       epochAssign(Tables.documents(s, d).select("doc_id"), "e1#", Shards)
         .groupBy("shard")
         .agg(count(lit(1)).as("n_docs"),
           min(when(col("pos") === 0, col("doc_id"))).as("first_doc"),
-          sum(col("doc_id") * col("pos")).cast("long").as("order_sig"))
+          sigSum(col("doc_id"), col("pos")).as("order_sig"))
         .orderBy("shard")
+    },
+
+    // ---- curriculum plan: difficulty phases, shuffled within phase ----
+    // Curriculum learning orders training data easy → hard. "Difficulty"
+    // here is the corpus-LM signal the gate stack already serves: every
+    // document scores under the SIZE-CAPPED smoothed bigram LM
+    // (q_text_ppl_capped's model — ≤500-row build sides at any corpus
+    // size) and the tercile of (avg_logprob DESC) is its phase — most
+    // LM-natural text is phase 1. Within a phase the order must still be
+    // i.i.d.-ish, so the epoch-hash permutation from q_shuffle_epoch
+    // applies INSIDE each phase: the full curriculum position is ONE
+    // global rank over the composite (phase, h) key — phase * 2^49 + h is
+    // monotone lexicographic (h < 2^48) and exact in the rank's double
+    // threshold math (< 2^53) — again a single partition-parallel
+    // DistributedRank pass, no per-phase windows (3 giant partitions) and
+    // no single-partition sort. The oracle replays phases via ntile(3)
+    // and the position via row_number over (phase, h, doc_id); min/max
+    // positions per phase prove the phases tile the order contiguously,
+    // and order_sig pins the full doc→position assignment. Documents with
+    // no bigrams (< 2 tokens) score under neither engine and are excluded
+    // symmetrically.
+    Q("q_sample_curriculum",
+      s"""WITH toks AS (SELECT doc_id, ${tokensSql("text")} AS toks FROM documents),
+         |bg AS (
+         |  SELECT doc_id, sh[1] AS w1, sh[2] AS w2 FROM (
+         |    SELECT doc_id, string_split(b, ' ') AS sh FROM (
+         |      SELECT doc_id, unnest(${shinglesFromTokensSql("toks", 2)}) AS b FROM toks
+         |    )
+         |  )
+         |),
+         |c12full AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+         |c12 AS (
+         |  SELECT w1, w2, c12 FROM (
+         |    SELECT w1, w2, c12,
+         |      row_number() OVER (ORDER BY c12 DESC, w1 || ' ' || w2) AS rn
+         |    FROM c12full
+         |  ) WHERE rn <= 500
+         |),
+         |c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c12 GROUP BY w1),
+         |v AS (SELECT count(*) AS vsz FROM c1),
+         |scored AS (
+         |  SELECT doc_id,
+         |    round(CAST(sum(CAST(round(ln(CAST(coalesce(c12, 0) + 1 AS DOUBLE)
+         |      / CAST(coalesce(c1, 0) + vsz AS DOUBLE)), 9) AS DECIMAL(20,9))) AS DOUBLE)
+         |      / count(*), 6) AS s
+         |  FROM bg LEFT JOIN c12 USING (w1, w2) LEFT JOIN c1 USING (w1)
+         |  CROSS JOIN v GROUP BY doc_id
+         |),
+         |phased AS (
+         |  SELECT doc_id, ntile(3) OVER (ORDER BY s DESC, doc_id) AS phase,
+         |    ${h48Sql("'c1#' || CAST(doc_id AS VARCHAR)")} AS h
+         |  FROM scored
+         |),
+         |r AS (
+         |  SELECT phase, doc_id,
+         |    row_number() OVER (ORDER BY phase, h, doc_id) - 1 AS rk0
+         |  FROM phased
+         |)
+         |SELECT CAST(phase AS INT) AS phase, count(*) AS n_docs,
+         |  min(rk0) AS min_pos, max(rk0) AS max_pos,
+         |  CAST(sum((doc_id % $SigMod) * (rk0 % $SigMod) % $SigMod)
+         |       % $SigMod AS BIGINT) AS order_sig
+         |FROM r GROUP BY 1 ORDER BY phase""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val (c12, c1) = LmGate.cappedTables(docs, 500)
+      val scored = LmGate.scoreSmoothed(docs, c12, c1)
+        .select(col("doc_id"), col("avg_logprob"))
+      val phased = DistributedRank
+        .ntileDesc(scored, "avg_logprob", "doc_id", 3, "phase")
+        .select(col("doc_id"), col("phase"),
+          h48(concat(lit("c1#"), col("doc_id").cast("string"))).as("h"))
+        .select(col("doc_id"), col("phase"),
+          (-(col("phase").cast("long") * lit(1L << 49) + col("h"))).as("neg_key"))
+      DistributedRank.rankDesc(phased, "neg_key", "doc_id", "rk")
+        .select(col("doc_id"), col("phase"), (col("rk") - 1).as("rk0"))
+        .groupBy("phase")
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("rk0")).as("min_pos"), max(col("rk0")).as("max_pos"),
+          sigSum(col("doc_id"), col("rk0")).as("order_sig"))
+        .orderBy("phase")
     },
 
     // ---- token-balanced sharding (serpentine LPT) ----

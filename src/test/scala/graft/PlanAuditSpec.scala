@@ -243,8 +243,10 @@ class PlanAuditSpec extends AnyFunSuite {
         "q_sample_quality_budget",
         // round 13: the epoch-shuffle / shard-planning pair are global
         // ranks over the whole corpus — the exact shape this test exists
-        // to keep partition-parallel
-        "q_shuffle_epoch", "q_shard_token_balanced").foreach { name =>
+        // to keep partition-parallel — and the curriculum plan stacks TWO
+        // of them (tercile phases + the composite-key position rank)
+        "q_shuffle_epoch", "q_shard_token_balanced",
+        "q_sample_curriculum").foreach { name =>
       val plan = queryPlan(name)
       assert(!plan.contains("Exchange SinglePartition"),
         s"$name planned a single-partition exchange:\n$plan")
