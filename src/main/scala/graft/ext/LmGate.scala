@@ -138,6 +138,57 @@ object LmGate {
           .as("avg_logprob"))
   }
 
+  /** Absolute discount for [[scoreKneser]] — the standard 0.75 of the
+    * interpolated Kneser–Ney literature (Kneser & Ney 1995; Chen &
+    * Goodman 1999's fixed-D variant). One constant shared by the Spark
+    * builder and the oracle SQL so the two can never disagree.
+    */
+  val KnDiscount = 0.75
+
+  /** Continuation-count tables for Kneser–Ney, all derived from the
+    * aggregated joint table (never a re-explode of the corpus):
+    * `n1f(w1) = |{w2 : c(w1,w2) > 0}|` (distinct continuations of w1),
+    * `n1b(w2) = |{w1 : c(w1,w2) > 0}|` (distinct histories of w2), and
+    * the 1-row scalar `npairs = |{(w1,w2) : c > 0}|`. Each is
+    * vocab-bounded like c1 — broadcastable model tables at 100 TB.
+    */
+  def continuationTables(c12: DataFrame): (DataFrame, DataFrame, DataFrame) = (
+    c12.groupBy("w1").agg(count(lit(1)).as("n1f")),
+    c12.groupBy("w2").agg(count(lit(1)).as("n1b")),
+    c12.agg(count(lit(1)).as("npairs")))
+
+  /** Interpolated Kneser–Ney scoring — the standard n-gram smoothing
+    * (better-calibrated than add-one for quality gating, because the
+    * backoff weight of a word is how many CONTEXTS it continues, not its
+    * raw frequency):
+    * `P(w2|w1) = max(c12 − D, 0)/c1 + (D·n1f(w1)/c1) · (n1b(w2)/npairs)`.
+    * Closed-world like [[score]] (inner joins — the declared-query
+    * contract scores training-corpus documents, where every bigram is
+    * observed); the same per-term round-9 → decimal-sum algebra keeps the
+    * aggregate order-independent and hash-identical across engines. Plan
+    * shape: three more vocab-bounded equi-joins plus one 1-row scalar
+    * broadcast on top of [[score]]'s — still zero windows, one
+    * per-document aggregate.
+    */
+  def scoreKneser(docs: DataFrame, c12: DataFrame, c1: DataFrame): DataFrame = {
+    val (n1f, n1b, np) = continuationTables(c12)
+    bigrams(docs)
+      .join(c12, Seq("w1", "w2"))
+      .join(c1, Seq("w1"))
+      .join(n1f, Seq("w1"))
+      .join(n1b, Seq("w2"))
+      .crossJoin(broadcast(np))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(
+          sum(round(log(
+            greatest(col("c12").cast("double") - lit(KnDiscount), lit(0.0)) / col("c1")
+              + (lit(KnDiscount) * col("n1f") / col("c1"))
+                * (col("n1b").cast("double") / col("npairs"))), 9)
+            .cast("decimal(20,9)")).cast("double") / count(lit(1)), 6)
+          .as("avg_logprob"))
+  }
+
   /** A loaded gate: the count tables plus the frozen bucket cut points.
     * `smoothed` records WHICH scoring trained the boundaries — smoothing
     * shifts every probability, so serving must score the same way or the

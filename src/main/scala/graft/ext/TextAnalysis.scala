@@ -889,6 +889,94 @@ object TextAnalysis {
         .select(col("tok"), col("exact_n"),
                 least(col("c0"), col("c1"), col("c2")).as("cms_est"))
         .orderBy(col("exact_n").desc, col("tok").asc)
+    },
+
+    // ---- pointwise mutual information: bigram association mining ----
+    // Church & Hanks (1990) PMI over adjacent token pairs — the classic
+    // collocation statistic (which word pairs co-occur far above chance),
+    // used in corpus curation to mine multiword expressions and to spot
+    // templated/boilerplate pair inflation. PMI = ln(c12·N / (c1·c2)),
+    // computed as a SUM OF LOGS in BOTH engines — the identical
+    // expression tree keeps IEEE results in lockstep AND never forms the
+    // c12·N product (which overflows BIGINT long before 100 TB). All
+    // four inputs come from the one aggregated joint table (c1/c2/N are
+    // marginals of c12, never a corpus re-explode); the min-count filter
+    // prunes the vocab²-bounded table before any join.
+    Q("q_text_pmi",
+      s"""WITH toks AS (SELECT doc_id, ${tokensSql("text")} AS toks FROM documents),
+         |bg AS (
+         |  SELECT doc_id, sh[1] AS w1, sh[2] AS w2 FROM (
+         |    SELECT doc_id, string_split(b, ' ') AS sh FROM (
+         |      SELECT doc_id, unnest(${shinglesFromTokensSql("toks", 2)}) AS b FROM toks
+         |    )
+         |  )
+         |),
+         |c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+         |c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c12 GROUP BY w1),
+         |c2 AS (SELECT w2, CAST(sum(c12) AS BIGINT) AS c2 FROM c12 GROUP BY w2),
+         |n AS (SELECT CAST(sum(c12) AS BIGINT) AS n FROM c12)
+         |SELECT w1, w2, c12,
+         |  round(ln(CAST(c12 AS DOUBLE)) + ln(CAST(n AS DOUBLE))
+         |        - ln(CAST(c1 AS DOUBLE)) - ln(CAST(c2 AS DOUBLE)), 6) AS pmi
+         |FROM c12 JOIN c1 USING (w1) JOIN c2 USING (w2) CROSS JOIN n
+         |WHERE c12 >= 5
+         |ORDER BY pmi DESC, w1, w2 LIMIT 30""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val (c12full, c1) = LmGate.countTables(docs)
+      val c2 = c12full.groupBy("w2").agg(sum("c12").as("c2"))
+      val n = c12full.agg(sum("c12").as("n"))
+      c12full.filter(col("c12") >= 5)
+        .join(c1, Seq("w1"))
+        .join(c2, Seq("w2"))
+        .crossJoin(broadcast(n))
+        .select(col("w1"), col("w2"), col("c12"),
+          round(log(col("c12").cast("double")) + log(col("n").cast("double"))
+            - log(col("c1").cast("double")) - log(col("c2").cast("double")), 6)
+            .as("pmi"))
+        .orderBy(col("pmi").desc, col("w1").asc, col("w2").asc)
+        .limit(30)
+    },
+
+    // ---- interpolated Kneser–Ney LM scoring: the standard smoothing ----
+    // The third serving face of the LmGate family (MLE q_text_lm_score,
+    // add-one q_text_lm_smoothed, and now KN): probability mass is
+    // discounted from observed joint counts and redistributed by how many
+    // CONTEXTS a word continues (n1b) rather than its raw frequency — the
+    // calibration that makes n-gram perplexity gates trustworthy on text
+    // whose unigram frequencies are skewed by boilerplate. Algebra lives
+    // in [[LmGate.scoreKneser]] (one definition for the declared query
+    // and any stored-gate serving); same closed-world contract and
+    // round-9/decimal-sum hash-stable aggregate as q_text_lm_score.
+    Q("q_text_lm_kneser",
+      s"""WITH toks AS (SELECT doc_id, ${tokensSql("text")} AS toks FROM documents),
+         |bg AS (
+         |  SELECT doc_id, sh[1] AS w1, sh[2] AS w2 FROM (
+         |    SELECT doc_id, string_split(b, ' ') AS sh FROM (
+         |      SELECT doc_id, unnest(${shinglesFromTokensSql("toks", 2)}) AS b FROM toks
+         |    )
+         |  )
+         |),
+         |c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+         |c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c12 GROUP BY w1),
+         |n1f AS (SELECT w1, count(*) AS n1f FROM c12 GROUP BY w1),
+         |n1b AS (SELECT w2, count(*) AS n1b FROM c12 GROUP BY w2),
+         |np AS (SELECT count(*) AS npairs FROM c12)
+         |SELECT doc_id, count(*) AS n_bigrams,
+         |  round(CAST(sum(CAST(round(ln(
+         |      greatest(CAST(c12 AS DOUBLE) - CAST(${LmGate.KnDiscount} AS DOUBLE), CAST(0 AS DOUBLE)) / c1
+         |      + (CAST(${LmGate.KnDiscount} AS DOUBLE) * n1f / c1) * (CAST(n1b AS DOUBLE) / npairs)
+         |    ), 9) AS DECIMAL(20,9))) AS DOUBLE) / count(*), 6) AS avg_logprob
+         |FROM (SELECT * FROM bg WHERE doc_id < 200) d
+         |JOIN c12 USING (w1, w2)
+         |JOIN c1 USING (w1)
+         |JOIN n1f USING (w1)
+         |JOIN n1b USING (w2)
+         |CROSS JOIN np
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val (c12, c1) = LmGate.countTables(docs)
+      LmGate.scoreKneser(docs.filter(col("doc_id") < 200), c12, c1)
+        .orderBy("doc_id")
     }
   )
 }

@@ -176,4 +176,88 @@ class LmGateSpec extends AnyFunSuite {
     assert(got == Set(10L), s"expected only doc 10 scored, got $got")
     spark.catalog.clearCache()
   }
+
+  test("scoreKneser matches hand-computed interpolated Kneser-Ney on a tiny corpus") {
+    import spark.implicits._
+    val raw = Seq((0L, "a b a b c"), (1L, "a b c a"), (2L, "b c b a"))
+    val docs = raw.toDF("doc_id", "text")
+    // reference implementation in plain Scala over plain maps
+    val bgs = raw.flatMap { case (id, t) =>
+      t.split(" ").filter(_.nonEmpty).sliding(2).collect { case Array(x, y) => (id, (x, y)) } }
+    val c12 = bgs.groupBy(_._2).map { case (k, v) => k -> v.size.toLong }
+    val c1 = c12.groupBy(_._1._1).map { case (k, v) => k -> v.values.sum }
+    val n1f = c12.groupBy(_._1._1).map { case (k, v) => k -> v.size.toLong }
+    val n1b = c12.groupBy(_._1._2).map { case (k, v) => k -> v.size.toLong }
+    val np = c12.size.toLong
+    val D = LmGate.KnDiscount
+    def p(w1: String, w2: String): Double =
+      math.max(c12((w1, w2)) - D, 0.0) / c1(w1) +
+        (D * n1f(w1) / c1(w1)) * (n1b(w2).toDouble / np)
+    def round(x: Double, s: Int) =
+      BigDecimal(x).setScale(s, BigDecimal.RoundingMode.HALF_UP)
+    val expect = bgs.groupBy(_._1).map { case (id, bs) =>
+      val terms = bs.map { case (_, (w1, w2)) => round(math.log(p(w1, w2)), 9) }
+      id -> (bs.size.toLong, round(terms.sum.toDouble / bs.size, 6).toDouble)
+    }
+    val (c12df, c1df) = LmGate.countTables(docs)
+    val got = LmGate.scoreKneser(docs, c12df, c1df).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_bigrams"), r.getAs[Double]("avg_logprob"))).toMap
+    assert(got == expect, s"got $got expected $expect")
+    spark.catalog.clearCache()
+  }
+
+  test("Kneser-Ney probabilities normalize: sum over the vocabulary is 1 per context") {
+    import spark.implicits._
+    val docs = Seq((0L, "the cat sat on the mat while the cat ran"),
+      (1L, "a dog sat on a log and the dog ran home")).toDF("doc_id", "text")
+    val (c12, c1) = LmGate.countTables(docs)
+    val rows = c12.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val c1m = c1.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n1f = rows.groupBy(_._1).map { case (k, v) => k -> v.length }
+    val n1b = rows.groupBy(_._2).map { case (k, v) => k -> v.length }
+    val np = rows.length.toDouble
+    val vocab = rows.map(_._2).distinct // every word that can continue a context
+    val D = LmGate.KnDiscount
+    // interpolated KN's defining property: discounted mass + continuation
+    // backoff is a PROPER distribution over the continuation vocabulary
+    c1m.keys.foreach { w1 =>
+      val mass = vocab.map { w2 =>
+        val joint = rows.collectFirst { case (`w1`, `w2`, c) => c }.getOrElse(0L)
+        math.max(joint - D, 0.0) / c1m(w1) +
+          (D * n1f(w1) / c1m(w1)) * (n1b(w2) / np)
+      }.sum
+      assert(math.abs(mass - 1.0) < 1e-12, s"context '$w1' mass $mass != 1")
+    }
+    spark.catalog.clearCache()
+  }
+
+  test("q_text_pmi matches hand-computed PMI and orders by association strength") {
+    import graft.ext.TextHash
+    // PMI of the declared query on sf0.001 must equal ln(c12)+ln(N)-ln(c1)-ln(c2)
+    // recomputed independently from raw bigram counts (no LmGate reuse here —
+    // a bug in countTables would otherwise cancel out)
+    val docs = Tables.documents(spark, dir)
+    val bg = docs.select(
+        explode(TextHash.shinglesFromTokens(TextHash.tokens(col("text")), 2)).as("b"))
+      .select(split(col("b"), " ").getItem(0).as("w1"),
+        split(col("b"), " ").getItem(1).as("w2"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val c12 = bg.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val c1 = bg.groupBy(_._1).map { case (k, v) => k -> v.length.toLong }
+    val c2 = bg.groupBy(_._2).map { case (k, v) => k -> v.length.toLong }
+    val n = bg.length.toLong
+    def round6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expect = c12.filter(_._2 >= 5).toSeq.map { case ((w1, w2), c) =>
+      (round6(math.log(c.toDouble) + math.log(n.toDouble)
+        - math.log(c1(w1).toDouble) - math.log(c2(w2).toDouble)), w1, w2, c)
+    }.sortBy { case (pmi, w1, w2, _) => (-pmi, w1, w2) }.take(30)
+      .map { case (pmi, w1, w2, c) => (w1, w2, c, pmi) }
+    val got = SparkEntry.queries("q_text_pmi")(spark, dir).collect()
+      .map(r => (r.getAs[String]("w1"), r.getAs[String]("w2"),
+        r.getAs[Long]("c12"), r.getAs[Double]("pmi"))).toSeq
+    assert(got == expect, s"got ${got.take(5)}... expected ${expect.take(5)}...")
+    spark.catalog.clearCache()
+  }
 }

@@ -169,6 +169,22 @@ class PlanAuditSpec extends AnyFunSuite {
       s"q_text_tfidf token join must be an equi-join:\n$plan")
   }
 
+  test("pmi/kneser: vocab-bounded equi-joins; only the 1-row scalar may NLJ") {
+    // q_text_pmi crosses the 1-row total-bigram scalar, q_text_lm_kneser
+    // the 1-row distinct-pair scalar — the same legitimate
+    // scalar-broadcast shape as q_text_tfidf. Every other join (marginal
+    // and continuation tables) must stay hash-based.
+    Seq("q_text_pmi", "q_text_lm_kneser").foreach { name =>
+      val plan = queryPlan(name)
+      assert(!plan.contains("CartesianProduct"), s"$name cartesian:\n$plan")
+      assert(count(plan, "BroadcastNestedLoopJoin") <= 1,
+        s"$name grew a second NLJ:\n$plan")
+      assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
+        s"$name count-table joins must be equi-joins:\n$plan")
+      spark.catalog.clearCache()
+    }
+  }
+
   test("contamination benchmark set broadcasts (corpus never reshuffled twice)") {
     val plan = queryPlan("q_text_contamination")
     assert(plan.contains("BroadcastHashJoin"),
