@@ -166,6 +166,58 @@ object Dedup {
     graft.operators.ConnectedComponents.run(nodes, edges)
   }
 
+  /** Per-node triangle counts + local clustering coefficient over an
+    * undirected edge list (`doc_a < doc_b`, distinct). Compact-forward /
+    * degree-ordered counting (Latapy 2008; Cohen's MapReduce variant
+    * 2009): every edge is oriented from its lower-degree endpoint to its
+    * higher-degree one ((deg, id) lexicographic — a TOTAL order, so
+    * orientation is deterministic), a wedge self-join on the oriented
+    * source enumerates each triangle's two "out" edges exactly once, and
+    * the closing edge is matched by an equi-join on (y, z). The
+    * orientation is what survives scale: a high-degree hub never fans out
+    * — its edges all point INTO it, so the wedge join's per-key fan-out
+    * is bounded by the max oriented out-degree (O(sqrt(m)) on any graph),
+    * not by the hub degree. Both joins are equi-joins (the (deg, id)
+    * comparison rides as a post-join filter on the wedge join); nothing
+    * is quadratic in a node's neighborhood except through that bounded
+    * out-degree.
+    */
+  private[graft] def triangleCounts(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b"), col("doc_a")))
+    val deg = edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+    val fwd = col("dega") < col("degb") ||
+      (col("dega") === col("degb") && col("doc_a") < col("doc_b"))
+    // oriented edges carry the DEST's degree so the wedge join's total
+    // order ((ddeg, dst) lexicographic) needs no further join
+    val o = pairs
+      .join(deg.select(col("id").as("doc_a"), col("deg").as("dega")), Seq("doc_a"))
+      .join(deg.select(col("id").as("doc_b"), col("deg").as("degb")), Seq("doc_b"))
+      .select(
+        when(fwd, col("doc_a")).otherwise(col("doc_b")).as("src"),
+        when(fwd, col("doc_b")).otherwise(col("doc_a")).as("dst"),
+        when(fwd, col("degb")).otherwise(col("dega")).as("ddeg"))
+      .transform(CacheTracker.cached) // three consumers: both wedge legs + the closing probe
+    val e1 = o.select(col("src").as("x"), col("dst").as("y"), col("ddeg").as("dy"))
+    val e2 = o.select(col("src").as("x2"), col("dst").as("z"), col("ddeg").as("dz"))
+    val e3 = o.select(col("src").as("y3"), col("dst").as("z3"))
+    val tri = e1.join(e2, col("x") === col("x2") &&
+        (col("dy") < col("dz") || (col("dy") === col("dz") && col("y") < col("z"))))
+      .join(e3, col("y") === col("y3") && col("z") === col("z3"))
+      .select("x", "y", "z")
+      .transform(CacheTracker.cached) // exploded three ways below
+    val pern = tri.select(col("x").as("v"))
+      .union(tri.select(col("y")))
+      .union(tri.select(col("z")))
+      .groupBy("v").agg(count(lit(1)).as("tri"))
+    deg.filter(col("deg") >= 2)
+      .join(pern, col("id") === col("v"), "left")
+      .select(col("id").as("doc_id"), col("deg"),
+        coalesce(col("tri"), lit(0L)).as("tri"),
+        round((lit(2) * coalesce(col("tri"), lit(0L))).cast("double")
+          / (col("deg") * (col("deg") - 1)), 6).as("coeff"))
+  }
+
   // ---------- shared oracle-SQL fragments ----------
   private def toksFrom = s"""SELECT doc_id, ${tokensSql("text")} AS toks FROM documents"""
 
