@@ -121,12 +121,14 @@ object Bench {
     // "failed" field is the loud signal.
     // The headline fields appear TWICE: leading (greps anchored on
     // '{"metric"' — the verify skill and the measurement scripts — keep
-    // matching) and again trailing, because the driver keeps only the TAIL
-    // of stdout and with 136 queries the line outgrows that capture —
-    // r11/r12 driver artifacts lost metric/value to front-truncation.
-    // Duplicate keys are valid JSON; parsers keep the LAST occurrence and
-    // both carry identical values, so a full parse is unchanged.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":${Verify.jsonStr(sfDir)},"n_queries":${good.size},"metric":"total","unit":"sec","value":$total}""")
+    // matching) and again trailing under DISTINCT names
+    // (metric_tail/unit_tail/value_tail), because the driver keeps only
+    // the TAIL of stdout and with 140+ queries the line outgrows that
+    // capture — r11/r12 driver artifacts lost metric/value to
+    // front-truncation. Distinct tail names keep the line strict-RFC-8259
+    // unique-key JSON (duplicate keys parse last-wins in practice but
+    // strict validators reject them).
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":${Verify.jsonStr(sfDir)},"n_queries":${good.size},"metric_tail":"total","unit_tail":"sec","value_tail":$total}""")
     spark.stop()
   }
 }

@@ -187,11 +187,15 @@ object ScaleCheck {
         // the old h1-mod bucketing would otherwise be probed with the new
         // bucket function and silently miss every hit
         val idxDir = s"$dir/substr_index_mixed"
-        // _SUCCESS + bucketing marker, not bare dir existence: a run
-        // killed mid-write leaves partial buckets, and a pre-marker tree
-        // would now fail load() loudly — rebuild in either case
+        // _SUCCESS + the PARAMETERIZED marker load() verifies, not bare
+        // dir existence: a run killed mid-write leaves partial buckets,
+        // and a tree stamped under a different (k, sample, buckets)
+        // layout would pass a bare-marker guard here yet fail load()'s
+        // check — rebuild in either case
+        val marker = ext.SubstringIndex.markerOf(
+          ext.SubstringDedup.K, 1, ext.SubstringIndex.Buckets)
         if (!new java.io.File(s"$idxDir/_SUCCESS").exists() ||
-            !new java.io.File(s"$idxDir/${ext.SubstringIndex.BucketingMarker}").exists())
+            !new java.io.File(s"$idxDir/$marker").exists())
           ext.SubstringIndex.write(docs.filter(col("doc_id") % 7 =!= 0), idxDir)
         val index = ext.SubstringIndex.load(spark, idxDir)
         // copy 0 keeps original doc ids: the same 20 probe docs exist at
@@ -343,7 +347,11 @@ object ScaleCheck {
       (0 until c).map { i =>
         if (i == 0) ev
         else ev.withColumn("event_id", col("event_id") + lit(i * 10000000L))
-          .withColumn("user_id", col("user_id") + lit(i * 1000000L))
+          // same 1e7 stride as event_id: a source table carrying user_ids
+          // up to 1e7 still can't collide across copies (1e6 would let a
+          // ≥1e6 id alias into the next copy's range, silently inflating
+          // per-key group sizes and voiding the constant-history claim)
+          .withColumn("user_id", col("user_id") + lit(i * 10000000L))
       }.reduce(_ unionByName _)
         .write.mode("overwrite").parquet(s"$out/events.parquet")
     }

@@ -568,6 +568,44 @@ object Dedup {
         .limit(20)
     },
 
+    // ---- triangle counting + local clustering coefficient ----
+    // The third lens on the candidate-pair graph (pagerank finds hubs, CC
+    // finds clusters): a node's clustering coefficient separates "center
+    // of one coherent near-dup cluster" (neighbors all duplicate each
+    // other, coeff → 1) from "template shared across unrelated pages"
+    // (neighbors mutually distinct, coeff → 0) — the triage signal a
+    // dedup audit ranks by. Spark side is [[triangleCounts]]'s
+    // degree-ordered wedge join (per-key fan-out bounded by the oriented
+    // out-degree, O(√m) on any graph — a hub never fans out); the oracle
+    // replays the naive canonical x<y<z three-way join, which enumerates
+    // the SAME triangle set, so per-node counts agree exactly. coeff's
+    // single double division is IEEE-exact in both engines.
+    Q("q_graph_triangles",
+      s"""WITH sigs AS ($minhashSelect),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id AND (${bandCondSql("a", "b")})
+         |),
+         |deg AS (SELECT id, count(*) AS deg FROM (
+         |  SELECT doc_a AS id FROM pairs UNION ALL SELECT doc_b FROM pairs
+         |) GROUP BY id),
+         |tri AS (
+         |  SELECT e1.doc_a AS x, e1.doc_b AS y, e2.doc_b AS z
+         |  FROM pairs e1
+         |  JOIN pairs e2 ON e2.doc_a = e1.doc_b
+         |  JOIN pairs e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+         |),
+         |pern AS (SELECT v, count(*) AS tri FROM (
+         |  SELECT x AS v FROM tri UNION ALL SELECT y FROM tri
+         |  UNION ALL SELECT z FROM tri
+         |) GROUP BY v)
+         |SELECT d.id AS doc_id, d.deg, CAST(coalesce(p.tri, 0) AS BIGINT) AS tri,
+         |  round(CAST(2 * coalesce(p.tri, 0) AS DOUBLE) / (d.deg * (d.deg - 1)), 6) AS coeff
+         |FROM deg d LEFT JOIN pern p ON p.v = d.id
+         |WHERE d.deg >= 2 ORDER BY doc_id""".stripMargin) { (s, d) =>
+      triangleCounts(minhashPairsDf(s, d)).orderBy("doc_id")
+    },
+
     // ---- sub-document dedup: content-defined chunks shared across docs ----
     // Whole-document hashing misses the dominant duplication mode in web
     // corpora: shared boilerplate paragraphs inside otherwise-distinct

@@ -145,6 +145,30 @@ object LmGate {
     */
   val KnDiscount = 0.75
 
+  /** The gate's scoring mode — WHICH probability algebra trained the
+    * tercile boundaries. Smoothing shifts every probability, so a stored
+    * boundary is meaningful ONLY under the scoring that produced it; the
+    * mode therefore travels in the artifact meta and [[Gate.bucketed]]
+    * dispatches on it. A boolean cannot represent three modes (the r13
+    * meta recorded `smoothed: Boolean`, which made a stored Kneser–Ney
+    * gate unrepresentable); the enum closes that leg. Serialized as the
+    * mode NAME — [[Mode.of]] refuses an unknown string loudly, so an
+    * artifact written by a future mode never silently degrades to MLE.
+    */
+  sealed abstract class Mode(val name: String)
+  object Mode {
+    /** Closed-world MLE: unseen bigrams DROP from the aggregate. */
+    case object Mle extends Mode("mle")
+    /** Add-one smoothed: every bigram defined, OOV-robust. */
+    case object Addone extends Mode("addone")
+    /** OOV-robust interpolated Kneser–Ney ([[scoreKneserSmoothed]]). */
+    case object Kneser extends Mode("kneser")
+    val all: Seq[Mode] = Seq(Mle, Addone, Kneser)
+    def of(s: String): Mode = all.find(_.name == s).getOrElse(sys.error(
+      s"unknown LmGate scoring mode '$s' (artifact from a newer engine?); " +
+        s"known modes: ${all.map(_.name).mkString(", ")}"))
+  }
+
   /** Continuation-count tables for Kneser–Ney, all derived from the
     * aggregated joint table (never a re-explode of the corpus):
     * `n1f(w1) = |{w2 : c(w1,w2) > 0}|` (distinct continuations of w1),

@@ -72,9 +72,13 @@ object SqliteSource {
       }
       case (l: Long, TimestampType)     =>
         // SQLite's own integer-datetime convention (unixepoch()) is
-        // SECONDS; a magnitude that would overflow the millis Long (or a
-        // producer storing micros/nanos here) degrades to NULL per the
-        // module contract rather than wrapping into a nonsense instant
+        // SECONDS; only a magnitude whose ×1000 would overflow the millis
+        // Long (~9.2e15, i.e. nanos-epoch producers) degrades to NULL
+        // rather than wrapping into a nonsense instant. Micros-epoch
+        // values (~1.7e15) PASS this guard and surface as far-future
+        // timestamps — visible in any query, whereas nulling everything
+        // past plausible epoch-seconds would silently erase columns a
+        // producer deliberately stores at higher resolution
         if (math.abs(l) < Long.MaxValue / 1000L) new java.sql.Timestamp(l * 1000L)
         else null
       case (s: String, DateType)        => opt(java.sql.Date.valueOf(LocalDate.parse(s.trim)))

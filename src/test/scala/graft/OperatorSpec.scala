@@ -272,4 +272,39 @@ class OperatorSpec extends AnyFunSuite {
       assert(got(c) == c)                                   // rep in own cluster
     }
   }
+
+  test("triangle counts: degree-ordered wedge join equals brute force, incl. hubs") {
+    // seeded graph with a deliberate high-degree hub (node 0 joined to
+    // everything) — the case the degree orientation exists for — plus
+    // random clutter and a clean K4 whose nodes must all read coeff 1.0
+    val rnd = new scala.util.Random(11)
+    val hub = (1L to 30L).map(i => (0L, i))
+    val k4 = Seq((100L, 101L), (100L, 102L), (100L, 103L),
+      (101L, 102L), (101L, 103L), (102L, 103L))
+    val clutter = (0 until 120).map { _ =>
+      val a = rnd.nextInt(40).toLong; val b = rnd.nextInt(40).toLong; (a, b)
+    }
+    val edges = (hub ++ k4 ++ clutter).filter(e => e._1 != e._2)
+      .map { case (a, b) => (a.min(b), a.max(b)) }.distinct
+    val got = graft.ext.Dedup.triangleCounts(edges.toDF("doc_a", "doc_b"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+
+    // brute-force oracle: adjacency sets, count common neighbors per edge
+    val adj = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
+    val triOf = adj.map { case (v, ns) =>
+      v -> ns.toSeq.combinations(2).count { case Seq(x, y) => adj(x)(y) }
+    }
+    val expected = adj.filter(_._2.size >= 2).map { case (v, ns) =>
+      val d = ns.size.toLong
+      val t = triOf(v).toLong
+      v -> ((d, t, BigDecimal(2.0 * t / (d * (d - 1)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    }
+    assert(got == expected)
+    // the K4 interior reads as perfectly clustered
+    Seq(101L, 102L, 103L).foreach(v => assert(got(v)._3 == 1.0))
+  }
 }

@@ -53,7 +53,11 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_text_bpe_batched", "q_text_bpe_stats", "q_text_ppl_buckets",
     "q_embed_knn_ann",
     // round 13: the served bucketed-layout join
-    "q_layout_bucketed")
+    "q_layout_bucketed",
+    // round 14: degree-ordered triangle counting — the wedge self-join and
+    // the closing-edge probe must both stay equi-joins (the (deg, id)
+    // total-order comparison rides as a post-join filter, never a BNLJ)
+    "q_graph_triangles")
   // q_text_tfidf is NOT in the no-BNLJ list: its corpus-size scalar rides a
   // 1-row broadcast cross join (the legitimate scalar-broadcast shape) —
   // covered by its own assertion below instead.
