@@ -188,15 +188,13 @@ object CurationReport {
       val isBench = col("doc_id") % 97 === 0
       val isOdd = col("doc_id") % 2 === 1
       val banded = Dedup.mhBandedDf(s, d).transform(graft.CacheTracker.cached)
-      val root = storedFunnels.computeIfAbsent(d, _ => {
-        val r = freshFunnelDir()
+      val root = StoredArtifacts.of(s"curation-funnel|$d") { r =>
         LmGate.write(docs.filter(!isBench && !isOdd), s"$r/gate",
-          smoothed = true, maxBigrams = 500)
+          mode = LmGate.Mode.Addone, maxBigrams = 500)
         DedupIndex.write(banded.filter(!isBench && !isOdd), s"$r/dedup")
         TextAnalysis.writeBloomBits(
           Dedup.shingleHash(docs.filter(isBench)), s"$r/bloom")
-        r
-      })
+      }
       servedReport(docs.filter(!isBench && isOdd),
         banded.filter(!isBench && isOdd),
         DedupIndex.load(s, s"$root/dedup"),
@@ -209,26 +207,6 @@ object CurationReport {
     * aliased locally so the oracle string above reads as one chain.
     */
   private def minhashSigsSql: String = Dedup.minhashSelect
-
-  /** Funnel artifact trees built this JVM, keyed by dataset dir — the
-    * artifacts are write-once/amortized in production, so bench reps time
-    * the SERVED funnel (the probe + two broadcast gates), not the build.
-    */
-  private val storedFunnels =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-
-  private def freshFunnelDir(): String = {
-    val root = java.nio.file.Files.createTempDirectory("graft-funnel-")
-    sys.addShutdownHook {
-      import scala.jdk.CollectionConverters._
-      if (java.nio.file.Files.exists(root))
-        scala.util.Using.resource(java.nio.file.Files.walk(root)) { st =>
-          st.iterator().asScala.toSeq.reverse
-            .foreach(p => java.nio.file.Files.deleteIfExists(p))
-        }
-    }
-    root.toString
-  }
 
   /** The funnel over any `(doc_id, source, text)` frame; `benchPred`
     * marks the held-out evaluation documents (excluded from the corpus,

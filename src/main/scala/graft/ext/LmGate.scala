@@ -213,24 +213,72 @@ object LmGate {
           .as("avg_logprob"))
   }
 
+  /** The OOV-robust interpolated Kneser–Ney serving face — [[scoreKneser]]
+    * with every probability DEFINED, the same stance [[scoreSmoothed]]
+    * takes for add-one (and the same reason: a stored KN gate must score
+    * arbitrary serving batches, where unseen bigrams are the norm):
+    *
+    *   - unseen bigram, seen context: the discounted term is 0 and only
+    *     the backoff mass remains — `(D·n1f(w1)/c1)·Pc(w2)`;
+    *   - unseen context (or unseen w2): the continuation probability
+    *     alone — `Pc(w2)`;
+    *   - `Pc` itself is add-one smoothed over the continuation
+    *     vocabulary, `Pc(w2) = (n1b(w2)+1)/(npairs+V2)` with `V2` the
+    *     distinct-continuation count — so even a fully novel document
+    *     scores (low) instead of hitting `ln(0)`.
+    *
+    * Σ_{w2 seen} Pc(w2) = (npairs+V2)/(npairs+V2) = 1, so per seen
+    * context the served mass stays a proper distribution over the seen
+    * continuation vocabulary (the property LmGateSpec pins for the
+    * closed-world form). All model tables — n1f/n1b and the 1-row
+    * (npairs, V2) scalar — are marginals of the PASSED c12, so a capped
+    * c12 yields a capped KN model: every build side ≤ cap rows, the
+    * 100 TB-bounded gate. Left joins + one scalar broadcast; zero
+    * windows; streaming-safe.
+    */
+  def scoreKneserSmoothed(docs: DataFrame, c12: DataFrame, c1: DataFrame): DataFrame = {
+    val (n1f, n1b, _) = continuationTables(c12)
+    val scal = c12.agg(count(lit(1)).as("npairs"), count_distinct(col("w2")).as("v2"))
+    val pcont = (coalesce(col("n1b"), lit(0L)) + lit(1)).cast("double") /
+      (col("npairs") + col("v2")).cast("double")
+    val p = when(col("c1").isNotNull,
+        greatest(coalesce(col("c12"), lit(0L)).cast("double") - lit(KnDiscount),
+          lit(0.0)) / col("c1")
+          + (lit(KnDiscount) * col("n1f") / col("c1")) * pcont)
+      .otherwise(pcont)
+    bigrams(docs)
+      .join(c12, Seq("w1", "w2"), "left")
+      .join(c1, Seq("w1"), "left")
+      .join(n1f, Seq("w1"), "left")
+      .join(n1b, Seq("w2"), "left")
+      .crossJoin(broadcast(scal))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(
+          sum(round(log(p), 9).cast("decimal(20,9)")).cast("double") / count(lit(1)), 6)
+          .as("avg_logprob"))
+  }
+
   /** A loaded gate: the count tables plus the frozen bucket cut points.
-    * `smoothed` records WHICH scoring trained the boundaries — smoothing
+    * `mode` records WHICH scoring trained the boundaries — smoothing
     * shifts every probability, so serving must score the same way or the
     * cut points are meaningless.
     */
   final case class Gate(c12: DataFrame, c1: DataFrame,
                         boundaries: Seq[(Double, Long)],
-                        smoothed: Boolean = false,
+                        mode: Mode = Mode.Mle,
                         maxBigrams: Int = 0) {
     /** Score + bucket a document set against the frozen artifact —
-      * streaming-safe (no windows, no state). Under a smoothed gate,
-      * documents made ENTIRELY of unseen bigrams still score (low) and
-      * land in the tail bucket instead of dropping.
+      * streaming-safe (no windows, no state). Under an addone or kneser
+      * gate, documents made ENTIRELY of unseen bigrams still score (low)
+      * and land in the tail bucket instead of dropping.
       */
     def bucketed(docs: DataFrame): DataFrame = {
-      val scored =
-        if (smoothed) scoreSmoothed(docs, c12, c1)
-        else score(docs, c12, c1)
+      val scored = mode match {
+        case Mode.Mle    => score(docs, c12, c1)
+        case Mode.Addone => scoreSmoothed(docs, c12, c1)
+        case Mode.Kneser => scoreKneserSmoothed(docs, c12, c1)
+      }
       DistributedRank.bucketByBoundaries(
         scored.select(col("doc_id"), col("avg_logprob")),
         "avg_logprob", "doc_id", boundaries)
@@ -244,14 +292,15 @@ object LmGate {
     * reads.
     */
   def write(docs: DataFrame, dir: String, buckets: Int = 3,
-            smoothed: Boolean = false, maxBigrams: Int = 0): Unit = {
+            mode: Mode = Mode.Mle, maxBigrams: Int = 0): Unit = {
     // a capped artifact under closed-world MLE would DROP every document
     // touching a truncated bigram from scoring — the silent mass-reject
-    // cappedTables' doc warns about. Refuse to build one.
-    require(maxBigrams <= 0 || smoothed,
-      "a capped gate (maxBigrams > 0) must be smoothed: under closed-world " +
-        "MLE scoring every truncated bigram silently drops its documents " +
-        "from the scored output")
+    // cappedTables' doc warns about. Refuse to build one. (addone and
+    // kneser are both OOV-robust serving modes, so either may cap.)
+    require(maxBigrams <= 0 || mode != Mode.Mle,
+      "a capped gate (maxBigrams > 0) must use an OOV-robust scoring mode " +
+        "(addone | kneser): under closed-world MLE scoring every truncated " +
+        "bigram silently drops its documents from the scored output")
     // terminal writer: scope the internal rank caches so library callers
     // don't inherit an unreleasable cached Dataset (runner scopes nest
     // fine — release is reference-counted)
@@ -269,16 +318,28 @@ object LmGate {
       // dir still isn't atomic; production rebuilds should write a fresh
       // dir and swap (the snapshot-sink discipline).
       import s.implicits._
-      Seq((smoothed, buckets, maxBigrams))
-        .toDF("smoothed", "n_buckets", "max_bigrams")
+      // the mode is stored by NAME; the legacy boolean `smoothed` column
+      // rides along so a pre-enum reader of an addone/mle artifact still
+      // resolves the right scoring (kneser reads as smoothed=true there,
+      // which such a reader cannot serve anyway — load() on THIS engine
+      // always prefers the mode column)
+      Seq((mode.name, mode != Mode.Mle, buckets, maxBigrams))
+        .toDF("mode", "smoothed", "n_buckets", "max_bigrams")
         .coalesce(1)
         .write.mode("overwrite").parquet(s"$dir/meta.parquet")
       c12.write.mode("overwrite").parquet(s"$dir/c12.parquet")
       c1.write.mode("overwrite").parquet(s"$dir/c1.parquet")
       val c12r = s.read.parquet(s"$dir/c12.parquet")
       val c1r = s.read.parquet(s"$dir/c1.parquet")
-      val scored = (if (smoothed) scoreSmoothed(docs, c12r, c1r)
-                    else score(docs, c12r, c1r))
+      // boundaries train under the SAME scoring serving will dispatch to —
+      // the n1f/n1b/(npairs, V2) continuation marginals a kneser gate
+      // needs derive from the PERSISTED c12 at serve time (they are c12
+      // marginals, LmGateSpec pins the round-trip), so no extra files
+      val scored = (mode match {
+          case Mode.Mle    => score(docs, c12r, c1r)
+          case Mode.Addone => scoreSmoothed(docs, c12r, c1r)
+          case Mode.Kneser => scoreKneserSmoothed(docs, c12r, c1r)
+        })
         .select(col("doc_id"), col("avg_logprob"))
       val bs = DistributedRank.boundariesDesc(scored, "avg_logprob", "doc_id", buckets)
       bs.zipWithIndex
@@ -302,8 +363,8 @@ object LmGate {
     // boundary/scoring-mode drift the meta file exists to prevent.
     val metaPath = new org.apache.hadoop.fs.Path(s"$dir/meta.parquet")
     val fs = metaPath.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val (smoothed, maxBigrams) =
-      if (!fs.exists(metaPath)) (false, 0)
+    val (mode, maxBigrams) =
+      if (!fs.exists(metaPath)) (Mode.Mle: Mode, 0)
       else {
         val meta = s.read.parquet(s"$dir/meta.parquet")
         val row = meta.collect().head
@@ -313,9 +374,18 @@ object LmGate {
           if (meta.schema.fieldNames.contains("max_bigrams"))
             row.getAs[Int]("max_bigrams")
           else 0
-        (row.getAs[Boolean]("smoothed"), cap)
+        // pre-enum artifacts carry only the boolean — smoothed meant
+        // addone then (kneser postdates the enum, so the mapping is
+        // lossless); an unknown mode NAME fails loudly in Mode.of rather
+        // than silently serving the wrong algebra
+        val m =
+          if (meta.schema.fieldNames.contains("mode"))
+            Mode.of(row.getAs[String]("mode"))
+          else if (row.getAs[Boolean]("smoothed")) Mode.Addone
+          else Mode.Mle
+        (m, cap)
       }
     Gate(s.read.parquet(s"$dir/c12.parquet"),
-      s.read.parquet(s"$dir/c1.parquet"), bs, smoothed, maxBigrams)
+      s.read.parquet(s"$dir/c1.parquet"), bs, mode, maxBigrams)
   }
 }

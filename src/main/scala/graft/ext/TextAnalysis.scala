@@ -977,6 +977,96 @@ object TextAnalysis {
       val (c12, c1) = LmGate.countTables(docs)
       LmGate.scoreKneser(docs.filter(col("doc_id") < 200), c12, c1)
         .orderBy("doc_id")
+    },
+
+    // ---- the Kneser–Ney gate SERVED from the at-rest artifact ----
+    // The full LmGate treatment for KN (what MLE and add-one already
+    // have): the corpus (even ids) trains a SIZE-CAPPED KN gate whose
+    // artifact lands on disk — top-500 joint counts, marginal OF the
+    // capped table, tercile boundaries trained under the same scoring —
+    // and an incoming batch (odd ids, full of bigrams the capped model
+    // never saw) is scored + bucketed ENTIRELY from the stored tree via
+    // [[LmGate.Gate.bucketed]]. Scoring is the OOV-robust interpolated
+    // form ([[LmGate.scoreKneserSmoothed]]): unseen bigram → backoff term
+    // only; unseen context → the add-one-smoothed continuation
+    // probability — so no serving document drops. The continuation
+    // tables n1f/n1b/(npairs, V2) are derived at serve time from the
+    // STORED capped c12 (they are its marginals), which is exactly what
+    // keeps the whole served model ≤ cap rows at any corpus size — every
+    // scoring join broadcasts at 100 TB. The oracle re-derives the
+    // capped tables, the continuation marginals, the corpus-trained
+    // tercile cut pair, and the batch scores from the base table — so
+    // the driver verifies the stored-KN serving path equals from-scratch
+    // semantics (the artifact build itself is memoized per JVM+dataset,
+    // the established write-once convention).
+    Q("q_text_lm_kneser_served", {
+      val knScore =
+        s"""round(CAST(sum(CAST(round(ln(
+           |    CASE WHEN c1 IS NOT NULL THEN
+           |      greatest(CAST(coalesce(c12, 0) AS DOUBLE) - CAST(${LmGate.KnDiscount} AS DOUBLE),
+           |               CAST(0 AS DOUBLE)) / c1
+           |      + (CAST(${LmGate.KnDiscount} AS DOUBLE) * n1f / c1)
+           |        * (CAST(coalesce(n1b, 0) + 1 AS DOUBLE) / (npairs + v2))
+           |    ELSE CAST(coalesce(n1b, 0) + 1 AS DOUBLE) / (npairs + v2) END
+           |  ), 9) AS DECIMAL(20,9))) AS DOUBLE) / count(*), 6)""".stripMargin
+      s"""WITH toks AS (SELECT doc_id, ${tokensSql("text")} AS toks FROM documents),
+         |bg AS (
+         |  SELECT doc_id, sh[1] AS w1, sh[2] AS w2 FROM (
+         |    SELECT doc_id, string_split(b, ' ') AS sh FROM (
+         |      SELECT doc_id, unnest(${shinglesFromTokensSql("toks", 2)}) AS b FROM toks
+         |    )
+         |  )
+         |),
+         |cbg AS (SELECT * FROM bg WHERE doc_id % 2 = 0),
+         |c12full AS (SELECT w1, w2, count(*) AS c12 FROM cbg GROUP BY w1, w2),
+         |c12 AS (
+         |  SELECT w1, w2, c12 FROM (
+         |    SELECT w1, w2, c12,
+         |      row_number() OVER (ORDER BY c12 DESC, w1 || ' ' || w2) AS rn
+         |    FROM c12full
+         |  ) WHERE rn <= 500
+         |),
+         |c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c12 GROUP BY w1),
+         |n1f AS (SELECT w1, count(*) AS n1f FROM c12 GROUP BY w1),
+         |n1b AS (SELECT w2, count(*) AS n1b FROM c12 GROUP BY w2),
+         |scal AS (SELECT count(*) AS npairs, count(DISTINCT w2) AS v2 FROM c12),
+         |corpus_scored AS (
+         |  SELECT doc_id, $knScore AS s
+         |  FROM cbg LEFT JOIN c12 USING (w1, w2) LEFT JOIN c1 USING (w1)
+         |  LEFT JOIN n1f USING (w1) LEFT JOIN n1b USING (w2) CROSS JOIN scal
+         |  GROUP BY doc_id
+         |),
+         |rkd AS (
+         |  SELECT doc_id, s, row_number() OVER (ORDER BY s DESC, doc_id) AS rk,
+         |    count(*) OVER () AS total
+         |  FROM corpus_scored
+         |),
+         |b1 AS (SELECT s AS bs, doc_id AS bi FROM rkd
+         |       WHERE rk = (total // 3) + least(1, total % 3)),
+         |b2 AS (SELECT s AS bs, doc_id AS bi FROM rkd
+         |       WHERE rk = 2 * (total // 3) + least(2, total % 3)),
+         |batch_scored AS (
+         |  SELECT doc_id, $knScore AS s
+         |  FROM (SELECT * FROM bg WHERE doc_id % 2 = 1)
+         |  LEFT JOIN c12 USING (w1, w2) LEFT JOIN c1 USING (w1)
+         |  LEFT JOIN n1f USING (w1) LEFT JOIN n1b USING (w2) CROSS JOIN scal
+         |  GROUP BY doc_id
+         |)
+         |SELECT b.doc_id, b.s AS avg_logprob,
+         |  CAST(CASE WHEN b.s > b1.bs OR (b.s = b1.bs AND b.doc_id <= b1.bi) THEN 1
+         |            WHEN b.s > b2.bs OR (b.s = b2.bs AND b.doc_id <= b2.bi) THEN 2
+         |            ELSE 3 END AS INT) AS bucket
+         |FROM batch_scored b CROSS JOIN b1 CROSS JOIN b2
+         |ORDER BY b.doc_id""".stripMargin
+    }) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val root = StoredArtifacts.of(s"kn-gate|$d") { r =>
+        LmGate.write(docs.filter(col("doc_id") % 2 === 0), r,
+          mode = LmGate.Mode.Kneser, maxBigrams = 500)
+      }
+      LmGate.load(s, root)
+        .bucketed(docs.filter(col("doc_id") % 2 === 1))
+        .orderBy("doc_id")
     }
   )
 }

@@ -86,7 +86,7 @@ class CurationE2ESpec extends AnyFunSuite {
 
     // ---- LM gate: every doc gets a score and a bucket
     val tmp = java.nio.file.Files.createTempDirectory("graft-e2e-lm").toString
-    LmGate.write(corpus, tmp, smoothed = true)
+    LmGate.write(corpus, tmp, mode = LmGate.Mode.Addone)
     val gate = LmGate.load(spark, tmp)
     val bucketed = gate.bucketed(corpus).cache()
     val buckets = bucketed.collect()
@@ -205,7 +205,7 @@ class CurationE2ESpec extends AnyFunSuite {
       val bandedCorpus = banded.filter(!isBench && !isBatch)
       val bandedBatch = banded.filter(!isBench && isBatch)
       val tmp = java.nio.file.Files.createTempDirectory("graft-funnel").toString
-      LmGate.write(corpusDocs, s"$tmp/gate", smoothed = true, maxBigrams = 500)
+      LmGate.write(corpusDocs, s"$tmp/gate", mode = LmGate.Mode.Addone, maxBigrams = 500)
       DedupIndex.write(bandedCorpus, s"$tmp/dedup")
       TextAnalysis.writeBloomBits(Dedup.shingleHash(bench), s"$tmp/bloom")
 
@@ -221,7 +221,7 @@ class CurationE2ESpec extends AnyFunSuite {
         "avg_logprob", "doc_id", 3)
       val rebuilt = CurationReport.servedReport(batch, bandedBatch,
         DedupIndex.indexRows(bandedCorpus),
-        LmGate.Gate(c12, c1, bs, smoothed = true, maxBigrams = 500),
+        LmGate.Gate(c12, c1, bs, mode = LmGate.Mode.Addone, maxBigrams = 500),
         TextAnalysis.bloomBits(Dedup.shingleHash(bench)))
 
       val sRows = served().collect().map(_.toSeq).toSeq

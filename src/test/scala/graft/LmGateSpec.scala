@@ -32,9 +32,9 @@ class LmGateSpec extends AnyFunSuite {
   test("stored CAPPED gate reproduces q_text_ppl_capped, and the artifact is bounded by the cap") {
     val docs = Tables.documents(spark, dir)
     val tmp = java.nio.file.Files.createTempDirectory("graft-lm-capped").toString
-    LmGate.write(docs, tmp, smoothed = true, maxBigrams = 500)
+    LmGate.write(docs, tmp, mode = LmGate.Mode.Addone, maxBigrams = 500)
     val gate = LmGate.load(spark, tmp)
-    assert(gate.smoothed && gate.maxBigrams == 500,
+    assert(gate.mode == LmGate.Mode.Addone && gate.maxBigrams == 500,
       "cap + scoring mode must travel with the artifact")
     // the whole stored model is bounded by the cap — the property that
     // makes serving two broadcast joins at any corpus size
@@ -87,19 +87,21 @@ class LmGateSpec extends AnyFunSuite {
     val docsDf = Seq((0L, "the cat sat on the mat"),
       (1L, "the dog sat on the log")).toDF("doc_id", "text")
     val tmp = java.nio.file.Files.createTempDirectory("graft-lm-meta").toString
-    LmGate.write(docsDf, tmp, smoothed = true)
-    assert(LmGate.load(spark, tmp).smoothed, "smoothed mode must travel with the artifact")
+    LmGate.write(docsDf, tmp, mode = LmGate.Mode.Addone)
+    assert(LmGate.load(spark, tmp).mode == LmGate.Mode.Addone,
+      "scoring mode must travel with the artifact")
     // pre-meta artifact (genuine absence): MLE fallback
     val metaDir = java.nio.file.Paths.get(tmp, "meta.parquet")
     val backup = java.nio.file.Paths.get(tmp, "meta.parquet.bak")
     java.nio.file.Files.move(metaDir, backup)
-    assert(!LmGate.load(spark, tmp).smoothed, "absent meta must read as pre-meta MLE artifact")
+    assert(LmGate.load(spark, tmp).mode == LmGate.Mode.Mle,
+      "absent meta must read as pre-meta MLE artifact")
     // corrupt meta (present but unreadable): must THROW, not degrade to MLE
     java.nio.file.Files.move(backup, metaDir)
     val part = java.nio.file.Files.list(metaDir).filter(_.toString.endsWith(".parquet"))
       .findFirst().get()
     java.nio.file.Files.write(part, "not a parquet file".getBytes)
-    intercept[Exception](LmGate.load(spark, tmp).smoothed)
+    intercept[Exception](LmGate.load(spark, tmp).mode)
   }
 
   test("smoothed scoring keeps all-unseen documents with a defined low score") {
@@ -136,9 +138,10 @@ class LmGateSpec extends AnyFunSuite {
       (4L, "a dog on a log on a mat"),
       (5L, "the cat and the bird today")).toDF("doc_id", "text")
     val tmp = java.nio.file.Files.createTempDirectory("graft-lm-smooth").toString
-    LmGate.write(corpus, tmp, smoothed = true)
+    LmGate.write(corpus, tmp, mode = LmGate.Mode.Addone)
     val gate = LmGate.load(spark, tmp)
-    assert(gate.smoothed, "scoring mode must round-trip through the artifact")
+    assert(gate.mode == LmGate.Mode.Addone,
+      "scoring mode must round-trip through the artifact")
     // serving the trained corpus reproduces the smoothed-trained terciles
     val (c12, c1) = LmGate.countTables(corpus)
     val expected = graft.operators.DistributedRank.ntileDesc(
@@ -230,6 +233,105 @@ class LmGateSpec extends AnyFunSuite {
       assert(math.abs(mass - 1.0) < 1e-12, s"context '$w1' mass $mass != 1")
     }
     spark.catalog.clearCache()
+  }
+
+  test("stored KNESER gate: mode round-trips, artifact bounded by cap, serving equals from-scratch") {
+    val docs = Tables.documents(spark, dir)
+    val corpus = docs.filter(col("doc_id") % 2 === 0)
+    val batch = docs.filter(col("doc_id") % 2 === 1)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-lm-kn").toString
+    LmGate.write(corpus, tmp, mode = LmGate.Mode.Kneser, maxBigrams = 500)
+    val gate = LmGate.load(spark, tmp)
+    assert(gate.mode == LmGate.Mode.Kneser && gate.maxBigrams == 500,
+      "KN mode + cap must travel with the artifact")
+    // the whole stored model — and the continuation marginals derived
+    // from it at serve time — is bounded by the cap
+    assert(gate.c12.count() <= 500 && gate.c1.count() <= 500)
+    val served = gate.bucketed(batch).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Double]("avg_logprob"), r.getAs[Int]("bucket"))).toMap
+    spark.catalog.clearCache()
+    // from-scratch replay: capped tables, OOV-robust KN scoring, tercile
+    // boundaries trained on the corpus under the SAME scoring
+    val (c12, c1) = LmGate.cappedTables(corpus, 500)
+    val bs = graft.operators.DistributedRank.boundariesDesc(
+      LmGate.scoreKneserSmoothed(corpus, c12, c1)
+        .select(col("doc_id"), col("avg_logprob")),
+      "avg_logprob", "doc_id", 3)
+    val direct = graft.operators.DistributedRank.bucketByBoundaries(
+        LmGate.scoreKneserSmoothed(batch, c12, c1)
+          .select(col("doc_id"), col("avg_logprob")),
+        "avg_logprob", "doc_id", bs)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Double]("avg_logprob"), r.getAs[Int]("bucket"))).toMap
+    assert(served == direct, "stored KN gate diverges from from-scratch serving")
+    spark.catalog.clearCache()
+  }
+
+  test("scoreKneserSmoothed matches hand-computed OOV-robust KN: unseen bigram, context, and word") {
+    import spark.implicits._
+    val raw = Seq((0L, "a b a b c"), (1L, "a b c a"), (2L, "b c b a"))
+    val docs = raw.toDF("doc_id", "text")
+    val bgs = raw.flatMap { case (id, t) =>
+      t.split(" ").filter(_.nonEmpty).sliding(2).collect { case Array(x, y) => (id, (x, y)) } }
+    val c12 = bgs.groupBy(_._2).map { case (k, v) => k -> v.size.toLong }
+    val c1 = c12.groupBy(_._1._1).map { case (k, v) => k -> v.values.sum }
+    val n1f = c12.groupBy(_._1._1).map { case (k, v) => k -> v.size.toLong }
+    val n1b = c12.groupBy(_._1._2).map { case (k, v) => k -> v.size.toLong }
+    val np = c12.size.toLong
+    val v2 = c12.keys.map(_._2).toSet.size.toLong
+    val D = LmGate.KnDiscount
+    def pc(w2: String): Double = (n1b.getOrElse(w2, 0L) + 1).toDouble / (np + v2)
+    def p(w1: String, w2: String): Double =
+      if (c1.contains(w1))
+        math.max(c12.getOrElse((w1, w2), 0L) - D, 0.0) / c1(w1) +
+          (D * n1f(w1) / c1(w1)) * pc(w2)
+      else pc(w2)
+    def round(x: Double, s: Int) =
+      BigDecimal(x).setScale(s, BigDecimal.RoundingMode.HALF_UP)
+    // serving batch exercises every OOV case: seen bigram, seen context +
+    // unseen word, unseen context, and a fully novel document
+    val serveRaw = Seq((10L, "a b z c q b"), (11L, "zq zork blurp"))
+    val serve = serveRaw.toDF("doc_id", "text")
+    val serveBgs = serveRaw.flatMap { case (id, t) =>
+      t.split(" ").filter(_.nonEmpty).sliding(2).collect { case Array(x, y) => (id, (x, y)) } }
+    val expect = serveBgs.groupBy(_._1).map { case (id, bs) =>
+      val terms = bs.map { case (_, (w1, w2)) => round(math.log(p(w1, w2)), 9) }
+      id -> (bs.size.toLong, round(terms.sum.toDouble / bs.size, 6).toDouble)
+    }
+    val (c12df, c1df) = LmGate.countTables(docs)
+    val got = LmGate.scoreKneserSmoothed(serve, c12df, c1df).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_bigrams"), r.getAs[Double]("avg_logprob"))).toMap
+    assert(got == expect, s"got $got expected $expect")
+    // per seen context the served mass stays a proper distribution over
+    // the SEEN continuation vocabulary: sum_{w2 seen} Pc(w2) = 1 exactly
+    val vocab = c12.keys.map(_._2).toSet
+    c1.keys.foreach { w1 =>
+      val mass = vocab.toSeq.map(w2 => p(w1, w2)).sum
+      assert(math.abs(mass - 1.0) < 1e-12, s"context '$w1' mass $mass != 1")
+    }
+    spark.catalog.clearCache()
+  }
+
+  test("write refuses a capped MLE gate; load refuses an unknown scoring mode") {
+    import spark.implicits._
+    val docsDf = Seq((0L, "the cat sat on the mat"),
+      (1L, "the dog sat on the log")).toDF("doc_id", "text")
+    // capped + closed-world MLE = silent mass-reject; must not build
+    val tmp = java.nio.file.Files.createTempDirectory("graft-lm-refuse").toString
+    intercept[IllegalArgumentException](
+      LmGate.write(docsDf, tmp, maxBigrams = 10))
+    // a mode NAME this engine doesn't know (artifact from a future
+    // version) must fail loudly at load, never degrade to MLE silently
+    LmGate.write(docsDf, tmp, mode = LmGate.Mode.Addone)
+    val meta = spark.read.parquet(s"$tmp/meta.parquet").collect().head
+    Seq(("zork", true, meta.getAs[Int]("n_buckets"), meta.getAs[Int]("max_bigrams")))
+      .toDF("mode", "smoothed", "n_buckets", "max_bigrams")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/meta.parquet")
+    val e = intercept[RuntimeException](LmGate.load(spark, tmp))
+    assert(e.getMessage.contains("zork"), s"unexpected error: ${e.getMessage}")
   }
 
   test("q_text_pmi matches hand-computed PMI and orders by association strength") {

@@ -175,10 +175,11 @@ class PlanAuditSpec extends AnyFunSuite {
 
   test("pmi/kneser: vocab-bounded equi-joins; only the 1-row scalar may NLJ") {
     // q_text_pmi crosses the 1-row total-bigram scalar, q_text_lm_kneser
-    // the 1-row distinct-pair scalar — the same legitimate
-    // scalar-broadcast shape as q_text_tfidf. Every other join (marginal
-    // and continuation tables) must stay hash-based.
-    Seq("q_text_pmi", "q_text_lm_kneser").foreach { name =>
+    // the 1-row distinct-pair scalar, and the served row the 1-row
+    // (npairs, v2) scalar — the same legitimate scalar-broadcast shape as
+    // q_text_tfidf. Every other join (marginal and continuation tables,
+    // all ≤cap rows on the served row) must stay hash-based.
+    Seq("q_text_pmi", "q_text_lm_kneser", "q_text_lm_kneser_served").foreach { name =>
       val plan = queryPlan(name)
       assert(!plan.contains("CartesianProduct"), s"$name cartesian:\n$plan")
       assert(count(plan, "BroadcastNestedLoopJoin") <= 1,

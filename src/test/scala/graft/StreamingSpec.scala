@@ -788,6 +788,52 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.keySet == (0L to 5L).toSet)
   }
 
+  test("Kneser-Ney admission gate on a stream equals the batch bucketing, OOV included") {
+    // the KN leg of the admission pattern: a stored-mode kneser gate's
+    // bucketed() is the same stream-static joins + boundary projection —
+    // zero windows — and the OOV-robust scoring means a fully novel
+    // streaming document still gates (tail bucket) instead of dropping.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.DistributedRank
+    import graft.ext.LmGate
+    val corpus = Seq(
+      (0L, "the cat sat on the mat"),
+      (1L, "the dog sat on the log"),
+      (2L, "the cat sat on the mat"), // exact dup of doc 0: score tie
+      (3L, "a cat and a dog and a bird"),
+      (4L, "the bird sat on the dog"),
+      (5L, "a dog on a log on a mat")).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-kn-stream").toString
+    LmGate.write(corpus, tmp, mode = LmGate.Mode.Kneser)
+    val gate = LmGate.load(spark, tmp)
+    assert(gate.mode == LmGate.Mode.Kneser)
+    val (c12, c1) = LmGate.countTables(corpus)
+    val batchBuckets = DistributedRank.ntileDesc(
+        LmGate.scoreKneserSmoothed(corpus, c12, c1)
+          .select(col("doc_id"), col("avg_logprob")),
+        "avg_logprob", "doc_id", 3)
+      .select("doc_id", "bucket").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    spark.catalog.clearCache()
+
+    val mem = MemoryStream[(Long, String)]
+    val gated = gate.bucketed(mem.toDF.toDF("doc_id", "text"))
+    val q = gated.writeStream.format("memory").queryName("kn_gate")
+      .outputMode("complete").start()
+    val streamed = try {
+      mem.addData(corpus.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+        :+ (99L, "zq zork blurp entirely novel"): _*)
+      q.processAllAvailable()
+      spark.table("kn_gate").collect()
+        .map(r => r.getLong(0) -> r.getAs[Int]("bucket")).toMap
+    } finally q.stop()
+    assert(streamed - 99L == batchBuckets, s"stream $streamed vs batch $batchBuckets")
+    // the all-unseen doc scores via the continuation floor and lands in
+    // the open tail bucket — never dropped from a KN admission stream
+    assert(streamed(99L) == 3, s"novel doc bucket: ${streamed.get(99L)}")
+  }
+
   test("token-budget admission gate on a stream equals the batch cut") {
     // the batch q_sample_quality_budget cut freezes into ONE boundary
     // scalar — the (quality, doc_id) pair of the LAST admitted document —
