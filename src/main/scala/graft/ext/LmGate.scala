@@ -125,18 +125,40 @@ object LmGate {
     */
   def scoreSmoothed(docs: DataFrame, c12: DataFrame, c1: DataFrame): DataFrame = {
     val v = c1.agg(count(lit(1)).as("vsz"))
+    smoothedAgg(smoothedJoined(docs, c12, c1).crossJoin(broadcast(v)), col("vsz"))
+  }
+
+  /** [[scoreSmoothed]] with the vocabulary size injected as a LITERAL —
+    * the at-rest serving face: `V = |c1|` is a frozen property of the
+    * stored model, so [[Gate.bucketed]] collects it once (a bounded
+    * action — ≤ cap rows for a capped gate, vocab-bounded otherwise) and
+    * the served plan carries neither a global aggregate nor a scalar
+    * cross join, only the two model equi-joins and a projection. The
+    * arithmetic is IDENTICAL to [[scoreSmoothed]] (one shared expression
+    * builder), so literal-scalar serving can never drift from the
+    * declared crossJoin form.
+    */
+  def scoreSmoothedLit(docs: DataFrame, c12: DataFrame, c1: DataFrame,
+                       vsz: Long): DataFrame =
+    smoothedAgg(smoothedJoined(docs, c12, c1), lit(vsz))
+
+  private def smoothedJoined(docs: DataFrame, c12: DataFrame, c1: DataFrame): DataFrame =
     bigrams(docs)
       .join(c12, Seq("w1", "w2"), "left")
       .join(c1, Seq("w1"), "left")
-      .crossJoin(broadcast(v))
+
+  /** The single definition of the add-one score aggregate; `vsz` is the
+    * V scalar as a column (1-row broadcast) or a frozen literal.
+    */
+  private def smoothedAgg(joined: DataFrame, vsz: org.apache.spark.sql.Column): DataFrame =
+    joined
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
         round(
           sum(round(log((coalesce(col("c12"), lit(0)) + lit(1)).cast("double")
-              / (coalesce(col("c1"), lit(0)) + col("vsz")).cast("double")), 9)
+              / (coalesce(col("c1"), lit(0)) + vsz).cast("double")), 9)
             .cast("decimal(20,9)")).cast("double") / count(lit(1)), 6)
           .as("avg_logprob"))
-  }
 
   /** Absolute discount for [[scoreKneser]] — the standard 0.75 of the
     * interpolated Kneser–Ney literature (Kneser & Ney 1995; Chen &
@@ -238,9 +260,16 @@ object LmGate {
     */
   def scoreKneserSmoothed(docs: DataFrame, c12: DataFrame, c1: DataFrame): DataFrame = {
     val (n1f, n1b, _) = continuationTables(c12)
-    val scal = c12.agg(count(lit(1)).as("npairs"), count_distinct(col("w2")).as("v2"))
+    // bounded driver action: (npairs, V2) is a frozen PROPERTY of the
+    // model (two counts of the vocab-bounded/capped c12), collected once
+    // before the plan is built — the served plan then carries the
+    // denominator as a literal, so KN serving has no global aggregate and
+    // no scalar cross join at all (the same literal-scalar stance as
+    // [[scoreSmoothedLit]]); n1f/n1b stay model-side equi-join tables
+    val scal = c12.agg(count(lit(1)), count_distinct(col("w2"))).head()
+    val denom = scal.getLong(0) + scal.getLong(1)
     val pcont = (coalesce(col("n1b"), lit(0L)) + lit(1)).cast("double") /
-      (col("npairs") + col("v2")).cast("double")
+      lit(denom).cast("double")
     val p = when(col("c1").isNotNull,
         greatest(coalesce(col("c12"), lit(0L)).cast("double") - lit(KnDiscount),
           lit(0.0)) / col("c1")
@@ -251,7 +280,6 @@ object LmGate {
       .join(c1, Seq("w1"), "left")
       .join(n1f, Seq("w1"), "left")
       .join(n1b, Seq("w2"), "left")
-      .crossJoin(broadcast(scal))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
         round(
@@ -276,7 +304,10 @@ object LmGate {
     def bucketed(docs: DataFrame): DataFrame = {
       val scored = mode match {
         case Mode.Mle    => score(docs, c12, c1)
-        case Mode.Addone => scoreSmoothed(docs, c12, c1)
+        // the stored model's V is frozen — collect it once (bounded:
+        // ≤ cap rows capped, vocab-bounded otherwise) so the SERVED plan
+        // is just the model equi-joins + projections, no scalar stages
+        case Mode.Addone => scoreSmoothedLit(docs, c12, c1, c1.count())
         case Mode.Kneser => scoreKneserSmoothed(docs, c12, c1)
       }
       DistributedRank.bucketByBoundaries(

@@ -150,6 +150,48 @@ object Sharding {
         .orderBy("shard")
     },
 
+    // ---- the shard WRITER's output read back from disk ----
+    // q_shuffle_epoch declares the plan; [[writeShards]] is the
+    // production sink (one file per shard, rows in permutation order,
+    // ShardingSpec pins the file order). This row closes the
+    // bytes-at-rest loop the way q_layout_bucketed did for the bucketed
+    // layout: the corpus is ACTUALLY written as a shard tree (memoized
+    // per JVM+dataset — write-once in production), read back from
+    // parquet, and the per-shard order checksum + a payload checksum are
+    // re-derived FROM THE STORED BYTES, while the oracle replays the
+    // whole permutation from the base table with a SQL window. A writer
+    // that dropped rows, misassigned shards, lost payload columns, or
+    // wrote the wrong positions cannot pass. chars_sum pins that the
+    // payload rode the doc_id equi-join intact.
+    Q("q_shard_stored",
+      s"""WITH h AS (
+         |  SELECT doc_id, n_chars,
+         |    ${h48Sql("'e1#' || CAST(doc_id AS VARCHAR)")} AS h
+         |  FROM documents
+         |), r AS (
+         |  SELECT doc_id, n_chars,
+         |    row_number() OVER (ORDER BY h, doc_id) - 1 AS rk0
+         |  FROM h
+         |)
+         |SELECT CAST(rk0 % $Shards AS INT) AS shard,
+         |  count(*) AS n_docs,
+         |  min(CASE WHEN rk0 < $Shards THEN doc_id END) AS first_doc,
+         |  CAST(sum((doc_id % $SigMod) * ((rk0 // $Shards) % $SigMod) % $SigMod)
+         |       % $SigMod AS BIGINT) AS order_sig,
+         |  CAST(sum(n_chars) AS BIGINT) AS chars_sum
+         |FROM r GROUP BY 1 ORDER BY shard""".stripMargin) { (s, d) =>
+      val root = StoredArtifacts.of(s"shards|$d") { r =>
+        writeShards(Tables.documents(s, d), "e1#", Shards, s"$r/epoch1")
+      }
+      s.read.parquet(s"$root/epoch1")
+        .groupBy(col("shard").cast("int").as("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(when(col("pos") === 0, col("doc_id"))).as("first_doc"),
+          sigSum(col("doc_id"), col("pos")).as("order_sig"),
+          sum(col("n_chars")).cast("long").as("chars_sum"))
+        .orderBy("shard")
+    },
+
     // ---- curriculum plan: difficulty phases, shuffled within phase ----
     // Curriculum learning orders training data easy → hard. "Difficulty"
     // here is the corpus-LM signal the gate stack already serves: every
@@ -169,8 +211,104 @@ object Sharding {
     // and order_sig pins the full doc→position assignment. Documents with
     // no bigrams (< 2 tokens) score under neither engine and are excluded
     // symmetrically.
-    Q("q_sample_curriculum",
-      s"""WITH toks AS (SELECT doc_id, ${tokensSql("text")} AS toks FROM documents),
+    Q("q_sample_curriculum", curriculumOracleSql) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val (c12, c1) = LmGate.cappedTables(docs, 500)
+      val scored = LmGate.scoreSmoothed(docs, c12, c1)
+        .select(col("doc_id"), col("avg_logprob"))
+      val phased = DistributedRank
+        .ntileDesc(scored, "avg_logprob", "doc_id", 3, "phase")
+        .select(col("doc_id"), col("phase"))
+      curriculumReport(phased)
+    },
+
+    // ---- curriculum SERVED from the stored gate ----
+    // The production shape of q_sample_curriculum: a steady-state corpus
+    // has its capped smoothed LM gate ON DISK (the exact artifact
+    // q_curation_stored serves), so a curriculum run must not rebuild the
+    // model per epoch — it scores under the stored ≤cap-row tables and
+    // assigns phases from the stored tercile boundary scalars
+    // ([[DistributedRank.bucketByBoundaries]], two broadcast literals +
+    // a CASE projection — zero windows), then ranks the composite
+    // (phase, h) key exactly like the declared-from-scratch row. Because
+    // the boundaries were trained on this corpus under this scoring,
+    // bucketByBoundaries reproduces ntile(3) bit-for-bit — so the oracle
+    // is the SAME full replay, and the driver proves stored-gate serving
+    // ≡ from-scratch curriculum. Per-epoch cost at 100 TB: two broadcast
+    // joins against a fixed-size model + one DistributedRank pass; the
+    // gate build amortizes across epochs (memoized per JVM+dataset here,
+    // write-once in production).
+    Q("q_sample_curriculum_stored", curriculumOracleSql) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val root = StoredArtifacts.of(s"curriculum-gate|$d") { r =>
+        LmGate.write(docs, r, mode = LmGate.Mode.Addone, maxBigrams = 500)
+      }
+      val phased = LmGate.load(s, root).bucketed(docs)
+        .select(col("doc_id"), col("bucket").as("phase"))
+      curriculumReport(phased)
+    },
+
+    // ---- token-balanced sharding (serpentine LPT) ----
+    // Round-robin by document COUNT balances docs, not load; training
+    // readers meter by TOKENS — this plans shards whose token totals are
+    // near-equal even under a skewed document-length distribution.
+    Q("q_shard_token_balanced",
+      s"""WITH t AS (
+         |  SELECT doc_id, ${wsTokenCountSql("text")} AS n_tokens
+         |  FROM documents WHERE text IS NOT NULL
+         |), r AS (
+         |  SELECT doc_id, n_tokens,
+         |    row_number() OVER (ORDER BY n_tokens DESC, doc_id) - 1 AS rk0
+         |  FROM t
+         |)
+         |SELECT CAST(CASE WHEN (rk0 // $Shards) % 2 = 0 THEN rk0 % $Shards
+         |            ELSE ${Shards - 1} - rk0 % $Shards END AS INT) AS shard,
+         |  count(*) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS shard_tokens,
+         |  max(n_tokens) AS max_doc_tokens
+         |FROM r GROUP BY 1 ORDER BY shard""".stripMargin) { (s, d) =>
+      val toks = Tables.documents(s, d)
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), wsTokenCount(col("text")).as("n_tokens"))
+      tokenBalancedAssign(toks, Shards)
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).cast("long").as("shard_tokens"),
+          max(col("n_tokens")).as("max_doc_tokens"))
+        .orderBy("shard")
+    }
+  )
+
+  /** The within-phase shuffle + per-phase report shared by the two
+    * curriculum faces: from `(doc_id, phase)` the full curriculum
+    * position is ONE global rank over the composite (phase, h) key —
+    * phase·2⁴⁹ + h is monotone lexicographic (h < 2⁴⁸) and exact in the
+    * rank's double threshold math (< 2⁵³) — no per-phase windows, no
+    * single-partition sort. min/max positions prove the phases tile the
+    * order contiguously; order_sig pins the full doc→position assignment.
+    */
+  private def curriculumReport(phased: DataFrame): DataFrame = {
+    val keyed = phased
+      .select(col("doc_id"), col("phase"),
+        h48(concat(lit("c1#"), col("doc_id").cast("string"))).as("h"))
+      .select(col("doc_id"), col("phase"),
+        (-(col("phase").cast("long") * lit(1L << 49) + col("h"))).as("neg_key"))
+    DistributedRank.rankDesc(keyed, "neg_key", "doc_id", "rk")
+      .select(col("doc_id"), col("phase"), (col("rk") - 1).as("rk0"))
+      .groupBy("phase")
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("rk0")).as("min_pos"), max(col("rk0")).as("max_pos"),
+        sigSum(col("doc_id"), col("rk0")).as("order_sig"))
+      .orderBy("phase")
+  }
+
+  /** One oracle for both curriculum faces: the stored gate's boundaries
+    * are trained on this corpus under this scoring, so bucketByBoundaries
+    * reproduces the ntile(3) phases exactly — stored-gate serving and the
+    * from-scratch build MUST produce identical reports.
+    */
+  private def curriculumOracleSql: String =
+    s"""WITH toks AS (SELECT doc_id, ${tokensSql("text")} AS toks FROM documents),
          |bg AS (
          |  SELECT doc_id, sh[1] AS w1, sh[2] AS w2 FROM (
          |    SELECT doc_id, string_split(b, ' ') AS sh FROM (
@@ -210,54 +348,5 @@ object Sharding {
          |  min(rk0) AS min_pos, max(rk0) AS max_pos,
          |  CAST(sum((doc_id % $SigMod) * (rk0 % $SigMod) % $SigMod)
          |       % $SigMod AS BIGINT) AS order_sig
-         |FROM r GROUP BY 1 ORDER BY phase""".stripMargin) { (s, d) =>
-      val docs = Tables.documents(s, d)
-      val (c12, c1) = LmGate.cappedTables(docs, 500)
-      val scored = LmGate.scoreSmoothed(docs, c12, c1)
-        .select(col("doc_id"), col("avg_logprob"))
-      val phased = DistributedRank
-        .ntileDesc(scored, "avg_logprob", "doc_id", 3, "phase")
-        .select(col("doc_id"), col("phase"),
-          h48(concat(lit("c1#"), col("doc_id").cast("string"))).as("h"))
-        .select(col("doc_id"), col("phase"),
-          (-(col("phase").cast("long") * lit(1L << 49) + col("h"))).as("neg_key"))
-      DistributedRank.rankDesc(phased, "neg_key", "doc_id", "rk")
-        .select(col("doc_id"), col("phase"), (col("rk") - 1).as("rk0"))
-        .groupBy("phase")
-        .agg(count(lit(1)).as("n_docs"),
-          min(col("rk0")).as("min_pos"), max(col("rk0")).as("max_pos"),
-          sigSum(col("doc_id"), col("rk0")).as("order_sig"))
-        .orderBy("phase")
-    },
-
-    // ---- token-balanced sharding (serpentine LPT) ----
-    // Round-robin by document COUNT balances docs, not load; training
-    // readers meter by TOKENS — this plans shards whose token totals are
-    // near-equal even under a skewed document-length distribution.
-    Q("q_shard_token_balanced",
-      s"""WITH t AS (
-         |  SELECT doc_id, ${wsTokenCountSql("text")} AS n_tokens
-         |  FROM documents WHERE text IS NOT NULL
-         |), r AS (
-         |  SELECT doc_id, n_tokens,
-         |    row_number() OVER (ORDER BY n_tokens DESC, doc_id) - 1 AS rk0
-         |  FROM t
-         |)
-         |SELECT CAST(CASE WHEN (rk0 // $Shards) % 2 = 0 THEN rk0 % $Shards
-         |            ELSE ${Shards - 1} - rk0 % $Shards END AS INT) AS shard,
-         |  count(*) AS n_docs,
-         |  CAST(sum(n_tokens) AS BIGINT) AS shard_tokens,
-         |  max(n_tokens) AS max_doc_tokens
-         |FROM r GROUP BY 1 ORDER BY shard""".stripMargin) { (s, d) =>
-      val toks = Tables.documents(s, d)
-        .filter(col("text").isNotNull)
-        .select(col("doc_id"), wsTokenCount(col("text")).as("n_tokens"))
-      tokenBalancedAssign(toks, Shards)
-        .groupBy("shard")
-        .agg(count(lit(1)).as("n_docs"),
-          sum(col("n_tokens")).cast("long").as("shard_tokens"),
-          max(col("n_tokens")).as("max_doc_tokens"))
-        .orderBy("shard")
-    }
-  )
+         |FROM r GROUP BY 1 ORDER BY phase""".stripMargin
 }

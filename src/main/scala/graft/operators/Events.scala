@@ -212,6 +212,96 @@ object Events {
           col("ts").as("last_ts"), round(col("value"), 6).as("last_value"),
           col("n_events"))
         .orderBy("user_id")
+    },
+
+    // ---- CDC snapshot-consumer composition: state_t + changelog ----
+    // The incremental form of the reference's snapshot swap
+    // (/root/reference/cloud2sql/collect.py:198-203 materializes each
+    // run from scratch): a consumer holding snapshot-time state applies
+    // ONLY the new changelog slice and must land on exactly the state a
+    // full recompute produces. [[cdcState]] over the pre-cut prefix is
+    // the stored snapshot (INCLUDING tombstoned users — the state store
+    // keeps them so a later event can revive the key with the right
+    // n_events); [[cdcApply]] merges the post-cut slice; publishing
+    // filters tombstones, same as q_events_cdc_apply. The oracle is the
+    // FULL recompute over all events — the composition has no
+    // incremental shortcut on the oracle side to hide behind. Plan
+    // shape: two keyed windows (prefix state + merge), both
+    // partition-parallel at any key cardinality; the changelog slice
+    // rides a pushed-down ts filter.
+    Q("q_events_cdc_snapshot",
+      """SELECT user_id, event_type AS last_type,
+        |  CAST(ts AS TIMESTAMP) AS last_ts,
+        |  round(value, 6) AS last_value, n_events
+        |FROM (
+        |  SELECT user_id, event_type, ts, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |                       ORDER BY ts DESC, event_id DESC) AS rn,
+        |    count(*) OVER (PARTITION BY user_id) AS n_events
+        |  FROM events WHERE user_id IS NOT NULL
+        |) WHERE rn = 1 AND event_type <> 'error'
+        |ORDER BY user_id""".stripMargin) { (s, d) =>
+      val cut = lit("2024-01-16 00:00:00").cast("timestamp")
+      val ev = Tables.events(s, d)
+      val state = cdcState(ev.filter(col("ts") <= cut))
+      cdcApply(state, ev.filter(col("ts") > cut))
+        .filter(col("last_type") =!= "error")
+        .select(col("user_id"), col("last_type"), col("last_ts"),
+          round(col("last_value"), 6).as("last_value"), col("n_events"))
+        .orderBy("user_id")
     }
   )
+
+  /** Full per-user CDC state over an event slice — the STORED form of
+    * q_events_cdc_apply's merge, kept unpublished: tombstoned users
+    * (latest event 'error') stay in the state with their event count, so
+    * a later changelog event can revive the key with an exact cumulative
+    * n_events. NULL user_ids are excluded (the r11 asof lesson: Spark's
+    * partitionBy pools NULL keys into one partition-sized group).
+    * Returns (user_id, last_type, last_ts, last_event_id, last_value,
+    * n_events).
+    */
+  def cdcState(events: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val byUser = Window.partitionBy("user_id")
+    val latest = byUser.orderBy(col("ts").desc, col("event_id").desc)
+    events.filter(col("user_id").isNotNull)
+      .withColumn("__rn", row_number().over(latest))
+      .withColumn("n_events", count(lit(1)).over(byUser))
+      .filter(col("__rn") === 1)
+      .select(col("user_id"), col("event_type").as("last_type"),
+        col("ts").as("last_ts"), col("event_id").as("last_event_id"),
+        col("value").as("last_value"), col("n_events"))
+  }
+
+  /** Advance a [[cdcState]] snapshot by a changelog slice: each state row
+    * re-enters the merge as one pseudo-event carrying its cumulative
+    * weight (`n_events`), changelog events carry weight 1, and the keyed
+    * (ts DESC, event_id DESC) latest-wins merge runs over the union —
+    * exact because the state row's (ts, event_id) IS the true maximum of
+    * its prefix, so the global latest and the summed count both compose.
+    * PRECONDITION: the changelog is disjoint from the events already
+    * folded into `state` (a replayed event would double-count n_events —
+    * the standard at-least-once dedup belongs upstream, e.g.
+    * q_events_dedup's dropDuplicates). One shuffle on user_id; state
+    * cardinality bounds the window's key count, per-key history is
+    * 1 + the user's changelog size.
+    */
+  def cdcApply(state: org.apache.spark.sql.DataFrame,
+               changelog: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val st = state.select(col("user_id"), col("last_type").as("event_type"),
+      col("last_ts").as("ts"), col("last_event_id").as("event_id"),
+      col("last_value").as("value"), col("n_events").as("__w"))
+    val ch = changelog.filter(col("user_id").isNotNull)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"),
+        col("value"), lit(1L).as("__w"))
+    val byUser = Window.partitionBy("user_id")
+    val latest = byUser.orderBy(col("ts").desc, col("event_id").desc)
+    st.unionByName(ch)
+      .withColumn("__rn", row_number().over(latest))
+      .withColumn("__n", sum(col("__w")).over(byUser))
+      .filter(col("__rn") === 1)
+      .select(col("user_id"), col("event_type").as("last_type"),
+        col("ts").as("last_ts"), col("event_id").as("last_event_id"),
+        col("value").as("last_value"), col("__n").as("n_events"))
+  }
 }

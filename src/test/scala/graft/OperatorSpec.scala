@@ -273,6 +273,50 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("cdc snapshot composition: folding arbitrary slices equals the full recompute") {
+    import graft.operators.Events
+    def ts(d: Int) = Timestamp.valueOf(f"2024-01-$d%02d 00:00:00")
+    // exercises: normal updates, tombstone-then-revive (user 2, the
+    // cumulative n_events must survive the tombstone), terminal tombstone
+    // (user 3: in state, absent from published), a ts tie broken by
+    // event_id (user 4), and a key born in the last slice (user 5)
+    val ev = Seq(
+      (1L, 100L, "view", ts(1), 1.0),
+      (1L, 101L, "click", ts(2), 2.0),
+      (2L, 102L, "view", ts(1), 3.0),
+      (2L, 103L, "error", ts(3), 0.0),
+      (2L, 104L, "purchase", ts(5), 9.0),
+      (3L, 105L, "view", ts(2), 1.5),
+      (3L, 106L, "error", ts(6), 0.0),
+      (4L, 107L, "view", ts(4), 1.0),
+      (4L, 108L, "click", ts(4), 2.0),
+      (5L, 109L, "view", ts(7), 4.0)
+    ).toDF("user_id", "event_id", "event_type", "ts", "value")
+    def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[String]("last_type"), r.getAs[Timestamp]("last_ts"),
+          r.getAs[Long]("last_event_id"), r.getAs[Double]("last_value"),
+          r.getAs[Long]("n_events"))).toMap
+    val full = asMap(Events.cdcState(ev))
+    // three ts-disjoint slices folded through cdcApply
+    val s1 = ev.filter(col("ts") <= ts(2))
+    val s2 = ev.filter(col("ts") > ts(2) && col("ts") <= ts(5))
+    val s3 = ev.filter(col("ts") > ts(5))
+    val folded = Events.cdcApply(Events.cdcApply(Events.cdcState(s1), s2), s3)
+    assert(asMap(folded) == full, "composed state diverges from full recompute")
+    // an empty changelog is the identity
+    assert(asMap(Events.cdcApply(Events.cdcState(ev), ev.filter(lit(false)))) == full)
+    // spot semantics: revived user 2 carries the full count through the
+    // tombstone; tie on user 4 resolves to the higher event_id; the
+    // terminal tombstone stays IN the state but out of the published form
+    assert(full(2L) == (("purchase", ts(5), 104L, 9.0, 3L)))
+    assert(full(4L)._3 == 108L)
+    assert(full(3L)._1 == "error")
+    val published = folded.filter(col("last_type") =!= "error")
+      .collect().map(_.getAs[Long]("user_id")).toSet
+    assert(published == Set(1L, 2L, 4L, 5L))
+  }
+
   test("triangle counts: degree-ordered wedge join equals brute force, incl. hubs") {
     // seeded graph with a deliberate high-degree hub (node 0 joined to
     // everything) — the case the degree orientation exists for — plus

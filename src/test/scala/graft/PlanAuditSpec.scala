@@ -267,7 +267,11 @@ class PlanAuditSpec extends AnyFunSuite {
         // to keep partition-parallel — and the curriculum plan stacks TWO
         // of them (tercile phases + the composite-key position rank)
         "q_shuffle_epoch", "q_shard_token_balanced",
-        "q_sample_curriculum").foreach { name =>
+        "q_sample_curriculum",
+        // round 14: the stored-gate curriculum serves phases from two
+        // broadcast boundary scalars (zero windows) — only the position
+        // rank's grouped windows remain, and they must stay partitioned
+        "q_sample_curriculum_stored").foreach { name =>
       val plan = queryPlan(name)
       assert(!plan.contains("Exchange SinglePartition"),
         s"$name planned a single-partition exchange:\n$plan")
