@@ -99,7 +99,26 @@ object ScaleCheck {
     "q_curation_stored",
     // round-13: curriculum plan = the capped-LM scoring pass (the linear
     // term, already measured via ppl_capped) + two DistributedRank layers
-    "q_sample_curriculum")
+    "q_sample_curriculum",
+    // round-14: PMI + closed-world KN are explode + vocab-bounded joins
+    // (the synthesizer's per-copy token tagging grows the vocab linearly
+    // — the adversarial ceiling, like bpe_merges; real corpora grow
+    // ~N^0.5)
+    "q_text_pmi", "q_text_lm_kneser",
+    // round-14: the stored-gate serving faces — builds are memoized per
+    // dataset (computeIfAbsent), so the measured point is per-batch /
+    // per-epoch SERVING: ≤cap-row broadcast joins + one rank pass
+    "q_text_lm_kneser_served", "q_sample_curriculum_stored",
+    // round-14: shard-tree read-back — the build (one full epochAssign +
+    // write) amortizes; timed reps scan the stored tree + one ≤K-row agg
+    "q_shard_stored",
+    // round-14: snapshot composition = two keyed windows over the
+    // synthesized events (state cardinality grows, per-key history flat)
+    "q_events_cdc_snapshot",
+    // round-14: degree-ordered triangle counting — pairs grow linearly
+    // under per-copy tagging (no cross-copy bands), so the wedge join's
+    // oriented fan-out bound should keep the exponent near 1
+    "q_graph_triangles")
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
