@@ -126,10 +126,19 @@ object ScaleCheck {
     val copies = sys.env.getOrElse("SPARK_GRAFT_SCALE_COPIES", "10").toInt
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    // comma-separated query filter (plus the pseudo-names "kmeans" and
-    // "substr_index" for the extra sections) — large-copies runs target
-    // the linear-family queries without paying for the whole list
+    // comma-separated query filter (plus the pseudo-names for the extra
+    // sections, and the literal "__none__" for a synthesize-only run) —
+    // large-copies runs target the linear-family queries without paying
+    // for the whole list. Unknown names fail LOUDLY (same hardening as
+    // Bench's SPARK_GRAFT_ONLY): a typo'd filter would otherwise time
+    // zero of that query and emit a valid-looking but incomplete artifact.
+    val pseudo = Set("kmeans", "substr_index", "bpe_rounds", "knn_ann", "__none__")
     val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY").map(_.split(",").toSet)
+    only.foreach { names =>
+      val unknown = names -- Queries.toSet -- pseudo
+      require(unknown.isEmpty,
+        s"unknown name(s) in SPARK_GRAFT_SCALE_ONLY: ${unknown.toSeq.sorted.mkString(", ")}")
+    }
     def keep(name: String): Boolean = only.forall(_.contains(name))
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -321,12 +330,26 @@ object ScaleCheck {
     * killed in the middle of, and every later run would silently measure
     * against a truncated table; overwrite mode makes the re-write safe). */
   private def gen(spark: SparkSession, src: String, out: String, c: Int): Unit = {
+    // Per-table SYNTHESIS-LAYOUT versions — bump a table's version when
+    // its synthesis rule changes, so stale trees regenerate instead of
+    // being silently measured under the old layout (the SubstringIndex
+    // markerOf lesson applied to the synthesizer itself; events is at v2
+    // after the user_id stride widened 1e6 -> 1e7). Version-1 tables
+    // accept legacy unmarked trees — their layout never changed — and
+    // every fresh write stamps the marker.
+    val synthVersion = Map(
+      "documents" -> 1, "embeddings" -> 1, "events" -> 2,
+      "lineitem" -> 1, "orders" -> 1)
+    def markerFile(t: String) =
+      new java.io.File(s"$out/$t.parquet/_GRAFT_SYNTH_v${synthVersion(t)}")
+    def stamp(t: String): Unit = markerFile(t).createNewFile()
     // per-table guard: an x-dir synthesized by an earlier round carries
     // documents/embeddings but not the round-13 tables — only the missing
     // ones are written (a whole-dir guard would re-run the expensive
     // document/embedding synthesis at 100 copies just to add events)
     def missing(t: String): Boolean =
-      !new java.io.File(s"$out/$t.parquet/_SUCCESS").exists()
+      !new java.io.File(s"$out/$t.parquet/_SUCCESS").exists() ||
+        (synthVersion(t) > 1 && !markerFile(t).exists())
     if (missing("documents")) {
       val docs = Tables.documents(spark, src)
       (0 until c).map { i =>
@@ -339,6 +362,7 @@ object ScaleCheck {
           col("lang"), col("source"), col("n_chars"))
       }.reduce(_ unionByName _)
         .write.mode("overwrite").parquet(s"$out/documents.parquet")
+      stamp("documents")
     }
     if (missing("embeddings")) {
       val emb = Tables.embeddings(spark, src)
@@ -355,6 +379,7 @@ object ScaleCheck {
           col("label"))
       }.reduce(_ unionByName _)
         .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+      stamp("embeddings")
     }
     // events: per-copy user_id offset — key cardinality (window-state
     // size) grows with the corpus while per-key history stays constant,
@@ -373,6 +398,7 @@ object ScaleCheck {
           .withColumn("user_id", col("user_id") + lit(i * 10000000L))
       }.reduce(_ unionByName _)
         .write.mode("overwrite").parquet(s"$out/events.parquet")
+      stamp("events")
     }
     // lineitem/orders: per-copy order-key offset on BOTH sides, so the
     // join fan-out per key is the original's and output grows linearly
@@ -383,6 +409,7 @@ object ScaleCheck {
         else li.withColumn("l_orderkey", col("l_orderkey") + lit(i * 100000000L))
       }.reduce(_ unionByName _)
         .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+      stamp("lineitem")
     }
     if (missing("orders")) {
       val ord = Tables.orders(spark, src)
@@ -391,6 +418,7 @@ object ScaleCheck {
         else ord.withColumn("o_orderkey", col("o_orderkey") + lit(i * 100000000L))
       }.reduce(_ unionByName _)
         .write.mode("overwrite").parquet(s"$out/orders.parquet")
+      stamp("orders")
     }
   }
 }

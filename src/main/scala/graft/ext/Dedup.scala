@@ -183,14 +183,21 @@ object Dedup {
     * out-degree.
     */
   private[graft] def triangleCounts(pairs: DataFrame): DataFrame = {
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b"), col("doc_a")))
-    val deg = edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+    // the pair list is usually the LSH candidate self-join — cache it, or
+    // its producer re-executes for every consumer below (both degree
+    // legs via edges, plus both orientation joins)
+    val p = CacheTracker.cached(pairs)
+    val edges = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(p.select(col("doc_b"), col("doc_a")))
+    // |V|-sized and consumed three times (two orientation joins + the
+    // final per-node output)
+    val deg = CacheTracker.cached(
+      edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg")))
     val fwd = col("dega") < col("degb") ||
       (col("dega") === col("degb") && col("doc_a") < col("doc_b"))
     // oriented edges carry the DEST's degree so the wedge join's total
     // order ((ddeg, dst) lexicographic) needs no further join
-    val o = pairs
+    val o = p
       .join(deg.select(col("id").as("doc_a"), col("deg").as("dega")), Seq("doc_a"))
       .join(deg.select(col("id").as("doc_b"), col("deg").as("degb")), Seq("doc_b"))
       .select(

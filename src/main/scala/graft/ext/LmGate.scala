@@ -351,10 +351,17 @@ object LmGate {
       import s.implicits._
       // the mode is stored by NAME; the legacy boolean `smoothed` column
       // rides along so a pre-enum reader of an addone/mle artifact still
-      // resolves the right scoring (kneser reads as smoothed=true there,
-      // which such a reader cannot serve anyway — load() on THIS engine
-      // always prefers the mode column)
-      Seq((mode.name, mode != Mode.Mle, buckets, maxBigrams))
+      // resolves the right scoring. A KNESER artifact stores smoothed =
+      // NULL — a pre-enum reader's row.getAs[Boolean]("smoothed") then
+      // fails LOUDLY instead of silently serving add-one scores against
+      // KN-trained boundaries (writing `true` would be exactly the
+      // boundary/scoring-mode drift the meta exists to prevent)
+      val legacySmoothed: Option[Boolean] = mode match {
+        case Mode.Mle    => Some(false)
+        case Mode.Addone => Some(true)
+        case Mode.Kneser => None
+      }
+      Seq((mode.name, legacySmoothed, buckets, maxBigrams))
         .toDF("mode", "smoothed", "n_buckets", "max_bigrams")
         .coalesce(1)
         .write.mode("overwrite").parquet(s"$dir/meta.parquet")

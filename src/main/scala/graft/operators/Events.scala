@@ -238,11 +238,17 @@ object Events {
         |    row_number() OVER (PARTITION BY user_id
         |                       ORDER BY ts DESC, event_id DESC) AS rn,
         |    count(*) OVER (PARTITION BY user_id) AS n_events
-        |  FROM events WHERE user_id IS NOT NULL
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
         |) WHERE rn = 1 AND event_type <> 'error'
         |ORDER BY user_id""".stripMargin) { (s, d) =>
       val cut = lit("2024-01-16 00:00:00").cast("timestamp")
-      val ev = Tables.events(s, d)
+      // NULL ts is excluded SYMMETRICALLY (the oracle filters it too): a
+      // cut-based composition needs every event classifiable into exactly
+      // one slice, and a NULL ts satisfies neither `<= cut` nor `> cut` —
+      // it would silently vanish from the composed state while a full
+      // recompute counts it (producers CAN emit NULL ts: SqliteSource
+      // degrades out-of-range integer timestamps to NULL by contract)
+      val ev = Tables.events(s, d).filter(col("ts").isNotNull)
       val state = cdcState(ev.filter(col("ts") <= cut))
       cdcApply(state, ev.filter(col("ts") > cut))
         .filter(col("last_type") =!= "error")
