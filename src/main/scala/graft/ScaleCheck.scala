@@ -118,7 +118,16 @@ object ScaleCheck {
     // round-14: degree-ordered triangle counting — pairs grow linearly
     // under per-copy tagging (no cross-copy bands), so the wedge join's
     // oriented fan-out bound should keep the exponent near 1
-    "q_graph_triangles")
+    "q_graph_triangles",
+    // round-14: the stored BM25 postings index — serving reads |terms|
+    // bucket directories (the corpus explode is build-only), so the
+    // serving exponent should be ~0. q_embed_ann_append is NOT here: it
+    // runs the declared stride-25 centroid config, excluded from the
+    // scale sets like its q_embed_ivfpq siblings (centroid count would
+    // grow linearly with copies); the ANN scale story is the
+    // knn_ann_sqrt_stride section, whose serving path q_embed_ann_append
+    // shares (probeIndex)
+    "q_text_bm25_stored")
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -69,6 +69,35 @@ object AnnIndex {
     IndexVersion.stamp(vecDf.sparkSession, path, markerOf(cents, cb))
   }
 
+  /** Incremental append: encode ONLY the new batch under the SAME frozen
+    * centroids/codebook and add its rows into the existing cell
+    * directories — base files are never rewritten, so ingest cost is
+    * O(batch), not O(index). The marker check is the whole safety story:
+    * appending rows encoded under RETRAINED artifacts would corrupt the
+    * tree silently (refineCentroids preserves cid ids, so every join
+    * still matches while every stored assignment is wrong — recall
+    * collapses with no error), exactly the failure [[load]] refuses;
+    * append refuses it at WRITE time, before the bad rows land.
+    * PRECONDITION (same as [[graft.ext.DedupIndex]]'s incremental
+    * contract): the batch is disjoint from the already-indexed corpus —
+    * a replayed vec_id would duplicate its row; at-least-once dedup
+    * belongs upstream. Parquet append is not atomic across files; a
+    * killed append can leave a partial batch — production ingest should
+    * append to a staging copy and swap, or replay the batch (upserts are
+    * idempotent per file only). The same pre-write repartition as
+    * [[write]] keeps one chunky file per touched cell.
+    */
+  def append(vecDf: DataFrame, cents: Seq[(Long, Seq[Double], Double)],
+             cb: Seq[Seq[Seq[Double]]], path: String): Unit = {
+    IndexVersion.check(vecDf.sparkSession, path, markerOf(cents, cb),
+      "ANN index (refusing to append rows encoded under different " +
+        "centroids/codebook than the stored tree's — the mixed tree would " +
+        "serve silently-wrong neighbors; re-encode the full index instead)")
+    Similarity.indexRows(vecDf, cents, cb)
+      .repartition(col("cid"))
+      .write.mode("append").partitionBy("cid").parquet(path)
+  }
+
   /** The partition column comes back through directory-name inference,
     * which types small cell ids as int — cast it back to long so the
     * at-rest schema is identical to the in-memory [[Similarity.indexRows]]

@@ -34,8 +34,10 @@ object Bm25 {
 
   /** Per-term BM25 contribution, 9dp-rounded for order-independent
     * summation: `idf · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))`.
+    * Shared with [[Bm25Index.search]] — one definition, so the at-rest
+    * serving path cannot drift from the declared operator's arithmetic.
     */
-  private def termScore(tf: Column, dl: Column, avgdl: Column, idf: Column): Column =
+  private[ext] def termScore(tf: Column, dl: Column, avgdl: Column, idf: Column): Column =
     round(idf * (tf * (K1 + 1.0)) /
       (tf + lit(K1) * (lit(1.0 - B) + lit(B) * dl / avgdl)), 9)
 
@@ -118,34 +120,74 @@ object Bm25 {
   /** The flagship query's search terms — words from the synthetic vocab. */
   private val Terms = Seq("vector", "stream", "window", "merge")
 
+  /** The stored-index row's term set — deliberately DIFFERENT from
+    * [[Terms]] (the index holds postings for the whole vocabulary, so it
+    * must answer any query, not the build-time one) and including a term
+    * absent from the corpus ("quantum"): an absent term has no postings
+    * row, contributes no df/idf entry, and must simply not score — the
+    * same closed-form both engines reach independently.
+    */
+  private val StoredTerms = Seq("join", "scan", "sort", "quantum")
+
+  /** One oracle for the from-scratch and the stored-index faces — the
+    * full BM25 replay from the base table, parameterized by term set.
+    * The stored index must serve EXACTLY this (idf from the stored doc
+    * count, dl/avgdl from the stored postings/meta), so the two rows
+    * share the SQL builder and cannot drift.
+    */
+  private def bm25OracleSql(terms: Seq[String], k: Int): String = {
+    val termList = terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH toks AS (SELECT doc_id, ${tokensSql("text")} AS toks FROM documents),
+       |base AS (
+       |  SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl, unnest(toks) AS t
+       |  FROM toks
+       |),
+       |stats AS (
+       |  SELECT CAST(count(*) AS DOUBLE) AS n, avg(len(toks)) AS avgdl FROM toks
+       |),
+       |tf AS (
+       |  SELECT doc_id, dl, t, CAST(count(*) AS DOUBLE) AS tf
+       |  FROM base WHERE t IN ($termList) GROUP BY doc_id, dl, t
+       |),
+       |idf AS (
+       |  SELECT t, round(ln(1.0 + (n - df + 0.5) / (df + 0.5)), 9) AS idf, avgdl
+       |  FROM (SELECT t, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY t), stats
+       |)
+       |SELECT doc_id, count(*) AS n_terms,
+       |  round(CAST(sum(CAST(round(idf * (tf * ${K1 + 1.0}) /
+       |    (tf + $K1 * (${1.0 - B} + $B * dl / avgdl)), 9) AS DECIMAL(20,9))) AS DOUBLE), 6) AS bm25
+       |FROM tf JOIN idf USING (t)
+       |GROUP BY doc_id
+       |ORDER BY bm25 DESC, doc_id LIMIT $k""".stripMargin
+  }
+
   val queries: Seq[Q] = Seq(
 
-    Q("q_text_bm25", {
-      val termList = Terms.map(t => s"'$t'").mkString(", ")
-      s"""WITH toks AS (SELECT doc_id, ${tokensSql("text")} AS toks FROM documents),
-         |base AS (
-         |  SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl, unnest(toks) AS t
-         |  FROM toks
-         |),
-         |stats AS (
-         |  SELECT CAST(count(*) AS DOUBLE) AS n, avg(len(toks)) AS avgdl FROM toks
-         |),
-         |tf AS (
-         |  SELECT doc_id, dl, t, CAST(count(*) AS DOUBLE) AS tf
-         |  FROM base WHERE t IN ($termList) GROUP BY doc_id, dl, t
-         |),
-         |idf AS (
-         |  SELECT t, round(ln(1.0 + (n - df + 0.5) / (df + 0.5)), 9) AS idf, avgdl
-         |  FROM (SELECT t, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY t), stats
-         |)
-         |SELECT doc_id, count(*) AS n_terms,
-         |  round(CAST(sum(CAST(round(idf * (tf * ${K1 + 1.0}) /
-         |    (tf + $K1 * (${1.0 - B} + $B * dl / avgdl)), 9) AS DECIMAL(20,9))) AS DOUBLE), 6) AS bm25
-         |FROM tf JOIN idf USING (t)
-         |GROUP BY doc_id
-         |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
-    }) { (s, d) =>
+    Q("q_text_bm25", bm25OracleSql(Terms, 20)) { (s, d) =>
       search(Tables.documents(s, d), Terms, 20)
+    },
+
+    // ---- BM25 served from the inverted index AT REST ----
+    // The retrieval analogue of the at-rest family (DedupIndex /
+    // SubstringIndex / AnnIndex / LmGate): a production corpus keeps its
+    // postings ON DISK — (term, doc, tf, dl) rows partitioned by
+    // pmod(xxhash64(term), B) term-buckets, plus the two frozen corpus
+    // scalars (N, avgdl) in a meta file — and a query reads only the
+    // bucket directories its own terms hash to (dynamic partition
+    // pruning via the broadcast term-set join; Bm25IndexSpec asserts it
+    // on the executed plan). Per-query work at 100 TB: b ≤ |terms|
+    // directory scans + term-bounded aggregates + one top-k — the corpus
+    // explode happens ONCE at build (write-once, memoized per
+    // JVM+dataset here), never per query; [[search]] by contrast
+    // re-tokenizes the corpus on every call. The term set differs from
+    // q_text_bm25's and includes an absent term, so the row also proves
+    // the index answers arbitrary queries, not the build-time one. The
+    // oracle replays everything from the base table.
+    Q("q_text_bm25_stored", bm25OracleSql(StoredTerms, 20)) { (s, d) =>
+      val root = StoredArtifacts.of(s"bm25-index|$d") { r =>
+        Bm25Index.write(Tables.documents(s, d), r)
+      }
+      Bm25Index.search(Bm25Index.load(s, root), StoredTerms, 20)
     }
   )
 }

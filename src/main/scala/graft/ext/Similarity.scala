@@ -600,6 +600,46 @@ object Similarity {
       s"($qv[m*$PqSub+j+1] - $rv[m*$PqSub+j+1]) * ($qv[m*$PqSub+j+1] - $rv[m*$PqSub+j+1])), " +
       s"(a, t) -> a + t)), (a, t) -> a + t)"
 
+  /** The full IVF-PQ replay (stride-25 centroids, nprobe=3, top-3) —
+    * shared by q_embed_ivfpq (the in-memory operator) and
+    * q_embed_ann_append (the at-rest tree after an incremental append):
+    * an appended index must serve EXACTLY what a from-scratch build
+    * serves, so the two rows share one oracle and cannot drift.
+    */
+  private val ivfPqOracleSql =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 25 = 0),
+       |$pqCodeSql,
+       |$reconSql,
+       |asn AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT e.vec_id, c.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cosRawSql("e.v", "c.cv")} DESC, c.cid) AS rn
+       |    FROM e, c
+       |  ) WHERE rn = 1
+       |),
+       |pc AS (
+       |  SELECT qid, cid FROM (
+       |    SELECT e.vec_id AS qid, c.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cosRawSql("e.v", "c.cv")} DESC, c.cid) AS rn
+       |    FROM e, c WHERE e.vec_id < 10
+       |  ) WHERE rn <= 3
+       |),
+       |scored AS (
+       |  SELECT p.qid, a.vec_id AS cand, ${adcSql("q.v", "r.rv")} AS adc
+       |  FROM pc p
+       |  JOIN asn a ON a.cid = p.cid AND a.vec_id <> p.qid
+       |  JOIN recon r ON r.vec_id = a.vec_id
+       |  JOIN e q ON q.vec_id = p.qid
+       |)
+       |SELECT qid, rn, cand, adc_r FROM (
+       |  SELECT qid, cand, round(adc, 6) AS adc_r,
+       |    row_number() OVER (PARTITION BY qid ORDER BY adc ASC, cand ASC) AS rn
+       |  FROM scored
+       |) WHERE rn <= 3 ORDER BY qid, rn""".stripMargin
+
   /** One unrolled Lloyd round as DuckDB CTEs — the SQL mirror of a
     * [[refineCentroids]] iteration: assign every vector to its
     * cosine-nearest centroid of `prevC`, then `newC` = per-cell
@@ -935,41 +975,42 @@ object Similarity {
     // equi-join on cid (work per probe ≈ nprobe·√N, never the corpus), and
     // are scored from packed 8-byte codes only (PqAdc). The index is one
     // projection per row (cell id + code, both codegen'd).
-    Q("q_embed_ivfpq",
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 25 = 0),
-         |$pqCodeSql,
-         |$reconSql,
-         |asn AS (
-         |  SELECT vec_id, cid FROM (
-         |    SELECT e.vec_id, c.cid,
-         |      row_number() OVER (PARTITION BY e.vec_id
-         |        ORDER BY ${cosRawSql("e.v", "c.cv")} DESC, c.cid) AS rn
-         |    FROM e, c
-         |  ) WHERE rn = 1
-         |),
-         |pc AS (
-         |  SELECT qid, cid FROM (
-         |    SELECT e.vec_id AS qid, c.cid,
-         |      row_number() OVER (PARTITION BY e.vec_id
-         |        ORDER BY ${cosRawSql("e.v", "c.cv")} DESC, c.cid) AS rn
-         |    FROM e, c WHERE e.vec_id < 10
-         |  ) WHERE rn <= 3
-         |),
-         |scored AS (
-         |  SELECT p.qid, a.vec_id AS cand, ${adcSql("q.v", "r.rv")} AS adc
-         |  FROM pc p
-         |  JOIN asn a ON a.cid = p.cid AND a.vec_id <> p.qid
-         |  JOIN recon r ON r.vec_id = a.vec_id
-         |  JOIN e q ON q.vec_id = p.qid
-         |)
-         |SELECT qid, rn, cand, adc_r FROM (
-         |  SELECT qid, cand, round(adc, 6) AS adc_r,
-         |    row_number() OVER (PARTITION BY qid ORDER BY adc ASC, cand ASC) AS rn
-         |  FROM scored
-         |) WHERE rn <= 3 ORDER BY qid, rn""".stripMargin) { (s, d) =>
+    Q("q_embed_ivfpq", ivfPqOracleSql) { (s, d) =>
       ivfPqTopK(vecs(s, d), col("vec_id") < 10,
                 centroidStride = 25, nprobe = 3, k = 3)
+        .orderBy("qid", "rn")
+    },
+
+    // ---- incremental append to the IVF-PQ index AT REST ----
+    // The index-maintenance face [[DedupIndex]] already has
+    // (q_dedup_incremental) and [[AnnIndex]] lacked: a production vector
+    // index is write-once per TRAINING (centroids + codebook frozen), but
+    // grows by BATCH — re-encoding the base corpus per arriving batch
+    // would be a full-index rewrite at every ingest. [[AnnIndex.append]]
+    // encodes ONLY the new batch under the frozen artifacts
+    // (marker-verified: appending under retrained centroids would corrupt
+    // the tree silently — every old assignment wrong, recall collapses
+    // with no error) and appends its rows into the existing cell
+    // directories; base files are never rewritten (AnnIndexSpec pins
+    // that, plus the refusal). Serving the merged tree must be
+    // INDISTINGUISHABLE from a from-scratch build over base ∪ batch —
+    // this row proves it end-to-end: the even-id half is written, the
+    // odd-id half appended, and the probe result hash-matches the SAME
+    // oracle as q_embed_ivfpq (the full-corpus replay). Cell-directory
+    // reads stay dynamic-partition-pruned on the merged tree. Build is
+    // memoized per JVM+dataset (write-once convention); timed reps
+    // measure serving.
+    Q("q_embed_ann_append", ivfPqOracleSql) { (s, d) =>
+      val v = vecs(s, d)
+      val cents = centroidSet(v, 25)
+      val cb = pqCodebook(v)
+      val root = StoredArtifacts.of(s"ann-append|$d") { r =>
+        AnnIndex.write(v.filter(col("vec_id") % 2 === 0), cents, cb, r)
+        AnnIndex.append(v.filter(col("vec_id") % 2 =!= 0), cents, cb, r)
+      }
+      AnnIndex.probe(AnnIndex.load(s, root, cents, cb),
+                     v.filter(col("vec_id") < 10), cents, cb,
+                     nprobe = 3, k = 3)
         .orderBy("qid", "rn")
     },
 

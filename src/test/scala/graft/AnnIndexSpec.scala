@@ -64,4 +64,45 @@ class AnnIndexSpec extends AnyFunSuite {
       s"expected static partition filters:\n${stPlan.take(2000)}")
     c.unpersist()
   }
+
+  test("append: write(base) + append(batch) serves exactly write(base ∪ batch)") {
+    val dir = Files.createTempDirectory("graft-annapp").toString
+    val full = Files.createTempDirectory("graft-annfull").toString
+    val c = corpus.cache()
+    val cents = Similarity.centroidSet(c, 10)
+    val cb = Similarity.pqCodebook(c)
+
+    AnnIndex.write(c.filter(col("vec_id") % 2 === 0), cents, cb, dir)
+    // base part files must survive the append untouched (ingest is
+    // O(batch), not an index rewrite)
+    def dataFiles(d: String): Set[String] = {
+      val root = new java.io.File(d)
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(root).map(_.getPath).filter(_.endsWith(".parquet")).toSet
+    }
+    val baseFiles = dataFiles(dir)
+    AnnIndex.append(c.filter(col("vec_id") % 2 =!= 0), cents, cb, dir)
+    assert(baseFiles.subsetOf(dataFiles(dir)),
+      "append rewrote base part files — ingest must be O(batch)")
+
+    // the merged tree is indistinguishable from a from-scratch build
+    AnnIndex.write(c, cents, cb, full)
+    val probeVecs = c.filter(col("vec_id") < 8)
+    val appended = AnnIndex.probe(AnnIndex.load(spark, dir, cents, cb),
+                                  probeVecs, cents, cb, nprobe = 2, k = 3)
+    val scratch = AnnIndex.probe(AnnIndex.load(spark, full, cents, cb),
+                                 probeVecs, cents, cb, nprobe = 2, k = 3)
+    assert(appended.exceptAll(scratch).isEmpty && scratch.exceptAll(appended).isEmpty,
+      "appended tree diverges from the from-scratch build")
+
+    // appending under retrained artifacts is refused BEFORE bad rows land
+    val retrained = Similarity.refineCentroids(c, cents, rounds = 1)
+    val before = dataFiles(dir)
+    val e = intercept[IllegalArgumentException](
+      AnnIndex.append(c.filter(col("vec_id") % 2 =!= 0), retrained, cb, dir))
+    assert(e.getMessage.contains("refusing to append"))
+    assert(dataFiles(dir) == before, "refused append still wrote rows")
+    c.unpersist()
+  }
 }

@@ -57,7 +57,13 @@ class PlanAuditSpec extends AnyFunSuite {
     // round 14: degree-ordered triangle counting — the wedge self-join and
     // the closing-edge probe must both stay equi-joins (the (deg, id)
     // total-order comparison rides as a post-join filter, never a BNLJ)
-    "q_graph_triangles")
+    "q_graph_triangles",
+    // round 14: the at-rest serving faces — the appended ANN tree's probe
+    // is cell equi-joins (cell selection projection-only), and the stored
+    // BM25 search is a bucket-pruned postings join + term-bounded
+    // aggregates with the frozen (n, avgdl) scalars as LITERALS: neither
+    // may plan a cartesian or BNLJ anywhere
+    "q_embed_ann_append", "q_text_bm25_stored")
   // q_text_tfidf is NOT in the no-BNLJ list: its corpus-size scalar rides a
   // 1-row broadcast cross join (the legitimate scalar-broadcast shape) —
   // covered by its own assertion below instead.
