@@ -127,7 +127,11 @@ object ScaleCheck {
     // grow linearly with copies); the ANN scale story is the
     // knn_ann_sqrt_stride section, whose serving path q_embed_ann_append
     // shares (probeIndex)
-    "q_text_bm25_stored")
+    "q_text_bm25_stored",
+    // round-14: the incremental-maintenance rows — builds (write+append)
+    // memoized per dataset; timed reps measure the pruned probe/serve
+    // over the appended trees
+    "q_dedup_index_append", "q_text_bm25_append")
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -129,6 +129,12 @@ object Bm25 {
     */
   private val StoredTerms = Seq("join", "scan", "sort", "quantum")
 
+  /** The appended-index row's term set — a third set, so the three BM25
+    * rows together pin that the index answers arbitrary queries at every
+    * lifecycle stage (fresh build, stored serve, post-append serve).
+    */
+  private val AppendTerms = Seq("hash", "batch", "filter")
+
   /** One oracle for the from-scratch and the stored-index faces — the
     * full BM25 replay from the base table, parameterized by term set.
     * The stored index must serve EXACTLY this (idf from the stored doc
@@ -188,6 +194,29 @@ object Bm25 {
         Bm25Index.write(Tables.documents(s, d), r)
       }
       Bm25Index.search(Bm25Index.load(s, root), StoredTerms, 20)
+    },
+
+    // ---- the APPENDED postings index serves the grown corpus ----
+    // Index maintenance closes the retrieval loop: a corpus grows by
+    // document batch, and re-exploding 100 TB per ingest is the cost the
+    // index exists to avoid. [[Bm25Index.append]] adds ONLY the batch's
+    // postings (new doc_ids → new (doc, term) rows; base files untouched)
+    // and folds the batch's (n, Σdl, n_dl) into the stored scalars by
+    // integer addition — bit-identical to a from-scratch rebuild below
+    // 2⁵³ total tokens, so idf/avgdl are EXACTLY the grown corpus's, not
+    // an approximation that drifts per ingest. Here the even-id half is
+    // indexed, the odd-id half appended, and a third term set is served
+    // from the merged tree; the oracle replays BM25 over the full corpus
+    // from the base table, so stale scalars, lost postings, or a
+    // double-counted batch cannot match. Serving stays statically
+    // bucket-pruned (same plan as q_text_bm25_stored).
+    Q("q_text_bm25_append", bm25OracleSql(AppendTerms, 20)) { (s, d) =>
+      val root = StoredArtifacts.of(s"bm25-append|$d") { r =>
+        val docs = Tables.documents(s, d)
+        Bm25Index.write(docs.filter(col("doc_id") % 2 === 0), r)
+        Bm25Index.append(docs.filter(col("doc_id") % 2 =!= 0), r)
+      }
+      Bm25Index.search(Bm25Index.load(s, root), AppendTerms, 20)
     }
   )
 }

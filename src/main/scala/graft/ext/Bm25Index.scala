@@ -48,11 +48,14 @@ object Bm25Index {
     */
   val Buckets = 16
 
-  /** Layout marker: v1 = `pmod(xxhash64(t), buckets)` bucketing with the
-    * fan baked into the name — a tree written under a different fan fails
-    * the name check, not just a doc-comment contract.
+  /** Layout marker: v2 = `pmod(xxhash64(t), buckets)` bucketing with the
+    * fan baked into the name, meta scalars in ADDITIVE long form
+    * (n, sum_dl, n_dl — v1 stored pre-divided doubles, which an
+    * incremental append cannot update exactly). A tree written under a
+    * different fan or meta layout fails the name check, not just a
+    * doc-comment contract.
     */
-  private[graft] def markerOf(buckets: Int): String = s"_GRAFT_BM25_1_b$buckets"
+  private[graft] def markerOf(buckets: Int): String = s"_GRAFT_BM25_2_b$buckets"
 
   /** The postings rows: whole-corpus tokenize → explode → per-(doc, term)
     * tf, with the document length denormalized onto each row (it rides
@@ -67,22 +70,76 @@ object Bm25Index {
       .withColumn("tb", pmod(xxhash64(col("t")), lit(buckets)))
   }
 
+  /** The corpus scalars, in their ADDITIVE form: total doc count (the idf
+    * numerator), the exact integer sum of document token lengths, and the
+    * count of docs contributing a length (null-text docs count toward `n`
+    * but not toward the average — the same semantics as
+    * `avg(size(tokens))`). Stored as longs so [[append]]'s update is pure
+    * integer addition — bit-identical to a from-scratch recompute at any
+    * corpus below 2⁵³ total tokens (integer sums are exact in doubles
+    * there, which is also why the from-scratch `avg` agrees with the
+    * oracle regardless of summation order).
+    */
+  private def scalars(docs: DataFrame): DataFrame =
+    docs.agg(count(lit(1)).as("n"),
+      coalesce(sum(size(tokens(col("text"))).cast("long")), lit(0L)).as("sum_dl"),
+      count(size(tokens(col("text")))).as("n_dl"))
+
   /** Build and persist: one corpus scan for the postings (the pre-write
     * repartition on the partition column is load-bearing — without it
     * every task writes a sliver into every bucket directory), one for the
-    * frozen scalars. Marker lands LAST, so a killed write is refused at
+    * additive scalars. Marker lands LAST, so a killed write is refused at
     * load (the [[LmGate]] partial-write lesson).
     */
   def write(docs: DataFrame, path: String, buckets: Int = Buckets): Unit = {
-    docs.agg(count(lit(1)).cast("double").as("n"),
-        avg(size(tokens(col("text")))).as("avgdl"))
+    scalars(docs)
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta.parquet")
     postings(docs, buckets).repartition(col("tb"))
       .write.mode("overwrite").partitionBy("tb").parquet(s"$path/postings.parquet")
     IndexVersion.stamp(docs.sparkSession, path, markerOf(buckets))
   }
 
-  /** A loaded index: the postings scan plus the frozen corpus scalars. */
+  /** Incremental append: index a batch of NEW documents into the stored
+    * tree — O(batch), base part files never rewritten. A new doc's
+    * postings rows are new (doc, term) pairs by construction, so the
+    * parquet append is exact; the corpus scalars update by integer
+    * addition of the batch's own (n, sum_dl, n_dl), which is
+    * bit-identical to a from-scratch rebuild (spec-pinned, and the
+    * declared q_text_bm25_append row proves it against the full-corpus
+    * oracle). The meta REWRITE is the ordering hazard here, not the
+    * postings append: new meta lands only after the postings rows do, so
+    * a crash between the two leaves the old scalars with extra postings —
+    * df/tf correct, idf/avgdl slightly stale — rather than scalars
+    * counting documents whose postings never landed. PRECONDITION (the
+    * [[AnnIndex.append]] contract): the batch's doc_ids are disjoint from
+    * the indexed corpus — a replayed doc would double its tf rows;
+    * at-least-once dedup belongs upstream. The marker is checked BEFORE
+    * any write, so appending into a tree bucketed under a different fan
+    * is refused before bad rows land.
+    */
+  def append(docs: DataFrame, path: String, buckets: Int = Buckets): Unit = {
+    val s = docs.sparkSession
+    IndexVersion.check(s, path, markerOf(buckets),
+      "BM25 postings index (refusing to append under a different bucket " +
+        "fan or hash than the stored tree's — the mixed tree would route " +
+        "probes to the wrong directories)")
+    postings(docs, buckets).repartition(col("tb"))
+      .write.mode("append").partitionBy("tb").parquet(s"$path/postings.parquet")
+    val old = s.read.parquet(s"$path/meta.parquet").collect()(0)
+    val b = scalars(docs).collect()(0)
+    import s.implicits._
+    Seq((old.getAs[Long]("n") + b.getAs[Long]("n"),
+         old.getAs[Long]("sum_dl") + b.getAs[Long]("sum_dl"),
+         old.getAs[Long]("n_dl") + b.getAs[Long]("n_dl")))
+      .toDF("n", "sum_dl", "n_dl")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta.parquet")
+  }
+
+  /** A loaded index: the postings scan plus the frozen corpus scalars
+    * (re-derived from their additive form: `avgdl = sum_dl / n_dl`, one
+    * double division of exact integers — the identical value Spark's
+    * `avg` and DuckDB's `avg` reach).
+    */
   final case class Index(postings: DataFrame, n: Double, avgdl: Double,
                          buckets: Int) {
     require(avgdl > 0,
@@ -102,7 +159,8 @@ object Bm25Index {
     val m = spark.read.parquet(s"$path/meta.parquet").collect()(0)
     Index(spark.read.parquet(s"$path/postings.parquet")
             .withColumn("tb", col("tb").cast("long")),
-          m.getAs[Double]("n"), m.getAs[Double]("avgdl"), buckets)
+          m.getAs[Long]("n").toDouble,
+          m.getAs[Long]("sum_dl").toDouble / m.getAs[Long]("n_dl"), buckets)
   }
 
   /** The bucket of a literal term, computed at PLAN time with the same

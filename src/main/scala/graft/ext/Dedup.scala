@@ -754,6 +754,40 @@ object Dedup {
       DedupIndex.load(s, dir)
         .groupBy("band").agg(count(lit(1)).as("n_keys"))
         .orderBy("band")
+    },
+
+    // ---- incremental index maintenance: probe an APPENDED tree ----
+    // The production dedup loop is probe → admit → APPEND the admitted
+    // batch's keys (DedupIndex.append — O(batch), base files untouched,
+    // duplicate keys across batches tolerated because probe dedupes its
+    // hits). This row drives that loop end-to-end: the %3=0 slice is the
+    // initial index, the %3=1 slice is appended (its keys legitimately
+    // overlap the stored ones wherever cross-slice near-dups exist), and
+    // the %3=2 slice probes the MERGED tree. The oracle re-derives every
+    // hit count from the base table over the union corpus — an appended
+    // tree that dropped keys, mis-bucketed them, or double-counted a
+    // twice-ingested key cannot match. Probe stays dynamic-partition-
+    // pruned (DedupIndexSpec asserts it on appended trees too).
+    Q("q_dedup_index_append", {
+      val hit = (0 until MinhashBands).map { b =>
+        s"""(CASE WHEN EXISTS (SELECT 1 FROM sigs e WHERE e.doc_id % 3 < 2
+           |  AND e.sig_${2 * b} = i.sig_${2 * b} AND e.sig_${2 * b + 1} = i.sig_${2 * b + 1})
+           |  THEN 1 ELSE 0 END)""".stripMargin
+      }.mkString(" + ")
+      s"""WITH sigs AS ($minhashSelect)
+         |SELECT doc_id, n_bands_hit FROM (
+         |  SELECT i.doc_id, CAST($hit AS BIGINT) AS n_bands_hit
+         |  FROM sigs i WHERE i.doc_id % 3 = 2
+         |) WHERE n_bands_hit > 0 ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
+      val banded = mhBandedDf(s, d).transform(CacheTracker.cached)
+      val dir = StoredArtifacts.of(s"dedup-append|$d") { r =>
+        DedupIndex.write(banded.filter(col("doc_id") % 3 === 0), r)
+        DedupIndex.append(banded.filter(col("doc_id") % 3 === 1), r)
+      }
+      DedupIndex.probe(DedupIndex.load(s, dir),
+                       banded.filter(col("doc_id") % 3 === 2))
+        .orderBy("doc_id")
     }
   )
 

@@ -71,6 +71,33 @@ object DedupIndex {
     IndexVersion.stamp(banded.sparkSession, path, BucketingMarker)
   }
 
+  /** Incremental append: fold a new batch's band keys into the stored
+    * tree — O(batch), base part files never rewritten (the ingest loop a
+    * production dedup pipeline runs after each probe-admit). The batch's
+    * keys are deduped WITHIN the batch ([[indexRows]] is distinct), but a
+    * key the stored tree already holds is appended AGAIN rather than
+    * anti-joined away: the anti-join would cost an index-side shuffle per
+    * ingest (O(index), exactly what append exists to avoid), while the
+    * duplicate is harmless — [[probe]] dedupes its (doc, band, key) hits
+    * before counting (spec-pinned), so hit counts are identical on an
+    * appended tree and a from-scratch rebuild. Storage growth from
+    * cross-batch duplicate keys is bounded by the duplicate RATE of
+    * ingested batches; a periodic compaction is a [[write]] of the
+    * loaded tree (the snapshot-sink rebuild discipline). The marker is
+    * checked BEFORE any write — appending keys bucketed under a
+    * different derivation would scatter them into directories probes
+    * never read.
+    */
+  def append(batchBanded: DataFrame, path: String, buckets: Int = Buckets): Unit = {
+    IndexVersion.check(batchBanded.sparkSession, path, BucketingMarker,
+      "dedup band index (refusing to append keys bucketed under a " +
+        "different derivation than the stored tree's — they would land " +
+        "in directories probes never read, silently admitting duplicates)")
+    indexRows(batchBanded, buckets).repartition(col("band"), col("bucket"))
+      .write.mode("append")
+      .partitionBy("band", "bucket").parquet(path)
+  }
+
   /** Partition columns come back through directory-name inference — pin
     * them to int so the at-rest schema matches [[indexRows]] exactly
     * (same rule as [[AnnIndex.load]]).
@@ -87,9 +114,12 @@ object DedupIndex {
     * a near-dup of something already ingested. The batch is broadcast
     * (incremental batches are small by definition); the index side is
     * the partitioned scan that dynamic partition pruning restricts to
-    * the batch's (band, bucket) directories. The index rows are
-    * distinct, so the join cannot fan out and the count IS the number of
-    * bands hit.
+    * the batch's (band, bucket) directories. A probe doc holds ONE key
+    * per band, so the distinct hit count IS the number of bands hit —
+    * the dropDuplicates (over the probe-bounded join output, metadata-
+    * scale) makes the count exact on APPENDED trees too, where a key
+    * ingested by two batches legitimately exists twice
+    * (see [[append]]).
     */
   def probe(index: DataFrame, batchBanded: DataFrame,
             buckets: Int = Buckets): DataFrame = {
@@ -98,6 +128,7 @@ object DedupIndex {
               col("key.k1").as("k1"), col("key.k2").as("k2"))
       .withColumn("bucket", pmod(hash(col("k1"), col("k2")), lit(buckets)))
     index.join(broadcast(batch), Seq("band", "bucket", "k1", "k2"))
+      .select(col("doc_id"), col("band"), col("k1"), col("k2")).dropDuplicates()
       .groupBy("doc_id").agg(count(lit(1)).as("n_bands_hit"))
   }
 

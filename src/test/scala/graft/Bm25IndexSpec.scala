@@ -74,4 +74,49 @@ class Bm25IndexSpec extends AnyFunSuite {
     val idx = Bm25Index.load(spark, dir)
     assert(Bm25Index.search(idx, Seq("qqq_nope", "zzz_absent"), 5).count() == 0)
   }
+
+  test("append: write(base) + append(batch) serves exactly write(base ∪ batch)") {
+    val dir = Files.createTempDirectory("graft-bm25app").toString
+    val full = Files.createTempDirectory("graft-bm25full").toString
+    val d = docs.cache()
+    Bm25Index.write(d.filter(col("doc_id") % 2 === 0), dir)
+
+    // base part files survive the append untouched — ingest is O(batch)
+    def dataFiles(p: String): Set[String] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(s"$p/postings.parquet"))
+        .map(_.getPath).filter(_.endsWith(".parquet")).toSet
+    }
+    val baseFiles = dataFiles(dir)
+    Bm25Index.append(d.filter(col("doc_id") % 2 =!= 0), dir)
+    assert(baseFiles.subsetOf(dataFiles(dir)),
+      "append rewrote base postings files — ingest must be O(batch)")
+
+    // the merged tree's scalars and scores are bit-identical to a
+    // from-scratch build over the union (additive integer scalars)
+    Bm25Index.write(d, full)
+    val appended = Bm25Index.load(spark, dir)
+    val scratch = Bm25Index.load(spark, full)
+    assert(appended.n == scratch.n && appended.avgdl == scratch.avgdl,
+      s"appended scalars (${appended.n}, ${appended.avgdl}) != " +
+        s"from-scratch (${scratch.n}, ${scratch.avgdl})")
+    val terms = Seq("hash", "batch", "filter")
+    val a = Bm25Index.search(appended, terms, 20)
+    val f = Bm25Index.search(scratch, terms, 20)
+    assert(a.exceptAll(f).isEmpty && f.exceptAll(a).isEmpty,
+      "appended-tree search diverges from the from-scratch build")
+    // ... and from the from-scratch OPERATOR over the union corpus
+    val op = Bm25.search(d, terms, 20)
+    assert(a.exceptAll(op).isEmpty && op.exceptAll(a).isEmpty,
+      "appended-tree search diverges from Bm25.search")
+
+    // appending under a mismatched fan is refused BEFORE rows land
+    val before = dataFiles(dir)
+    val e = intercept[IllegalArgumentException](
+      Bm25Index.append(d, dir, buckets = 32))
+    assert(e.getMessage.contains("refusing to append"))
+    assert(dataFiles(dir) == before, "refused append still wrote rows")
+    d.unpersist()
+  }
 }

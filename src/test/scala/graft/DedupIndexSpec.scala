@@ -59,4 +59,51 @@ class DedupIndexSpec extends AnyFunSuite {
         s"expected static partition filters on band:\n${stPlan.take(2000)}")
     } finally { banded.unpersist(); () }
   }
+
+  test("append: probing the appended tree equals a from-scratch rebuild, even with duplicate keys") {
+    val banded = Dedup.mhBandedDf(spark, sf).cache()
+    try {
+      val dir = Files.createTempDirectory("graft-dedupapp").toString
+      val full = Files.createTempDirectory("graft-dedupfull").toString
+      val a = banded.filter(col("doc_id") % 3 === 0)
+      val b = banded.filter(col("doc_id") % 3 === 1)
+      val probe = banded.filter(col("doc_id") % 3 === 2)
+
+      DedupIndex.write(a, dir)
+      def dataFiles(p: String): Set[String] = {
+        def walk(f: java.io.File): Seq[java.io.File] =
+          if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+        walk(new java.io.File(p)).map(_.getPath).filter(_.endsWith(".parquet")).toSet
+      }
+      val baseFiles = dataFiles(dir)
+      // append the SECOND slice TWICE: an at-least-once replay plants
+      // guaranteed duplicate keys in the tree — probe must still count
+      // each hit band once
+      DedupIndex.append(b, dir)
+      DedupIndex.append(b, dir)
+      assert(baseFiles.subsetOf(dataFiles(dir)),
+        "append rewrote base part files — ingest must be O(batch)")
+
+      DedupIndex.write(a.unionByName(b), full)
+      val appended = DedupIndex.probe(DedupIndex.load(spark, dir), probe)
+      val scratch = DedupIndex.probe(DedupIndex.load(spark, full), probe)
+      assert(appended.exceptAll(scratch).isEmpty && scratch.exceptAll(appended).isEmpty,
+        "appended-tree probe diverges from the from-scratch rebuild")
+
+      // pruning survives the append: the probe join still plants a
+      // runtime partition filter on the (now multi-file) index scan
+      val plan = {
+        val df = DedupIndex.probe(DedupIndex.load(spark, dir), probe)
+        df.collect()
+        df.queryExecution.executedPlan.toString
+      }
+      assert(plan.contains("dynamicpruning"),
+        s"appended tree lost dynamic partition pruning:\n${plan.take(2000)}")
+
+      // appending into an unstamped dir is refused before rows land
+      val bare = Files.createTempDirectory("graft-dedupbare").toString
+      val e = intercept[IllegalArgumentException](DedupIndex.append(b, bare))
+      assert(e.getMessage.contains("refusing to append"))
+    } finally { banded.unpersist(); () }
+  }
 }

@@ -62,8 +62,11 @@ class PlanAuditSpec extends AnyFunSuite {
     // is cell equi-joins (cell selection projection-only), and the stored
     // BM25 search is a bucket-pruned postings join + term-bounded
     // aggregates with the frozen (n, avgdl) scalars as LITERALS: neither
-    // may plan a cartesian or BNLJ anywhere
-    "q_embed_ann_append", "q_text_bm25_stored")
+    // may plan a cartesian or BNLJ anywhere. Same audit for the two
+    // incremental-maintenance rows (appended band index probe; appended
+    // postings tree serve)
+    "q_embed_ann_append", "q_text_bm25_stored",
+    "q_dedup_index_append", "q_text_bm25_append")
   // q_text_tfidf is NOT in the no-BNLJ list: its corpus-size scalar rides a
   // 1-row broadcast cross join (the legitimate scalar-broadcast shape) —
   // covered by its own assertion below instead.
