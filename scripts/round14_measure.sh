@@ -14,11 +14,11 @@ mkdir -p /tmp/r14m
 # r13's heavy set + the round-14 additions (pmi/kneser: vocab-bounded
 # joins over the full explode; the stored-serving faces ride memoized
 # artifact builds; triangles ride the LSH pair graph)
-TEN_X_QUERIES="q_dedup_jaccard,q_dedup_clusters,q_dedup_corpus,q_dedup_editdist,q_dedup_incremental,q_dedup_index_build,q_dedup_substring,q_dedup_substring_cut,q_dedup_substring_profile,q_text_decontam_spans,q_text_decontam_trim,q_text_bloom_decontam,q_text_contamination,q_text_classifier,q_text_fingerprint,q_curation_report,q_sample_dsir,q_sample_quality_budget,q_graph_pagerank,q_embed_mmr,q_text_bpe_apply,q_text_bpe_encode,q_text_bpe_batched,q_text_dup_ngrams,q_text_lm_smoothed,q_text_ppl_buckets,q_text_bpe_stats,q_text_lm_score,q_text_ppl_capped,q_text_bpe_decode,q_curation_stored,q_events_cdc_apply,q_layout_bucketed,q_shuffle_epoch,q_shard_token_balanced,q_multimodal_dedup,q_text_pmi,q_text_lm_kneser,q_text_lm_kneser_served,q_sample_curriculum_stored,q_shard_stored,q_events_cdc_snapshot,q_graph_triangles,q_text_bm25_stored,q_dedup_index_append,q_text_bm25_append"
+TEN_X_QUERIES="q_dedup_jaccard,q_dedup_clusters,q_dedup_corpus,q_dedup_editdist,q_dedup_incremental,q_dedup_index_build,q_dedup_substring,q_dedup_substring_cut,q_dedup_substring_profile,q_text_decontam_spans,q_text_decontam_trim,q_text_bloom_decontam,q_text_contamination,q_text_classifier,q_text_fingerprint,q_curation_report,q_sample_dsir,q_sample_quality_budget,q_graph_pagerank,q_embed_mmr,q_text_bpe_apply,q_text_bpe_encode,q_text_bpe_batched,q_text_dup_ngrams,q_text_lm_smoothed,q_text_ppl_buckets,q_text_bpe_stats,q_text_lm_score,q_text_ppl_capped,q_text_bpe_decode,q_curation_stored,q_events_cdc_apply,q_layout_bucketed,q_shuffle_epoch,q_shard_token_balanced,q_multimodal_dedup,q_text_pmi,q_text_lm_kneser,q_text_lm_kneser_served,q_sample_curriculum_stored,q_shard_stored,q_events_cdc_snapshot,q_graph_triangles,q_text_bm25_stored,q_dedup_index_append,q_text_bm25_append,q_text_decontam_stored"
 
 # the round-14 additions (carried sections keep their earlier
 # measured_at_round tags)
-R14_SCALE="q_text_pmi,q_text_lm_kneser,q_text_lm_kneser_served,q_sample_curriculum_stored,q_shard_stored,q_events_cdc_snapshot,q_graph_triangles,q_text_bm25_stored,q_dedup_index_append,q_text_bm25_append"
+R14_SCALE="q_text_pmi,q_text_lm_kneser,q_text_lm_kneser_served,q_sample_curriculum_stored,q_shard_stored,q_events_cdc_snapshot,q_graph_triangles,q_text_bm25_stored,q_dedup_index_append,q_text_bm25_append,q_text_decontam_stored"
 
 case "${1:-all}" in
   bench)

@@ -130,8 +130,10 @@ object ScaleCheck {
     "q_text_bm25_stored",
     // round-14: the incremental-maintenance rows — builds (write+append)
     // memoized per dataset; timed reps measure the pruned probe/serve
-    // over the appended trees
-    "q_dedup_index_append", "q_text_bm25_append")
+    // over the appended trees. decontam_stored's probe batch is the %7
+    // slice (grows with the corpus), so its exponent is the pruned-probe
+    // class of substr_index, not ~0
+    "q_dedup_index_append", "q_text_bm25_append", "q_text_decontam_stored")
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -384,6 +384,32 @@ object SubstringDedup {
        |),
        |hits AS (SELECT c.doc_id, c.pos FROM cpos c WHERE c.h IN (SELECT h FROM ppos))""".stripMargin
 
+  /** The OPPOSITE probe direction to [[decontamHitsCtes]]: positions in
+    * the INCOMING batch (doc_id % 7 = 0) whose window hash exists in the
+    * ingested corpus (doc_id % 7 ≠ 0) — the admission-time contract
+    * [[graft.ext.SubstringIndex.probe]] serves (cut the overlap out of a
+    * new batch BEFORE it enters the corpus), where decontamHitsCtes is
+    * the training-side cut. Shared by q_text_decontam_stored so the
+    * oracle replays the whole thing from the base table while the Spark
+    * face serves from the appended at-rest tree.
+    */
+  private def admissionHitsCtes(k: Int): String =
+    s"""chash AS (
+       |  SELECT DISTINCT md5(substr(d.text, t.i::int, $k)) AS h
+       |  FROM documents d
+       |  JOIN generate_series(1, $OracleMaxLen) t(i)
+       |    ON t.i <= length(d.text) - $k + 1
+       |  WHERE d.doc_id % 7 <> 0
+       |),
+       |bpos AS (
+       |  SELECT d.doc_id, t.i AS pos, md5(substr(d.text, t.i::int, $k)) AS h
+       |  FROM documents d
+       |  JOIN generate_series(1, $OracleMaxLen) t(i)
+       |    ON t.i <= length(d.text) - $k + 1
+       |  WHERE d.doc_id % 7 = 0
+       |),
+       |hits AS (SELECT b.doc_id, b.pos FROM bpos b WHERE b.h IN (SELECT h FROM chash))""".stripMargin
+
   /** flagged→grp→spans island-merge CTEs (expects a `hits(doc_id, pos)`
     * CTE upstream) — the SQL mirror of [[mergeSpans]].
     */
@@ -473,6 +499,39 @@ object SubstringDedup {
       crossCorpusSpans(
         docs.filter(col("doc_id") % 7 =!= 0),
         docs.filter(col("doc_id") % 7 === 0))
+        .orderBy("doc_id", "span_start")
+    },
+
+    // ---- admission-time decontam served from the APPENDED window index ----
+    // The fourth at-rest index gets the same lifecycle row as the other
+    // three: the ingested corpus (doc_id % 7 ≠ 0) lives ON DISK as the
+    // SubstringIndex window-hash tree — its even half written, its odd
+    // half INCREMENTALLY APPENDED (SubstringIndex.append: O(batch),
+    // base files untouched, marker-refused under a mismatched
+    // (k, sample, buckets) layout) — and an incoming batch (doc_id % 7
+    // = 0) is probed against the merged tree: every verbatim ≥K-char
+    // overlap with the stored corpus comes back as a maximal span to cut
+    // BEFORE admission. Span merging is min/max aggregation over hit
+    // positions, so keys the two ingest halves share cannot double-count
+    // (the double-append case is spec-pinned). The oracle replays the
+    // window hashing, the corpus membership, and the island merge from
+    // the base table — a tree that lost appended windows, mis-bucketed
+    // them, or served stale layout would miss or invent spans. Build is
+    // memoized per JVM+dataset (write-once convention); timed reps
+    // measure the pruned probe.
+    Q("q_text_decontam_stored",
+      s"""WITH ${admissionHitsCtes(K)},
+         |${mergeSqlCtes(K)}
+         |SELECT doc_id, span_start, span_end FROM spans
+         |ORDER BY doc_id, span_start""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val corpus = docs.filter(col("doc_id") % 7 =!= 0)
+      val root = StoredArtifacts.of(s"substr-append|$d") { r =>
+        SubstringIndex.write(corpus.filter(col("doc_id") % 2 === 0), r)
+        SubstringIndex.append(corpus.filter(col("doc_id") % 2 =!= 0), r)
+      }
+      SubstringIndex.probe(SubstringIndex.load(s, root),
+                           docs.filter(col("doc_id") % 7 === 0))
         .orderBy("doc_id", "span_start")
     },
 

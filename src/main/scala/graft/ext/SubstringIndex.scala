@@ -99,6 +99,31 @@ object SubstringIndex {
     IndexVersion.stamp(docs.sparkSession, path, markerOf(k, sample, buckets))
   }
 
+  /** Incremental append: fold a new corpus batch's window hashes into the
+    * stored tree — O(batch) ingest, base part files never rewritten (the
+    * same maintenance face [[DedupIndex.append]]/[[AnnIndex.append]]/
+    * [[Bm25Index.append]] give the other three at-rest indexes). Keys the
+    * stored tree already holds are appended again rather than anti-joined
+    * away (the anti-join would cost an index-side shuffle per ingest);
+    * the duplicate is harmless for [[probe]]'s OUTPUT because span
+    * merging is min/max aggregation over hit positions — a position hit
+    * via two index rows lands in the same island and the same span
+    * (pinned by a double-append in SubstringIndexSpec). The marker check
+    * runs BEFORE any write: appending windows derived under a different
+    * (k, sample, buckets) layout would scatter them into directories
+    * probes never read.
+    */
+  def append(docs: DataFrame, path: String, k: Int = SubstringDedup.K,
+             sample: Int = 1, buckets: Int = Buckets): Unit = {
+    IndexVersion.check(docs.sparkSession, path, markerOf(k, sample, buckets),
+      s"substring index (refusing to append windows derived under layout " +
+        s"k=$k sample=$sample buckets=$buckets into a tree stamped " +
+        "otherwise — probes would silently miss them)")
+    indexRows(docs, k, sample, buckets)
+      .repartition(col("bucket"))
+      .write.mode("append").partitionBy("bucket").parquet(path)
+  }
+
   /** Partition columns come back through directory-name inference — pin
     * bucket to int so the at-rest schema matches [[indexRows]] exactly.
     * Fails loudly on a tree without the current [[BucketingMarker]]: a

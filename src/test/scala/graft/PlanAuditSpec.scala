@@ -66,7 +66,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // incremental-maintenance rows (appended band index probe; appended
     // postings tree serve)
     "q_embed_ann_append", "q_text_bm25_stored",
-    "q_dedup_index_append", "q_text_bm25_append")
+    "q_dedup_index_append", "q_text_bm25_append",
+    // round 14: admission-time decontam from the appended window index —
+    // a bucket equi-join probe + window island merge, no NLJ anywhere
+    "q_text_decontam_stored")
   // q_text_tfidf is NOT in the no-BNLJ list: its corpus-size scalar rides a
   // 1-row broadcast cross join (the legitimate scalar-broadcast shape) —
   // covered by its own assertion below instead.

@@ -48,6 +48,44 @@ class SubstringIndexSpec extends AnyFunSuite {
       s"expected dynamic partition pruning on the index scan:\n${dpPlan.take(2000)}")
   }
 
+  test("append: probing the appended tree equals a from-scratch rebuild, double-append safe") {
+    val docs = Tables.documents(spark, sf)
+    val corpus = docs.filter(col("doc_id") % 7 =!= 0)
+    val batch = docs.filter(col("doc_id") % 7 === 0)
+    val dir = Files.createTempDirectory("graft-subapp").toString
+    val full = Files.createTempDirectory("graft-subfull").toString
+
+    val a = corpus.filter(col("doc_id") % 2 === 0)
+    val b = corpus.filter(col("doc_id") % 2 =!= 0)
+    SubstringIndex.write(a, dir)
+    def dataFiles(p: String): Set[String] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(p)).map(_.getPath).filter(_.endsWith(".parquet")).toSet
+    }
+    val baseFiles = dataFiles(dir)
+    // append the second half TWICE — the at-least-once replay plants
+    // guaranteed duplicate window keys; span output must not change
+    SubstringIndex.append(b, dir)
+    SubstringIndex.append(b, dir)
+    assert(baseFiles.subsetOf(dataFiles(dir)),
+      "append rewrote base part files — ingest must be O(batch)")
+
+    SubstringIndex.write(corpus, full)
+    val appended = SubstringIndex.probe(SubstringIndex.load(spark, dir), batch)
+    val scratch = SubstringIndex.probe(SubstringIndex.load(spark, full), batch)
+    assert(appended.exceptAll(scratch).isEmpty && scratch.exceptAll(appended).isEmpty,
+      "appended-tree probe diverges from the from-scratch rebuild")
+    assert(appended.count() > 0, "fixture produced no spans — vacuous parity")
+
+    // appending under a mismatched layout is refused before rows land
+    val before = dataFiles(dir)
+    val e = intercept[IllegalArgumentException](
+      SubstringIndex.append(b, dir, sample = 4))
+    assert(e.getMessage.contains("refusing to append"))
+    assert(dataFiles(dir) == before, "refused append still wrote rows")
+  }
+
   test("sampled mode: index and probe stay consistent (content-defined both sides)") {
     val docs = Tables.documents(spark, sf)
     val corpus = docs.filter(col("doc_id") % 7 =!= 0)
