@@ -384,6 +384,19 @@ object SubstringDedup {
        |),
        |hits AS (SELECT c.doc_id, c.pos FROM cpos c WHERE c.h IN (SELECT h FROM ppos))""".stripMargin
 
+  /** The incoming-batch id bound for q_text_decontam_stored: a NO-OP at
+    * every testdata scale (all base doc_ids are far below it) and exactly
+    * one synthesis copy under ScaleCheck's per-copy 1e7 doc_id offset —
+    * so the scale instrument grows the INDEX while the probe batch stays
+    * the production-shaped bounded ingest slice. An admission batch is
+    * bounded by ingest cadence, never by corpus size: letting it grow
+    * with the corpus at 100× both mis-models the operation AND breaks
+    * the probe's broadcast contract (the DPP subquery collects the
+    * batch's windows — a 100×-grown batch OOMs the driver, found live at
+    * the 100-copy synthesis).
+    */
+  private val BatchIdBound = 10000000L
+
   /** The OPPOSITE probe direction to [[decontamHitsCtes]]: positions in
     * the INCOMING batch (doc_id % 7 = 0) whose window hash exists in the
     * ingested corpus (doc_id % 7 ≠ 0) — the admission-time contract
@@ -406,7 +419,7 @@ object SubstringDedup {
        |  FROM documents d
        |  JOIN generate_series(1, $OracleMaxLen) t(i)
        |    ON t.i <= length(d.text) - $k + 1
-       |  WHERE d.doc_id % 7 = 0
+       |  WHERE d.doc_id % 7 = 0 AND d.doc_id < $BatchIdBound
        |),
        |hits AS (SELECT b.doc_id, b.pos FROM bpos b WHERE b.h IN (SELECT h FROM chash))""".stripMargin
 
@@ -530,8 +543,12 @@ object SubstringDedup {
         SubstringIndex.write(corpus.filter(col("doc_id") % 2 === 0), r)
         SubstringIndex.append(corpus.filter(col("doc_id") % 2 =!= 0), r)
       }
+      // the BatchIdBound keeps the probe batch production-shaped (bounded
+      // ingest slice) while ScaleCheck grows the index — a no-op at every
+      // testdata scale, see the constant's doc
       SubstringIndex.probe(SubstringIndex.load(s, root),
-                           docs.filter(col("doc_id") % 7 === 0))
+                           docs.filter(col("doc_id") % 7 === 0 &&
+                                       col("doc_id") < BatchIdBound))
         .orderBy("doc_id", "span_start")
     },
 

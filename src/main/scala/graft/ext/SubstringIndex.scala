@@ -143,15 +143,23 @@ object SubstringIndex {
     * `SubstringDedup.crossCorpusSpans(batch, corpusDocs)`, but the corpus
     * side is the partition-pruned stored scan instead of a re-scan.
     * Incremental batches are small by definition, so their window hashes
-    * broadcast.
+    * broadcast — the broadcast is also what plants the dynamic partition
+    * filter on the stored scan. `broadcastBatch = false` is the escape
+    * hatch for a probe that is NOT a bounded ingest batch (a backfill
+    * re-check of a corpus-sized slice): the forced broadcast would
+    * otherwise collect the batch's full window set on the driver (the
+    * DPP subquery materializes the build side — OOM at corpus scale,
+    * observed live at a 100× synthesis) — the shuffle join trades the
+    * pruning away, which is the honest cost model once the batch's
+    * window count exceeds the bucket fan anyway (see the class doc).
     */
   def probe(index: DataFrame, batch: DataFrame, k: Int = SubstringDedup.K,
             sample: Int = 1, buckets: Int = Buckets,
-            mergeGap: Int = -1): DataFrame = {
+            mergeGap: Int = -1, broadcastBatch: Boolean = true): DataFrame = {
     val gap = SubstringDedup.resolvedGap(mergeGap, k, sample)
     val bw = withBucket(SubstringDedup.windowHashes(batch, k, sample), buckets)
     val hits = index
-      .join(broadcast(bw), Seq("bucket", "h1", "h2"))
+      .join(if (broadcastBatch) broadcast(bw) else bw, Seq("bucket", "h1", "h2"))
       .select("doc_id", "pos")
     SubstringDedup.mergeSpans(hits, k, gap)
   }
