@@ -82,9 +82,9 @@ object AnnIndex {
     * contract): the batch is disjoint from the already-indexed corpus —
     * a replayed vec_id would duplicate its row; at-least-once dedup
     * belongs upstream. Parquet append is not atomic across files; a
-    * killed append can leave a partial batch — production ingest should
-    * append to a staging copy and swap, or replay the batch (upserts are
-    * idempotent per file only). The same pre-write repartition as
+    * killed append can leave a partial batch — replay the batch after a
+    * rebuild, or use [[appendSwapped]] (the staging-copy-and-swap
+    * variant: atomic, at O(index) rewrite cost). The same pre-write repartition as
     * [[write]] keeps one chunky file per touched cell.
     */
   def append(vecDf: DataFrame, cents: Seq[(Long, Seq[Double], Double)],
@@ -98,6 +98,50 @@ object AnnIndex {
       .write.mode("append").partitionBy("cid").parquet(path)
   }
 
+  /** The staging-copy-and-swap append the plain [[append]]'s partial-batch
+    * note prescribes for production ingest: the merged tree (stored rows ∪
+    * the batch encoded under the SAME frozen artifacts — marker-refused
+    * otherwise, via [[load]]) is written to a staging root, stamped, and
+    * atomically promoted over the live one ([[IndexMaintenance]]). A kill
+    * at ANY point leaves either the pre-append or the post-append tree
+    * complete — never the partial batch a killed parquet `mode("append")`
+    * strands — and the stranded retire state self-heals at the next load.
+    * The price is the honest one: this is an O(index) rewrite per ingest
+    * (it is also a compaction — every cell collapses to one chunky file),
+    * vs [[append]]'s O(batch) with replay-on-crash. Pick by cadence:
+    * frequent small batches → [[append]] + periodic [[compact]]; rare
+    * large folds or crash-intolerant serving → this.
+    */
+  def appendSwapped(vecDf: DataFrame, cents: Seq[(Long, Seq[Double], Double)],
+                    cb: Seq[Seq[Seq[Double]]], path: String): Unit = {
+    val s = vecDf.sparkSession
+    val merged = load(s, path, cents, cb)
+      .unionByName(Similarity.indexRows(vecDf, cents, cb))
+    IndexMaintenance.swapTree(s, path) { staging =>
+      merged.repartition(col("cid"))
+        .write.partitionBy("cid").parquet(staging)
+      IndexVersion.stamp(s, staging, markerOf(cents, cb))
+    }
+  }
+
+  /** Collapse the accumulated [[append]] part files — after K appends a
+    * touched cell directory holds K files — back to one chunky file per
+    * cell: the same crash-safe tree swap as [[appendSwapped]] with no new
+    * rows. (No distinct: index rows are unique per vec_id by the append
+    * precondition, and collapsing coincidental duplicates here would
+    * silently bless a violated one.)
+    */
+  def compact(spark: SparkSession, path: String,
+              cents: Seq[(Long, Seq[Double], Double)],
+              cb: Seq[Seq[Seq[Double]]]): Unit = {
+    val rows = load(spark, path, cents, cb)
+    IndexMaintenance.swapTree(spark, path) { staging =>
+      rows.repartition(col("cid"))
+        .write.partitionBy("cid").parquet(staging)
+      IndexVersion.stamp(spark, staging, markerOf(cents, cb))
+    }
+  }
+
   /** The partition column comes back through directory-name inference,
     * which types small cell ids as int — cast it back to long so the
     * at-rest schema is identical to the in-memory [[Similarity.indexRows]]
@@ -106,6 +150,7 @@ object AnnIndex {
   def load(spark: SparkSession, path: String,
            cents: Seq[(Long, Seq[Double], Double)],
            cb: Seq[Seq[Seq[Double]]]): DataFrame = {
+    IndexMaintenance.heal(spark, path)
     IndexVersion.check(spark, path, markerOf(cents, cb),
       "ANN index (the stored rows were encoded under different centroids/" +
         "codebook than the ones passed — re-encode the index)")

@@ -135,6 +135,11 @@ object Bm25 {
     */
   private val AppendTerms = Seq("hash", "batch", "filter")
 
+  /** The maintenance row's term set — a fourth, completing the lifecycle
+    * coverage (build / stored / appended / compacted+rebucketed).
+    */
+  private val MaintTerms = Seq("column", "query", "table")
+
   /** One oracle for the from-scratch and the stored-index faces — the
     * full BM25 replay from the base table, parameterized by term set.
     * The stored index must serve EXACTLY this (idf from the stored doc
@@ -217,6 +222,28 @@ object Bm25 {
         Bm25Index.append(docs.filter(col("doc_id") % 2 =!= 0), r)
       }
       Bm25Index.search(Bm25Index.load(s, root), AppendTerms, 20)
+    },
+
+    // ---- the COMPACTED + FAN-MIGRATED postings tree serves unchanged ----
+    // The maintenance half of the lifecycle, driver-verified: after the
+    // same write → append sequence as q_text_bm25_append the tree is
+    // compacted (one chunky file per bucket again) and rebucketed 16 → 8
+    // — a DOWN-migration, so every posting provably moves to a directory
+    // a 16-fan probe would never read: serving at the old fan is
+    // marker-refused (IndexMaintenanceSpec), serving at the new fan must
+    // hash-match the same full-corpus oracle as the append row, on a
+    // fourth term set. Meta scalars ride the swap verbatim; pruning stays
+    // static (`tb IN` literals computed at the new fan).
+    Q("q_text_bm25_maint", bm25OracleSql(MaintTerms, 20)) { (s, d) =>
+      val root = StoredArtifacts.of(s"bm25-maint|$d") { r =>
+        val docs = Tables.documents(s, d)
+        Bm25Index.write(docs.filter(col("doc_id") % 2 === 0), r)
+        Bm25Index.append(docs.filter(col("doc_id") % 2 =!= 0), r)
+        Bm25Index.compact(s, r)
+        Bm25Index.rebucket(s, r, Bm25Index.Buckets, Bm25Index.Buckets / 2)
+      }
+      Bm25Index.search(Bm25Index.load(s, root, Bm25Index.Buckets / 2),
+        MaintTerms, 20)
     }
   )
 }

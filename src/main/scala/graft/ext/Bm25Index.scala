@@ -1,5 +1,6 @@
 package graft.ext
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -88,15 +89,36 @@ object Bm25Index {
   /** Build and persist: one corpus scan for the postings (the pre-write
     * repartition on the partition column is load-bearing — without it
     * every task writes a sliver into every bucket directory), one for the
-    * additive scalars. Marker lands LAST, so a killed write is refused at
-    * load (the [[LmGate]] partial-write lesson).
+    * additive scalars. Any PREVIOUS marker is deleted FIRST and the fresh
+    * one lands LAST: a rebuild over an already-stamped tree therefore has
+    * no window where a kill leaves new scalars + old postings (or a
+    * mixed-fan tree) under a still-valid marker — from unstamp to stamp
+    * the tree is refused at load, the same loud stance as a killed first
+    * write (the [[LmGate]] partial-write lesson). In-place rebuilds still
+    * lose availability for their duration; a production rebuild that must
+    * stay serveable should target a fresh directory and swap
+    * ([[rebucket]] with the same fan IS that, via [[IndexMaintenance]]).
     */
   def write(docs: DataFrame, path: String, buckets: Int = Buckets): Unit = {
+    unstamp(docs.sparkSession, path)
     scalars(docs)
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta.parquet")
     postings(docs, buckets).repartition(col("tb"))
       .write.mode("overwrite").partitionBy("tb").parquet(s"$path/postings.parquet")
     IndexVersion.stamp(docs.sparkSession, path, markerOf(buckets))
+  }
+
+  /** Remove EVERY `_GRAFT_BM25_*` marker at `path` — not just the current
+    * fan's: a rebuild under fan 8 over a fan-16 tree that only stamped its
+    * own marker would leave the stale `…_b16` one valid, and a later
+    * `load(path, 16)` would pass the check while every probe reads the
+    * wrong directories (the exact silent-miss class the marker exists to
+    * refuse). Glob-delete closes it.
+    */
+  private def unstamp(spark: SparkSession, path: String): Unit = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stale = fs.globStatus(new Path(path, "_GRAFT_BM25_*"))
+    if (stale != null) stale.foreach(st => fs.delete(st.getPath, false))
   }
 
   /** Incremental append: index a batch of NEW documents into the stored
@@ -109,30 +131,174 @@ object Bm25Index {
     * oracle). The meta REWRITE is the ordering hazard here, not the
     * postings append: new meta lands only after the postings rows do, so
     * a crash between the two leaves the old scalars with extra postings —
-    * df/tf correct, idf/avgdl slightly stale — rather than scalars
-    * counting documents whose postings never landed. PRECONDITION (the
-    * [[AnnIndex.append]] contract): the batch's doc_ids are disjoint from
-    * the indexed corpus — a replayed doc would double its tf rows;
-    * at-least-once dedup belongs upstream. The marker is checked BEFORE
-    * any write, so appending into a tree bucketed under a different fan
-    * is refused before bad rows land.
+    * df/tf correct, idf/avgdl slightly stale, and [[fsck]] detects and
+    * repairs exactly that state from the postings tree; the meta commit
+    * itself is the staging+rename swap of [[appendMeta]], never a
+    * delete-then-write. SINGLE WRITER per tree (see [[appendMeta]]).
+    * PRECONDITION (the [[AnnIndex.append]] contract): the batch's doc_ids
+    * are disjoint from the indexed corpus — a replayed doc would double
+    * its tf rows; at-least-once dedup belongs upstream. The marker is
+    * checked BEFORE any write, so appending into a tree bucketed under a
+    * different fan is refused before bad rows land.
     */
   def append(docs: DataFrame, path: String, buckets: Int = Buckets): Unit = {
-    val s = docs.sparkSession
-    IndexVersion.check(s, path, markerOf(buckets),
+    appendPostings(docs, path, buckets)
+    appendMeta(docs, path)
+  }
+
+  /** The postings half of [[append]] — package-visible so the fsck spec
+    * can reproduce the documented crash window (postings landed, meta
+    * never updated) without sleeping on a kill.
+    */
+  private[graft] def appendPostings(docs: DataFrame, path: String,
+                                  buckets: Int = Buckets): Unit = {
+    IndexVersion.check(docs.sparkSession, path, markerOf(buckets),
       "BM25 postings index (refusing to append under a different bucket " +
         "fan or hash than the stored tree's — the mixed tree would route " +
         "probes to the wrong directories)")
     postings(docs, buckets).repartition(col("tb"))
       .write.mode("append").partitionBy("tb").parquet(s"$path/postings.parquet")
-    val old = s.read.parquet(s"$path/meta.parquet").collect()(0)
+  }
+
+  /** The scalar half of [[append]]: fold the batch's (n, sum_dl, n_dl)
+    * into the stored meta by integer addition, committed via a staging
+    * directory + the [[graft.sink.DirSwap]] rename discipline — the meta
+    * rewrite is therefore atomic-or-recoverable (a crash leaves either the
+    * old or the new meta complete, never a deleted-but-unwritten one; the
+    * stranded retire state heals at the next [[metaDf]] read). SINGLE
+    * WRITER REQUIRED: two concurrent appends would both land postings
+    * while the loser's scalar fold is overwritten — idf/avgdl silently
+    * wrong thereafter (detectable and repairable by [[fsck]], but the
+    * append contract is one writer per tree, same as every other at-rest
+    * artifact here).
+    */
+  private[ext] def appendMeta(docs: DataFrame, path: String): Unit = {
+    val s = docs.sparkSession
+    val old = metaDf(s, path).collect()(0)
     val b = scalars(docs).collect()(0)
     import s.implicits._
-    Seq((old.getAs[Long]("n") + b.getAs[Long]("n"),
-         old.getAs[Long]("sum_dl") + b.getAs[Long]("sum_dl"),
-         old.getAs[Long]("n_dl") + b.getAs[Long]("n_dl")))
-      .toDF("n", "sum_dl", "n_dl")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta.parquet")
+    writeMeta(s, path,
+      Seq((old.getAs[Long]("n") + b.getAs[Long]("n"),
+           old.getAs[Long]("sum_dl") + b.getAs[Long]("sum_dl"),
+           old.getAs[Long]("n_dl") + b.getAs[Long]("n_dl")))
+        .toDF("n", "sum_dl", "n_dl"))
+  }
+
+  /** Heal-then-read of the meta file — every meta consumer goes through
+    * this so a crashed [[writeMeta]] swap recovers on the next read.
+    */
+  private def metaDf(s: SparkSession, path: String): DataFrame = {
+    val live = new Path(s"$path/meta.parquet")
+    val fs = live.getFileSystem(s.sparkContext.hadoopConfiguration)
+    graft.sink.DirSwap.heal(fs, live,
+      new Path(s"$path/meta.parquet${IndexMaintenance.RetiredSuffix}"))
+    s.read.parquet(s"$path/meta.parquet")
+  }
+
+  /** Replace the meta scalars via staging + atomic-ish promote (the
+    * snapshot-sink discipline): the old `mode("overwrite")` deleted the
+    * live scalars before the new file committed, so a crash mid-rewrite
+    * left the index with NO meta at all — load failed until full rebuild.
+    */
+  private def writeMeta(s: SparkSession, path: String, meta: DataFrame): Unit = {
+    val live = new Path(s"$path/meta.parquet")
+    val staging = new Path(s"$path/meta.parquet${IndexMaintenance.StagingSuffix}")
+    val retired = new Path(s"$path/meta.parquet${IndexMaintenance.RetiredSuffix}")
+    val fs = live.getFileSystem(s.sparkContext.hadoopConfiguration)
+    graft.sink.DirSwap.heal(fs, live, retired)
+    fs.delete(staging, true)
+    meta.coalesce(1).write.parquet(staging.toString)
+    graft.sink.DirSwap.promote(fs, staging, live, retired)
+  }
+
+  /** The stored-vs-derived consistency report of [[fsck]]. `consistent`
+    * is the three-way scalar equality; `repaired` records whether this
+    * fsck call rewrote the meta.
+    */
+  final case class FsckReport(storedN: Long, storedSumDl: Long, storedNdl: Long,
+                              derivedN: Long, derivedSumDl: Long, derivedNdl: Long,
+                              consistent: Boolean, repaired: Boolean)
+
+  /** Detect — and optionally repair — the one inconsistent state
+    * [[append]]'s two-step commit can leave: postings landed, scalar fold
+    * lost (a kill between the steps, or the documented lost-update of a
+    * concurrent-writer violation). The corpus scalars are one aggregate of
+    * the postings tree — `n` from distinct doc_ids, `sum_dl` from each
+    * document's denormalized length, `n_dl` = the same distinct count (a
+    * posted document's dl is never null) — so the repair is a recompute +
+    * atomic meta rewrite, never a corpus re-tokenize.
+    *
+    * EXACTNESS CAVEAT, stated loudly: a document with NO tokens (null or
+    * token-less text) contributes to `n` at write/append time but owns no
+    * postings rows, so it is invisible here. For corpora that admit such
+    * documents the derived `n` is a FLOOR: fsck would report a healthy
+    * index inconsistent and a repair would undercount them. If token-less
+    * documents can enter this index, treat an fsck mismatch as a rebuild
+    * trigger instead of passing `repair = true`.
+    */
+  def fsck(spark: SparkSession, path: String, buckets: Int = Buckets,
+           repair: Boolean = false): FsckReport = {
+    IndexVersion.check(spark, path, markerOf(buckets),
+      "BM25 postings index (fsck refuses an unstamped or foreign-fan tree " +
+        "— derive-and-repair against the wrong layout would bless garbage)")
+    val old = metaDf(spark, path).collect()(0)
+    val d = spark.read.parquet(s"$path/postings.parquet")
+      .select(col("doc_id"), col("dl")).distinct()
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(col("dl").cast("long")), lit(0L)).as("sum_dl"),
+        count(col("dl")).as("n_dl"))
+      .collect()(0)
+    val report = FsckReport(
+      old.getAs[Long]("n"), old.getAs[Long]("sum_dl"), old.getAs[Long]("n_dl"),
+      d.getAs[Long]("n"), d.getAs[Long]("sum_dl"), d.getAs[Long]("n_dl"),
+      consistent = old.getAs[Long]("n") == d.getAs[Long]("n") &&
+        old.getAs[Long]("sum_dl") == d.getAs[Long]("sum_dl") &&
+        old.getAs[Long]("n_dl") == d.getAs[Long]("n_dl"),
+      repaired = false)
+    if (report.consistent || !repair) report
+    else {
+      import spark.implicits._
+      writeMeta(spark, path,
+        Seq((report.derivedN, report.derivedSumDl, report.derivedNdl))
+          .toDF("n", "sum_dl", "n_dl"))
+      report.copy(repaired = true)
+    }
+  }
+
+  /** Collapse the accumulated append part files — after K appends every
+    * touched bucket directory holds K files and probe cost grows with
+    * FILE count — into one chunky file per bucket: [[rebucket]] under the
+    * unchanged fan.
+    */
+  def compact(spark: SparkSession, path: String, buckets: Int = Buckets): Unit =
+    rebucket(spark, path, buckets, buckets)
+
+  /** Migrate the tree to a new bucket fan (the scale knob the class doc
+    * says to raise with corpus size — frozen at write time until now):
+    * read the stored postings, recompute `tb` under `toBuckets`, rewrite
+    * into a staging root with the meta carried verbatim and the NEW fan's
+    * marker stamped last, then atomically promote ([[IndexMaintenance]] —
+    * marker, meta and postings change together or not at all; a crash
+    * leaves the old fan serving). Also the compaction path: same fan in
+    * and out collapses every bucket to one chunky file.
+    */
+  def rebucket(spark: SparkSession, path: String,
+               fromBuckets: Int, toBuckets: Int): Unit = {
+    require(toBuckets >= 1, s"bucket fan must be >= 1, got $toBuckets")
+    IndexVersion.check(spark, path, markerOf(fromBuckets),
+      "BM25 postings index (rebucket refuses a tree stamped under a " +
+        "different fan than the caller claims — rewriting from the wrong " +
+        "layout assumption would scatter every posting)")
+    IndexMaintenance.swapTree(spark, path) { staging =>
+      metaDf(spark, path)
+        .coalesce(1).write.parquet(s"$staging/meta.parquet")
+      spark.read.parquet(s"$path/postings.parquet")
+        .select(col("doc_id"), col("dl"), col("t"), col("tf"))
+        .withColumn("tb", pmod(xxhash64(col("t")), lit(toBuckets)))
+        .repartition(col("tb"))
+        .write.partitionBy("tb").parquet(s"$staging/postings.parquet")
+      IndexVersion.stamp(spark, staging, markerOf(toBuckets))
+    }
   }
 
   /** A loaded index: the postings scan plus the frozen corpus scalars
@@ -152,11 +318,12 @@ object Bm25Index {
     * on implicit casts (same rule as [[AnnIndex.load]]).
     */
   def load(spark: SparkSession, path: String, buckets: Int = Buckets): Index = {
+    IndexMaintenance.heal(spark, path)
     IndexVersion.check(spark, path, markerOf(buckets),
       "BM25 postings index (the stored tree was bucketed under a " +
         "different fan or hash than the probe computes — every lookup " +
         "would read the wrong directory and silently miss)")
-    val m = spark.read.parquet(s"$path/meta.parquet").collect()(0)
+    val m = metaDf(spark, path).collect()(0)
     Index(spark.read.parquet(s"$path/postings.parquet")
             .withColumn("tb", col("tb").cast("long")),
           m.getAs[Long]("n").toDouble,

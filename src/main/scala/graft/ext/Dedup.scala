@@ -381,6 +381,45 @@ object Dedup {
         .orderBy("doc_id")
     },
 
+    // ---- duplicate-family audit: size histogram × domain concentration ----
+    // The report a data curator actually reads off the cluster closure:
+    // "how big are my duplicate families, which domains do they
+    // concentrate in, and how much would dedup drop from each". One row
+    // per (cluster size ≥ 2, source domain): how many documents of that
+    // domain sit in families of that size, how many distinct families the
+    // domain touches, and how many of its documents a keep-canonical
+    // dedup would drop (everything but the min-doc_id representative).
+    // Plan shape: the closure's (id, comp) labels get ONE ≤|clusters|-row
+    // size aggregate, re-join on comp, an equi-join to the documents
+    // table for the domain, and a final (size, source) hash aggregate —
+    // output bounded by families × domains, nothing pairwise. The oracle
+    // replays the closure recursively and the same joins.
+    Q("q_dedup_cluster_stats",
+      s"""$closureWithSql,
+         |sizes AS (SELECT comp, count(*) AS n_members FROM comp GROUP BY comp)
+         |SELECT s.n_members AS cluster_size, d.source,
+         |  count(*) AS n_docs,
+         |  count(DISTINCT c.comp) AS n_clusters,
+         |  CAST(sum(CASE WHEN c.id = c.comp THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped
+         |FROM comp c
+         |JOIN sizes s ON s.comp = c.comp AND s.n_members >= 2
+         |JOIN documents d ON d.doc_id = c.id
+         |GROUP BY 1, 2 ORDER BY cluster_size, source""".stripMargin) { (s, d) =>
+      val clusters = clustersDf(s, d).transform(CacheTracker.cached)
+      val sizes = clusters.groupBy("comp").agg(count(lit(1)).as("n_members"))
+        .filter(col("n_members") >= 2)
+      clusters
+        .join(sizes, Seq("comp"))
+        .join(Tables.documents(s, d).select(col("doc_id"), col("source")),
+              col("id") === col("doc_id"))
+        .groupBy(col("n_members").as("cluster_size"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("comp")).as("n_clusters"),
+          sum(when(col("id") === col("comp"), 0).otherwise(1))
+            .cast("long").as("n_dropped"))
+        .orderBy("cluster_size", "source")
+    },
+
     // ---- simhash fingerprints ----
     Q("q_dedup_simhash",
       s"""$simhashSelect ORDER BY doc_id""".stripMargin) { (s, d) =>
@@ -787,6 +826,44 @@ object Dedup {
       }
       DedupIndex.probe(DedupIndex.load(s, dir),
                        banded.filter(col("doc_id") % 3 === 2))
+        .orderBy("doc_id")
+    },
+
+    // ---- index MAINTENANCE: probe a compacted + fan-migrated tree ----
+    // The missing half of the append lifecycle, driver-verified: after the
+    // same write → append sequence as q_dedup_index_append, the tree is
+    // COMPACTED (collapsing the appended part files and the cross-batch
+    // duplicate keys back to write()'s distinct one-file-per-directory
+    // layout) and then REBUCKETED to a doubled fan (the scale knob frozen
+    // at write time until round 15), each via the crash-safe staging/swap
+    // of IndexMaintenance. The oracle is the SAME full-corpus replay as
+    // the append row — maintenance must be invisible to every probe — so
+    // a compaction that lost keys, a migration that mis-derived a bucket,
+    // or a probe still assuming the old fan (marker-refused, spec-pinned)
+    // cannot match. Probe stays dynamic-partition-pruned at the new fan
+    // (IndexMaintenanceSpec asserts it on the executed plan).
+    Q("q_dedup_index_maint", {
+      val hit = (0 until MinhashBands).map { b =>
+        s"""(CASE WHEN EXISTS (SELECT 1 FROM sigs e WHERE e.doc_id % 3 < 2
+           |  AND e.sig_${2 * b} = i.sig_${2 * b} AND e.sig_${2 * b + 1} = i.sig_${2 * b + 1})
+           |  THEN 1 ELSE 0 END)""".stripMargin
+      }.mkString(" + ")
+      s"""WITH sigs AS ($minhashSelect)
+         |SELECT doc_id, n_bands_hit FROM (
+         |  SELECT i.doc_id, CAST($hit AS BIGINT) AS n_bands_hit
+         |  FROM sigs i WHERE i.doc_id % 3 = 2
+         |) WHERE n_bands_hit > 0 ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
+      val banded = mhBandedDf(s, d).transform(CacheTracker.cached)
+      val dir = StoredArtifacts.of(s"dedup-maint|$d") { r =>
+        DedupIndex.write(banded.filter(col("doc_id") % 3 === 0), r)
+        DedupIndex.append(banded.filter(col("doc_id") % 3 === 1), r)
+        DedupIndex.compact(s, r)
+        DedupIndex.rebucket(s, r, DedupIndex.Buckets, 2 * DedupIndex.Buckets)
+      }
+      DedupIndex.probe(DedupIndex.load(s, dir, 2 * DedupIndex.Buckets),
+                       banded.filter(col("doc_id") % 3 === 2),
+                       2 * DedupIndex.Buckets)
         .orderBy("doc_id")
     }
   )

@@ -42,13 +42,20 @@ object DedupIndex {
     */
   val Buckets = 16
 
+  /** The bucket derivation — ONE definition shared by [[indexRows]]
+    * (write/append), [[probe]] (lookup) and [[rebucket]] (migration), so
+    * the three can never drift.
+    */
+  private def bucketCol(buckets: Int) =
+    pmod(hash(col("k1"), col("k2")), lit(buckets))
+
   /** Distinct (band, k1, k2, bucket) index rows of a banded corpus
     * ((doc_id, band, key struct) — the [[Dedup]] LSH shape). */
   def indexRows(banded: DataFrame, buckets: Int = Buckets): DataFrame =
     banded
       .select(col("band"), col("key.k1").as("k1"), col("key.k2").as("k2"))
       .distinct()
-      .withColumn("bucket", pmod(hash(col("k1"), col("k2")), lit(buckets)))
+      .withColumn("bucket", bucketCol(buckets))
 
   /** The pre-write repartition on the partition columns is load-bearing:
     * without it every shuffle task writes its own sliver into every
@@ -57,18 +64,56 @@ object DedupIndex {
     * layout a cluster-scale probe wants to list.
     */
   /** Bucket-function version marker ([[IndexVersion]]): v1 = the
-    * `pmod(hash(k1, k2), buckets)` derivation above. A probe against a
-    * tree written under a DIFFERENT derivation reports every true
-    * near-dup as novel — silent duplicate admission — so [[load]] refuses
-    * unstamped trees.
+    * `pmod(hash(k1, k2), buckets)` derivation above, with the bucket FAN
+    * baked into the stamped name since [[rebucket]] made the fan mutable:
+    * the fan is derived independently on the write and probe sides, and a
+    * tree migrated to fan 64 but probed at the default 16 would compute
+    * wrong buckets for most keys and silently admit duplicates — exactly
+    * the drift class the marker exists to refuse. (Pre-fan `…_1` stamps
+    * are refused too: they never recorded which fan wrote them.) A probe
+    * against a tree written under a DIFFERENT derivation reports every
+    * true near-dup as novel — silent duplicate admission — so [[load]]
+    * refuses unstamped trees.
     */
-  private[graft] val BucketingMarker = "_GRAFT_BUCKETING_1"
+  private[graft] def markerOf(buckets: Int): String = s"_GRAFT_BUCKETING_1_b$buckets"
 
   def write(banded: DataFrame, path: String, buckets: Int = Buckets): Unit = {
     indexRows(banded, buckets).repartition(col("band"), col("bucket"))
       .write.mode("overwrite")
       .partitionBy("band", "bucket").parquet(path)
-    IndexVersion.stamp(banded.sparkSession, path, BucketingMarker)
+    IndexVersion.stamp(banded.sparkSession, path, markerOf(buckets))
+  }
+
+  /** Collapse the tree after K appends: each touched (band, bucket)
+    * directory holds up to K part files plus the cross-batch duplicate
+    * keys [[append]] tolerates by design — compaction rewrites every
+    * directory to one chunky DISTINCT file ([[rebucket]] under the
+    * unchanged fan), restoring the exact layout [[write]] produces.
+    */
+  def compact(spark: SparkSession, path: String, buckets: Int = Buckets): Unit =
+    rebucket(spark, path, buckets, buckets)
+
+  /** Migrate the tree to a new bucket fan — the scale knob the fan doc
+    * says to raise with corpus size, frozen at write time until now: read
+    * the stored keys under the old fan's marker, re-derive `bucket` under
+    * `toBuckets` (same one [[bucketCol]] definition the probes compute),
+    * collapse cross-batch duplicate keys, and rewrite into a staging root
+    * stamped with the NEW fan's marker, atomically promoted over the live
+    * tree ([[IndexMaintenance]] — data and marker change together or not
+    * at all; a crash leaves the old fan serving and self-heals at the
+    * next [[load]]).
+    */
+  def rebucket(spark: SparkSession, path: String,
+               fromBuckets: Int, toBuckets: Int): Unit = {
+    require(toBuckets >= 1, s"bucket fan must be >= 1, got $toBuckets")
+    val rows = load(spark, path, fromBuckets)
+      .select("band", "k1", "k2").distinct()
+      .withColumn("bucket", bucketCol(toBuckets))
+    IndexMaintenance.swapTree(spark, path) { staging =>
+      rows.repartition(col("band"), col("bucket"))
+        .write.partitionBy("band", "bucket").parquet(staging)
+      IndexVersion.stamp(spark, staging, markerOf(toBuckets))
+    }
   }
 
   /** Incremental append: fold a new batch's band keys into the stored
@@ -82,17 +127,17 @@ object DedupIndex {
     * before counting (spec-pinned), so hit counts are identical on an
     * appended tree and a from-scratch rebuild. Storage growth from
     * cross-batch duplicate keys is bounded by the duplicate RATE of
-    * ingested batches; a periodic compaction is a [[write]] of the
-    * loaded tree (the snapshot-sink rebuild discipline). The marker is
+    * ingested batches; [[compact]] collapses both the duplicates and the
+    * accumulated part files in place (crash-safe swap). The marker is
     * checked BEFORE any write — appending keys bucketed under a
     * different derivation would scatter them into directories probes
     * never read.
     */
   def append(batchBanded: DataFrame, path: String, buckets: Int = Buckets): Unit = {
-    IndexVersion.check(batchBanded.sparkSession, path, BucketingMarker,
+    IndexVersion.check(batchBanded.sparkSession, path, markerOf(buckets),
       "dedup band index (refusing to append keys bucketed under a " +
-        "different derivation than the stored tree's — they would land " +
-        "in directories probes never read, silently admitting duplicates)")
+        "different derivation or fan than the stored tree's — they would " +
+        "land in directories probes never read, silently admitting duplicates)")
     indexRows(batchBanded, buckets).repartition(col("band"), col("bucket"))
       .write.mode("append")
       .partitionBy("band", "bucket").parquet(path)
@@ -102,8 +147,9 @@ object DedupIndex {
     * them to int so the at-rest schema matches [[indexRows]] exactly
     * (same rule as [[AnnIndex.load]]).
     */
-  def load(spark: SparkSession, path: String): DataFrame = {
-    IndexVersion.check(spark, path, BucketingMarker, "dedup band index")
+  def load(spark: SparkSession, path: String, buckets: Int = Buckets): DataFrame = {
+    IndexMaintenance.heal(spark, path)
+    IndexVersion.check(spark, path, markerOf(buckets), "dedup band index")
     spark.read.parquet(path)
       .withColumn("band", col("band").cast("int"))
       .withColumn("bucket", col("bucket").cast("int"))
@@ -126,7 +172,7 @@ object DedupIndex {
     val batch = batchBanded
       .select(col("doc_id"), col("band"),
               col("key.k1").as("k1"), col("key.k2").as("k2"))
-      .withColumn("bucket", pmod(hash(col("k1"), col("k2")), lit(buckets)))
+      .withColumn("bucket", bucketCol(buckets))
     index.join(broadcast(batch), Seq("band", "bucket", "k1", "k2"))
       .select(col("doc_id"), col("band"), col("k1"), col("k2")).dropDuplicates()
       .groupBy("doc_id").agg(count(lit(1)).as("n_bands_hit"))

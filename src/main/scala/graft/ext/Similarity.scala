@@ -1014,6 +1014,35 @@ object Similarity {
         .orderBy("qid", "rn")
     },
 
+    // ---- ANN index maintenance: atomic swap-append + compaction ----
+    // The crash-intolerant ingest face plus the post-churn cleanup,
+    // driver-verified: a THIRD of the corpus is written, a third folded in
+    // via [[AnnIndex.appendSwapped]] (the staging-copy-and-swap variant —
+    // a kill at any point leaves the pre- or post-append tree complete,
+    // never the partial batch a torn parquet append strands), a third via
+    // the plain O(batch) append, and the fragmented tree is then
+    // COMPACTED back to one chunky file per cell (crash-safe swap, marker
+    // preserved). Probing the maintained tree must hash-match the SAME
+    // full-corpus oracle as q_embed_ivfpq/q_embed_ann_append — the
+    // maintenance operations are invisible to every query — and the cell
+    // scan stays partition-pruned (IndexMaintenanceSpec asserts plans and
+    // the stranded-crash heal states directly).
+    Q("q_embed_ann_maint", ivfPqOracleSql) { (s, d) =>
+      val v = vecs(s, d)
+      val cents = centroidSet(v, 25)
+      val cb = pqCodebook(v)
+      val root = StoredArtifacts.of(s"ann-maint|$d") { r =>
+        AnnIndex.write(v.filter(col("vec_id") % 3 === 0), cents, cb, r)
+        AnnIndex.appendSwapped(v.filter(col("vec_id") % 3 === 1), cents, cb, r)
+        AnnIndex.append(v.filter(col("vec_id") % 3 === 2), cents, cb, r)
+        AnnIndex.compact(s, r, cents, cb)
+      }
+      AnnIndex.probe(AnnIndex.load(s, root, cents, cb),
+                     v.filter(col("vec_id") < 10), cents, cb,
+                     nprobe = 3, k = 3)
+        .orderBy("qid", "rn")
+    },
+
     // ---- two-stage IVF-PQ: ADC shortlist, exact-cosine re-rank ----
     // The production probe (FAISS IVFADC+refine): the code scan shortlists
     // 12 candidates per probe, ONLY those fetch raw vectors for the exact

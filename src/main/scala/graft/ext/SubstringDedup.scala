@@ -552,6 +552,39 @@ object SubstringDedup {
         .orderBy("doc_id", "span_start")
     },
 
+    // ---- decontam from the COMPACTED + FAN-MIGRATED window tree ----
+    // The maintenance face of q_text_decontam_stored: the same
+    // write → append build, then the tree is compacted (collapsing the
+    // appended part files and the duplicate window keys the two ingest
+    // halves share) and rebucketed to a doubled fan — the exact knob the
+    // probe-cost model above says to raise with corpus size, frozen at
+    // write time until round 15. Same oracle as the stored row:
+    // maintenance must be invisible to every probe, so a migration that
+    // mis-derived a bucket or dropped windows would miss or invent spans
+    // against the base-table replay. Old-fan probes are marker-refused
+    // (IndexMaintenanceSpec); the swap is crash-safe (staging + promote,
+    // heal at load).
+    Q("q_text_decontam_maint",
+      s"""WITH ${admissionHitsCtes(K)},
+         |${mergeSqlCtes(K)}
+         |SELECT doc_id, span_start, span_end FROM spans
+         |ORDER BY doc_id, span_start""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val corpus = docs.filter(col("doc_id") % 7 =!= 0)
+      val fan2 = 2 * SubstringIndex.Buckets
+      val root = StoredArtifacts.of(s"substr-maint|$d") { r =>
+        SubstringIndex.write(corpus.filter(col("doc_id") % 2 === 0), r)
+        SubstringIndex.append(corpus.filter(col("doc_id") % 2 =!= 0), r)
+        SubstringIndex.compact(s, r)
+        SubstringIndex.rebucket(s, r, K, 1, SubstringIndex.Buckets, fan2)
+      }
+      SubstringIndex.probe(SubstringIndex.load(s, root, buckets = fan2),
+                           docs.filter(col("doc_id") % 7 === 0 &&
+                                       col("doc_id") < BatchIdBound),
+                           buckets = fan2)
+        .orderBy("doc_id", "span_start")
+    },
+
     // ---- the actionable cut: corpus text with every leaked range removed ----
     Q("q_text_decontam_trim",
       s"""WITH ${decontamHitsCtes(K)},

@@ -133,9 +133,45 @@ object SubstringIndex {
     */
   def load(spark: SparkSession, path: String, k: Int = SubstringDedup.K,
            sample: Int = 1, buckets: Int = Buckets): DataFrame = {
+    IndexMaintenance.heal(spark, path)
     IndexVersion.check(spark, path, markerOf(k, sample, buckets),
       s"substring index (expected layout k=$k sample=$sample buckets=$buckets)")
     spark.read.parquet(path).withColumn("bucket", col("bucket").cast("int"))
+  }
+
+  /** Collapse the tree after K appends — every touched bucket directory
+    * holds up to K part files plus the cross-batch duplicate keys
+    * [[append]] tolerates by design; compaction rewrites each to one
+    * chunky DISTINCT file ([[rebucket]] under the unchanged fan),
+    * restoring the exact layout [[write]] produces.
+    */
+  def compact(spark: SparkSession, path: String, k: Int = SubstringDedup.K,
+              sample: Int = 1, buckets: Int = Buckets): Unit =
+    rebucket(spark, path, k, sample, buckets, buckets)
+
+  /** Migrate the tree to a new bucket fan — the knob the probe-cost model
+    * above says to raise with corpus size (pruning is asymptotic only
+    * while the batch's window count stays below the fan), frozen at write
+    * time until now. Reads the stored hashes under the old fan's marker,
+    * re-derives `bucket` under `toBuckets` (the same [[withBucket]]
+    * definition probes compute — k and sample are properties of the
+    * stored hashes themselves and never change here), collapses duplicate
+    * keys, and rewrites into a staging root stamped with the new layout's
+    * marker, atomically promoted ([[IndexMaintenance]] — data and marker
+    * move together; a crash leaves the old fan serving and self-heals at
+    * the next [[load]]).
+    */
+  def rebucket(spark: SparkSession, path: String, k: Int, sample: Int,
+               fromBuckets: Int, toBuckets: Int): Unit = {
+    require(toBuckets >= 1, s"bucket fan must be >= 1, got $toBuckets")
+    val rows = withBucket(
+      load(spark, path, k, sample, fromBuckets).select("h1", "h2").distinct(),
+      toBuckets)
+    IndexMaintenance.swapTree(spark, path) { staging =>
+      rows.repartition(col("bucket"))
+        .write.partitionBy("bucket").parquet(staging)
+      IndexVersion.stamp(spark, staging, markerOf(k, sample, toBuckets))
+    }
   }
 
   /** Maximal spans of `batch` documents whose text occurs verbatim in the

@@ -159,13 +159,22 @@ object StreamingOps {
     * incrementally (e.g. via [[maintainSnapshot]]).
     */
   def incrementalDedup(incoming: DataFrame, bandIndex: DataFrame): DataFrame =
-    // CONTRACT: bandIndex rows are distinct (band, key) — which is what
-    // DedupIndex stores by construction (indexRows .distinct() before
-    // write) and asBandKey preserves. No defensive re-distinct here: the
-    // static side of a stream-static join re-executes EVERY micro-batch,
-    // so a distinct would re-shuffle the whole corpus index per batch for
-    // zero effect on a conforming producer. A non-distinct side fans out
-    // duplicate (doc_id, band) hit rows — visible, not wrong-answer.
+    // CONTRACT: bandIndex rows are distinct (band, key). A freshly
+    // WRITTEN DedupIndex satisfies it by construction (indexRows
+    // .distinct() before write, asBandKey preserves it) — but an APPENDED
+    // tree may legitimately hold a key twice (DedupIndex.append stores
+    // cross-batch duplicates rather than paying an O(index) anti-join per
+    // ingest; the batch probe dedupes its hit set, this streaming join
+    // does NOT). Feeding an appended tree here fans out duplicate
+    // (doc_id, band) hit rows: any-hit consumers are unaffected, but
+    // anything counting rows (an n_bands_hit aggregate) overcounts — run
+    // DedupIndex.compact(path) first (crash-safe in-place collapse back
+    // to distinct keys) before serving a maintained tree to streams. No
+    // defensive re-distinct here: the static side of a stream-static join
+    // re-executes EVERY micro-batch, so a distinct would re-shuffle the
+    // whole corpus index per batch for zero effect on a conforming
+    // producer. A non-distinct side stays visible, never wrong-answer,
+    // for any-hit semantics.
     minhashBanded(incoming)
       .join(bandIndex.select("band", "key"), Seq("band", "key"))
       .select(col("doc_id"), col("band"))

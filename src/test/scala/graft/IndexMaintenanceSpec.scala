@@ -1,0 +1,271 @@
+package graft
+
+import graft.ext.{AnnIndex, Bm25Index, Dedup, DedupIndex, Similarity, SubstringDedup, SubstringIndex}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** The maintenance half of the at-rest index lifecycle, across all four
+  * families: compaction collapses the part files (and duplicate keys) K
+  * appends accumulate, rebucketing migrates a tree to a new partition fan,
+  * and both serve bit-for-bit what the pre-maintenance tree served — with
+  * the crash-safe staging/retire swap ([[graft.ext.IndexMaintenance]])
+  * proven by simulating the stranded states directly. Plus the
+  * Bm25Index.fsck detect-and-repair of the append crash window (postings
+  * landed, scalar fold lost).
+  */
+class IndexMaintenanceSpec extends AnyFunSuite {
+  private lazy val spark = SparkSuite.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def dataFiles(p: String): Set[String] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    walk(new java.io.File(p)).map(_.getPath).filter(_.endsWith(".parquet")).toSet
+  }
+
+  /** Every leaf partition directory under `p` holds exactly one data file
+    * — the post-compaction layout (and write()'s own, via the pre-write
+    * repartition on the partition columns).
+    */
+  private def leavesAreChunky(p: String): Boolean = {
+    def leaves(f: java.io.File): Seq[java.io.File] = {
+      val subs = f.listFiles().filter(_.isDirectory)
+      if (subs.isEmpty) Seq(f) else subs.toSeq.flatMap(leaves)
+    }
+    leaves(new java.io.File(p)).forall(
+      _.listFiles().count(_.getName.endsWith(".parquet")) == 1)
+  }
+
+  test("DedupIndex: compact collapses appended files + duplicate keys, probe parity holds") {
+    val banded = Dedup.mhBandedDf(spark, sf).cache()
+    try {
+      val dir = Files.createTempDirectory("graft-dedupcomp").toString
+      val a = banded.filter(col("doc_id") % 3 === 0)
+      val b = banded.filter(col("doc_id") % 3 === 1)
+      val probe = banded.filter(col("doc_id") % 3 === 2)
+      DedupIndex.write(a, dir)
+      DedupIndex.append(b, dir)
+      DedupIndex.append(b, dir) // replay → guaranteed duplicate keys on disk
+      val before = DedupIndex.probe(DedupIndex.load(spark, dir), probe)
+        .orderBy("doc_id").collect().toSeq
+      assert(!leavesAreChunky(dir), "appends should fragment some leaf dir")
+
+      DedupIndex.compact(spark, dir)
+      assert(leavesAreChunky(dir), "compaction must leave one file per leaf")
+      val idx = DedupIndex.load(spark, dir)
+      // duplicate keys are gone: the tree is distinct again (streaming-safe)
+      assert(idx.count() ==
+        idx.select("band", "k1", "k2").distinct().count(),
+        "compaction must collapse cross-batch duplicate keys")
+      val after = DedupIndex.probe(idx, probe).orderBy("doc_id").collect().toSeq
+      assert(after == before, "probe-after-compact diverged from probe-before")
+
+      // pruning still holds on the compacted tree
+      val plan = {
+        val df = DedupIndex.probe(DedupIndex.load(spark, dir), probe)
+        df.collect(); df.queryExecution.executedPlan.toString
+      }
+      assert(plan.contains("dynamicpruning"),
+        s"compacted tree lost dynamic partition pruning:\n${plan.take(1500)}")
+    } finally { banded.unpersist(); () }
+  }
+
+  test("DedupIndex: rebucket(16→32) serves identically; the old fan is refused") {
+    val banded = Dedup.mhBandedDf(spark, sf).cache()
+    try {
+      val dir = Files.createTempDirectory("graft-dedupreb").toString
+      val a = banded.filter(col("doc_id") % 3 < 2)
+      val probe = banded.filter(col("doc_id") % 3 === 2)
+      DedupIndex.write(a, dir)
+      val before = DedupIndex.probe(DedupIndex.load(spark, dir), probe)
+        .orderBy("doc_id").collect().toSeq
+
+      DedupIndex.rebucket(spark, dir, 16, 32)
+      // a probe still assuming the old fan is refused loudly, not silently empty
+      val e = intercept[IllegalArgumentException](DedupIndex.load(spark, dir))
+      assert(e.getMessage.contains("_b16"))
+      val after = DedupIndex.probe(DedupIndex.load(spark, dir, 32), probe, 32)
+        .orderBy("doc_id").collect().toSeq
+      assert(after == before, "rebucketed tree diverged from the original fan")
+      val dpPlan = {
+        val df = DedupIndex.probe(DedupIndex.load(spark, dir, 32), probe, 32)
+        df.collect(); df.queryExecution.executedPlan.toString
+      }
+      assert(dpPlan.contains("dynamicpruning"),
+        s"rebucketed tree lost dynamic partition pruning:\n${dpPlan.take(1500)}")
+    } finally { banded.unpersist(); () }
+  }
+
+  test("SubstringIndex: compact + rebucket(16→32) preserve spans bit-for-bit") {
+    val docs = Tables.documents(spark, sf)
+    val corpus = docs.filter(col("doc_id") % 7 =!= 0)
+    val batch = docs.filter(col("doc_id") % 7 === 0)
+    val dir = Files.createTempDirectory("graft-subcomp").toString
+    SubstringIndex.write(corpus.filter(col("doc_id") % 2 === 0), dir)
+    SubstringIndex.append(corpus.filter(col("doc_id") % 2 =!= 0), dir)
+    SubstringIndex.append(corpus.filter(col("doc_id") % 2 =!= 0), dir)
+    val before = SubstringIndex.probe(SubstringIndex.load(spark, dir), batch)
+      .orderBy("doc_id", "span_start").collect().toSeq
+    assert(before.nonEmpty, "fixture produced no spans — vacuous parity")
+
+    SubstringIndex.compact(spark, dir)
+    assert(leavesAreChunky(dir), "compaction must leave one file per leaf")
+    val idx = SubstringIndex.load(spark, dir)
+    assert(idx.count() == idx.select("h1", "h2").distinct().count(),
+      "compaction must collapse cross-batch duplicate keys")
+    assert(SubstringIndex.probe(idx, batch)
+      .orderBy("doc_id", "span_start").collect().toSeq == before,
+      "probe-after-compact diverged")
+
+    SubstringIndex.rebucket(spark, dir, SubstringDedup.K, 1, 16, 32)
+    intercept[IllegalArgumentException](SubstringIndex.load(spark, dir))
+    assert(SubstringIndex.probe(
+        SubstringIndex.load(spark, dir, buckets = 32), batch, buckets = 32)
+      .orderBy("doc_id", "span_start").collect().toSeq == before,
+      "rebucketed tree diverged")
+  }
+
+  test("SubstringIndex: the non-broadcast backfill probe matches the broadcast one") {
+    // broadcastBatch = false is the backfill escape hatch (a corpus-sized
+    // re-check would OOM the driver through the DPP subquery's broadcast
+    // materialization) — it must trade pruning away WITHOUT changing the
+    // answer. ChurnCheck's backfill leg is the production caller.
+    val docs = Tables.documents(spark, sf)
+    val corpus = docs.filter(col("doc_id") % 7 =!= 0)
+    val batch = docs.filter(col("doc_id") % 7 === 0)
+    val dir = Files.createTempDirectory("graft-subnb").toString
+    SubstringIndex.write(corpus, dir)
+    val idx = SubstringIndex.load(spark, dir)
+    val bc = SubstringIndex.probe(idx, batch)
+      .orderBy("doc_id", "span_start").collect().toSeq
+    val nb = SubstringIndex.probe(idx, batch, broadcastBatch = false)
+      .orderBy("doc_id", "span_start").collect().toSeq
+    assert(nb == bc, "non-broadcast probe diverged from the broadcast probe")
+    assert(bc.nonEmpty, "fixture produced no spans — vacuous parity")
+  }
+
+  test("Bm25Index: fsck detects and repairs the append crash window; rebuild-in-place cleans stale markers") {
+    val docs = Tables.documents(spark, sf)
+    val evens = docs.filter(col("doc_id") % 2 === 0)
+    val odds = docs.filter(col("doc_id") % 2 =!= 0)
+    val terms = Seq("vector", "stream", "window", "merge")
+    val dir = Files.createTempDirectory("graft-bmfsck").toString
+    val full = Files.createTempDirectory("graft-bmfull").toString
+
+    Bm25Index.write(evens, dir)
+    assert(Bm25Index.fsck(spark, dir).consistent, "fresh tree must fsck clean")
+
+    // the crash window: postings landed, the scalar fold never ran
+    Bm25Index.appendPostings(odds, dir)
+    val broken = Bm25Index.fsck(spark, dir)
+    assert(!broken.consistent, "fsck must detect stale meta after a torn append")
+    assert(broken.derivedN > broken.storedN, "the postings tree holds the extra docs")
+
+    val repaired = Bm25Index.fsck(spark, dir, repair = true)
+    assert(repaired.repaired && Bm25Index.fsck(spark, dir).consistent,
+      "repair must restore meta from the postings tree")
+    // repaired tree serves exactly the from-scratch rebuild (every testdata
+    // doc has tokens, so the derived scalars are exact — the documented
+    // precondition)
+    Bm25Index.write(docs, full)
+    assert(Bm25Index.search(Bm25Index.load(spark, dir), terms, 20).collect().toSeq ==
+      Bm25Index.search(Bm25Index.load(spark, full), terms, 20).collect().toSeq,
+      "repaired tree diverges from a from-scratch rebuild")
+
+    // meta-swap crash: retired next to a missing live meta is the only
+    // copy — the next read must heal and serve it
+    val meta = new java.io.File(dir, "meta.parquet")
+    val retired = new java.io.File(dir,
+      "meta.parquet" + graft.ext.IndexMaintenance.RetiredSuffix)
+    assert(meta.renameTo(retired))
+    assert(Bm25Index.search(Bm25Index.load(spark, dir), terms, 20).collect().toSeq ==
+      Bm25Index.search(Bm25Index.load(spark, full), terms, 20).collect().toSeq,
+      "load must heal a crashed meta swap")
+
+    // rebuild-in-place under a DIFFERENT fan must remove the old fan's
+    // marker: otherwise load(dir, 16) would pass the check against an
+    // 8-fan tree and every probe would silently miss
+    Bm25Index.write(docs, dir, buckets = 8)
+    intercept[IllegalArgumentException](Bm25Index.load(spark, dir))
+    assert(Bm25Index.search(Bm25Index.load(spark, dir, 8), terms, 20).collect().toSeq ==
+      Bm25Index.search(Bm25Index.load(spark, full), terms, 20).collect().toSeq,
+      "8-fan rebuild diverges")
+  }
+
+  test("Bm25Index: compact + rebucket(16→8) serve identically with static pruning intact") {
+    val docs = Tables.documents(spark, sf)
+    val terms = Seq("join", "scan", "sort", "quantum")
+    val dir = Files.createTempDirectory("graft-bmreb").toString
+    Bm25Index.write(docs.filter(col("doc_id") % 2 === 0), dir)
+    Bm25Index.append(docs.filter(col("doc_id") % 2 =!= 0), dir)
+    val before = Bm25Index.search(Bm25Index.load(spark, dir), terms, 20)
+      .collect().toSeq
+
+    Bm25Index.compact(spark, dir)
+    assert(leavesAreChunky(s"$dir/postings.parquet"),
+      "compaction must leave one file per bucket")
+    assert(Bm25Index.search(Bm25Index.load(spark, dir), terms, 20)
+      .collect().toSeq == before, "post-compact serving diverged")
+
+    Bm25Index.rebucket(spark, dir, 16, 8)
+    intercept[IllegalArgumentException](Bm25Index.load(spark, dir))
+    val idx8 = Bm25Index.load(spark, dir, 8)
+    val q = Bm25Index.search(idx8, terms, 20)
+    assert(q.collect().toSeq == before, "post-rebucket serving diverged")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") && plan.contains("tb"),
+      s"rebucketed tree lost static bucket pruning:\n${plan.take(1500)}")
+  }
+
+  test("AnnIndex: appendSwapped is atomic-or-old, equals the plain append, compact collapses files") {
+    val c = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v")).cache()
+    try {
+      val cents = Similarity.centroidSet(c, 10)
+      val cb = Similarity.pqCodebook(c)
+      val dir = Files.createTempDirectory("graft-annswap").toString
+      val full = Files.createTempDirectory("graft-annfull2").toString
+      val probeVecs = c.filter(col("vec_id") < 8)
+      def serve(p: String) =
+        AnnIndex.probe(AnnIndex.load(spark, p, cents, cb), probeVecs, cents, cb,
+          nprobe = 2, k = 3).orderBy("qid", "rn").collect().toSeq
+
+      AnnIndex.write(c.filter(col("vec_id") % 2 === 0), cents, cb, dir)
+      AnnIndex.appendSwapped(c.filter(col("vec_id") % 2 =!= 0), cents, cb, dir)
+      AnnIndex.write(c, cents, cb, full)
+      assert(serve(dir) == serve(full),
+        "swap-appended tree diverges from the from-scratch build")
+      // the swap variant is also a compaction: one chunky file per cell
+      assert(leavesAreChunky(dir), "appendSwapped must leave one file per cell")
+
+      // swap-append under retrained artifacts refused BEFORE the rewrite
+      val retrained = Similarity.refineCentroids(c, cents, rounds = 1)
+      val before = dataFiles(dir)
+      intercept[IllegalArgumentException](
+        AnnIndex.appendSwapped(c.filter(col("vec_id") < 4), retrained, cb, dir))
+      assert(dataFiles(dir) == before, "refused swap still rewrote the tree")
+
+      // a crash stranded between retire and promote: the retired root is
+      // the only copy — the next load must heal and serve it
+      val live = new java.io.File(dir)
+      val retiredRoot = new java.io.File(
+        dir + graft.ext.IndexMaintenance.RetiredSuffix)
+      assert(live.renameTo(retiredRoot))
+      assert(serve(dir) == serve(full), "load must heal a crashed tree swap")
+
+      // plain appends fragment; compact restores the chunky layout with
+      // identical serving
+      val dir2 = Files.createTempDirectory("graft-anncomp").toString
+      AnnIndex.write(c.filter(col("vec_id") % 3 === 0), cents, cb, dir2)
+      AnnIndex.append(c.filter(col("vec_id") % 3 === 1), cents, cb, dir2)
+      AnnIndex.append(c.filter(col("vec_id") % 3 === 2), cents, cb, dir2)
+      val pre = serve(dir2)
+      assert(!leavesAreChunky(dir2), "appends should fragment some cell dir")
+      AnnIndex.compact(spark, dir2, cents, cb)
+      assert(leavesAreChunky(dir2), "compaction must leave one file per cell")
+      assert(serve(dir2) == pre, "post-compact serving diverged")
+    } finally { c.unpersist(); () }
+  }
+}

@@ -69,7 +69,14 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_dedup_index_append", "q_text_bm25_append",
     // round 14: admission-time decontam from the appended window index —
     // a bucket equi-join probe + window island merge, no NLJ anywhere
-    "q_text_decontam_stored")
+    "q_text_decontam_stored",
+    // round 15: the maintenance faces — a compacted/rebucketed tree must
+    // serve through the SAME plan shapes as the fresh one (bucket/cell
+    // equi-joins, pruned scans), so the no-NLJ audit carries over
+    // verbatim; and the duplicate-family report is closure labels + two
+    // equi-joins + a bounded hash aggregate
+    "q_dedup_index_maint", "q_text_bm25_maint", "q_text_decontam_maint",
+    "q_embed_ann_maint", "q_dedup_cluster_stats")
   // q_text_tfidf is NOT in the no-BNLJ list: its corpus-size scalar rides a
   // 1-row broadcast cross join (the legitimate scalar-broadcast shape) —
   // covered by its own assertion below instead.
@@ -206,6 +213,23 @@ class PlanAuditSpec extends AnyFunSuite {
     val plan = queryPlan("q_text_contamination")
     assert(plan.contains("BroadcastHashJoin"),
       s"benchmark hash set should broadcast:\n$plan")
+  }
+
+  test("pipeline report: shard read-back + two 1-row artifact scalars only") {
+    // q_pipeline_stored's TIMED plan is the steady-state serving read: a
+    // grouped scan of the stored shard tree plus exactly two 1-row scalar
+    // broadcasts (the appended BM25 meta and the band tree's distinct key
+    // count — the pinned legitimate crossJoin shape). Nothing may
+    // cartesian and nothing data-scale may NLJ. (The scalar aggregates'
+    // own final-stage SinglePartition exchanges are fine — their inputs
+    // are the ≤P partial-agg rows, not corpus rows — so the
+    // no-SinglePartition rule is not asserted here, unlike the
+    // global-ORDER operators where it guards row-scale funnels.)
+    val plan = queryPlan("q_pipeline_stored")
+    assert(!plan.contains("CartesianProduct"), s"pipeline cartesian:\n$plan")
+    assert(count(plan, "BroadcastNestedLoopJoin") <= 2,
+      s"pipeline grew a data-scale NLJ:\n$plan")
+    spark.catalog.clearCache()
   }
 
   test("funnel: stage joins hash on user_id; only 1-row stage counts may NLJ") {
