@@ -27,7 +27,8 @@ object SparkEntry {
     ext.TextAnalysis.queries ++
     ext.Bpe.queries ++
     ext.Multimodal.queries ++
-    ext.Sharding.queries
+    ext.Sharding.queries ++
+    ext.Pipeline.queries
 
   private lazy val byName: Map[String, Q] = {
     // toMap is last-wins: a duplicate name across modules would silently

@@ -57,10 +57,11 @@ object Sharding {
   val SigMod = 1000000007L
 
   /** `sum((a%M)*(b%M) % M) % M` — the overflow-safe order checksum, one
-    * definition for every declared sig column and its oracle mirror.
+    * definition for every declared sig column and its oracle mirror
+    * (shared with [[Pipeline]]'s shard read-back).
     */
-  private def sigSum(a: org.apache.spark.sql.Column,
-                     b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+  private[ext] def sigSum(a: org.apache.spark.sql.Column,
+                          b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     pmod(sum(pmod(pmod(a, lit(SigMod)) * pmod(b, lit(SigMod)), lit(SigMod))),
       lit(SigMod)).cast("long")
 
