@@ -20,7 +20,7 @@ TEN_X_QUERIES="q_dedup_jaccard,q_dedup_clusters,q_dedup_corpus,q_dedup_editdist,
 
 # the round-15 additions (carried sections keep their earlier
 # measured_at_round tags)
-R15_SCALE="q_dedup_index_maint,q_text_bm25_maint,q_text_decontam_maint,q_embed_ann_maint,q_dedup_cluster_stats,q_pipeline_stored"
+R15_SCALE="q_dedup_index_maint,q_text_bm25_maint,q_text_decontam_maint,q_dedup_cluster_stats,q_pipeline_stored"
 
 case "${1:-all}" in
   bench)

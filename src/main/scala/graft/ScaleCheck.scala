@@ -133,7 +133,23 @@ object ScaleCheck {
     // over the appended trees. decontam_stored's probe batch is the %7
     // slice (grows with the corpus), so its exponent is the pruned-probe
     // class of substr_index, not ~0
-    "q_dedup_index_append", "q_text_bm25_append", "q_text_decontam_stored")
+    "q_dedup_index_append", "q_text_bm25_append", "q_text_decontam_stored",
+    // round-15: the maintenance rows — write+append+compact+rebucket all
+    // memoized per dataset; timed reps measure the pruned probe/serve
+    // over the MAINTAINED trees (expected: same class as their append
+    // siblings — maintenance must be invisible to probes at every scale).
+    // q_embed_ann_maint is NOT here for the same stride-25 centroid
+    // reason as q_embed_ann_append
+    "q_dedup_index_maint", "q_text_bm25_maint", "q_text_decontam_maint",
+    // round-15: duplicate-family audit rides the LSH pair closure (the
+    // q_dedup_clusters cost class) + two equi-joins + a bounded aggregate
+    "q_dedup_cluster_stats",
+    // round-15: the composed pipeline — artifacts, admission, appends,
+    // curriculum and shard write are all in the memoized build (per-epoch
+    // production cost measured separately via curriculum_stored /
+    // shard_stored); timed reps read the stored shard tree + two 1-row
+    // artifact scalars, the q_shard_stored serving class
+    "q_pipeline_stored")
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -1,0 +1,78 @@
+package graft
+
+import graft.ext.{Dedup, DedupIndex, LmGate, Pipeline, StoredArtifacts, SubstringIndex}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The composed pipeline's internal contracts — the pieces the driver's
+  * q_pipeline_stored oracle checks only in aggregate:
+  *
+  *  - the persisted admission DECISION equals a fresh re-derivation
+  *    against the pre-append trees (the decision artifact exists exactly
+  *    because deriving it lazily against the post-append tree silently
+  *    shrinks it — this spec pins that the recorded set is the pre-append
+  *    truth, by rebuilding the pre-append state separately);
+  *  - the shard tree honors the writer contract (one file per shard dir,
+  *    in-file row order = curriculum position order);
+  *  - admission is non-vacuous at fixture scale: every gate drops
+  *    somebody and somebody survives all three.
+  */
+class PipelineSpec extends AnyFunSuite {
+  private lazy val spark = SparkSuite.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("recorded admission decision = fresh pre-append derivation; shards honor the writer contract") {
+    // force the build (memoized — the declared query path)
+    SparkEntry.queries("q_pipeline_stored")(spark, sf).collect()
+    val root = StoredArtifacts.of(s"pipeline|$sf")(_ =>
+      fail("pipeline artifact should already exist"))
+
+    val docs = Tables.documents(spark, sf)
+    val isBatch = col("doc_id") % 4 === 3 && col("doc_id") < Pipeline.BatchIdBound
+    val corpus = docs.filter(!isBatch)
+    val batch = docs.filter(isBatch)
+
+    // fresh PRE-append state in its own directories
+    val pre = java.nio.file.Files.createTempDirectory("graft-pipe-pre").toString
+    val banded = Dedup.mhBandedDf(spark, sf).cache()
+    try {
+      DedupIndex.write(banded.filter(!isBatch), s"$pre/dedup")
+      SubstringIndex.write(corpus, s"$pre/substr")
+      val gate = LmGate.load(spark, s"$root/gate")
+      val qIds = gate.bucketed(batch).filter(col("bucket") <= 2).select("doc_id")
+      val dup = DedupIndex.probe(DedupIndex.load(spark, s"$pre/dedup"),
+        banded.filter(isBatch).join(qIds, Seq("doc_id"))).select("doc_id")
+      val dirty = SubstringIndex.probe(SubstringIndex.load(spark, s"$pre/substr"),
+        batch.join(qIds, Seq("doc_id"))).select("doc_id").distinct()
+      val fresh = qIds
+        .join(dup, Seq("doc_id"), "left_anti")
+        .join(dirty, Seq("doc_id"), "left_anti")
+        .collect().map(_.getLong(0)).toSet
+      val recorded = spark.read.parquet(s"$root/admitted.parquet")
+        .collect().map(_.getLong(0)).toSet
+      assert(recorded == fresh,
+        "persisted admission decision diverges from the pre-append derivation")
+
+      // non-vacuous: every gate did work and somebody survived
+      val nBatch = batch.count()
+      val nQ = qIds.count()
+      assert(nQ > 0 && nQ < nBatch, s"quality gate vacuous: $nQ of $nBatch")
+      assert(dup.count() > 0, "novelty gate vacuous: no band hits at fixture scale")
+      assert(dirty.count() > 0, "decontam gate vacuous: no window hits at fixture scale")
+      assert(recorded.nonEmpty, "nothing admitted — downstream stages vacuous")
+    } finally { banded.unpersist(); () }
+
+    // writer contract on the shipped epoch: one file per shard, in-file
+    // order = curriculum position order (single small file => single
+    // input split => scan preserves row order)
+    (0 until Pipeline.Shards).foreach { i =>
+      val dir = new java.io.File(s"$root/shards/epoch1/shard=$i")
+      assert(dir.isDirectory, s"missing shard dir $i")
+      val files = dir.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length == 1, s"shard $i should be ONE file, got ${files.length}")
+      val pos = spark.read.parquet(files.head.getPath)
+        .select("pos").collect().map(_.getLong(0)).toSeq
+      assert(pos == pos.sorted, s"shard $i rows not in curriculum position order")
+    }
+  }
+}
