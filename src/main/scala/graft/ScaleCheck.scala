@@ -148,8 +148,10 @@ object ScaleCheck {
     // curriculum and shard write are all in the memoized build (per-epoch
     // production cost measured separately via curriculum_stored /
     // shard_stored); timed reps read the stored shard tree + two 1-row
-    // artifact scalars, the q_shard_stored serving class
-    "q_pipeline_stored")
+    // artifact scalars, the q_shard_stored serving class. The cycles
+    // variant folds TWO batches (the second admitted against the grown
+    // trees) — same serving class
+    "q_pipeline_stored", "q_pipeline_cycles")
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")

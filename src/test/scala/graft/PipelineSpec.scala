@@ -48,7 +48,7 @@ class PipelineSpec extends AnyFunSuite {
         .join(dup, Seq("doc_id"), "left_anti")
         .join(dirty, Seq("doc_id"), "left_anti")
         .collect().map(_.getLong(0)).toSet
-      val recorded = spark.read.parquet(s"$root/admitted.parquet")
+      val recorded = spark.read.parquet(s"$root/admitted1.parquet")
         .collect().map(_.getLong(0)).toSet
       assert(recorded == fresh,
         "persisted admission decision diverges from the pre-append derivation")
@@ -74,5 +74,51 @@ class PipelineSpec extends AnyFunSuite {
         .select("pos").collect().map(_.getLong(0)).toSeq
       assert(pos == pos.sorted, s"shard $i rows not in curriculum position order")
     }
+  }
+
+  test("cycles: cycle-2 rejections exist that are attributable ONLY to cycle-1's fold") {
+    // The q_pipeline_cycles oracle proves the two-cycle semantics in
+    // aggregate; this pins that the interesting case is NON-VACUOUS at
+    // the driver's gate scale — some cycle-2 document is rejected because
+    // of what cycle 1 APPENDED (its band keys / windows exist nowhere in
+    // the original corpus), i.e. the loop really feeds forward. Run at
+    // sf0.01: the cross-cycle near-dup pairs exist there (the
+    // Cycle2Start doc makes sure of it), not at sf0.001.
+    val sf01 = "/root/testdata/sf0.01"
+    SparkEntry.queries("q_pipeline_cycles")(spark, sf01).collect()
+    val root = StoredArtifacts.of(s"pipeline-cycles|$sf01")(_ =>
+      fail("pipeline-cycles artifact should already exist"))
+
+    val docs = Tables.documents(spark, sf01)
+    val isB2 = col("doc_id") % 4 === 3 &&
+      col("doc_id") >= Pipeline.Cycle2Start &&
+      col("doc_id") < Pipeline.BatchIdBound
+    val corpusPred = !(col("doc_id") % 4 === 3 &&
+      col("doc_id") < Pipeline.BatchIdBound)
+    val batch2 = docs.filter(isB2)
+    val banded = Dedup.mhBandedDf(spark, sf01).cache()
+    try {
+      // the cycles row is the dedup-gated ingest variant: EVERY batch-2
+      // doc is probed (quality belongs to the curriculum gate there)
+      val q2 = batch2.select("doc_id").cache()
+      // what cycle 2 would have rejected against the ORIGINAL corpus only
+      val pre = java.nio.file.Files.createTempDirectory("graft-cyc-pre").toString
+      DedupIndex.write(banded.filter(corpusPred), s"$pre/dedup")
+      SubstringIndex.write(docs.filter(corpusPred), s"$pre/substr")
+      val dupC = DedupIndex.probe(DedupIndex.load(spark, s"$pre/dedup"),
+        banded.filter(isB2).join(q2, Seq("doc_id")))
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val dirtyC = SubstringIndex.probe(SubstringIndex.load(spark, s"$pre/substr"),
+        batch2.join(q2, Seq("doc_id")))
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val q2Ids = q2.collect().map(_.getLong(0)).toSet
+      val admitted2 = spark.read.parquet(s"$root/admitted2.parquet")
+        .collect().map(_.getLong(0)).toSet
+      val rejectedByFoldOnly = q2Ids -- admitted2 -- dupC -- dirtyC
+      assert(rejectedByFoldOnly.nonEmpty,
+        "no cycle-2 rejection is attributable to cycle-1's appends — the " +
+          "feed-forward case is vacuous at this scale; adjust Cycle2Start")
+      q2.unpersist()
+    } finally { banded.unpersist(); () }
   }
 }

@@ -225,11 +225,13 @@ class PlanAuditSpec extends AnyFunSuite {
     // are the ≤P partial-agg rows, not corpus rows — so the
     // no-SinglePartition rule is not asserted here, unlike the
     // global-ORDER operators where it guards row-scale funnels.)
-    val plan = queryPlan("q_pipeline_stored")
-    assert(!plan.contains("CartesianProduct"), s"pipeline cartesian:\n$plan")
-    assert(count(plan, "BroadcastNestedLoopJoin") <= 2,
-      s"pipeline grew a data-scale NLJ:\n$plan")
-    spark.catalog.clearCache()
+    Seq("q_pipeline_stored", "q_pipeline_cycles").foreach { name =>
+      val plan = queryPlan(name)
+      assert(!plan.contains("CartesianProduct"), s"$name cartesian:\n$plan")
+      assert(count(plan, "BroadcastNestedLoopJoin") <= 2,
+        s"$name grew a data-scale NLJ:\n$plan")
+      spark.catalog.clearCache()
+    }
   }
 
   test("funnel: stage joins hash on user_id; only 1-row stage counts may NLJ") {
