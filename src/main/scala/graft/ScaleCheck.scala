@@ -151,7 +151,12 @@ object ScaleCheck {
     // artifact scalars, the q_shard_stored serving class. The cycles
     // variant folds TWO batches (the second admitted against the grown
     // trees) — same serving class
-    "q_pipeline_stored", "q_pipeline_cycles")
+    "q_pipeline_stored", "q_pipeline_cycles",
+    // round-15: maintenance observability — the churned-stage report is
+    // a stored ≤(bands)-row artifact read, the compacted-stage one is a
+    // tree-wide distinct aggregate: the honest O(index) term with a tiny
+    // constant (16-byte key rows, map-side partial combine)
+    "q_dedup_index_stats")
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")

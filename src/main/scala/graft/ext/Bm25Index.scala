@@ -242,7 +242,7 @@ object Bm25Index {
       "BM25 postings index (fsck refuses an unstamped or foreign-fan tree " +
         "— derive-and-repair against the wrong layout would bless garbage)")
     val old = metaDf(spark, path).collect()(0)
-    val d = spark.read.parquet(s"$path/postings.parquet")
+    val d = spark.read.schema(PostingsSchema).parquet(s"$path/postings.parquet")
       .select(col("doc_id"), col("dl")).distinct()
       .agg(count(lit(1)).as("n"),
         coalesce(sum(col("dl").cast("long")), lit(0L)).as("sum_dl"),
@@ -292,7 +292,7 @@ object Bm25Index {
     IndexMaintenance.swapTree(spark, path) { staging =>
       metaDf(spark, path)
         .coalesce(1).write.parquet(s"$staging/meta.parquet")
-      spark.read.parquet(s"$path/postings.parquet")
+      spark.read.schema(PostingsSchema).parquet(s"$path/postings.parquet")
         .select(col("doc_id"), col("dl"), col("t"), col("tf"))
         .withColumn("tb", pmod(xxhash64(col("t")), lit(toBuckets)))
         .repartition(col("tb"))
@@ -313,10 +313,17 @@ object Bm25Index {
         "empty or token-less; no query can be answered from it")
   }
 
-  /** The partition column comes back through directory-name inference
-    * (int for small fans) — pin it to long so the probe join never leans
-    * on implicit casts (same rule as [[AnnIndex.load]]).
+  /** The postings' at-rest schema, pinned EXPLICITLY: inference would
+    * type the `tb` partition column by its narrowest directory-name
+    * parse (int for small fans — the probe join must never lean on
+    * implicit casts, same rule as [[AnnIndex.load]]) and would THROW on
+    * a data-less tree — with the explicit schema an index over an empty
+    * corpus instead fails [[Index]]'s avgdl guard, the DESIGNED loud
+    * refusal (a retrieval index over nothing can answer no query).
     */
+  private val PostingsSchema = org.apache.spark.sql.types.StructType.fromDDL(
+    "doc_id BIGINT, dl DOUBLE, t STRING, tf DOUBLE, tb BIGINT")
+
   def load(spark: SparkSession, path: String, buckets: Int = Buckets): Index = {
     IndexMaintenance.heal(spark, path)
     IndexVersion.check(spark, path, markerOf(buckets),
@@ -324,8 +331,7 @@ object Bm25Index {
         "different fan or hash than the probe computes — every lookup " +
         "would read the wrong directory and silently miss)")
     val m = metaDf(spark, path).collect()(0)
-    Index(spark.read.parquet(s"$path/postings.parquet")
-            .withColumn("tb", col("tb").cast("long")),
+    Index(spark.read.schema(PostingsSchema).parquet(s"$path/postings.parquet"),
           m.getAs[Long]("n").toDouble,
           m.getAs[Long]("sum_dl").toDouble / m.getAs[Long]("n_dl"), buckets)
   }

@@ -865,6 +865,62 @@ object Dedup {
                        banded.filter(col("doc_id") % 3 === 2),
                        2 * DedupIndex.Buckets)
         .orderBy("doc_id")
+    },
+
+    // ---- maintenance observability: the WHEN-to-compact report ----
+    // DedupIndex.append tolerates cross-batch duplicate keys by design
+    // (probe dedupes its hits), so the operational question is "how much
+    // duplicate volume has churn accumulated" — n_rows − n_keys per band,
+    // the number compaction will reclaim. This row drives the
+    // at-least-once worst case (the same batch appended TWICE) and
+    // reports both lifecycle stages: the churned tree's stats are
+    // PERSISTED at maintenance time (the production maintenance-log
+    // artifact an operator alerts on), the compacted tree's are computed
+    // from the stored bytes — and the oracle re-derives both from the
+    // base table (churned rows = |write-set keys| + 2·|append-set keys|
+    // per band because each append dedupes WITHIN its batch; compacted
+    // rows = the union's distinct keys), so a stats report that
+    // miscounted, a compaction that dropped keys, or an append that
+    // deduped across batches (the O(index) anti-join the design rejects)
+    // cannot match.
+    Q("q_dedup_index_stats", {
+      def keysOf(pred: String) =
+        s"""SELECT DISTINCT band, k1, k2 FROM (
+           |    ${(0 until MinhashBands).map(b =>
+                 s"SELECT $b AS band, sig_${2 * b} AS k1, sig_${2 * b + 1} AS k2 FROM sigs WHERE $pred")
+                 .mkString("\n    UNION ALL ")}
+           |  )""".stripMargin
+      s"""WITH sigs AS ($minhashSelect),
+         |ka AS (${keysOf("doc_id % 3 = 0")}),
+         |kb AS (${keysOf("doc_id % 3 = 1")}),
+         |ku AS (SELECT band, k1, k2 FROM ka UNION SELECT band, k1, k2 FROM kb),
+         |a AS (SELECT band, count(*) AS na FROM ka GROUP BY band),
+         |b AS (SELECT band, count(*) AS nb FROM kb GROUP BY band),
+         |u AS (SELECT band, count(*) AS nu FROM ku GROUP BY band)
+         |SELECT 'churned' AS stage, band,
+         |  CAST(na + 2 * nb AS BIGINT) AS n_rows, CAST(nu AS BIGINT) AS n_keys
+         |FROM a JOIN b USING (band) JOIN u USING (band)
+         |UNION ALL
+         |SELECT 'compacted' AS stage, band,
+         |  CAST(nu AS BIGINT) AS n_rows, CAST(nu AS BIGINT) AS n_keys
+         |FROM u
+         |ORDER BY stage, band""".stripMargin
+    }) { (s, d) =>
+      val banded = mhBandedDf(s, d).transform(CacheTracker.cached)
+      val dir = StoredArtifacts.of(s"dedup-stats|$d") { r =>
+        DedupIndex.write(banded.filter(col("doc_id") % 3 === 0), s"$r/tree")
+        DedupIndex.append(banded.filter(col("doc_id") % 3 === 1), s"$r/tree")
+        DedupIndex.append(banded.filter(col("doc_id") % 3 === 1), s"$r/tree")
+        DedupIndex.stats(s, s"$r/tree")
+          .withColumn("stage", lit("churned"))
+          .write.parquet(s"$r/stats_churned.parquet")
+        DedupIndex.compact(s, s"$r/tree")
+      }
+      s.read.parquet(s"$dir/stats_churned.parquet")
+        .unionByName(DedupIndex.stats(s, s"$dir/tree")
+          .withColumn("stage", lit("compacted")))
+        .select("stage", "band", "n_rows", "n_keys")
+        .orderBy("stage", "band")
     }
   )
 

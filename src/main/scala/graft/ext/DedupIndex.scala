@@ -143,17 +143,37 @@ object DedupIndex {
       .partitionBy("band", "bucket").parquet(path)
   }
 
-  /** Partition columns come back through directory-name inference — pin
-    * them to int so the at-rest schema matches [[indexRows]] exactly
-    * (same rule as [[AnnIndex.load]]).
+  /** The at-rest schema, pinned EXPLICITLY (partition columns included):
+    * inference would (a) type the directory-name partition columns by
+    * their narrowest parse and (b) THROW on an empty tree — and an empty
+    * tree is a legitimate bootstrap state (a fresh corpus writes its
+    * index before anything is ingested; the first probe must return zero
+    * hits, not UNABLE_TO_INFER_SCHEMA). Matches [[indexRows]] exactly.
+    */
+  private val AtRestSchema = org.apache.spark.sql.types.StructType.fromDDL(
+    "k1 BIGINT, k2 BIGINT, band INT, bucket INT")
+
+  /** Explicit-schema read (see [[AtRestSchema]] — empty-tree-safe, no
+    * directory-name type inference).
     */
   def load(spark: SparkSession, path: String, buckets: Int = Buckets): DataFrame = {
     IndexMaintenance.heal(spark, path)
     IndexVersion.check(spark, path, markerOf(buckets), "dedup band index")
-    spark.read.parquet(path)
-      .withColumn("band", col("band").cast("int"))
-      .withColumn("bucket", col("bucket").cast("int"))
+    spark.read.schema(AtRestSchema).parquet(path)
   }
+
+  /** Maintenance observability: per-band row/key counts of the stored
+    * tree — the report that tells an operator WHEN to [[compact]]
+    * (`n_rows − n_keys` is exactly the cross-batch duplicate volume
+    * appends accumulate; after compaction the two are equal). Declared
+    * as q_dedup_index_stats with the churned-stage report persisted as a
+    * maintenance-log artifact and both stages oracle-checked.
+    */
+  def stats(spark: SparkSession, path: String, buckets: Int = Buckets): DataFrame =
+    load(spark, path, buckets)
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("k1"), col("k2")).as("n_keys"))
 
   /** (doc_id, n_bands_hit) for every incoming document that shares at
     * least one band key with the stored corpus: any hit flags the doc as

@@ -131,13 +131,34 @@ object SubstringIndex {
     * with no error — the one failure mode an at-rest index must never
     * have.
     */
+  /** The at-rest schema, pinned EXPLICITLY (partition column included):
+    * inference would throw on an EMPTY tree, and an empty tree is a
+    * legitimate bootstrap state (a fresh corpus writes its window index
+    * before anything is ingested — the first probe must report zero
+    * spans, not UNABLE_TO_INFER_SCHEMA).
+    */
+  private val AtRestSchema = org.apache.spark.sql.types.StructType.fromDDL(
+    "h1 BIGINT, h2 BIGINT, bucket INT")
+
   def load(spark: SparkSession, path: String, k: Int = SubstringDedup.K,
            sample: Int = 1, buckets: Int = Buckets): DataFrame = {
     IndexMaintenance.heal(spark, path)
     IndexVersion.check(spark, path, markerOf(k, sample, buckets),
       s"substring index (expected layout k=$k sample=$sample buckets=$buckets)")
-    spark.read.parquet(path).withColumn("bucket", col("bucket").cast("int"))
+    spark.read.schema(AtRestSchema).parquet(path)
   }
+
+  /** Maintenance observability: row/key/bucket counts of the stored tree
+    * — `n_rows − n_keys` is the cross-batch duplicate volume appends
+    * accumulate (compaction collapses it to zero), and `n_buckets_used`
+    * vs the fan is the rebucket signal.
+    */
+  def stats(spark: SparkSession, path: String, k: Int = SubstringDedup.K,
+            sample: Int = 1, buckets: Int = Buckets): DataFrame =
+    load(spark, path, k, sample, buckets)
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("h1"), col("h2")).as("n_keys"),
+        countDistinct(col("bucket")).as("n_buckets_used"))
 
   /** Collapse the tree after K appends — every touched bucket directory
     * holds up to K part files plus the cross-batch duplicate keys

@@ -219,6 +219,75 @@ class IndexMaintenanceSpec extends AnyFunSuite {
       s"rebucketed tree lost static bucket pruning:\n${plan.take(1500)}")
   }
 
+  test("empty trees: a fresh-corpus bootstrap index serves zero hits and survives maintenance") {
+    // A steady-state pipeline bootstrapping from NOTHING writes its index
+    // trees before anything is ingested. An empty tree must load (the
+    // explicit at-rest schema — inference throws UNABLE_TO_INFER_SCHEMA
+    // on a data-less directory), probe to zero hits, append its first
+    // batch normally, and tolerate compact/rebucket at any point.
+    val banded = Dedup.mhBandedDf(spark, sf).cache()
+    val docs = Tables.documents(spark, sf)
+    try {
+      val emptyB = banded.filter(col("doc_id") < -1)
+      val batch = banded.filter(col("doc_id") % 5 === 0)
+
+      val d1 = Files.createTempDirectory("graft-empty-dedup").toString
+      DedupIndex.write(emptyB, d1)
+      assert(DedupIndex.load(spark, d1).count() == 0)
+      assert(DedupIndex.probe(DedupIndex.load(spark, d1), batch).count() == 0,
+        "probe of an empty tree must report zero hits, not fail")
+      DedupIndex.compact(spark, d1)          // maintenance on empty: no-op
+      DedupIndex.rebucket(spark, d1, 16, 32)
+      DedupIndex.append(batch, d1, 32)       // first real ingest
+      assert(DedupIndex.probe(DedupIndex.load(spark, d1, 32), batch, 32)
+        .count() > 0, "the bootstrap tree must serve its first batch")
+
+      val d2 = Files.createTempDirectory("graft-empty-sub").toString
+      SubstringIndex.write(docs.filter(col("doc_id") < -1), d2)
+      assert(SubstringIndex.load(spark, d2).count() == 0)
+      assert(SubstringIndex.probe(SubstringIndex.load(spark, d2),
+        docs.filter(col("doc_id") % 7 === 0)).count() == 0)
+      SubstringIndex.compact(spark, d2)
+
+      // BM25 deliberately REFUSES an empty tree: a retrieval index over
+      // nothing can answer no query — load's avgdl guard fires loudly
+      val d3 = Files.createTempDirectory("graft-empty-bm").toString
+      Bm25Index.write(docs.filter(col("doc_id") < -1), d3)
+      val e = intercept[IllegalArgumentException](Bm25Index.load(spark, d3))
+      assert(e.getMessage.contains("empty or token-less"))
+    } finally { banded.unpersist(); () }
+  }
+
+  test("DedupIndex.stats: churn accounting matches, compaction zeroes the duplicate volume") {
+    val banded = Dedup.mhBandedDf(spark, sf).cache()
+    try {
+      val dir = Files.createTempDirectory("graft-stats").toString
+      val a = banded.filter(col("doc_id") % 3 === 0)
+      val b = banded.filter(col("doc_id") % 3 === 1)
+      DedupIndex.write(a, dir)
+      DedupIndex.append(b, dir)
+      DedupIndex.append(b, dir)
+      val churned = DedupIndex.stats(spark, dir).collect()
+        .map(r => r.getAs[Int]("band") ->
+          (r.getAs[Long]("n_rows"), r.getAs[Long]("n_keys"))).toMap
+      val ka = DedupIndex.indexRows(a).groupBy("band").count().collect()
+        .map(r => r.getAs[Int]("band") -> r.getAs[Long]("count")).toMap
+      val kb = DedupIndex.indexRows(b).groupBy("band").count().collect()
+        .map(r => r.getAs[Int]("band") -> r.getAs[Long]("count")).toMap
+      churned.foreach { case (band, (rows, keys)) =>
+        assert(rows == ka(band) + 2 * kb(band),
+          s"band $band: churned rows $rows != ${ka(band)} + 2*${kb(band)}")
+        assert(keys <= rows && rows > keys,
+          s"band $band: double-append must leave duplicate volume")
+      }
+      DedupIndex.compact(spark, dir)
+      DedupIndex.stats(spark, dir).collect().foreach { r =>
+        assert(r.getAs[Long]("n_rows") == r.getAs[Long]("n_keys"),
+          "compaction must zero the duplicate volume")
+      }
+    } finally { banded.unpersist(); () }
+  }
+
   test("AnnIndex: appendSwapped is atomic-or-old, equals the plain append, compact collapses files") {
     val c = Tables.embeddings(spark, sf)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v")).cache()
