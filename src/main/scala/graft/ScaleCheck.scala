@@ -156,7 +156,12 @@ object ScaleCheck {
     // a stored ≤(bands)-row artifact read, the compacted-stage one is a
     // tree-wide distinct aggregate: the honest O(index) term with a tiny
     // constant (16-byte key rows, map-side partial combine)
-    "q_dedup_index_stats")
+    "q_dedup_index_stats",
+    // round-15: the stored trained-scorer faces — model build memoized
+    // per dataset; timed reps load the metadata-scale artifact and score
+    // (classifier: the explode + broadcast-join projection — the honest
+    // linear scoring term; dsir: same class)
+    "q_text_classifier_stored", "q_sample_dsir_stored")
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -57,7 +57,36 @@ object Dsir {
     // 100 TB design point)
     val feats = featBuckets(docs, targetPred).transform(CacheTracker.cached)
     val rf = feats.filter(!col("is_target")).drop("is_target")
-    val lam = lamDf(feats, rf)
+    scoreTail(rf, lamDf(feats, rf), k, salt)
+  }
+
+  /** DSIR selection from a FROZEN λ table over a candidate frame — the
+    * at-rest serving face: same scoring tail as [[select]] (one shared
+    * definition), with the D-slot table shipped as a broadcast instead of
+    * derived in-plan. Candidates drawn from the corpus the table was
+    * trained on hit only buckets the raw estimate saw, so the dense
+    * table's 0.0 fill rows never join — stored serving is bit-identical
+    * to the in-plan derivation (the declared q_sample_dsir_stored row
+    * proves it against the full-replay oracle).
+    */
+  def selectWith(candidates: org.apache.spark.sql.DataFrame,
+                 lam: IndexedSeq[Double], k: Int,
+                 salt: String = "dsir"): org.apache.spark.sql.DataFrame = {
+    require(lam.length == D, s"lambda table must have $D slots, got ${lam.length}")
+    val s = candidates.sparkSession
+    import s.implicits._
+    val lamTable = lam.zipWithIndex
+      .map { case (v, b) => (b.toLong, v) }.toDF("b", "lam")
+    scoreTail(featBuckets(candidates, lit(false)).drop("is_target"),
+      lamTable, k, salt)
+  }
+
+  /** The shared scoring tail: λ broadcast onto the exploded candidate
+    * features, per-doc decimal sum, deterministic Gumbel top-k.
+    */
+  private def scoreTail(rf: org.apache.spark.sql.DataFrame,
+                        lam: org.apache.spark.sql.DataFrame, k: Int,
+                        salt: String): org.apache.spark.sql.DataFrame = {
     val u = (conv(substring(md5(concat(col("doc_id").cast("string"), lit(":" + salt))),
                             1, 8), 16, 10).cast("long") + 0.5) / 4294967296.0
     rf.join(broadcast(lam), Seq("b"))
@@ -69,6 +98,35 @@ object Dsir {
               round(col("logw_raw") - log(-log(u)), 6).as("sel_key"))
       .orderBy(col("sel_key").desc, col("doc_id").asc)
       .limit(k)
+  }
+
+  /** Persist the λ table — the at-rest face (same family as the
+    * classifier's [[QualityClassifier.writeModel]]): D dense rows plus a
+    * 1-row meta carrying the dimension, which [[loadTable]] verifies
+    * against the compile-time [[D]] (features hash mod D on the serving
+    * side — a table trained under a different fan would mis-route every
+    * feature silently).
+    */
+  def writeTable(spark: org.apache.spark.sql.SparkSession, dir: String,
+                 lam: IndexedSeq[Double]): Unit = {
+    import spark.implicits._
+    Seq(Tuple1(lam.length)).toDF("d")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta.parquet")
+    lam.zipWithIndex.map { case (v, b) => (b, v) }.toDF("b", "lam")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/lambda.parquet")
+  }
+
+  def loadTable(spark: org.apache.spark.sql.SparkSession,
+                dir: String): IndexedSeq[Double] = {
+    val m = spark.read.parquet(s"$dir/meta.parquet").collect()(0)
+    require(m.getAs[Int]("d") == D,
+      s"DSIR table at $dir was built over ${m.getAs[Int]("d")} hash " +
+        s"buckets but this engine scores mod $D — retrain the table")
+    val rows = spark.read.parquet(s"$dir/lambda.parquet").collect()
+      .map(r => r.getAs[Int]("b") -> r.getAs[Double]("lam")).toMap
+    require(rows.size == D, s"DSIR table at $dir holds ${rows.size} of $D " +
+      "rows — the artifact is torn; rebuild it")
+    (0 until D).map(rows)
   }
 
   /** The trained artifact: the D-slot log-ratio table λ as a dense array
@@ -154,7 +212,32 @@ object Dsir {
     // Target = every 97th document (the stand-in "high-quality reference
     // set", same convention as q_text_contamination); candidates = the
     // rest; k = 100 kept documents.
-    Q("q_sample_dsir",
+    Q("q_sample_dsir", dsirOracleSql) { (s, d) =>
+      select(Tables.documents(s, d), col("doc_id") % 97 === 0, 100)
+    },
+
+    // ---- the lambda table AT REST, served from disk ----
+    // DSIR's trained artifact gets the same at-rest lifecycle as the
+    // classifier weights / LmGate / BPE vocab: the D-slot log-ratio table
+    // is persisted once (memoized per JVM+dataset — write-once in
+    // production) and selection over any candidate batch loads the FROZEN
+    // table — a metadata-scale read and the identical shared scoring
+    // tail. Same oracle as the in-plan row: a lossy serialization, torn
+    // table (loud-refused at load) or dimension drift (ditto) cannot
+    // reproduce the full-replay selection.
+    Q("q_sample_dsir_stored", dsirOracleSql) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val root = StoredArtifacts.of(s"dsir|$d") { r =>
+        writeTable(s, r, lambdaTable(docs, col("doc_id") % 97 === 0))
+      }
+      selectWith(docs.filter(col("doc_id") % 97 =!= 0), loadTable(s, root), 100)
+    }
+  )
+
+  /** One oracle for the in-plan and the stored faces — the full replay
+    * from the base table.
+    */
+  private def dsirOracleSql: String = (
       s"""WITH toks AS (SELECT doc_id, ${tokensSql("text")} AS toks FROM documents),
          |feats AS (
          |  SELECT doc_id, ${h48Sql("f")} % $D AS b FROM (
@@ -183,8 +266,5 @@ object Dsir {
          |        - ln(-ln((${hex8Sql("doc_id || ':dsir'")} + 0.5) / 4294967296.0)),
          |        6) AS sel_key
          |FROM sc
-         |ORDER BY sel_key DESC, doc_id LIMIT 100""".stripMargin) { (s, d) =>
-      select(Tables.documents(s, d), col("doc_id") % 97 === 0, 100)
-    }
-  )
+         |ORDER BY sel_key DESC, doc_id LIMIT 100""".stripMargin)
 }

@@ -147,6 +147,61 @@ object QualityClassifier {
     lit(1.0) / (lit(1.0) + exp(-z))
   }
 
+  /** The exact training-shaped scorer from a (possibly at-rest) model:
+    * features joined to the broadcast D-row weight table, per-doc decimal
+    * sum, the identical arithmetic the oracle's final CTE replays — ONE
+    * definition shared by q_text_classifier (freshly-trained weights) and
+    * q_text_classifier_stored (weights loaded from disk), so stored
+    * serving cannot drift from the oracle-checked semantics.
+    * ([[scoreInline]] stays the zero-shuffle streaming face — same math,
+    * different summation grouping, ≈-equal within 1e-6.)
+    */
+  def scoreJoined(docs: DataFrame, w: IndexedSeq[Double], bias: Double): DataFrame = {
+    val warr = typedLit(w)
+    featDf(docs)
+      .select(col("doc_id"), col("y"), col("b"),
+        (col("cnt").cast("double") / col("n")).as("x"))
+      .withColumn("w", element_at(warr, col("b").cast("int") + 1))
+      .groupBy("doc_id", "y")
+      .agg((sum(round(col("x") * col("w"), 12).cast("decimal(28,12)"))
+             .cast("double") + bias).as("z"))
+      .select(col("doc_id"), (col("y") === 1.0).as("is_target"),
+        round(lit(1.0) / (lit(1.0) + exp(-col("z"))), 6).as("score"),
+        (round(lit(1.0) / (lit(1.0) + exp(-col("z"))), 6) >= 0.5).as("pred"))
+  }
+
+  /** Persist the trained model — the at-rest face the other trained
+    * artifacts already have (LmGate count tables, BPE vocab, DSIR λ,
+    * Bloom bits): a D-row weight table plus a 1-row meta carrying the
+    * bias AND the feature dimension. The dimension is load-bearing:
+    * serving hashes tokens mod the COMPILE-TIME [[D]], so a model trained
+    * under a different bucket count would silently mis-route every
+    * feature — [[loadModel]] refuses the mismatch loudly (the
+    * IndexVersion stance for model artifacts).
+    */
+  def writeModel(spark: org.apache.spark.sql.SparkSession, dir: String,
+                 w: IndexedSeq[Double], bias: Double): Unit = {
+    import spark.implicits._
+    Seq((bias, w.length)).toDF("bias", "d")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta.parquet")
+    w.zipWithIndex.map { case (v, b) => (b, v) }.toDF("b", "w")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/weights.parquet")
+  }
+
+  def loadModel(spark: org.apache.spark.sql.SparkSession,
+                dir: String): (IndexedSeq[Double], Double) = {
+    val m = spark.read.parquet(s"$dir/meta.parquet").collect()(0)
+    require(m.getAs[Int]("d") == D,
+      s"classifier model at $dir was trained over ${m.getAs[Int]("d")} " +
+        s"hash buckets but this engine scores mod $D — every feature " +
+        "would mis-route; retrain the model")
+    val rows = spark.read.parquet(s"$dir/weights.parquet").collect()
+      .map(r => r.getAs[Int]("b") -> r.getAs[Double]("w")).toMap
+    require(rows.size == D, s"classifier model at $dir holds ${rows.size} " +
+      s"of $D weight rows — the artifact is torn; retrain the model")
+    ((0 until D).map(rows), m.getAs[Double]("bias"))
+  }
+
   // ---------------- the oracle: training unrolled as CTEs ----------------
 
   /** One unrolled GD round as DuckDB CTEs — the SQL mirror of a [[train]]
@@ -180,9 +235,12 @@ object QualityClassifier {
        |  FROM p$t
        |)""".stripMargin
 
-  val queries: Seq[Q] = Seq(
-
-    Q("q_text_classifier", {
+  /** One oracle for the trained and the stored faces — the full unrolled
+    * replay; a stored model that lost precision, a torn weight table, or
+    * a serving join that drifted from the training arithmetic cannot
+    * match.
+    */
+  private def classifierOracleSql: String = {
       val rounds = (0 until Rounds).map(gdRoundSql).mkString(",\n")
       s"""WITH tf AS (
          |  SELECT doc_id, y, ${h48Sql("tok")} % $D AS b, count(*) AS cnt FROM (
@@ -208,21 +266,34 @@ object QualityClassifier {
          |  round(1.0 / (1.0 + exp(-z)), 6) AS score,
          |  round(1.0 / (1.0 + exp(-z)), 6) >= 0.5 AS pred
          |FROM zf ORDER BY doc_id""".stripMargin
-    }) { (s, d) =>
+  }
+
+  val queries: Seq[Q] = Seq(
+
+    Q("q_text_classifier", classifierOracleSql) { (s, d) =>
       val docs = Tables.documents(s, d)
       val (w, bias) = train(docs)
-      val warr = typedLit(w)
-      featDf(docs)
-        .select(col("doc_id"), col("y"), col("b"),
-          (col("cnt").cast("double") / col("n")).as("x"))
-        .withColumn("w", element_at(warr, col("b").cast("int") + 1))
-        .groupBy("doc_id", "y")
-        .agg((sum(round(col("x") * col("w"), 12).cast("decimal(28,12)"))
-               .cast("double") + bias).as("z"))
-        .select(col("doc_id"), (col("y") === 1.0).as("is_target"),
-          round(lit(1.0) / (lit(1.0) + exp(-col("z"))), 6).as("score"),
-          (round(lit(1.0) / (lit(1.0) + exp(-col("z"))), 6) >= 0.5).as("pred"))
-        .orderBy("doc_id")
+      scoreJoined(docs, w, bias).orderBy("doc_id")
+    },
+
+    // ---- the trained model AT REST, served from disk ----
+    // The last trained scorer gets the same at-rest lifecycle as LmGate /
+    // BPE / DSIR / Bloom: training persists the D-row weight table + the
+    // (bias, dimension) meta once (memoized per JVM+dataset — write-once
+    // in production), and scoring any batch loads the FROZEN artifact —
+    // two metadata-scale reads, then the same broadcast-join projection
+    // as the declared row. Same oracle: the stored model must reproduce
+    // the in-engine-trained weights bit-for-bit through the full
+    // unrolled-GD replay, so a lossy serialization, torn weight table
+    // (loud-refused at load) or dimension drift (ditto) cannot pass.
+    Q("q_text_classifier_stored", classifierOracleSql) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val root = StoredArtifacts.of(s"classifier|$d") { r =>
+        val (w, bias) = train(docs)
+        writeModel(s, r, w, bias)
+      }
+      val (w, bias) = loadModel(s, root)
+      scoreJoined(docs, w, bias).orderBy("doc_id")
     }
   )
 }
