@@ -1,0 +1,13 @@
+#!/usr/bin/env bash
+# Round-16 opening canary (VERDICT r15 "what's wrong" #3 / next-round #6):
+# the standard same-day 1x leg, compared against BENCH_LOCAL_r15_final's
+# shared queries before building on any numbers.
+set -euo pipefail
+REPO="$(cd "$(dirname "$0")/.." && pwd)"; cd "$REPO"
+mkdir -p /tmp/r16m
+TEN_X_QUERIES="q_dedup_jaccard,q_dedup_clusters,q_dedup_corpus,q_dedup_editdist,q_dedup_incremental,q_dedup_index_build,q_dedup_substring,q_dedup_substring_cut,q_dedup_substring_profile,q_text_decontam_spans,q_text_decontam_trim,q_text_bloom_decontam,q_text_contamination,q_text_classifier,q_text_fingerprint,q_curation_report,q_sample_dsir,q_sample_quality_budget,q_graph_pagerank,q_embed_mmr,q_text_bpe_apply,q_text_bpe_encode,q_text_bpe_batched,q_text_dup_ngrams,q_text_lm_smoothed,q_text_ppl_buckets,q_text_bpe_stats,q_text_lm_score,q_text_ppl_capped,q_text_bpe_decode,q_curation_stored,q_events_cdc_apply,q_layout_bucketed,q_shuffle_epoch,q_shard_token_balanced,q_multimodal_dedup,q_text_pmi,q_text_lm_kneser,q_text_lm_kneser_served,q_sample_curriculum_stored,q_shard_stored,q_events_cdc_snapshot,q_graph_triangles,q_text_bm25_stored,q_dedup_index_append,q_text_bm25_append,q_text_decontam_stored,q_dedup_index_maint,q_text_bm25_maint,q_text_decontam_maint,q_embed_ann_maint,q_dedup_cluster_stats,q_pipeline_stored"
+SPARK_GRAFT_SF_DIR=/tmp/graft-scale/x1 SPARK_GRAFT_CPUS=32 SPARK_GRAFT_REPS=3 \
+  SPARK_GRAFT_ONLY="$TEN_X_QUERIES" \
+  sbt -batch "runMain graft.Bench" 2>/tmp/r16m/canary.err | grep '{"metric"' | sed 's/^\[info\] //' \
+  > /tmp/r16m/canary.json
+echo CANARY_DONE

@@ -170,6 +170,36 @@ object RecallCurve {
     // random neighbor sets) — the measured ~0.16-0.20 is the honest
     // lower bound; on clustered data (where classification is used at
     // all) CurationModelSpec pins ANN-candidate agreement ≈ 1.0.
+    // Retrain justification (the number behind AnnIndex.retrain): the
+    // corpus GROWS past its build half, and serving continues under the
+    // artifacts trained on the build distribution — measure recall@10 on
+    // the grown corpus under the stale artifacts, then after
+    // retrain-and-reindex (artifacts refined over the grown corpus).
+    // Probes and truth are the same exact-top-k as every other point, so
+    // the two points are directly comparable; cand_frac shows the cost
+    // axis did not move. (These embeddings are structure-free random
+    // vectors — the flattest possible drift — so the measured gap is a
+    // LOWER bound; on clustered corpora with real drift the gap is the
+    // whole point of the operation.)
+    {
+      val buildHalf = v.filter(col("vec_id") % 2 === 0)
+      val staleCents = Similarity.refineCentroids(buildHalf,
+        Similarity.centroidSet(buildHalf, Stride), rounds = 2)
+      val staleCb = Similarity.refinePqCodebook(buildHalf,
+        Similarity.pqCodebook(buildHalf), rounds = 2)
+      val staleAsn = v.select(col("vec_id"), Similarity.cidExpr(staleCents).as("cid")).cache()
+      val np = 8
+      record("retrain_before", s"nprobe=$np",
+        recallOf(Similarity.ivfPqTopKWith(v, staleCents, staleCb, probePred, np, K)),
+        frac(ivfCost(staleCents, staleAsn, np)))
+      staleAsn.unpersist()
+      // after retrain: the artifacts are re-fit on the FULL grown corpus —
+      // the exact state AnnIndex.retrain installs (rCents/rCb above)
+      record("retrain_after", s"nprobe=$np",
+        recallOf(Similarity.ivfPqTopKWith(v, rCents, rCb, probePred, np, K)),
+        frac(ivfCost(rCents, rAsn, np)))
+    }
+
     val labels = Tables.embeddings(spark, sfDir)
       .select(col("vec_id").as("cand"), col("label"))
     def voteOf(pairs: DataFrame): Map[Long, Int] =

@@ -62,12 +62,13 @@ object AnnIndex {
     * tiny files at scale.
     */
   def write(vecDf: DataFrame, cents: Seq[(Long, Seq[Double], Double)],
-            cb: Seq[Seq[Seq[Double]]], path: String): Unit = {
-    Similarity.indexRows(vecDf, cents, cb)
-      .repartition(col("cid"))
-      .write.mode("overwrite").partitionBy("cid").parquet(path)
-    IndexVersion.stamp(vecDf.sparkSession, path, markerOf(cents, cb))
-  }
+            cb: Seq[Seq[Seq[Double]]], path: String): Unit =
+    IndexMaintenance.withLease(vecDf.sparkSession, path, "ann-write") {
+      Similarity.indexRows(vecDf, cents, cb)
+        .repartition(col("cid"))
+        .write.mode("overwrite").partitionBy("cid").parquet(path)
+      IndexVersion.stamp(vecDf.sparkSession, path, markerOf(cents, cb))
+    }
 
   /** Incremental append: encode ONLY the new batch under the SAME frozen
     * centroids/codebook and add its rows into the existing cell
@@ -88,15 +89,16 @@ object AnnIndex {
     * [[write]] keeps one chunky file per touched cell.
     */
   def append(vecDf: DataFrame, cents: Seq[(Long, Seq[Double], Double)],
-             cb: Seq[Seq[Seq[Double]]], path: String): Unit = {
-    IndexVersion.check(vecDf.sparkSession, path, markerOf(cents, cb),
-      "ANN index (refusing to append rows encoded under different " +
-        "centroids/codebook than the stored tree's — the mixed tree would " +
-        "serve silently-wrong neighbors; re-encode the full index instead)")
-    Similarity.indexRows(vecDf, cents, cb)
-      .repartition(col("cid"))
-      .write.mode("append").partitionBy("cid").parquet(path)
-  }
+             cb: Seq[Seq[Seq[Double]]], path: String): Unit =
+    IndexMaintenance.withLease(vecDf.sparkSession, path, "ann-append") {
+      IndexVersion.check(vecDf.sparkSession, path, markerOf(cents, cb),
+        "ANN index (refusing to append rows encoded under different " +
+          "centroids/codebook than the stored tree's — the mixed tree would " +
+          "serve silently-wrong neighbors; re-encode the full index instead)")
+      Similarity.indexRows(vecDf, cents, cb)
+        .repartition(col("cid"))
+        .write.mode("append").partitionBy("cid").parquet(path)
+    }
 
   /** The staging-copy-and-swap append the plain [[append]]'s partial-batch
     * note prescribes for production ingest: the merged tree (stored rows ∪
@@ -115,12 +117,14 @@ object AnnIndex {
   def appendSwapped(vecDf: DataFrame, cents: Seq[(Long, Seq[Double], Double)],
                     cb: Seq[Seq[Seq[Double]]], path: String): Unit = {
     val s = vecDf.sparkSession
-    val merged = load(s, path, cents, cb)
-      .unionByName(Similarity.indexRows(vecDf, cents, cb))
-    IndexMaintenance.swapTree(s, path) { staging =>
-      merged.repartition(col("cid"))
-        .write.partitionBy("cid").parquet(staging)
-      IndexVersion.stamp(s, staging, markerOf(cents, cb))
+    IndexMaintenance.withLease(s, path, "ann-append-swapped") {
+      val merged = load(s, path, cents, cb)
+        .unionByName(Similarity.indexRows(vecDf, cents, cb))
+      IndexMaintenance.swapTree(s, path) { staging =>
+        merged.repartition(col("cid"))
+          .write.partitionBy("cid").parquet(staging)
+        IndexVersion.stamp(s, staging, markerOf(cents, cb))
+      }
     }
   }
 
@@ -133,12 +137,57 @@ object AnnIndex {
     */
   def compact(spark: SparkSession, path: String,
               cents: Seq[(Long, Seq[Double], Double)],
-              cb: Seq[Seq[Seq[Double]]]): Unit = {
-    val rows = load(spark, path, cents, cb)
-    IndexMaintenance.swapTree(spark, path) { staging =>
-      rows.repartition(col("cid"))
-        .write.partitionBy("cid").parquet(staging)
-      IndexVersion.stamp(spark, staging, markerOf(cents, cb))
+              cb: Seq[Seq[Seq[Double]]]): Unit =
+    IndexMaintenance.withLease(spark, path, "ann-compact") {
+      val rows = load(spark, path, cents, cb)
+      IndexMaintenance.swapTree(spark, path) { staging =>
+        rows.repartition(col("cid"))
+          .write.partitionBy("cid").parquet(staging)
+        IndexVersion.stamp(spark, staging, markerOf(cents, cb))
+      }
+    }
+
+  /** Retrain-and-reindex — the missing maintenance sibling for the FROZEN
+    * training artifacts: appends and compactions all serve under the
+    * centroids/codebook fixed at build time (the markers refuse mismatches
+    * — correctly), so a corpus that drifts from the build distribution
+    * leaves recall silently degrading with no operation that can fix it
+    * short of a by-hand rebuild. This is that operation, made first-class:
+    * re-encode the CORPUS (`vecDf` — the vectors are the system of record;
+    * the stored tree holds only lossy 8-byte codes, so re-encoding must
+    * come from the source vectors, exactly as a production re-index does)
+    * under the NEW artifacts into a staging root stamped with the NEW
+    * marker, atomically promoted ([[IndexMaintenance]]). A crash at any
+    * point leaves the old tree serving under the old marker; after promote
+    * every probe must pass the new artifacts or be refused — the
+    * stale-probe window is closed by the same fingerprint discipline as
+    * ever. `oldCents`/`oldCb` identify the tree being replaced: retraining
+    * a tree that is not the one the operator thinks it is (wrong path,
+    * half-migrated layout) is refused before any work.
+    *
+    * Cost is honest: O(corpus) — one projection-only encode pass + the
+    * partitioned write, the same shape as [[write]]. The number that
+    * justifies running it is recall@k before/after on the grown corpus
+    * (RECALL.json's `retrain` block, measured by RecallCheck).
+    */
+  def retrain(vecDf: DataFrame,
+              oldCents: Seq[(Long, Seq[Double], Double)],
+              oldCb: Seq[Seq[Seq[Double]]],
+              newCents: Seq[(Long, Seq[Double], Double)],
+              newCb: Seq[Seq[Seq[Double]]], path: String): Unit = {
+    val s = vecDf.sparkSession
+    IndexMaintenance.withLease(s, path, "ann-retrain") {
+      IndexMaintenance.heal(s, path)
+      IndexVersion.check(s, path, markerOf(oldCents, oldCb),
+        "ANN index (retrain refuses a tree not stamped with the artifacts " +
+          "the caller claims to be replacing — retiring the wrong tree " +
+          "would silently drop someone else's index)")
+      IndexMaintenance.swapTree(s, path) { staging =>
+        Similarity.indexRows(vecDf, newCents, newCb)
+          .repartition(col("cid"))
+          .write.partitionBy("cid").parquet(staging)
+        IndexVersion.stamp(s, staging, markerOf(newCents, newCb))
+      }
     }
   }
 

@@ -99,14 +99,15 @@ object Bm25Index {
     * stay serveable should target a fresh directory and swap
     * ([[rebucket]] with the same fan IS that, via [[IndexMaintenance]]).
     */
-  def write(docs: DataFrame, path: String, buckets: Int = Buckets): Unit = {
-    unstamp(docs.sparkSession, path)
-    scalars(docs)
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta.parquet")
-    postings(docs, buckets).repartition(col("tb"))
-      .write.mode("overwrite").partitionBy("tb").parquet(s"$path/postings.parquet")
-    IndexVersion.stamp(docs.sparkSession, path, markerOf(buckets))
-  }
+  def write(docs: DataFrame, path: String, buckets: Int = Buckets): Unit =
+    IndexMaintenance.withLease(docs.sparkSession, path, "bm25-write") {
+      unstamp(docs.sparkSession, path)
+      scalars(docs)
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/meta.parquet")
+      postings(docs, buckets).repartition(col("tb"))
+        .write.mode("overwrite").partitionBy("tb").parquet(s"$path/postings.parquet")
+      IndexVersion.stamp(docs.sparkSession, path, markerOf(buckets))
+    }
 
   /** Remove EVERY `_GRAFT_BM25_*` marker at `path` — not just the current
     * fan's: a rebuild under fan 8 over a fan-16 tree that only stamped its
@@ -141,10 +142,11 @@ object Bm25Index {
     * checked BEFORE any write, so appending into a tree bucketed under a
     * different fan is refused before bad rows land.
     */
-  def append(docs: DataFrame, path: String, buckets: Int = Buckets): Unit = {
-    appendPostings(docs, path, buckets)
-    appendMeta(docs, path)
-  }
+  def append(docs: DataFrame, path: String, buckets: Int = Buckets): Unit =
+    IndexMaintenance.withLease(docs.sparkSession, path, "bm25-append") {
+      appendPostings(docs, path, buckets)
+      appendMeta(docs, path)
+    }
 
   /** The postings half of [[append]] — package-visible so the fsck spec
     * can reproduce the documented crash window (postings landed, meta
@@ -186,8 +188,12 @@ object Bm25Index {
 
   /** Heal-then-read of the meta file — every meta consumer goes through
     * this so a crashed [[writeMeta]] swap recovers on the next read.
+    * Public because "every consumer" includes out-of-object serving reads
+    * ([[Pipeline.report]]'s corpus scalars) — a raw parquet read of
+    * `$path/meta.parquet` would fail on the stranded retired-only crash
+    * state this heals.
     */
-  private def metaDf(s: SparkSession, path: String): DataFrame = {
+  def metaDf(s: SparkSession, path: String): DataFrame = {
     val live = new Path(s"$path/meta.parquet")
     val fs = live.getFileSystem(s.sparkContext.hadoopConfiguration)
     graft.sink.DirSwap.heal(fs, live,
@@ -238,6 +244,22 @@ object Bm25Index {
     */
   def fsck(spark: SparkSession, path: String, buckets: Int = Buckets,
            repair: Boolean = false): FsckReport = {
+    // lease only on the repair path: detect-only is a read; the repair
+    // write would clobber a concurrent append's meta fold without it. The
+    // non-repair read inside the leased path is harmless double work.
+    if (repair)
+      IndexMaintenance.withLease(spark, path, "bm25-fsck-repair") {
+        fsckInner(spark, path, buckets, repair = true)
+      }
+    else fsckInner(spark, path, buckets, repair = false)
+  }
+
+  private def fsckInner(spark: SparkSession, path: String, buckets: Int,
+                        repair: Boolean): FsckReport = {
+    // heal FIRST (mirrors load): a rebucket crashed between retire and
+    // promote leaves the live root missing, and the marker check below
+    // would misread that recoverable state as "rebuild the index"
+    IndexMaintenance.heal(spark, path)
     IndexVersion.check(spark, path, markerOf(buckets),
       "BM25 postings index (fsck refuses an unstamped or foreign-fan tree " +
         "— derive-and-repair against the wrong layout would bless garbage)")
@@ -285,6 +307,11 @@ object Bm25Index {
   def rebucket(spark: SparkSession, path: String,
                fromBuckets: Int, toBuckets: Int): Unit = {
     require(toBuckets >= 1, s"bucket fan must be >= 1, got $toBuckets")
+    IndexMaintenance.withLease(spark, path, "bm25-rebucket") {
+    // heal FIRST (mirrors load and the other families' rebuckets): a
+    // retry after a crash stranded between retire and promote must
+    // restore the live root, not die on the marker check
+    IndexMaintenance.heal(spark, path)
     IndexVersion.check(spark, path, markerOf(fromBuckets),
       "BM25 postings index (rebucket refuses a tree stamped under a " +
         "different fan than the caller claims — rewriting from the wrong " +
@@ -298,6 +325,7 @@ object Bm25Index {
         .repartition(col("tb"))
         .write.partitionBy("tb").parquet(s"$staging/postings.parquet")
       IndexVersion.stamp(spark, staging, markerOf(toBuckets))
+    }
     }
   }
 

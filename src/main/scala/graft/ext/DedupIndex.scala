@@ -77,12 +77,13 @@ object DedupIndex {
     */
   private[graft] def markerOf(buckets: Int): String = s"_GRAFT_BUCKETING_1_b$buckets"
 
-  def write(banded: DataFrame, path: String, buckets: Int = Buckets): Unit = {
-    indexRows(banded, buckets).repartition(col("band"), col("bucket"))
-      .write.mode("overwrite")
-      .partitionBy("band", "bucket").parquet(path)
-    IndexVersion.stamp(banded.sparkSession, path, markerOf(buckets))
-  }
+  def write(banded: DataFrame, path: String, buckets: Int = Buckets): Unit =
+    IndexMaintenance.withLease(banded.sparkSession, path, "dedup-write") {
+      indexRows(banded, buckets).repartition(col("band"), col("bucket"))
+        .write.mode("overwrite")
+        .partitionBy("band", "bucket").parquet(path)
+      IndexVersion.stamp(banded.sparkSession, path, markerOf(buckets))
+    }
 
   /** Collapse the tree after K appends: each touched (band, bucket)
     * directory holds up to K part files plus the cross-batch duplicate
@@ -106,13 +107,15 @@ object DedupIndex {
   def rebucket(spark: SparkSession, path: String,
                fromBuckets: Int, toBuckets: Int): Unit = {
     require(toBuckets >= 1, s"bucket fan must be >= 1, got $toBuckets")
-    val rows = load(spark, path, fromBuckets)
-      .select("band", "k1", "k2").distinct()
-      .withColumn("bucket", bucketCol(toBuckets))
-    IndexMaintenance.swapTree(spark, path) { staging =>
-      rows.repartition(col("band"), col("bucket"))
-        .write.partitionBy("band", "bucket").parquet(staging)
-      IndexVersion.stamp(spark, staging, markerOf(toBuckets))
+    IndexMaintenance.withLease(spark, path, "dedup-rebucket") {
+      val rows = load(spark, path, fromBuckets)
+        .select("band", "k1", "k2").distinct()
+        .withColumn("bucket", bucketCol(toBuckets))
+      IndexMaintenance.swapTree(spark, path) { staging =>
+        rows.repartition(col("band"), col("bucket"))
+          .write.partitionBy("band", "bucket").parquet(staging)
+        IndexVersion.stamp(spark, staging, markerOf(toBuckets))
+      }
     }
   }
 
@@ -133,15 +136,16 @@ object DedupIndex {
     * different derivation would scatter them into directories probes
     * never read.
     */
-  def append(batchBanded: DataFrame, path: String, buckets: Int = Buckets): Unit = {
-    IndexVersion.check(batchBanded.sparkSession, path, markerOf(buckets),
-      "dedup band index (refusing to append keys bucketed under a " +
-        "different derivation or fan than the stored tree's — they would " +
-        "land in directories probes never read, silently admitting duplicates)")
-    indexRows(batchBanded, buckets).repartition(col("band"), col("bucket"))
-      .write.mode("append")
-      .partitionBy("band", "bucket").parquet(path)
-  }
+  def append(batchBanded: DataFrame, path: String, buckets: Int = Buckets): Unit =
+    IndexMaintenance.withLease(batchBanded.sparkSession, path, "dedup-append") {
+      IndexVersion.check(batchBanded.sparkSession, path, markerOf(buckets),
+        "dedup band index (refusing to append keys bucketed under a " +
+          "different derivation or fan than the stored tree's — they would " +
+          "land in directories probes never read, silently admitting duplicates)")
+      indexRows(batchBanded, buckets).repartition(col("band"), col("bucket"))
+        .write.mode("append")
+        .partitionBy("band", "bucket").parquet(path)
+    }
 
   /** The at-rest schema, pinned EXPLICITLY (partition columns included):
     * inference would (a) type the directory-name partition columns by

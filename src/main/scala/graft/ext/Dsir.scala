@@ -110,14 +110,21 @@ object Dsir {
   def writeTable(spark: org.apache.spark.sql.SparkSession, dir: String,
                  lam: IndexedSeq[Double]): Unit = {
     import spark.implicits._
-    Seq(Tuple1(lam.length)).toDF("d")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta.parquet")
-    lam.zipWithIndex.map { case (v, b) => (b, v) }.toDF("b", "lam")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/lambda.parquet")
+    // dir-level staging+promote (same fix as QualityClassifier.writeModel):
+    // the old per-file delete-then-write could strand a NEW meta next to
+    // an OLD λ table on a re-train crash — passing every loadTable check
+    // while serving the wrong weights
+    IndexMaintenance.swapTree(spark, dir) { staging =>
+      Seq(Tuple1(lam.length)).toDF("d")
+        .coalesce(1).write.parquet(s"$staging/meta.parquet")
+      lam.zipWithIndex.map { case (v, b) => (b, v) }.toDF("b", "lam")
+        .coalesce(1).write.parquet(s"$staging/lambda.parquet")
+    }
   }
 
   def loadTable(spark: org.apache.spark.sql.SparkSession,
                 dir: String): IndexedSeq[Double] = {
+    IndexMaintenance.heal(spark, dir)
     val m = spark.read.parquet(s"$dir/meta.parquet").collect()(0)
     require(m.getAs[Int]("d") == D,
       s"DSIR table at $dir was built over ${m.getAs[Int]("d")} hash " +

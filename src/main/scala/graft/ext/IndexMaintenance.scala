@@ -36,7 +36,10 @@ import org.apache.spark.sql.SparkSession
   * assumption), and no concurrent appender — an append committing into the
   * live root during the rewrite would be silently dropped at the swap.
   * Probes/loads may race only against the promote rename itself, which is
-  * the same exposure every snapshot reader already accepts.
+  * the same exposure every snapshot reader already accepts. Since round
+  * 16 the contract is ENFORCED, not just stated: every mutator of the
+  * four trees runs under [[withLease]], so a second concurrent writer is
+  * refused loudly (stale-by-age takeover for crashed holders).
   */
 private[graft] object IndexMaintenance {
 
@@ -52,16 +55,23 @@ private[graft] object IndexMaintenance {
 
   /** Self-heal a previous maintenance crash: a leftover retired root next
     * to a missing live root is the only copy — restore it; next to a live
-    * root it is a stale duplicate — drop it. Stale staging roots are
-    * always safe to drop (promotion is the last step, so a staging dir
-    * that still exists was never promoted). Called at the top of every
+    * root it is a stale duplicate — drop it. Called at the top of every
     * index load and at the top of [[swapTree]].
+    *
+    * Deliberately does NOT touch the staging sibling: the module contract
+    * lets probes/loads run concurrently with one maintainer, and a
+    * load-path staging delete racing that maintainer's in-flight build —
+    * e.g. between its data write and its marker stamp — could gut the
+    * staging tree right before promote installs it, serving an empty
+    * (zero-hit) index under a valid marker. Stale staging debris from a
+    * crashed run is instead cleared by the next WRITER, inside
+    * [[swapTree]], where the single-maintainer contract makes the delete
+    * safe; until then it sits outside the readable tree and costs nothing.
     */
   def heal(spark: SparkSession, path: String): Unit = {
-    val (dir, staging, retired) = siblings(path)
+    val (dir, _, retired) = siblings(path)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     graft.sink.DirSwap.heal(fs, dir, retired)
-    fs.delete(staging, true)
   }
 
   /** Rewrite the tree at `path` atomically: `build(stagingRoot)` writes
@@ -70,6 +80,11 @@ private[graft] object IndexMaintenance {
     * promoted over the live one. The build closure typically READS the
     * live tree — every write action inside it completes before the
     * promote, so the read plan never observes its own output path.
+    *
+    * Stale staging debris from a crashed earlier run is cleared HERE (and
+    * only here): this is the writer side, where the lease makes the delete
+    * race-free — the load-path [[heal]] must never touch staging (see its
+    * doc).
     */
   def swapTree(spark: SparkSession, path: String)(build: String => Unit): Unit = {
     val (dir, staging, retired) = siblings(path)
@@ -78,5 +93,80 @@ private[graft] object IndexMaintenance {
     fs.delete(staging, true)
     build(staging.toString)
     graft.sink.DirSwap.promote(fs, staging, dir, retired)
+  }
+
+  // ---------------- the writer lease ----------------
+
+  /** Lease-file sibling suffix. The lease lives NEXT TO the tree, not
+    * inside it: [[swapTree]] renames the live root away during promote,
+    * and a lease stored inside would vanish mid-operation.
+    */
+  private[graft] val LeaseSuffix = ".__writer_lease"
+
+  /** Default stale-lease age: a writer that has held a lease longer than
+    * this with no release is presumed dead (kill -9, lost executor) and
+    * its lease may be taken over. Generous on purpose — a takeover from a
+    * LIVE writer is the corruption the lease exists to prevent, while a
+    * stranded lease only delays the next ingest run.
+    */
+  private[graft] val LeaseStaleMs: Long = 30L * 60 * 1000
+
+  /** Run `body` as THE single writer of the tree at `path` — the
+    * enforcement of the contract the class doc states in prose: every
+    * mutator (append / compact / rebucket / retrain / fsck-repair) of the
+    * four at-rest trees acquires this lease first, so a second concurrent
+    * writer — a scheduler retrying an ingest job while compaction runs,
+    * the exact 100 TB operational hazard — is REFUSED LOUDLY instead of
+    * silently losing its meta fold or having its append dropped at a swap.
+    *
+    * Acquisition is an atomic create-no-overwrite of the lease file
+    * (atomic on HDFS; effectively so on local FS), holder-stamped with the
+    * operation name and wall-clock time. A lease older than `staleMs` is
+    * presumed abandoned by a crashed writer and taken over (delete +
+    * re-create — the documented stale-by-age policy; two simultaneous
+    * takeovers re-serialize on the create). Released on completion AND on
+    * exception: an in-process failure means the writer is done (any torn
+    * state it left is the marker/fsck discipline's job, not the lease's);
+    * only a process death leaves the lease behind, which is exactly the
+    * stale-age case.
+    */
+  private[graft] def withLease[T](spark: SparkSession, path: String, op: String,
+                                  staleMs: Long = LeaseStaleMs)(body: => T): T = {
+    val dir = new Path(path)
+    val lease = new Path(dir.getParent, dir.getName + LeaseSuffix)
+    val fs = lease.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (lease.getParent != null) fs.mkdirs(lease.getParent)
+    def tryAcquire(): Boolean =
+      try {
+        val out = fs.create(lease, false)
+        out.writeBytes(s"$op@${System.currentTimeMillis}\n")
+        out.close()
+        true
+      } catch { case _: java.io.IOException => false }
+    if (!tryAcquire()) {
+      val st = try Some(fs.getFileStatus(lease))
+               catch { case _: java.io.FileNotFoundException => None }
+      st match {
+        case Some(s) if System.currentTimeMillis - s.getModificationTime <= staleMs =>
+          val holder = try {
+            val in = fs.open(lease)
+            try scala.io.Source.fromInputStream(in).mkString.trim finally in.close()
+          } catch { case _: java.io.IOException => "<unreadable>" }
+          throw new IllegalStateException(
+            s"refusing to write index tree at $path: another writer holds " +
+              s"the lease ($holder). The at-rest trees are single-writer — " +
+              "a concurrent append/maintain would lose its meta fold or be " +
+              "dropped at a swap. Wait for the holder to finish, or if it " +
+              s"is dead, its lease expires after ${staleMs / 1000}s.")
+        case Some(_) =>  // stale: documented takeover
+          fs.delete(lease, false)
+          require(tryAcquire() || tryAcquire(),
+            s"could not take over stale writer lease at $lease")
+        case None =>     // holder released between our create and stat
+          require(tryAcquire(),
+            s"could not acquire writer lease at $lease after release race")
+      }
+    }
+    try body finally fs.delete(lease, false)
   }
 }

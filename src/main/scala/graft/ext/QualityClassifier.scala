@@ -182,14 +182,24 @@ object QualityClassifier {
   def writeModel(spark: org.apache.spark.sql.SparkSession, dir: String,
                  w: IndexedSeq[Double], bias: Double): Unit = {
     import spark.implicits._
-    Seq((bias, w.length)).toDF("bias", "d")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta.parquet")
-    w.zipWithIndex.map { case (v, b) => (b, v) }.toDF("b", "w")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/weights.parquet")
+    // both files land in a staging sibling and promote as ONE rename
+    // (IndexMaintenance/DirSwap): the old delete-then-write committed meta
+    // before weights, so a re-train crash between the two paired the NEW
+    // (bias, d) meta with the OLD weight table — it passed every loadModel
+    // check and served silently wrong scores. With the dir-level swap a
+    // crash leaves either the old or the new model complete, never a mix,
+    // and the stranded retire state heals at the next load.
+    IndexMaintenance.swapTree(spark, dir) { staging =>
+      Seq((bias, w.length)).toDF("bias", "d")
+        .coalesce(1).write.parquet(s"$staging/meta.parquet")
+      w.zipWithIndex.map { case (v, b) => (b, v) }.toDF("b", "w")
+        .coalesce(1).write.parquet(s"$staging/weights.parquet")
+    }
   }
 
   def loadModel(spark: org.apache.spark.sql.SparkSession,
                 dir: String): (IndexedSeq[Double], Double) = {
+    IndexMaintenance.heal(spark, dir)
     val m = spark.read.parquet(s"$dir/meta.parquet").collect()(0)
     require(m.getAs[Int]("d") == D,
       s"classifier model at $dir was trained over ${m.getAs[Int]("d")} " +

@@ -600,15 +600,18 @@ object Similarity {
       s"($qv[m*$PqSub+j+1] - $rv[m*$PqSub+j+1]) * ($qv[m*$PqSub+j+1] - $rv[m*$PqSub+j+1])), " +
       s"(a, t) -> a + t)), (a, t) -> a + t)"
 
-  /** The full IVF-PQ replay (stride-25 centroids, nprobe=3, top-3) —
-    * shared by q_embed_ivfpq (the in-memory operator) and
-    * q_embed_ann_append (the at-rest tree after an incremental append):
-    * an appended index must serve EXACTLY what a from-scratch build
-    * serves, so the two rows share one oracle and cannot drift.
+  /** The full IVF-PQ replay (nprobe=3, top-3) against an arbitrary
+    * centroid-CTE chain whose FINAL centroid set is named `c` — shared by
+    * q_embed_ivfpq (the in-memory operator), q_embed_ann_append /
+    * q_embed_ann_maint (the at-rest tree: stride-25 centroids) and
+    * q_embed_ann_retrain (Lloyd-refined centroids): a maintained or
+    * retrained index must serve EXACTLY what a from-scratch build under
+    * the same artifacts serves, so all the rows share one replay skeleton
+    * and cannot drift.
     */
-  private val ivfPqOracleSql =
+  private def ivfPqOracleSqlWith(centCtes: String) =
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-       |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 25 = 0),
+       |$centCtes,
        |$pqCodeSql,
        |$reconSql,
        |asn AS (
@@ -639,6 +642,22 @@ object Similarity {
        |    row_number() OVER (PARTITION BY qid ORDER BY adc ASC, cand ASC) AS rn
        |  FROM scored
        |) WHERE rn <= 3 ORDER BY qid, rn""".stripMargin
+
+  /** The frozen-artifact instance: stride-25 sampled centroids. */
+  private lazy val ivfPqOracleSql = ivfPqOracleSqlWith(
+    "c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 25 = 0)")
+
+  /** The retrained-artifact instance: the serving centroids are the
+    * 2-round Lloyd refinement of the stride-25 seed over the FULL corpus
+    * (the q_embed_ivf_kmeans arithmetic, bit-identical on both engines),
+    * codebook unchanged — the oracle mirror of [[AnnIndex.retrain]] run
+    * after the corpus grew.
+    */
+  private lazy val ivfPqRetrainOracleSql = ivfPqOracleSqlWith(
+    s"""c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 25 = 0),
+       |${lloydRoundSql("c0", "r1", "cr1")},
+       |${lloydRoundSql("cr1", "r2", "cr2")},
+       |c AS (SELECT cid, cv FROM cr2)""".stripMargin)
 
   /** One unrolled Lloyd round as DuckDB CTEs — the SQL mirror of a
     * [[refineCentroids]] iteration: assign every vector to its
@@ -1039,6 +1058,41 @@ object Similarity {
       }
       AnnIndex.probe(AnnIndex.load(s, root, cents, cb),
                      v.filter(col("vec_id") < 10), cents, cb,
+                     nprobe = 3, k = 3)
+        .orderBy("qid", "rn")
+    },
+
+    // ---- retrain-and-reindex: the drifting-model maintenance face ----
+    // The lifecycle gap the maintenance rows left open: every append and
+    // compaction serves under the centroids/codebook FROZEN at build time
+    // (markers refuse mismatches — correctly), so a corpus that drifts
+    // from the build distribution degrades recall with no operation to
+    // fix it. [[AnnIndex.retrain]] is that operation: the tree is built
+    // under the stride-25 seed artifacts on HALF the corpus, grown by an
+    // O(batch) append (the drift: the index now holds a corpus the
+    // artifacts were never trained on), then retrained — re-encoded from
+    // the source vectors under 2-round-Lloyd-refined centroids via the
+    // crash-safe tree swap, new fingerprint stamped with the data. The
+    // probe must (a) be REFUSED under the old artifacts (stale-probe
+    // window closed — AnnIndexSpec) and (b) hash-match the from-scratch
+    // IVF-PQ replay under the refined centroids — the same skeleton
+    // oracle as q_embed_ivfpq with the q_embed_ivf_kmeans Lloyd CTEs
+    // supplying the centroid chain, so a retrain that lost rows, kept
+    // stale encodings, or drifted arithmetically cannot match. The recall
+    // number that justifies running it is measured on the same grown
+    // corpus by RecallCurve's retrain block (RECALL.json).
+    Q("q_embed_ann_retrain", ivfPqRetrainOracleSql) { (s, d) =>
+      val v = vecs(s, d)
+      val seedCents = centroidSet(v, 25)
+      val cb = pqCodebook(v)
+      val refined = refineCentroids(v, seedCents, rounds = 2)
+      val root = StoredArtifacts.of(s"ann-retrain|$d") { r =>
+        AnnIndex.write(v.filter(col("vec_id") % 2 === 0), seedCents, cb, r)
+        AnnIndex.append(v.filter(col("vec_id") % 2 =!= 0), seedCents, cb, r)
+        AnnIndex.retrain(v, seedCents, cb, refined, cb, r)
+      }
+      AnnIndex.probe(AnnIndex.load(s, root, refined, cb),
+                     v.filter(col("vec_id") < 10), refined, cb,
                      nprobe = 3, k = 3)
         .orderBy("qid", "rn")
     },

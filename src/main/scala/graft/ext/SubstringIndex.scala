@@ -92,12 +92,13 @@ object SubstringIndex {
     * directory (tasks × buckets tiny files).
     */
   def write(docs: DataFrame, path: String, k: Int = SubstringDedup.K,
-            sample: Int = 1, buckets: Int = Buckets): Unit = {
-    indexRows(docs, k, sample, buckets)
-      .repartition(col("bucket"))
-      .write.mode("overwrite").partitionBy("bucket").parquet(path)
-    IndexVersion.stamp(docs.sparkSession, path, markerOf(k, sample, buckets))
-  }
+            sample: Int = 1, buckets: Int = Buckets): Unit =
+    IndexMaintenance.withLease(docs.sparkSession, path, "substr-write") {
+      indexRows(docs, k, sample, buckets)
+        .repartition(col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket").parquet(path)
+      IndexVersion.stamp(docs.sparkSession, path, markerOf(k, sample, buckets))
+    }
 
   /** Incremental append: fold a new corpus batch's window hashes into the
     * stored tree — O(batch) ingest, base part files never rewritten (the
@@ -114,15 +115,16 @@ object SubstringIndex {
     * probes never read.
     */
   def append(docs: DataFrame, path: String, k: Int = SubstringDedup.K,
-             sample: Int = 1, buckets: Int = Buckets): Unit = {
-    IndexVersion.check(docs.sparkSession, path, markerOf(k, sample, buckets),
-      s"substring index (refusing to append windows derived under layout " +
-        s"k=$k sample=$sample buckets=$buckets into a tree stamped " +
-        "otherwise — probes would silently miss them)")
-    indexRows(docs, k, sample, buckets)
-      .repartition(col("bucket"))
-      .write.mode("append").partitionBy("bucket").parquet(path)
-  }
+             sample: Int = 1, buckets: Int = Buckets): Unit =
+    IndexMaintenance.withLease(docs.sparkSession, path, "substr-append") {
+      IndexVersion.check(docs.sparkSession, path, markerOf(k, sample, buckets),
+        s"substring index (refusing to append windows derived under layout " +
+          s"k=$k sample=$sample buckets=$buckets into a tree stamped " +
+          "otherwise — probes would silently miss them)")
+      indexRows(docs, k, sample, buckets)
+        .repartition(col("bucket"))
+        .write.mode("append").partitionBy("bucket").parquet(path)
+    }
 
   /** Partition columns come back through directory-name inference — pin
     * bucket to int so the at-rest schema matches [[indexRows]] exactly.
@@ -185,13 +187,15 @@ object SubstringIndex {
   def rebucket(spark: SparkSession, path: String, k: Int, sample: Int,
                fromBuckets: Int, toBuckets: Int): Unit = {
     require(toBuckets >= 1, s"bucket fan must be >= 1, got $toBuckets")
-    val rows = withBucket(
-      load(spark, path, k, sample, fromBuckets).select("h1", "h2").distinct(),
-      toBuckets)
-    IndexMaintenance.swapTree(spark, path) { staging =>
-      rows.repartition(col("bucket"))
-        .write.partitionBy("bucket").parquet(staging)
-      IndexVersion.stamp(spark, staging, markerOf(k, sample, toBuckets))
+    IndexMaintenance.withLease(spark, path, "substr-rebucket") {
+      val rows = withBucket(
+        load(spark, path, k, sample, fromBuckets).select("h1", "h2").distinct(),
+        toBuckets)
+      IndexMaintenance.swapTree(spark, path) { staging =>
+        rows.repartition(col("bucket"))
+          .write.partitionBy("bucket").parquet(staging)
+        IndexVersion.stamp(spark, staging, markerOf(k, sample, toBuckets))
+      }
     }
   }
 

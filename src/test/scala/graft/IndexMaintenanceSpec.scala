@@ -337,4 +337,210 @@ class IndexMaintenanceSpec extends AnyFunSuite {
       assert(serve(dir2) == pre, "post-compact serving diverged")
     } finally { c.unpersist(); () }
   }
+
+  test("AnnIndex.retrain: re-encodes under new artifacts atomically; stale probes refused; crash leaves old serving") {
+    import graft.ext.IndexMaintenance
+    val c = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v")).cache()
+    try {
+      val seed = Similarity.centroidSet(c, 10)
+      val cb = Similarity.pqCodebook(c)
+      val refined = Similarity.refineCentroids(c, seed, rounds = 1)
+      val probeVecs = c.filter(col("vec_id") < 8)
+      def serve(p: String, cs: Seq[(Long, Seq[Double], Double)]) =
+        AnnIndex.probe(AnnIndex.load(spark, p, cs, cb), probeVecs, cs, cb,
+          nprobe = 2, k = 3).orderBy("qid", "rn").collect().toSeq
+
+      val dir = Files.createTempDirectory("graft-annretrain").toString
+      AnnIndex.write(c.filter(col("vec_id") % 2 === 0), seed, cb, dir)
+      AnnIndex.append(c.filter(col("vec_id") % 2 =!= 0), seed, cb, dir)
+
+      // retrain refuses a tree not stamped with the claimed old artifacts
+      intercept[IllegalArgumentException](
+        AnnIndex.retrain(c, refined, cb, refined, cb, dir))
+
+      AnnIndex.retrain(c, seed, cb, refined, cb, dir)
+      // the stale-probe window is closed: old artifacts now refused
+      intercept[IllegalArgumentException](AnnIndex.load(spark, dir, seed, cb))
+      // serving equals a from-scratch build under the new artifacts
+      val fresh = Files.createTempDirectory("graft-annretrain-fresh").toString
+      AnnIndex.write(c, refined, cb, fresh)
+      assert(serve(dir, refined) == serve(fresh, refined),
+        "retrained tree diverges from a from-scratch build under the new artifacts")
+      assert(leavesAreChunky(dir), "retrain must leave one file per cell")
+
+      // crash stranded between retire and promote: the retired root is the
+      // only copy — the next load heals and serves (under the NEW marker,
+      // since promote-side stranding happens after the staging build)
+      val live = new java.io.File(dir)
+      assert(live.renameTo(new java.io.File(dir + IndexMaintenance.RetiredSuffix)))
+      assert(serve(dir, refined) == serve(fresh, refined),
+        "load must heal a crashed retrain swap")
+    } finally { c.unpersist(); () }
+  }
+
+  // ---------------- round 16: the writer lease ----------------
+
+  test("writer lease: a second writer is refused on all four families; release and stale takeover work") {
+    import graft.ext.IndexMaintenance
+    val banded = Dedup.mhBandedDf(spark, sf).cache()
+    val docs = Tables.documents(spark, sf)
+    val c = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v")).cache()
+    try {
+      val cents = Similarity.centroidSet(c, 10)
+      val cb = Similarity.pqCodebook(c)
+      val half = banded.filter(col("doc_id") % 2 === 0)
+      val rest = banded.filter(col("doc_id") % 2 =!= 0)
+
+      // one helper: hold the lease as a simulated concurrent maintainer,
+      // assert the mutator refuses, release, assert it then succeeds
+      def holdAndRefuse(dir: String)(mutate: => Unit): Unit = {
+        val lease = new java.io.File(dir + IndexMaintenance.LeaseSuffix)
+        assert(lease.createNewFile(), s"test could not plant lease at $lease")
+        val e = intercept[IllegalStateException](mutate)
+        assert(e.getMessage.contains("another writer holds the lease"),
+          s"wrong refusal message: ${e.getMessage}")
+        assert(lease.delete())
+        mutate // released → the same operation must go through
+      }
+
+      val d1 = Files.createTempDirectory("graft-lease-dedup").toString
+      DedupIndex.write(half, d1)
+      holdAndRefuse(d1)(DedupIndex.append(rest, d1))
+      holdAndRefuse(d1)(DedupIndex.compact(spark, d1))
+
+      val d2 = Files.createTempDirectory("graft-lease-sub").toString
+      SubstringIndex.write(docs.filter(col("doc_id") % 2 === 0), d2)
+      holdAndRefuse(d2)(SubstringIndex.append(docs.filter(col("doc_id") % 2 =!= 0), d2))
+      holdAndRefuse(d2)(SubstringIndex.compact(spark, d2))
+
+      val d3 = Files.createTempDirectory("graft-lease-bm").toString
+      Bm25Index.write(docs.filter(col("doc_id") % 2 === 0), d3)
+      holdAndRefuse(d3)(Bm25Index.append(docs.filter(col("doc_id") % 2 =!= 0), d3))
+      // the repair path writes meta → leased; detect-only is a read → not
+      Bm25Index.appendPostings(docs.filter(col("doc_id") % 3 === 0), d3)
+      holdAndRefuse(d3) { Bm25Index.fsck(spark, d3, repair = true); () }
+      val lease3 = new java.io.File(d3 + IndexMaintenance.LeaseSuffix)
+      assert(lease3.createNewFile())
+      assert(!Bm25Index.fsck(spark, d3, repair = false).repaired,
+        "detect-only fsck must run (read) under a foreign lease")
+      assert(lease3.delete())
+
+      val d4 = Files.createTempDirectory("graft-lease-ann").toString
+      AnnIndex.write(c.filter(col("vec_id") % 2 === 0), cents, cb, d4)
+      holdAndRefuse(d4)(AnnIndex.append(c.filter(col("vec_id") % 2 =!= 0), cents, cb, d4))
+      holdAndRefuse(d4)(AnnIndex.compact(spark, d4, cents, cb))
+
+      // reads NEVER need the lease: load + probe under a held lease
+      val lease4 = new java.io.File(d4 + IndexMaintenance.LeaseSuffix)
+      assert(lease4.createNewFile())
+      assert(AnnIndex.probe(AnnIndex.load(spark, d4, cents, cb),
+        c.filter(col("vec_id") < 4), cents, cb, 2, 3).count() > 0,
+        "probes must not be blocked by a writer lease")
+      assert(lease4.delete())
+
+      // stale takeover: a lease whose mtime is past the stale age is
+      // presumed abandoned (kill -9'd writer) and taken over
+      val staleLease = new java.io.File(d1 + IndexMaintenance.LeaseSuffix)
+      assert(staleLease.createNewFile())
+      assert(staleLease.setLastModified(
+        System.currentTimeMillis - IndexMaintenance.LeaseStaleMs - 60000))
+      DedupIndex.append(rest, d1) // must take over, not refuse
+      assert(!staleLease.exists(), "takeover must release the lease after commit")
+
+      // a crashed writer (exception inside the leased body) releases too
+      intercept[IllegalArgumentException](
+        DedupIndex.append(rest, d1, buckets = 99)) // marker mismatch throws inside
+      assert(!new java.io.File(d1 + IndexMaintenance.LeaseSuffix).exists(),
+        "an in-process failure must release the lease")
+    } finally { banded.unpersist(); c.unpersist(); () }
+  }
+
+  test("load-path heal leaves a maintainer's staging tree alone; swapTree still clears stale staging") {
+    import graft.ext.IndexMaintenance
+    val banded = Dedup.mhBandedDf(spark, sf).cache()
+    try {
+      val dir = Files.createTempDirectory("graft-healstg").toString
+      DedupIndex.write(banded.filter(col("doc_id") % 2 === 0), dir)
+      // an in-flight maintainer's staging sibling (between its data write
+      // and marker stamp — the ADVICE race window)
+      val staging = new java.io.File(dir + IndexMaintenance.StagingSuffix)
+      assert(staging.mkdir())
+      val partial = new java.io.File(staging, "part-in-flight.parquet")
+      assert(partial.createNewFile())
+      DedupIndex.load(spark, dir).count() // a concurrent reader
+      assert(partial.exists() && staging.exists(),
+        "a load must NOT delete a maintainer's in-flight staging tree " +
+          "(promote could install a gutted index)")
+      // the next WRITER clears the (now genuinely stale) debris safely
+      DedupIndex.compact(spark, dir)
+      assert(!new java.io.File(dir + IndexMaintenance.StagingSuffix, "part-in-flight.parquet").exists(),
+        "swapTree must have rebuilt staging from scratch")
+      assert(DedupIndex.load(spark, dir).count() > 0)
+    } finally { banded.unpersist(); () }
+  }
+
+  test("Bm25Index: rebucket retry and fsck self-heal the stranded retire state instead of demanding a rebuild") {
+    import graft.ext.IndexMaintenance
+    val docs = Tables.documents(spark, sf)
+    val terms = Seq("join", "scan", "sort")
+    val dir = Files.createTempDirectory("graft-bmheal").toString
+    Bm25Index.write(docs, dir)
+    val before = Bm25Index.search(Bm25Index.load(spark, dir), terms, 10)
+      .collect().toSeq
+
+    // crash stranded between retire and promote: live root missing,
+    // retired sibling is the only copy
+    def strand(): Unit = {
+      val live = new java.io.File(dir)
+      val retired = new java.io.File(dir + IndexMaintenance.RetiredSuffix)
+      assert(live.renameTo(retired))
+    }
+    strand()
+    assert(Bm25Index.fsck(spark, dir).consistent,
+      "fsck must heal the stranded retire state, not fail its marker check")
+    strand()
+    Bm25Index.rebucket(spark, dir, 16, 8) // retry after the crash must work
+    assert(Bm25Index.search(Bm25Index.load(spark, dir, 8), terms, 10)
+      .collect().toSeq == before, "healed rebucket diverged")
+  }
+
+  test("model dirs: a torn classifier/DSIR re-train is impossible by construction; crash states heal or serve old") {
+    import graft.ext.{Dsir, IndexMaintenance, QualityClassifier}
+    val dir = Files.createTempDirectory("graft-model").toString + "/clf"
+    val w1 = (0 until QualityClassifier.D).map(_ * 0.001)
+    val w2 = (0 until QualityClassifier.D).map(_ * 0.002)
+    QualityClassifier.writeModel(spark, dir, w1, 0.25)
+    assert(QualityClassifier.loadModel(spark, dir) == ((w1, 0.25)))
+
+    // re-train: both files move together through the dir swap
+    QualityClassifier.writeModel(spark, dir, w2, 0.5)
+    assert(QualityClassifier.loadModel(spark, dir) == ((w2, 0.5)))
+
+    // crash state A: stranded retired next to a missing live dir — the
+    // next load must heal and serve
+    val live = new java.io.File(dir)
+    val retired = new java.io.File(dir + IndexMaintenance.RetiredSuffix)
+    assert(live.renameTo(retired))
+    assert(QualityClassifier.loadModel(spark, dir) == ((w2, 0.5)),
+      "loadModel must heal a crashed model swap")
+
+    // crash state B: a staging dir that never promoted (kill between the
+    // two file writes — the exact ADVICE torn-commit window) — the live
+    // model keeps serving, the half-written staging is invisible
+    val staging = new java.io.File(dir + IndexMaintenance.StagingSuffix)
+    assert(staging.mkdirs())
+    assert(new java.io.File(staging, "meta.parquet").mkdir())
+    assert(QualityClassifier.loadModel(spark, dir) == ((w2, 0.5)),
+      "a never-promoted staging dir must not affect serving")
+
+    val ddir = Files.createTempDirectory("graft-model-dsir").toString + "/lam"
+    val l1 = (0 until Dsir.D).map(_ * 0.0001)
+    Dsir.writeTable(spark, ddir, l1)
+    assert(Dsir.loadTable(spark, ddir) == l1)
+    val dlive = new java.io.File(ddir)
+    assert(dlive.renameTo(new java.io.File(ddir + IndexMaintenance.RetiredSuffix)))
+    assert(Dsir.loadTable(spark, ddir) == l1, "loadTable must heal a crashed swap")
+  }
 }
