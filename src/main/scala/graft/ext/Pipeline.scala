@@ -139,14 +139,83 @@ object Pipeline {
       .write.mode("overwrite").parquet(outPath)
   }
 
+  /** Max parquet files in any one leaf directory of `path` — the
+    * metadata-only fragmentation signal a production trigger reads (a
+    * recursive listing, never data): append cost is O(batch) precisely
+    * because it adds FILES to touched directories, and probe cost grows
+    * with that file count (SCALING.json `append_churn` is the measured
+    * curve) — this is the number that says when to pay the compaction.
+    */
+  private def maxFilesPerLeaf(s: SparkSession, path: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) 0
+    else {
+      val it = fs.listFiles(p, true)
+      val counts = scala.collection.mutable.Map.empty[String, Int]
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.isFile && f.getPath.getName.endsWith(".parquet"))
+          counts.updateWith(f.getPath.getParent.toString)(c => Some(c.getOrElse(0) + 1))
+      }
+      if (counts.isEmpty) 0 else counts.values.max
+    }
+  }
+
+  /** The observability → action wiring the stats rows existed for:
+    * between ingest cycles, compact any of the three appendable trees
+    * whose leaf fragmentation crossed the threshold (the "Tuesday-night
+    * compaction" a production scheduler runs between ingest windows).
+    * The TRIGGER is the metadata-only file-count signal; when it fires —
+    * i.e. exactly when we are about to pay an O(index) rewrite anyway —
+    * the dedup/substring churn counters (`n_rows − n_keys`, the
+    * q_dedup_index_stats signal) are read and recorded alongside, so the
+    * maintenance log carries both the decision input and the reclaimed
+    * volume. Every decision (fired or not) is appended to
+    * `$r/maint_log.parquet` — the audit artifact an operator greps at
+    * 3 a.m., and what the spec pins non-vacuity against.
+    */
+  private def maintainIfChurned(s: SparkSession, r: String, cycle: Int): Unit = {
+    import s.implicits._
+    val trees = Seq(
+      ("dedup", s"$r/dedup",
+        () => DedupIndex.stats(s, s"$r/dedup")
+          .agg(sum("n_rows"), sum("n_keys")).collect()(0),
+        () => DedupIndex.compact(s, s"$r/dedup")),
+      ("substr", s"$r/substr",
+        () => SubstringIndex.stats(s, s"$r/substr")
+          .agg(sum("n_rows"), sum("n_keys")).collect()(0),
+        () => SubstringIndex.compact(s, s"$r/substr")),
+      // BM25 appends never duplicate keys ((doc, term) pairs are new by
+      // the disjoint-batch precondition) — churn is file-count only
+      ("bm25", s"$r/bm25/postings.parquet",
+        () => null,
+        () => Bm25Index.compact(s, s"$r/bm25")))
+    val log = trees.map { case (name, path, stats, compact) =>
+      val files = maxFilesPerLeaf(s, path)
+      val fired = files > 1
+      val st = if (fired && name != "bm25") Option(stats()) else None
+      if (fired) compact()
+      (cycle, name,
+        st.map(_.getLong(0)).getOrElse(-1L), st.map(_.getLong(1)).getOrElse(-1L),
+        files, fired)
+    }
+    log.toDF("cycle", "tree", "n_rows", "n_keys", "max_files_per_leaf", "compacted")
+      .coalesce(1).write.mode("append").parquet(s"$r/maint_log.parquet")
+  }
+
   /** Build the full steady-state state under `r`: corpus artifacts, then
     * one admit → append cycle per batch predicate (each cycle's probes
     * run against the trees every EARLIER cycle grew), then the
     * curriculum + shard tree over corpus ∪ all admissions. Write-once
-    * per JVM+dataset (the [[StoredArtifacts]] convention).
+    * per JVM+dataset (the [[StoredArtifacts]] convention). With
+    * `maintain = true`, [[maintainIfChurned]] runs between cycles —
+    * maintenance must be INVISIBLE to the next cycle's admission, which
+    * is the q_pipeline_maint claim.
     */
   private def build(s: SparkSession, d: String, r: String,
-                    cyclePreds: Seq[Column], qualityGate: Boolean): Unit =
+                    cyclePreds: Seq[Column], qualityGate: Boolean,
+                    maintain: Boolean = false): Unit =
     graft.CacheTracker.scope {
       val docs = Tables.documents(s, d)
       val corpus = docs.filter(!inBatchStream)
@@ -161,6 +230,7 @@ object Pipeline {
       val gate = LmGate.load(s, s"$r/gate")
 
       cyclePreds.zipWithIndex.foreach { case (pred, i) =>
+        if (maintain && i > 0) maintainIfChurned(s, r, cycle = i)
         val batch = docs.filter(pred)
         admit(if (qualityGate) Some(gate) else None, batch,
           banded.filter(pred), s"$r/dedup", s"$r/substr",
@@ -208,7 +278,10 @@ object Pipeline {
     * the pinned legitimate crossJoin shape.
     */
   private def report(s: SparkSession, root: String): DataFrame = {
-    val bmMeta = s.read.parquet(s"$root/bm25/meta.parquet")
+    // heal-then-read via Bm25Index.metaDf (the reader "every meta consumer
+    // goes through"): a raw parquet read would fail on the stranded
+    // retired-only state a crashed meta swap leaves
+    val bmMeta = Bm25Index.metaDf(s, s"$root/bm25")
       .select(col("n").as("bm25_n"), col("sum_dl").as("bm25_sum_dl"))
     val bandKeys = DedupIndex.load(s, s"$root/dedup")
       .select("band", "k1", "k2").distinct()
@@ -253,6 +326,26 @@ object Pipeline {
           inBatchStream && col("doc_id") < Cycle2Start,
           inBatchStream && col("doc_id") >= Cycle2Start),
           qualityGate = false))
+      report(s, root)
+    },
+
+    // the production "Tuesday-night compaction" case: identical two-cycle
+    // ingest to q_pipeline_cycles, but between cycle 1 and cycle 2 the
+    // three appendable trees are COMPACTED when the fragmentation signal
+    // fires (maintainIfChurned — the q_dedup_index_stats observability
+    // wired to its action, every decision recorded in maint_log.parquet).
+    // Sharing the cycles row's EXACT replay oracle is the claim: cycle-2
+    // admission — probed against compacted trees — must be bit-identical
+    // with and without the mid-loop maintenance, and so must every
+    // downstream stage (curriculum, shards, artifact scalars). PipelineSpec
+    // additionally pins that the trigger actually FIRED (non-vacuous) and
+    // that the recorded admitted2 set equals the unmaintained run's.
+    Q("q_pipeline_maint", oracleSql(twoCycleSql, qualityGate = false)) { (s, d) =>
+      val root = StoredArtifacts.of(s"pipeline-maint|$d")(
+        build(s, d, _, Seq(
+          inBatchStream && col("doc_id") < Cycle2Start,
+          inBatchStream && col("doc_id") >= Cycle2Start),
+          qualityGate = false, maintain = true))
       report(s, root)
     }
   )

@@ -121,4 +121,45 @@ class PipelineSpec extends AnyFunSuite {
       q2.unpersist()
     } finally { banded.unpersist(); () }
   }
+
+  test("maint: the mid-loop compaction trigger fires and is invisible to every cycle's recorded admission") {
+    // q_pipeline_maint shares q_pipeline_cycles' exact replay oracle — the
+    // driver proves the END state matches; this pins the two internal
+    // claims the oracle can't see: (a) the fragmentation trigger actually
+    // FIRED between the cycles (a no-op maintenance pass would be a
+    // vacuous row), with the dedup churn counters recorded at fire time,
+    // and (b) the recorded per-cycle admission decisions are bit-identical
+    // with and without the mid-loop compaction — maintenance is invisible
+    // to admission, not just to the final report.
+    val sf01 = "/root/testdata/sf0.01"
+    SparkEntry.queries("q_pipeline_cycles")(spark, sf01).collect()
+    SparkEntry.queries("q_pipeline_maint")(spark, sf01).collect()
+    val cyc = StoredArtifacts.of(s"pipeline-cycles|$sf01")(_ =>
+      fail("pipeline-cycles artifact should already exist"))
+    val mnt = StoredArtifacts.of(s"pipeline-maint|$sf01")(_ =>
+      fail("pipeline-maint artifact should already exist"))
+
+    val log = spark.read.parquet(s"$mnt/maint_log.parquet").collect()
+    assert(log.nonEmpty, "maintenance pass left no audit log")
+    assert(log.exists(_.getAs[Boolean]("compacted")),
+      "no tree crossed the fragmentation threshold — the maintenance row is vacuous")
+    log.filter(r => r.getAs[Boolean]("compacted")).foreach { r =>
+      assert(r.getAs[Int]("max_files_per_leaf") > 1,
+        s"${r.getAs[String]("tree")}: compacted without a fragmentation signal")
+    }
+    log.filter(r => r.getAs[String]("tree") == "dedup" &&
+        r.getAs[Boolean]("compacted")).foreach { r =>
+      assert(r.getAs[Long]("n_rows") >= r.getAs[Long]("n_keys") &&
+        r.getAs[Long]("n_keys") > 0,
+        "dedup churn counters not recorded at fire time")
+    }
+
+    for (i <- 1 to 2) {
+      val a = spark.read.parquet(s"$cyc/admitted$i.parquet")
+        .collect().map(_.getLong(0)).toSet
+      val b = spark.read.parquet(s"$mnt/admitted$i.parquet")
+        .collect().map(_.getLong(0)).toSet
+      assert(a == b, s"cycle-$i admission diverged under mid-loop maintenance")
+    }
+  }
 }
