@@ -238,6 +238,22 @@ object Dsir {
         writeTable(s, r, lambdaTable(docs, col("doc_id") % 97 === 0))
       }
       selectWith(docs.filter(col("doc_id") % 97 =!= 0), loadTable(s, root), 100)
+    },
+
+    // the refresh face (the q_text_classifier_refresh pattern): the λ
+    // table is first fit on half the corpus, then RE-FIT over the full
+    // corpus onto the live dir — the dir-level swap writeTable now
+    // commits through. Serving the loaded artifact against the same
+    // full-replay oracle proves the refresh really installed the re-fit
+    // table: the half-corpus λ could not match the full-corpus replay.
+    Q("q_sample_dsir_refresh", dsirOracleSql) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val root = StoredArtifacts.of(s"dsir-refresh|$d") { r =>
+        writeTable(s, r,
+          lambdaTable(docs.filter(col("doc_id") % 2 === 0), col("doc_id") % 97 === 0))
+        writeTable(s, r, lambdaTable(docs, col("doc_id") % 97 === 0))
+      }
+      selectWith(docs.filter(col("doc_id") % 97 =!= 0), loadTable(s, root), 100)
     }
   )
 

@@ -388,7 +388,26 @@ object LmGate {
     }
   }
 
+  /** Retrain-and-swap over a (possibly grown) corpus — the refresh face
+    * the frozen gate lacked: admitted batches accumulate under boundaries
+    * trained on the ORIGINAL corpus, so the tercile cut points drift from
+    * the true terciles of what the gate now scores. [[write]]'s own doc
+    * prescribes the fix for live artifacts ("write a fresh dir and swap");
+    * this is that, made first-class: the full artifact (count tables +
+    * boundaries, all re-fit on `docs`) builds into a staging sibling and
+    * promotes atomically ([[IndexMaintenance.swapTree]]) — a crash at any
+    * point leaves the old gate serving, and concurrent readers never see
+    * a half-trained artifact. The q_pipeline_refresh row proves the
+    * refreshed gate serves exactly what a from-scratch train over the
+    * grown corpus serves, via the full replay oracle.
+    */
+  def refresh(docs: DataFrame, dir: String, buckets: Int = 3,
+              mode: Mode = Mode.Mle, maxBigrams: Int = 0): Unit =
+    IndexMaintenance.swapTree(docs.sparkSession, dir)(staging =>
+      write(docs, staging, buckets, mode, maxBigrams))
+
   def load(s: SparkSession, dir: String): Gate = {
+    IndexMaintenance.heal(s, dir)
     val bs = s.read.parquet(s"$dir/bounds.parquet")
       .collect()
       .sortBy(_.getAs[Int]("bucket_idx"))

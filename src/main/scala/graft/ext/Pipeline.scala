@@ -215,7 +215,8 @@ object Pipeline {
     */
   private def build(s: SparkSession, d: String, r: String,
                     cyclePreds: Seq[Column], qualityGate: Boolean,
-                    maintain: Boolean = false): Unit =
+                    maintain: Boolean = false,
+                    refreshGate: Boolean = false): Unit =
     graft.CacheTracker.scope {
       val docs = Tables.documents(s, d)
       val corpus = docs.filter(!inBatchStream)
@@ -256,7 +257,20 @@ object Pipeline {
         .reduce(_ unionByName _)
       val all = corpus.unionByName(
         docs.join(admittedAll, Seq("doc_id")))
-      val keyed = gate.bucketed(all)
+      // the drift-refresh face (q_pipeline_refresh): the ADMISSION gate
+      // stays the artifact frozen when the batch arrived (that is what
+      // the recorded decision was made under — replays must agree), but
+      // the CURRICULUM the next epoch trains on is re-scored under a gate
+      // re-fit on corpus ∪ admitted, committed onto the live gate dir via
+      // the crash-safe swap. Boundaries are true terciles of the grown
+      // corpus again, not the stale cut points of the original.
+      val servingGate =
+        if (refreshGate) {
+          LmGate.refresh(all, s"$r/gate",
+            mode = LmGate.Mode.Addone, maxBigrams = GateCap)
+          LmGate.load(s, s"$r/gate")
+        } else gate
+      val keyed = servingGate.bucketed(all)
         .select(col("doc_id"), col("bucket").as("phase"),
           h48(concat(lit("p1#"), col("doc_id").cast("string"))).as("h"))
         .select(col("doc_id"), col("phase"),
@@ -347,6 +361,26 @@ object Pipeline {
           inBatchStream && col("doc_id") >= Cycle2Start),
           qualityGate = false, maintain = true))
       report(s, root)
+    },
+
+    // the trained-model drift-refresh face, composed: same single-cycle
+    // funnel as q_pipeline_stored (admission under the gate FROZEN when
+    // the batch arrived — the recorded decision's contract), but the
+    // curriculum the next epoch trains on is re-scored under a gate
+    // RE-FIT on corpus ∪ admitted (LmGate.refresh: full retrain committed
+    // onto the live gate dir by the crash-safe swap) — boundaries are
+    // true terciles of the grown corpus again. The oracle re-derives the
+    // whole second gate (counts, cap, vocab, scores, boundaries over the
+    // final member set) and phases the curriculum under IT, so a refresh
+    // that silently kept the stale artifact — or a swap that tore it —
+    // cannot hash-match. PipelineSpec pins the refresh is non-vacuous
+    // (some document changes phase at the driver's gate scale).
+    Q("q_pipeline_refresh",
+      oracleSql(singleBatchSql, qualityGate = true, refreshGate = true)) { (s, d) =>
+      val root = StoredArtifacts.of(s"pipeline-refresh|$d")(
+        build(s, d, _, Seq(inBatchStream), qualityGate = true,
+          refreshGate = true))
+      report(s, root)
     }
   )
 
@@ -364,7 +398,8 @@ object Pipeline {
     * feed-forward — is the new claim.
     */
   private def oracleSql(batchPreds: Seq[String],
-                        qualityGate: Boolean): String = {
+                        qualityGate: Boolean,
+                        refreshGate: Boolean = false): String = {
     val K = SubstringDedup.K
     val M = Sharding.SigMod
     val anyBatch = batchPreds.mkString(" OR ")
@@ -425,6 +460,49 @@ object Pipeline {
          |)""".stripMargin
     }.mkString(",\n")
     val memberK = s"member${batchPreds.size}"
+    // the capped-LM gate chain (counts → cap → vocab → scores → tercile
+    // boundaries), parameterized by training member set and CTE suffix:
+    // the ORIGINAL chain (sfx = "", trained on member0) always exists and
+    // drives ADMISSION; with refreshGate a second chain (sfx = "r",
+    // trained on the final member set) is emitted after the cycles and
+    // drives the CURRICULUM — the oracle mirror of LmGate.refresh.
+    def gateChain(member: String, sfx: String) =
+      s"""cbg$sfx AS (SELECT bg.* FROM bg JOIN $member USING (doc_id)),
+         |c12full$sfx AS (SELECT w1, w2, count(*) AS c12 FROM cbg$sfx GROUP BY w1, w2),
+         |c12$sfx AS (
+         |  SELECT w1, w2, c12 FROM (
+         |    SELECT w1, w2, c12,
+         |      row_number() OVER (ORDER BY c12 DESC, w1 || ' ' || w2) AS rn
+         |    FROM c12full$sfx
+         |  ) WHERE rn <= $GateCap
+         |),
+         |c1$sfx AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c12$sfx GROUP BY w1),
+         |v$sfx AS (SELECT count(*) AS vsz FROM c1$sfx),
+         |scored$sfx AS (
+         |  SELECT doc_id, $smoothedScore AS s
+         |  FROM bg LEFT JOIN c12$sfx USING (w1, w2) LEFT JOIN c1$sfx USING (w1)
+         |  CROSS JOIN v$sfx GROUP BY doc_id
+         |),
+         |bnd$sfx AS (
+         |  SELECT
+         |    max(CASE WHEN rk = (total // 3) + least(1, total % 3)
+         |        THEN s END) AS b1s,
+         |    max(CASE WHEN rk = (total // 3) + least(1, total % 3)
+         |        THEN doc_id END) AS b1i,
+         |    max(CASE WHEN rk = 2 * (total // 3) + least(2, total % 3)
+         |        THEN s END) AS b2s,
+         |    max(CASE WHEN rk = 2 * (total // 3) + least(2, total % 3)
+       |        THEN doc_id END) AS b2i
+         |  FROM (
+         |    SELECT doc_id, s,
+         |      row_number() OVER (ORDER BY s DESC, doc_id) AS rk,
+         |      count(*) OVER () AS total
+         |    FROM scored$sfx JOIN $member USING (doc_id)
+         |  )
+         |)""".stripMargin
+    val g = if (refreshGate) "r" else ""
+    val refreshedChain =
+      if (refreshGate) gateChain(memberK, "r") + ",\n" else ""
     s"""WITH toks AS (SELECT doc_id, ${tokensSql("text")} AS toks FROM documents),
        |bg AS (
        |  SELECT doc_id, sh[1] AS w1, sh[2] AS w2 FROM (
@@ -434,42 +512,10 @@ object Pipeline {
        |  )
        |),
        |member0 AS (SELECT doc_id FROM documents d WHERE ${corpusPred("d")}),
-       |cbg AS (SELECT bg.* FROM bg JOIN member0 USING (doc_id)),
-       |c12full AS (SELECT w1, w2, count(*) AS c12 FROM cbg GROUP BY w1, w2),
-       |c12 AS (
-       |  SELECT w1, w2, c12 FROM (
-       |    SELECT w1, w2, c12,
-       |      row_number() OVER (ORDER BY c12 DESC, w1 || ' ' || w2) AS rn
-       |    FROM c12full
-       |  ) WHERE rn <= $GateCap
-       |),
-       |c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c12 GROUP BY w1),
-       |v AS (SELECT count(*) AS vsz FROM c1),
-       |scored AS (
-       |  SELECT doc_id, $smoothedScore AS s
-       |  FROM bg LEFT JOIN c12 USING (w1, w2) LEFT JOIN c1 USING (w1)
-       |  CROSS JOIN v GROUP BY doc_id
-       |),
-       |bnd AS (
-       |  SELECT
-       |    max(CASE WHEN rk = (total // 3) + least(1, total % 3)
-       |        THEN s END) AS b1s,
-       |    max(CASE WHEN rk = (total // 3) + least(1, total % 3)
-       |        THEN doc_id END) AS b1i,
-       |    max(CASE WHEN rk = 2 * (total // 3) + least(2, total % 3)
-       |        THEN s END) AS b2s,
-       |    max(CASE WHEN rk = 2 * (total // 3) + least(2, total % 3)
-       |        THEN doc_id END) AS b2i
-       |  FROM (
-       |    SELECT doc_id, s,
-       |      row_number() OVER (ORDER BY s DESC, doc_id) AS rk,
-       |      count(*) OVER () AS total
-       |    FROM scored JOIN member0 USING (doc_id)
-       |  )
-       |),
+       |${gateChain("member0", "")},
        |sigs AS (${Dedup.minhashSelect}),
        |$cycles,
-       |phased AS (
+       |${refreshedChain}phased AS (
        |  SELECT m.doc_id,
        |    CASE WHEN s.s > bnd.b1s OR (s.s = bnd.b1s AND m.doc_id <= bnd.b1i)
        |         THEN 1
@@ -477,7 +523,7 @@ object Pipeline {
        |         THEN 2
        |         ELSE 3 END AS phase,
        |    ${h48Sql("'p1#' || CAST(m.doc_id AS VARCHAR)")} AS h
-       |  FROM $memberK m JOIN scored s ON s.doc_id = m.doc_id CROSS JOIN bnd
+       |  FROM $memberK m JOIN scored$g s ON s.doc_id = m.doc_id CROSS JOIN bnd$g bnd
        |),
        |r AS (
        |  SELECT doc_id,

@@ -304,6 +304,31 @@ object QualityClassifier {
       }
       val (w, bias) = loadModel(s, root)
       scoreJoined(docs, w, bias).orderBy("doc_id")
+    },
+
+    // ---- re-fit over the grown corpus: the refresh face ----
+    // The drift sibling of AnnIndex.retrain for the trained scorer: a
+    // model trained on the original corpus keeps scoring as admitted
+    // batches accumulate, silently mis-calibrated against what it now
+    // gates. The refresh is a re-train over the grown corpus committed
+    // onto the LIVE model dir — which the round-16 writeModel makes safe
+    // (dir-level staging+promote; a crash leaves the old model serving,
+    // never a new-meta/old-weights mix). The row builds the model on HALF
+    // the corpus, refreshes it over the full corpus, and serves the
+    // loaded artifact against the SAME full-unrolled-GD oracle as the
+    // stored row: if the refresh had not actually replaced the weights
+    // (a swap that silently kept the stale model), the half-corpus
+    // weights could not hash-match the full-corpus replay.
+    Q("q_text_classifier_refresh", classifierOracleSql) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val root = StoredArtifacts.of(s"classifier-refresh|$d") { r =>
+        val (w0, b0) = train(docs.filter(col("doc_id") % 2 === 0))
+        writeModel(s, r, w0, b0)                    // the original model
+        val (w1, b1) = train(docs)                  // corpus + admitted
+        writeModel(s, r, w1, b1)                    // refresh on the live dir
+      }
+      val (w, bias) = loadModel(s, root)
+      scoreJoined(docs, w, bias).orderBy("doc_id")
     }
   )
 }

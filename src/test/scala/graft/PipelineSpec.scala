@@ -162,4 +162,40 @@ class PipelineSpec extends AnyFunSuite {
       assert(a == b, s"cycle-$i admission diverged under mid-loop maintenance")
     }
   }
+
+  test("refresh: the re-fit gate changes the curriculum (non-vacuous) while admission stays frozen") {
+    // q_pipeline_refresh's oracle proves the refreshed-gate curriculum is
+    // the one a from-scratch re-train derives; this pins the two claims
+    // the oracle alone can't distinguish from the unrefreshed row: (a)
+    // the ADMISSION decision is identical to q_pipeline_stored's (the
+    // batch was gated by the artifact frozen at arrival — refresh must
+    // not rewrite history), and (b) the refresh actually MOVED the
+    // curriculum at the driver's gate scale (some shard's permutation
+    // signature differs) — otherwise the row would pass vacuously even
+    // if refresh() were a no-op.
+    val sf01 = "/root/testdata/sf0.01"
+    val stored = SparkEntry.queries("q_pipeline_stored")(spark, sf01)
+      .collect().map(r => r.getAs[Int]("shard") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("order_sig"))).toMap
+    val refreshed = SparkEntry.queries("q_pipeline_refresh")(spark, sf01)
+      .collect().map(r => r.getAs[Int]("shard") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("order_sig"))).toMap
+
+    val sroot = StoredArtifacts.of(s"pipeline|$sf01")(_ =>
+      fail("pipeline artifact should already exist"))
+    val rroot = StoredArtifacts.of(s"pipeline-refresh|$sf01")(_ =>
+      fail("pipeline-refresh artifact should already exist"))
+    val a = spark.read.parquet(s"$sroot/admitted1.parquet")
+      .collect().map(_.getLong(0)).toSet
+    val b = spark.read.parquet(s"$rroot/admitted1.parquet")
+      .collect().map(_.getLong(0)).toSet
+    assert(a == b, "gate refresh must not rewrite the recorded admission")
+
+    assert(stored.keySet == refreshed.keySet)
+    assert(stored.values.map(_._1).sum == refreshed.values.map(_._1).sum,
+      "refresh changed the corpus size — it must only re-phase")
+    assert(stored != refreshed,
+      "the refreshed gate produced the identical curriculum permutation — " +
+        "the refresh row is vacuous at this scale")
+  }
 }
