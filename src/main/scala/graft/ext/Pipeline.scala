@@ -115,12 +115,30 @@ object Pipeline {
     */
   private[ext] def admit(gate: Option[LmGate.Gate], batch: DataFrame,
                          bandedBatch: DataFrame, dedupPath: String,
-                         substrPath: String, outPath: String): Unit = {
+                         substrPath: String, outPath: String): Unit =
+    admittedIdsOf(gate, batch, bandedBatch, dedupPath, substrPath)
+      .write.mode("overwrite").parquet(outPath)
+
+  /** The admission DERIVATION — one definition shared by the batch cycles
+    * ([[admit]], which persists it as the pre-append decision barrier) and
+    * the streaming face ([[graft.streaming.StreamingOps.admissionGate]],
+    * which runs it per micro-batch): quality → novelty → decontamination,
+    * heavier probes only on survivors. Must be CONSUMED before anything
+    * appends to the probed trees (the decision-barrier contract).
+    *
+    * gate = None is the dedup-gated ingest variant (the re-crawl-facing
+    * loop the cycles row declares): every batch doc is novelty- and
+    * decontamination-checked; quality gating is a corpus-build concern
+    * applied at curriculum time. gate = Some is the full 3-gate funnel.
+    * Dedup hits are DEDUPED inside DedupIndex.probe, so the gate is exact
+    * on appended (duplicate-key-bearing) trees too — the
+    * incrementalDedup contract note's "dedupe in the gate" option, made
+    * the default here.
+    */
+  private[graft] def admittedIdsOf(gate: Option[LmGate.Gate], batch: DataFrame,
+                                   bandedBatch: DataFrame, dedupPath: String,
+                                   substrPath: String): DataFrame = {
     val s = batch.sparkSession
-    // gate = None is the dedup-gated ingest variant (the re-crawl-facing
-    // loop the cycles row declares): every batch doc is novelty- and
-    // decontamination-checked; quality gating is a corpus-build concern
-    // applied at curriculum time. gate = Some is the full 3-gate funnel.
     val qIds = gate
       .map(g => g.bucketed(batch).filter(col("bucket") <= 2).select("doc_id"))
       .getOrElse(batch.select("doc_id"))
@@ -136,7 +154,6 @@ object Pipeline {
     qIds
       .join(dup, Seq("doc_id"), "left_anti")
       .join(dirty, Seq("doc_id"), "left_anti")
-      .write.mode("overwrite").parquet(outPath)
   }
 
   /** Max parquet files in any one leaf directory of `path` — the

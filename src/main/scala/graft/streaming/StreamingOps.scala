@@ -325,6 +325,58 @@ object StreamingOps {
       }
   }
 
+  /** The COMPOSED streaming admission stage — the pieces above
+    * (per-row band signatures, the stored-index probes, the frozen-gate
+    * bucketing) assembled into the funnel the pipeline rows run in batch:
+    * per micro-batch of incoming documents `(doc_id, text)`,
+    *
+    *   quality (stored [[graft.ext.LmGate]]: head/middle terciles pass)
+    *   → novelty (any band hit against the at-rest [[graft.ext.DedupIndex]])
+    *   → decontamination (any verbatim ≥K-gram overlap against the
+    *     at-rest [[graft.ext.SubstringIndex]])
+    *
+    * emitting the admitted `(doc_id, batch_id)` rows to a parquet sink.
+    * The derivation is LITERALLY [[graft.ext.Pipeline.admittedIdsOf]] —
+    * one definition for batch and stream, so the two cannot drift
+    * (StreamingSpec pins any-split ≡ batch on the pipeline's own corpus
+    * split anyway, against both fresh and appended trees).
+    *
+    * Why foreachBatch and not a pure stream transform: the admit set
+    * anti-joins the batch against its OWN probe hit sets — stream-stream
+    * anti-joins are unsupported (and the per-doc quality score is a keyed
+    * aggregate) — but every one of those shapes is trivially correct
+    * within one micro-batch, which is exactly what foreachBatch provides.
+    * Admission is per-document, and the probed trees are static for the
+    * stream's lifetime, so micro-batch boundaries cannot change the
+    * answer. The gate only ADMITS — it never appends to the trees it
+    * probes (the decision-barrier contract); the FOLD stays a batch job
+    * downstream, which also keeps the incrementalDedup appended-tree
+    * caveat moot here (probe dedupes its hits — "dedupe in the gate").
+    *
+    * Delivery is parquet-append per micro-batch: at-least-once under
+    * sink-side replays — the emitted `batch_id` column is the replay
+    * dedup key a downstream consumer filters on (`max(batch_id)` per doc,
+    * or an idempotent upsert sink in production).
+    */
+  def admissionGate(incoming: DataFrame, gateDir: Option[String],
+                    dedupPath: String, substrPath: String, outPath: String,
+                    queryName: String = "graft-admission")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    incoming.writeStream
+      .queryName(queryName)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val s = batch.sparkSession
+        graft.CacheTracker.scope {
+          val gate = gateDir.map(graft.ext.LmGate.load(s, _))
+          graft.ext.Pipeline
+            .admittedIdsOf(gate, batch, minhashBanded(batch),
+              dedupPath, substrPath)
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(outPath)
+        }
+      }
+      .start()
+
   /** Incremental snapshot maintenance: every micro-batch of a complete-mode
     * aggregate is written to staging and promoted with the SAME atomic
     * swap the batch engine uses (K2, [[graft.sink.FileSnapshotCommit]]) —

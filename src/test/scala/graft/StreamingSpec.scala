@@ -949,4 +949,81 @@ class StreamingSpec extends AnyFunSuite {
       assert(v == grouped(id), s"doc $id: inline $v vs grouped ${grouped(id)}")
     }
   }
+
+  test("composed admission gate: any micro-batch split equals the batch admit, on fresh AND appended trees") {
+    // The streaming face of the pipeline rows' admission stage, on the
+    // SAME corpus split q_pipeline_stored gates: quality (stored LmGate)
+    // → novelty (at-rest band tree) → decontam (at-rest window tree), one
+    // shared derivation (Pipeline.admittedIdsOf) driven per micro-batch
+    // through StreamingOps.admissionGate. Pins (a) the streamed union
+    // over an arbitrary 3-way split == the single-shot batch admit, (b)
+    // the same equality against an APPENDED dedup tree (duplicate keys on
+    // disk — the incrementalDedup contract note's hazard, closed here by
+    // probe-side dedup, "dedupe in the gate"), and (c) every gate did
+    // work (non-vacuous funnel at fixture scale).
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ext.{Dedup, DedupIndex, LmGate, Pipeline, SubstringIndex}
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, sf)
+    val isBatch = col("doc_id") % 4 === 3 && col("doc_id") < Pipeline.BatchIdBound
+    val corpus = docs.filter(!isBatch)
+    val batch = docs.filter(isBatch)
+    val banded = Dedup.mhBandedDf(spark, sf).cache()
+    try {
+      val root = java.nio.file.Files.createTempDirectory("graft-admit-stream").toString
+      LmGate.write(corpus, s"$root/gate",
+        mode = LmGate.Mode.Addone, maxBigrams = Pipeline.GateCap)
+      DedupIndex.write(banded.filter(!isBatch), s"$root/dedup")
+      SubstringIndex.write(corpus, s"$root/substr")
+      // the appended-tree variant: same keys, but half written + half
+      // appended — cross-batch duplicate keys legitimately on disk
+      DedupIndex.write(banded.filter(!isBatch && col("doc_id") % 2 === 0),
+        s"$root/dedup2")
+      DedupIndex.append(banded.filter(!isBatch && col("doc_id") % 2 =!= 0),
+        s"$root/dedup2")
+
+      val gate = LmGate.load(spark, s"$root/gate")
+      val batchAdmit = Pipeline.admittedIdsOf(Some(gate), batch,
+          banded.filter(isBatch), s"$root/dedup", s"$root/substr")
+        .collect().map(_.getLong(0)).toSet
+
+      // funnel non-vacuity (same bar as PipelineSpec at this scale)
+      val nBatch = batch.count()
+      assert(batchAdmit.nonEmpty && batchAdmit.size < nBatch,
+        s"admission vacuous: ${batchAdmit.size} of $nBatch")
+
+      def runStream(dedupPath: String, out: String): Set[Long] = {
+        val mem = MemoryStream[(Long, String)]
+        val q = StreamingOps.admissionGate(
+          mem.toDF.toDF("doc_id", "text"),
+          Some(s"$root/gate"), dedupPath, s"$root/substr", out,
+          queryName = s"admit-${new java.io.File(out).getName}")
+        try {
+          val rows = batch.select("doc_id", "text").collect()
+            .map(r => (r.getLong(0), r.getString(1)))
+          val (a, rest) = rows.splitAt(rows.length / 3)
+          val (b, c) = rest.splitAt(rest.length / 2)
+          Seq(a, b, c).foreach { chunk =>
+            mem.addData(chunk.toIndexedSeq: _*)
+            q.processAllAvailable()
+          }
+          spark.read.parquet(out).select("doc_id")
+            .collect().map(_.getLong(0)).toSet
+        } finally q.stop()
+      }
+
+      val streamed = runStream(s"$root/dedup", s"$root/out1")
+      assert(streamed == batchAdmit,
+        s"streamed admission (${streamed.size}) diverges from batch (${batchAdmit.size})")
+      val streamedAppended = runStream(s"$root/dedup2", s"$root/out2")
+      assert(streamedAppended == batchAdmit,
+        "streamed admission against the APPENDED tree diverges — " +
+          "duplicate index keys leaked through the gate")
+      // the sink records batch_id per admission (the replay-dedup key)
+      val bids = spark.read.parquet(s"$root/out1")
+        .select("batch_id").distinct().collect().map(_.getLong(0)).toSet
+      assert(bids.size > 1, "stream collapsed into one micro-batch — split vacuous")
+    } finally { banded.unpersist(); () }
+  }
 }
