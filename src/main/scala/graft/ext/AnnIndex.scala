@@ -206,6 +206,24 @@ object AnnIndex {
     spark.read.parquet(path).withColumn("cid", col("cid").cast("long"))
   }
 
+  /** Structural fsck for the cell tree: the fingerprint marker matches
+    * the passed training artifacts, every root entry a `cid=<id>`
+    * directory whose id IS one of the centroid ids (a cell directory
+    * outside the centroid set is unreachable — no probe ever selects that
+    * cell, so its rows are silently invisible), stranded maintenance
+    * siblings surfaced. No deep variant: stored rows are lossy 8-byte
+    * codes, so per-row re-derivation needs the source vectors — that
+    * check IS [[retrain]] (rebuild from the system of record).
+    */
+  def fsck(spark: SparkSession, path: String,
+           cents: Seq[(Long, Seq[Double], Double)],
+           cb: Seq[Seq[Seq[Double]]]): IndexMaintenance.TreeReport = {
+    val ids = cents.map(_._1).toSet
+    IndexMaintenance.TreeReport(
+      IndexMaintenance.structuralIssues(spark, path,
+        "_GRAFT_ANN_*", markerOf(cents, cb), "cid", ids.contains))
+  }
+
   /** ADC top-k of `probeVecs` (vec_id, v) against the stored index: cell
     * selection is projection-only, candidates come from the cid join
     * (dynamic partition pruning restricts the scan to probed cells), and

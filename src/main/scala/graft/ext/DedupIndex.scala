@@ -179,6 +179,55 @@ object DedupIndex {
       .agg(count(lit(1)).as("n_rows"),
         countDistinct(col("k1"), col("k2")).as("n_keys"))
 
+  /** Structural fsck — validate the tree WITHOUT a corpus scan (the
+    * metadata-only health check an operator runs before the 3 a.m. page;
+    * the load-path marker check can only refuse, this DESCRIBES): exactly
+    * one `_GRAFT_BUCKETING_*` marker matching the claimed fan, every root
+    * entry a `band=<0..bands)` directory (or hidden file), every nested
+    * entry a `bucket=<0..fan)` directory, stranded maintenance siblings
+    * surfaced. A bucket directory outside the fan is the
+    * orphaned-rows corruption class: probes compute buckets inside the
+    * fan, so rows there are silently invisible. `deep = true` adds the
+    * one O(index) data check structure can't see — every stored row's
+    * bucket column equals the probe-side derivation (catches rows copied
+    * in from a foreign-fan tree) — priced honestly as a full index read.
+    */
+  def fsck(spark: SparkSession, path: String, buckets: Int = Buckets,
+           deep: Boolean = false): IndexMaintenance.TreeReport = {
+    val bands = TextHash.MinhashBands
+    val issues = scala.collection.mutable.ArrayBuffer.empty[String]
+    issues ++= IndexMaintenance.structuralIssues(spark, path,
+      "_GRAFT_BUCKETING_*", markerOf(buckets), "band",
+      v => v >= 0 && v < bands)
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(root)) fs.listStatus(root)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("band="))
+      .foreach { band =>
+        fs.listStatus(band.getPath).foreach { st =>
+          val n = st.getPath.getName
+          if (n.startsWith("bucket=")) {
+            scala.util.Try(n.stripPrefix("bucket=").toLong).toOption match {
+              case Some(v) if v >= 0 && v < buckets => ()
+              case _ => issues += s"${band.getPath.getName}/$n is outside " +
+                s"the fan [0, $buckets) — its rows are invisible to probes"
+            }
+          } else if (!n.startsWith("_") && !n.startsWith("."))
+            issues += s"foreign entry ${band.getPath.getName}/$n inside a band directory"
+        }
+      }
+    if (deep && issues.isEmpty) {
+      val bad = spark.read.schema(AtRestSchema).parquet(path)
+        .filter(col("bucket") =!= bucketCol(buckets) ||
+          col("band") < 0 || col("band") >= bands)
+        .count()
+      if (bad > 0)
+        issues += s"$bad rows are filed under a bucket their key does not " +
+          "hash to under this fan — foreign-fan rows; probes miss them silently"
+    }
+    IndexMaintenance.TreeReport(issues.toSeq)
+  }
+
   /** (doc_id, n_bands_hit) for every incoming document that shares at
     * least one band key with the stored corpus: any hit flags the doc as
     * a near-dup of something already ingested. The batch is broadcast

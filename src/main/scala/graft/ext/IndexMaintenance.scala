@@ -95,6 +95,68 @@ private[graft] object IndexMaintenance {
     graft.sink.DirSwap.promote(fs, staging, dir, retired)
   }
 
+  /** A structural-fsck result: `issues` is empty on a healthy tree;
+    * each entry is one human-readable defect ("diagnose before the
+    * 3 a.m. page" — the report never throws, unlike the load-path marker
+    * checks, because fsck's whole job is describing a tree that loads
+    * would refuse).
+    */
+  final case class TreeReport(issues: Seq[String]) {
+    def ok: Boolean = issues.isEmpty
+  }
+
+  /** Shared structural checks for a partitioned index tree root:
+    * exactly one layout marker matching `expectedMarker` (glob over
+    * `markerGlob`), every root entry either a `partitionCol=value`
+    * directory with a value `valueOk` accepts or a hidden file, and a
+    * note for stranded maintenance siblings (recoverable — they heal at
+    * the next load/writer — but worth surfacing before they surprise).
+    */
+  private[ext] def structuralIssues(spark: SparkSession, path: String,
+                                    markerGlob: String, expectedMarker: String,
+                                    partitionCol: String,
+                                    valueOk: Long => Boolean): Seq[String] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val issues = scala.collection.mutable.ArrayBuffer.empty[String]
+    if (!fs.exists(p)) return Seq(s"tree root $path does not exist")
+    val markers = Option(fs.globStatus(new Path(path, markerGlob)))
+      .getOrElse(Array.empty).map(_.getPath.getName).toSeq
+    markers match {
+      case Seq() => issues += s"no layout marker ($markerGlob): unstamped " +
+        "or torn write — loads will refuse; rebuild the index"
+      case Seq(m) if m != expectedMarker =>
+        issues += s"marker $m does not match the expected $expectedMarker " +
+          "— the tree was written under a different layout than the caller assumes"
+      case Seq(_) => ()
+      case many => issues += s"multiple layout markers ${many.mkString(", ")} " +
+        "— ambiguous layout; a partial rebuild left a stale stamp"
+    }
+    fs.listStatus(p).foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith(s"$partitionCol=")) {
+        if (!st.isDirectory)
+          issues += s"$n is a file, not a partition directory"
+        else scala.util.Try(n.stripPrefix(s"$partitionCol=").toLong).toOption match {
+          case Some(v) if valueOk(v) => ()
+          case Some(v) => issues += s"partition directory $n holds value $v " +
+            "outside the layout's range — probes will never read it (orphaned rows)"
+          case None => issues += s"partition directory $n has a non-numeric value"
+        }
+      } else if (!n.startsWith("_") && !n.startsWith("."))
+        issues += s"foreign entry $n at the tree root — partition discovery " +
+          "may misparse it"
+    }
+    val (_, staging, retired) = siblings(path)
+    if (fs.exists(staging))
+      issues += s"stranded staging sibling ${staging.getName}: a maintenance " +
+        "run is in flight or crashed mid-build (cleared by the next writer)"
+    if (fs.exists(retired))
+      issues += s"stranded retired sibling ${retired.getName}: a maintenance " +
+        "run crashed between retire and promote (heals at the next load)"
+    issues.toSeq
+  }
+
   // ---------------- the writer lease ----------------
 
   /** Lease-file sibling suffix. The lease lives NEXT TO the tree, not

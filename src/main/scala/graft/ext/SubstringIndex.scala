@@ -199,6 +199,31 @@ object SubstringIndex {
     }
   }
 
+  /** Structural fsck (the [[DedupIndex.fsck]] shape for the window tree):
+    * exactly one layout marker matching the claimed (k, sample, buckets),
+    * every root entry a `bucket=<0..fan)` directory or hidden file,
+    * stranded maintenance siblings surfaced. `deep = true` re-derives
+    * every stored hash's bucket (O(index) read of 16-byte rows — catches
+    * rows copied in from a foreign-layout tree, which probes would
+    * silently never read).
+    */
+  def fsck(spark: SparkSession, path: String, k: Int = SubstringDedup.K,
+           sample: Int = 1, buckets: Int = Buckets,
+           deep: Boolean = false): IndexMaintenance.TreeReport = {
+    val issues = scala.collection.mutable.ArrayBuffer.empty[String]
+    issues ++= IndexMaintenance.structuralIssues(spark, path,
+      s"${BucketingMarker}_*", markerOf(k, sample, buckets), "bucket",
+      v => v >= 0 && v < buckets)
+    if (deep && issues.isEmpty) {
+      val bad = spark.read.schema(AtRestSchema).parquet(path)
+        .filter(col("bucket") =!= bucketOf(buckets)).count()
+      if (bad > 0)
+        issues += s"$bad rows are filed under a bucket their hash does not " +
+          "map to under this layout — foreign-layout rows; probes miss them"
+    }
+    IndexMaintenance.TreeReport(issues.toSeq)
+  }
+
   /** Maximal spans of `batch` documents whose text occurs verbatim in the
     * indexed corpus — identical output to
     * `SubstringDedup.crossCorpusSpans(batch, corpusDocs)`, but the corpus

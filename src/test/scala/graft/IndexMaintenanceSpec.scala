@@ -506,6 +506,100 @@ class IndexMaintenanceSpec extends AnyFunSuite {
       .collect().toSeq == before, "healed rebucket diverged")
   }
 
+  test("structural fsck: band/substring/ANN trees describe each detectable corruption without throwing") {
+    import graft.ext.IndexMaintenance
+    val banded = Dedup.mhBandedDf(spark, sf).cache()
+    val docs = Tables.documents(spark, sf)
+    val c = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v")).cache()
+    try {
+      def issuesOf(r: IndexMaintenance.TreeReport) = r.issues.mkString("; ")
+
+      // ---- DedupIndex ----
+      val d1 = Files.createTempDirectory("graft-fsck-dedup").toString
+      DedupIndex.write(banded, d1)
+      assert(DedupIndex.fsck(spark, d1, deep = true).ok,
+        s"fresh tree must fsck clean: ${issuesOf(DedupIndex.fsck(spark, d1, deep = true))}")
+
+      // wrong claimed fan → marker mismatch, described not thrown
+      assert(DedupIndex.fsck(spark, d1, buckets = 32).issues
+        .exists(_.contains("does not match the expected")))
+      // a second (stale) marker → ambiguity flagged
+      val stale = new java.io.File(d1, "_GRAFT_BUCKETING_1_b32")
+      assert(stale.createNewFile())
+      assert(DedupIndex.fsck(spark, d1).issues.exists(_.contains("multiple layout markers")))
+      assert(stale.delete())
+      // a bucket directory beyond the fan → orphaned-rows class
+      val band0 = new java.io.File(d1).listFiles().filter(_.getName.startsWith("band=")).head
+      val someBucket = band0.listFiles().filter(_.getName.startsWith("bucket=")).head
+      val orphan = new java.io.File(band0, "bucket=99")
+      assert(someBucket.renameTo(orphan))
+      assert(DedupIndex.fsck(spark, d1).issues.exists(_.contains("outside the fan")))
+      assert(orphan.renameTo(someBucket))
+      // foreign-fan rows: a data file moved between bucket dirs passes
+      // every structural check — only the deep row-level re-derivation
+      // catches it
+      val buckets0 = band0.listFiles().filter(_.getName.startsWith("bucket="))
+      val (src, dst) = (buckets0(0), buckets0(1))
+      val part = src.listFiles().filter(_.getName.endsWith(".parquet")).head
+      val moved = new java.io.File(dst, part.getName)
+      // the local FS keeps a .crc sidecar per data file — move it along or
+      // the checksum layer (correctly) screams about the wrong pairing
+      def withCrc(f: java.io.File) = new java.io.File(f.getParent, s".${f.getName}.crc")
+      assert(part.renameTo(moved))
+      if (withCrc(part).exists()) assert(withCrc(part).renameTo(withCrc(moved)))
+      assert(DedupIndex.fsck(spark, d1).ok, "structure-only fsck should not see a moved data file")
+      assert(DedupIndex.fsck(spark, d1, deep = true).issues
+        .exists(_.contains("does not hash to")), "deep fsck must catch misfiled rows")
+      assert(moved.renameTo(part))
+      if (withCrc(moved).exists()) assert(withCrc(moved).renameTo(withCrc(part)))
+      // stranded maintenance siblings surfaced
+      val retired = new java.io.File(d1 + IndexMaintenance.RetiredSuffix)
+      assert(retired.mkdir())
+      assert(DedupIndex.fsck(spark, d1).issues.exists(_.contains("stranded retired")))
+      assert(retired.delete())
+      // missing marker (torn write) → described
+      val marker = new java.io.File(d1, DedupIndex.markerOf(16))
+      assert(marker.delete())
+      assert(DedupIndex.fsck(spark, d1).issues.exists(_.contains("no layout marker")))
+
+      // ---- SubstringIndex ----
+      val d2 = Files.createTempDirectory("graft-fsck-sub").toString
+      SubstringIndex.write(docs, d2)
+      assert(SubstringIndex.fsck(spark, d2, deep = true).ok)
+      assert(SubstringIndex.fsck(spark, d2, sample = 4).issues
+        .exists(_.contains("does not match the expected")))
+      val sb = new java.io.File(d2).listFiles().filter(_.getName.startsWith("bucket=")).head
+      val sOrphan = new java.io.File(d2, "bucket=777")
+      assert(sb.renameTo(sOrphan))
+      assert(SubstringIndex.fsck(spark, d2).issues.exists(_.contains("outside")))
+      assert(sOrphan.renameTo(sb))
+      // a foreign (non-partition) entry at the root
+      val alien = new java.io.File(d2, "notes.txt")
+      assert(alien.createNewFile())
+      assert(SubstringIndex.fsck(spark, d2).issues.exists(_.contains("foreign entry")))
+      assert(alien.delete())
+
+      // ---- AnnIndex ----
+      val cents = Similarity.centroidSet(c, 10)
+      val cb = Similarity.pqCodebook(c)
+      val d3 = Files.createTempDirectory("graft-fsck-ann").toString
+      AnnIndex.write(c, cents, cb, d3)
+      assert(AnnIndex.fsck(spark, d3, cents, cb).ok)
+      // retrained artifacts → fingerprint mismatch described, not thrown
+      val refined = Similarity.refineCentroids(c, cents, rounds = 1)
+      assert(AnnIndex.fsck(spark, d3, refined, cb).issues
+        .exists(_.contains("does not match the expected")))
+      // a cell directory whose id is not in the centroid set is
+      // unreachable — no probe ever selects it
+      val cid0 = new java.io.File(d3).listFiles().filter(_.getName.startsWith("cid=")).head
+      val cOrphan = new java.io.File(d3, "cid=999999")
+      assert(cid0.renameTo(cOrphan))
+      assert(AnnIndex.fsck(spark, d3, cents, cb).issues.exists(_.contains("outside")))
+      assert(cOrphan.renameTo(cid0))
+    } finally { banded.unpersist(); c.unpersist(); () }
+  }
+
   test("model dirs: a torn classifier/DSIR re-train is impossible by construction; crash states heal or serve old") {
     import graft.ext.{Dsir, IndexMaintenance, QualityClassifier}
     val dir = Files.createTempDirectory("graft-model").toString + "/clf"
