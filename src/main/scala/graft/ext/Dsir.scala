@@ -114,11 +114,13 @@ object Dsir {
     // the old per-file delete-then-write could strand a NEW meta next to
     // an OLD λ table on a re-train crash — passing every loadTable check
     // while serving the wrong weights
-    IndexMaintenance.swapTree(spark, dir) { staging =>
-      Seq(Tuple1(lam.length)).toDF("d")
-        .coalesce(1).write.parquet(s"$staging/meta.parquet")
-      lam.zipWithIndex.map { case (v, b) => (b, v) }.toDF("b", "lam")
-        .coalesce(1).write.parquet(s"$staging/lambda.parquet")
+    IndexMaintenance.withLease(spark, dir, "dsir-write") {
+      IndexMaintenance.swapTree(spark, dir) { staging =>
+        Seq(Tuple1(lam.length)).toDF("d")
+          .coalesce(1).write.parquet(s"$staging/meta.parquet")
+        lam.zipWithIndex.map { case (v, b) => (b, v) }.toDF("b", "lam")
+          .coalesce(1).write.parquet(s"$staging/lambda.parquet")
+      }
     }
   }
 

@@ -403,8 +403,10 @@ object LmGate {
     */
   def refresh(docs: DataFrame, dir: String, buckets: Int = 3,
               mode: Mode = Mode.Mle, maxBigrams: Int = 0): Unit =
-    IndexMaintenance.swapTree(docs.sparkSession, dir)(staging =>
-      write(docs, staging, buckets, mode, maxBigrams))
+    IndexMaintenance.withLease(docs.sparkSession, dir, "gate-refresh") {
+      IndexMaintenance.swapTree(docs.sparkSession, dir)(staging =>
+        write(docs, staging, buckets, mode, maxBigrams))
+    }
 
   def load(s: SparkSession, dir: String): Gate = {
     IndexMaintenance.heal(s, dir)

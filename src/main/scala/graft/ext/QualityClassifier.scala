@@ -189,11 +189,13 @@ object QualityClassifier {
     // check and served silently wrong scores. With the dir-level swap a
     // crash leaves either the old or the new model complete, never a mix,
     // and the stranded retire state heals at the next load.
-    IndexMaintenance.swapTree(spark, dir) { staging =>
-      Seq((bias, w.length)).toDF("bias", "d")
-        .coalesce(1).write.parquet(s"$staging/meta.parquet")
-      w.zipWithIndex.map { case (v, b) => (b, v) }.toDF("b", "w")
-        .coalesce(1).write.parquet(s"$staging/weights.parquet")
+    IndexMaintenance.withLease(spark, dir, "classifier-write") {
+      IndexMaintenance.swapTree(spark, dir) { staging =>
+        Seq((bias, w.length)).toDF("bias", "d")
+          .coalesce(1).write.parquet(s"$staging/meta.parquet")
+        w.zipWithIndex.map { case (v, b) => (b, v) }.toDF("b", "w")
+          .coalesce(1).write.parquet(s"$staging/weights.parquet")
+      }
     }
   }
 
