@@ -377,6 +377,70 @@ object StreamingOps {
       }
       .start()
 
+  /** The full streaming INGEST loop — [[admissionGate]] plus the FOLD:
+    * per micro-batch, the admitted remainder is appended into the very
+    * trees the next micro-batch's probes read, so the loop feeds forward
+    * exactly like `q_pipeline_cycles`' batch cycles (a document that
+    * near-dups an earlier micro-batch's ADMISSION is rejected — the
+    * stream IS the steady-state ingest pipeline, micro-batch = ingest
+    * cycle; StreamingSpec pins stream-of-2-chunks ≡ the pipeline row's
+    * recorded two-cycle admission sets, and the folded BM25 scalars
+    * match the batch loop's bit-for-bit).
+    *
+    * The order inside each micro-batch is load-bearing, twice:
+    *
+    *  - the admission DECISION is written to `decisionsPath` and read
+    *    back BEFORE any append — the same disk barrier the batch
+    *    pipeline uses, because the decision's lineage probes the trees
+    *    the folds then mutate (the append-lineage hazard: a lazy plan
+    *    re-evaluated after the append sees the batch's own keys as
+    *    duplicates and silently shrinks the admitted set);
+    *  - each fold acquires its tree's writer lease ([[graft.ext
+    *    .IndexMaintenance.withLease]]), so a concurrently scheduled
+    *    maintenance job (compaction between micro-batches — the
+    *    q_pipeline_maint cadence) is serialized against the stream's
+    *    appends instead of silently losing one side.
+    *
+    * Delivery: the decision sink is at-least-once per `batch_id` (same
+    * note as [[admissionGate]]); the FOLDS are idempotence-critical —
+    * a replayed micro-batch would double its postings/keys (the
+    * documented disjoint-batch append precondition), so production runs
+    * this with a checkpointed query where foreachBatch batchIds are
+    * exactly-once, or dedupes replays on `batch_id` before folding.
+    */
+  def ingestLoop(incoming: DataFrame, gateDir: Option[String],
+                 dedupPath: String, substrPath: String, bm25Path: String,
+                 decisionsPath: String,
+                 queryName: String = "graft-ingest-loop")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    incoming.writeStream
+      .queryName(queryName)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val s = batch.sparkSession
+        graft.CacheTracker.scope {
+          val gate = gateDir.map(graft.ext.LmGate.load(s, _))
+          val banded = minhashBanded(batch)
+            .transform(graft.CacheTracker.cached)
+          // ADMIT + the decision barrier (write completes before any fold)
+          graft.ext.Pipeline
+            .admittedIdsOf(gate, batch, banded, dedupPath, substrPath)
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(decisionsPath)
+          val admitted = s.read.parquet(decisionsPath)
+            .filter(col("batch_id") === batchId).select("doc_id")
+          // FOLD: O(batch) appends, same order as Pipeline.build — the
+          // keys the NEXT micro-batch's novelty probe must see, the
+          // windows its decontam probe must see, the postings +
+          // additive scalars the retrieval index serves
+          graft.ext.DedupIndex.append(
+            banded.join(admitted, Seq("doc_id")), dedupPath)
+          val admittedDocs = batch.join(admitted, Seq("doc_id"))
+          graft.ext.SubstringIndex.append(admittedDocs, substrPath)
+          graft.ext.Bm25Index.append(admittedDocs, bm25Path)
+        }
+      }
+      .start()
+
   /** Incremental snapshot maintenance: every micro-batch of a complete-mode
     * aggregate is written to staging and promoted with the SAME atomic
     * swap the batch engine uses (K2, [[graft.sink.FileSnapshotCommit]]) —

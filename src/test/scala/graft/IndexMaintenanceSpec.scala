@@ -376,6 +376,19 @@ class IndexMaintenanceSpec extends AnyFunSuite {
       assert(live.renameTo(new java.io.File(dir + IndexMaintenance.RetiredSuffix)))
       assert(serve(dir, refined) == serve(fresh, refined),
         "load must heal a crashed retrain swap")
+
+      // the codebook half drifts too: retrain under BOTH refreshed
+      // artifacts (the full re-fit) equals a from-scratch build under them
+      val cb2 = Similarity.refinePqCodebook(c, cb, rounds = 1)
+      AnnIndex.retrain(c, refined, cb, refined, cb2, dir)
+      intercept[IllegalArgumentException](AnnIndex.load(spark, dir, refined, cb))
+      val fresh2 = Files.createTempDirectory("graft-annretrain-cb").toString
+      AnnIndex.write(c, refined, cb2, fresh2)
+      def serve2(p: String) =
+        AnnIndex.probe(AnnIndex.load(spark, p, refined, cb2), probeVecs,
+          refined, cb2, nprobe = 2, k = 3).orderBy("qid", "rn").collect().toSeq
+      assert(serve2(dir) == serve2(fresh2),
+        "codebook retrain diverges from a from-scratch build under the new artifacts")
     } finally { c.unpersist(); () }
   }
 

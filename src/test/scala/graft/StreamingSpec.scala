@@ -1026,4 +1026,97 @@ class StreamingSpec extends AnyFunSuite {
       assert(bids.size > 1, "stream collapsed into one micro-batch — split vacuous")
     } finally { banded.unpersist(); () }
   }
+
+  test("streaming ingest loop: micro-batch folds feed forward — two chunks equal the batch two-cycle pipeline") {
+    // The stream IS the steady-state loop: each micro-batch's admitted
+    // remainder is APPENDED into the trees the next micro-batch probes.
+    // Pinned against the strongest available truth — q_pipeline_cycles'
+    // own recorded per-cycle admission sets (driver-oracle-checked) on
+    // the identical arrival split — plus bit-equality of the folded BM25
+    // corpus scalars. A fold that lost rows, a decision derived after
+    // the append (the lineage hazard), or a probe that missed the
+    // previous micro-batch's keys could not match.
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ext.{Bm25Index, Dedup, DedupIndex, Pipeline, StoredArtifacts, SubstringIndex}
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    SparkEntry.queries("q_pipeline_cycles")(spark, sf).collect()
+    val pipeRoot = StoredArtifacts.of(s"pipeline-cycles|$sf")(_ =>
+      fail("pipeline-cycles artifact should already exist"))
+    def admittedOf(p: String) =
+      spark.read.parquet(p).collect().map(_.getLong(0)).toSet
+    val cycle1 = admittedOf(s"$pipeRoot/admitted1.parquet")
+    val cycle2 = admittedOf(s"$pipeRoot/admitted2.parquet")
+
+    val docs = Tables.documents(spark, sf)
+    val isBatch = col("doc_id") % 4 === 3 && col("doc_id") < Pipeline.BatchIdBound
+    val corpus = docs.filter(!isBatch)
+    val banded = Dedup.mhBandedDf(spark, sf).cache()
+    try {
+      val dir = java.nio.file.Files.createTempDirectory("graft-ingest-loop").toString
+      DedupIndex.write(banded.filter(!isBatch), s"$dir/dedup")
+      SubstringIndex.write(corpus, s"$dir/substr")
+      Bm25Index.write(corpus, s"$dir/bm25")
+
+      val mem = MemoryStream[(Long, String)]
+      val q = StreamingOps.ingestLoop(mem.toDF.toDF("doc_id", "text"),
+        gateDir = None, s"$dir/dedup", s"$dir/substr", s"$dir/bm25",
+        s"$dir/decisions")
+      try {
+        val rows = docs.filter(isBatch).select("doc_id", "text").collect()
+          .map(r => (r.getLong(0), r.getString(1)))
+        val (c1, c2) = rows.partition(_._1 < Pipeline.Cycle2Start)
+        mem.addData(c1.toIndexedSeq: _*); q.processAllAvailable()
+        mem.addData(c2.toIndexedSeq: _*); q.processAllAvailable()
+      } finally q.stop()
+
+      val decisions = spark.read.parquet(s"$dir/decisions")
+        .collect().groupBy(_.getAs[Long]("batch_id"))
+        .view.mapValues(_.map(_.getAs[Long]("doc_id")).toSet).toMap
+      assert(decisions.keySet == Set(0L, 1L), s"expected 2 micro-batches, got ${decisions.keySet}")
+      assert(decisions(0L) == cycle1,
+        "micro-batch-1 admission diverges from the pipeline's cycle-1 decision")
+      assert(decisions(1L) == cycle2,
+        "micro-batch-2 admission diverges from the pipeline's cycle-2 decision — " +
+          "the stream's folds did not feed forward like the batch loop's")
+
+      // the folded retrieval index's corpus scalars equal the batch loop's
+      def scalars(p: String) = Bm25Index.metaDf(spark, p).collect()(0) match {
+        case r => (r.getAs[Long]("n"), r.getAs[Long]("sum_dl"), r.getAs[Long]("n_dl"))
+      }
+      assert(scalars(s"$dir/bm25") == scalars(s"$pipeRoot/bm25"),
+        "streamed BM25 scalar folds diverge from the batch pipeline's")
+
+      // the q_pipeline_maint claim AS A STREAM: compaction between
+      // micro-batches (the Tuesday-night window — stream idle, writer
+      // lease free) is invisible to the next micro-batch's admission.
+      // Each foreachBatch loads the trees fresh, so the swapped roots are
+      // picked up; the decisions and folded scalars must be identical.
+      val dir2 = java.nio.file.Files.createTempDirectory("graft-ingest-maint").toString
+      DedupIndex.write(banded.filter(!isBatch), s"$dir2/dedup")
+      SubstringIndex.write(corpus, s"$dir2/substr")
+      Bm25Index.write(corpus, s"$dir2/bm25")
+      val mem2 = MemoryStream[(Long, String)]
+      val q2 = StreamingOps.ingestLoop(mem2.toDF.toDF("doc_id", "text"),
+        gateDir = None, s"$dir2/dedup", s"$dir2/substr", s"$dir2/bm25",
+        s"$dir2/decisions")
+      try {
+        val rows = docs.filter(isBatch).select("doc_id", "text").collect()
+          .map(r => (r.getLong(0), r.getString(1)))
+        val (c1, c2) = rows.partition(_._1 < Pipeline.Cycle2Start)
+        mem2.addData(c1.toIndexedSeq: _*); q2.processAllAvailable()
+        DedupIndex.compact(spark, s"$dir2/dedup")
+        SubstringIndex.compact(spark, s"$dir2/substr")
+        Bm25Index.compact(spark, s"$dir2/bm25")
+        mem2.addData(c2.toIndexedSeq: _*); q2.processAllAvailable()
+      } finally q2.stop()
+      val d2 = spark.read.parquet(s"$dir2/decisions")
+        .collect().groupBy(_.getAs[Long]("batch_id"))
+        .view.mapValues(_.map(_.getAs[Long]("doc_id")).toSet).toMap
+      assert(d2(0L) == cycle1 && d2(1L) == cycle2,
+        "mid-stream compaction changed an admission decision")
+      assert(scalars(s"$dir2/bm25") == scalars(s"$pipeRoot/bm25"),
+        "mid-stream compaction corrupted the BM25 scalar folds")
+    } finally { banded.unpersist(); () }
+  }
 }
