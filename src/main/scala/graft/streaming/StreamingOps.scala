@@ -421,13 +421,18 @@ object StreamingOps {
           val gate = gateDir.map(graft.ext.LmGate.load(s, _))
           val banded = minhashBanded(batch)
             .transform(graft.CacheTracker.cached)
-          // ADMIT + the decision barrier (write completes before any fold)
+          // ADMIT + the decision barrier (write completes before any
+          // fold). Decisions are PARTITIONED by batch_id so the
+          // read-back below opens exactly this batch's directory — a
+          // column filter over the flat dir would re-scan every past
+          // micro-batch's decisions, O(stream lifetime) per batch.
           graft.ext.Pipeline
             .admittedIdsOf(gate, batch, banded, dedupPath, substrPath)
             .withColumn("batch_id", lit(batchId))
-            .write.mode("append").parquet(decisionsPath)
-          val admitted = s.read.parquet(decisionsPath)
-            .filter(col("batch_id") === batchId).select("doc_id")
+            .write.mode("append").partitionBy("batch_id").parquet(decisionsPath)
+          val admitted = s.read
+            .schema(org.apache.spark.sql.types.StructType.fromDDL("doc_id BIGINT"))
+            .parquet(s"$decisionsPath/batch_id=$batchId")
           // FOLD: O(batch) appends, same order as Pipeline.build — the
           // keys the NEXT micro-batch's novelty probe must see, the
           // windows its decontam probe must see, the postings +

@@ -1070,7 +1070,10 @@ class StreamingSpec extends AnyFunSuite {
         mem.addData(c2.toIndexedSeq: _*); q.processAllAvailable()
       } finally q.stop()
 
+      // batch_id comes back through directory-name partition inference —
+      // pin it to long before reading
       val decisions = spark.read.parquet(s"$dir/decisions")
+        .withColumn("batch_id", col("batch_id").cast("long"))
         .collect().groupBy(_.getAs[Long]("batch_id"))
         .view.mapValues(_.map(_.getAs[Long]("doc_id")).toSet).toMap
       assert(decisions.keySet == Set(0L, 1L), s"expected 2 micro-batches, got ${decisions.keySet}")
@@ -1111,6 +1114,7 @@ class StreamingSpec extends AnyFunSuite {
         mem2.addData(c2.toIndexedSeq: _*); q2.processAllAvailable()
       } finally q2.stop()
       val d2 = spark.read.parquet(s"$dir2/decisions")
+        .withColumn("batch_id", col("batch_id").cast("long"))
         .collect().groupBy(_.getAs[Long]("batch_id"))
         .view.mapValues(_.map(_.getAs[Long]("doc_id")).toSet).toMap
       assert(d2(0L) == cycle1 && d2(1L) == cycle2,
