@@ -25,6 +25,45 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = s.read.parquet(path(d, "documents"))
   def embeddings(s: SparkSession, d: String): DataFrame = s.read.parquet(path(d, "embeddings"))
 
+  /** Spread a SMALL input across the cluster before a CPU-heavy per-row
+    * pipeline (tokenize/shingle/md5 explodes, decimal aggregates, vector
+    * arithmetic) — the unsplittable-input-skew fix (optimization guide
+    * §2.5): the testdata parquet files are single row-group, so however
+    * many byte-range splits the scan planner cuts, every row lands in ONE
+    * task and everything before the first exchange runs on one core while
+    * the rest of the cluster idles.
+    *
+    * Deliberately OPT-IN per heavy pipeline, not blanket-on-the-loader:
+    * r17 measured the blanket form — heavy queries gained 1.4–2× but every
+    * cheap query ate the exchange as pure overhead (q_topk 0.23 → 0.93 s),
+    * a net loss. Guarded by the optimizer's size ESTIMATE of the input
+    * subtree: spreading fires only when the bytes are ≤ cores ×
+    * SPARK_GRAFT_SPREAD_MB (default 4 MB/core — the micro-shuffle is
+    * bounded by the threshold itself), so for any at-scale table the
+    * condition is false and the heavy pipeline keeps the bare scan — the
+    * fix cannot fire where the scan is already parallel. Partitioning
+    * HASHES `key` (deterministic, retry-safe, and skips round-robin's
+    * map-side sort — guide §2.5's deterministic-key advice); pass a
+    * high-cardinality column. Filter pushdown and column pruning pass
+    * through RepartitionByExpression, so PushedFilters/ReadSchema are
+    * unchanged (plans/r17). Env knob: 0 disables all spreading.
+    */
+  private val SpreadMbPerCore =
+    sys.env.getOrElse("SPARK_GRAFT_SPREAD_MB", "4").toLong
+  def spreadSmall(df: DataFrame, key: org.apache.spark.sql.Column): DataFrame = {
+    // streaming frames pass through untouched: micro-batch partitioning is
+    // the source's business, and even INSPECTING queryExecution on an
+    // unstarted streaming Dataset throws (the heavy pipelines this guards
+    // are shared by StreamingOps)
+    if (df.isStreaming) return df
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (SpreadMbPerCore > 0 &&
+        bytes <= BigInt(par.toLong * SpreadMbPerCore * (1L << 20)))
+      df.repartition(par, key)
+    else df
+  }
+
   /** events.parquet: `ts` has shipped as INT64 TIMESTAMP(NANOS) (testdata
     * generations ≤ r7) and as INT64 TIMESTAMP(isAdjustedToUTC=false, MICROS)
     * i.e. TIMESTAMP_NTZ (the 2026-08-13 regeneration). Both, plus the plain

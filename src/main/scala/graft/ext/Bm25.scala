@@ -45,7 +45,8 @@ object Bm25 {
   def search(docs: DataFrame, terms: Seq[String], k: Int): DataFrame = {
     require(terms.nonEmpty, "terms must be non-empty")
     val toks = tokens(col("text"))
-    val base = docs.select(col("doc_id"), size(toks).cast("double").as("dl"),
+    val base = graft.Tables.spreadSmall(docs, col("doc_id"))
+      .select(col("doc_id"), size(toks).cast("double").as("dl"),
       explode(toks).as("t"))
     val stats = docs.agg(count(lit(1)).cast("double").as("n"),
       avg(size(tokens(col("text")))).as("avgdl"))
@@ -80,7 +81,8 @@ object Bm25 {
   def termStats(docs: DataFrame, terms: Seq[String]): (Seq[(String, Double)], Double) = {
     require(terms.nonEmpty, "terms must be non-empty")
     val toks = tokens(col("text"))
-    val base = docs.select(col("doc_id"), explode(toks).as("t"))
+    val base = graft.Tables.spreadSmall(docs, col("doc_id"))
+      .select(col("doc_id"), explode(toks).as("t"))
     val stats = docs.agg(count(lit(1)).cast("double").as("n"),
       avg(size(tokens(col("text")))).as("avgdl")).collect()(0)
     require(!stats.isNullAt(1) && stats.getDouble(1) > 0,

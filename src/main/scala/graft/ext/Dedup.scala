@@ -41,7 +41,7 @@ object Dedup {
     * [[CurationReport.report]]; SQL mirror: [[shingleHashFrom]]).
     */
   private[graft] def shingleHash(docs: DataFrame): DataFrame =
-    docs
+    Tables.spreadSmall(docs, col("doc_id"))
       .select(col("doc_id"), explode(shinglesFromTokens(tokens(col("text")), K)).as("sh"))
       .select(col("doc_id"), h48(col("sh")).as("h"))
       .distinct()
@@ -59,7 +59,7 @@ object Dedup {
     * duplicates the hash array into each consumer.)
     */
   private def minhashDf(s: SparkSession, d: String): DataFrame = {
-    val h = Tables.documents(s, d)
+    val h = Tables.spreadSmall(Tables.documents(s, d), col("doc_id"))
       .select(col("doc_id"), explode(shinglesFromTokens(tokens(col("text")), K)).as("sh"))
       .select(col("doc_id"), (h48(col("sh")) % Mersenne31).as("h"))
     val sigs = MinhashPerms.zipWithIndex.map { case ((a, b), i) =>
@@ -74,8 +74,7 @@ object Dedup {
     */
   private def simhashDf(s: SparkSession, d: String,
                         docFilter: Column = lit(true)): DataFrame = {
-    val tok = Tables.documents(s, d)
-      .filter(docFilter)
+    val tok = Tables.spreadSmall(Tables.documents(s, d).filter(docFilter), col("doc_id"))
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
       .withColumn("h", h48(col("tok")))
     val bitSums = (0 until 32).map { j =>
@@ -118,7 +117,7 @@ object Dedup {
     * exchange, no self-join.
     */
   def cdcChunks(docs: DataFrame): DataFrame = {
-    val tok = docs
+    val tok = Tables.spreadSmall(docs, col("doc_id"))
       .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
     val w = Window.partitionBy("doc_id").orderBy("pos")
     val chunked = tok
@@ -183,10 +182,14 @@ object Dedup {
     * out-degree.
     */
   private[graft] def triangleCounts(pairs: DataFrame): DataFrame = {
-    // the pair list is usually the LSH candidate self-join — cache it, or
-    // its producer re-executes for every consumer below (both degree
-    // legs via edges, plus both orientation joins)
-    val p = CacheTracker.cached(pairs)
+    // the pair list is usually the LSH candidate self-join — settle it
+    // eagerly (localCheckpoint, released by the runner scope) or its
+    // producer re-executes for every consumer below (both degree legs via
+    // edges, plus both orientation joins). Checkpoint over cache() for
+    // the same reason q_graph_pagerank measured (r7/r9, re-confirmed
+    // r17): five downstream consumers of a small settled frame beat the
+    // lazily-cached plan by ~30%.
+    val p = CacheTracker.settled(pairs.localCheckpoint())
     val edges = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(p.select(col("doc_b"), col("doc_a")))
     // |V|-sized and consumed three times (two orientation joins + the
@@ -478,12 +481,19 @@ object Dedup {
          |JOIN cnt ca ON ca.doc_id = doc_a
          |JOIN cnt cb ON cb.doc_id = doc_b
          |ORDER BY jacc DESC, doc_a, doc_b LIMIT 10""".stripMargin) { (s, d) =>
-      // one shuffle by h computes df and filters in place (window, not
-      // groupBy+join: the index is never re-shuffled or re-scanned)
-      val sh = shingleHashDf(s, d)
-        .withColumn("df", count(lit(1)).over(Window.partitionBy("h")))
-        .filter(col("df") <= MaxShingleDf)
-        .drop("df")
+      // df-cap via ANTI-join against the hot-shingle set instead of the
+      // r16 count-over-(h) window: the window shuffled AND sorted every
+      // (doc_id, h) row; the aggregate ships only per-hash counts
+      // (map-side combined) and keeps just hashes ABOVE the cap —
+      // boilerplate, a vanishing fraction of the distinct-shingle space at
+      // any corpus size — so the anti-join broadcasts and the index rows
+      // reach the pair join with no extra exchange and no sort
+      // (guide §2.4/§3.1).
+      val sh0 = shingleHashDf(s, d)
+      val hot = sh0.groupBy("h").agg(count(lit(1)).as("df"))
+        .filter(col("df") > MaxShingleDf)
+        .select("h")
+      val sh = sh0.join(hot, Seq("h"), "left_anti")
         .transform(CacheTracker.cached)
       val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val pairs = sh.select(col("doc_id").as("doc_a"), col("h"))

@@ -159,7 +159,7 @@ object Dsir {
   private def featBuckets(docs: org.apache.spark.sql.DataFrame,
                           targetPred: org.apache.spark.sql.Column): org.apache.spark.sql.DataFrame = {
     val toks = tokens(col("text"))
-    docs
+    graft.Tables.spreadSmall(docs, col("doc_id"))
       .select(col("doc_id"), targetPred.as("is_target"),
         explode(concat(toks, shinglesFromTokens(toks, 2))).as("f"))
       .select(col("doc_id"), col("is_target"), (h48(col("f")) % D).as("b"))

@@ -33,7 +33,8 @@ object LmGate {
 
   /** (doc_id, w1, w2) bigram rows of a document set — one explode. */
   def bigrams(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
+    graft.Tables.spreadSmall(docs, col("doc_id"))
+      .select(col("doc_id"),
         explode(shinglesFromTokens(tokens(col("text")), 2)).as("b"))
       .select(col("doc_id"),
         split(col("b"), " ").getItem(0).as("w1"),
@@ -64,11 +65,25 @@ object LmGate {
     */
   def capBigrams(c12: DataFrame, maxBigrams: Int): DataFrame = {
     require(maxBigrams >= 1, s"maxBigrams must be >= 1, got $maxBigrams")
-    DistributedRank.rankDesc(
-        c12.withColumn("__bkey", concat_ws(" ", col("w1"), col("w2"))),
-        "c12", "__bkey", "__cap_rk")
-      .filter(col("__cap_rk") <= maxBigrams)
-      .select("w1", "w2", "c12")
+    // exact deterministic top-N two ways, same rows either way:
+    //  - bounded caps (the production regime — the whole point of the cap
+    //    is a SMALL model) compile to TakeOrderedAndProject via
+    //    orderBy+limit: per-partition top-N + one bounded merge, no
+    //    percentile pass, no window, no cache — r17 measured the rank
+    //    pipeline at 3 extra jobs + a full-vocabulary cache per build;
+    //  - huge caps fall back to the partition-parallel rank (a
+    //    TakeOrdered merge holds partitions × N rows on the driver, which
+    //    stops being metadata once N leaves the 10^5 class).
+    if (maxBigrams <= 100000)
+      c12.orderBy(col("c12").desc, concat_ws(" ", col("w1"), col("w2")).asc)
+        .limit(maxBigrams)
+        .select("w1", "w2", "c12")
+    else
+      DistributedRank.rankDesc(
+          c12.withColumn("__bkey", concat_ws(" ", col("w1"), col("w2"))),
+          "c12", "__bkey", "__cap_rk")
+        .filter(col("__cap_rk") <= maxBigrams)
+        .select("w1", "w2", "c12")
   }
 
   /** Capped model tables: the top-`maxBigrams` joint counts plus the
@@ -258,16 +273,33 @@ object LmGate {
     * 100 TB-bounded gate. Left joins + one scalar broadcast; zero
     * windows; streaming-safe.
     */
-  def scoreKneserSmoothed(docs: DataFrame, c12: DataFrame, c1: DataFrame): DataFrame = {
-    val (n1f, n1b, _) = continuationTables(c12)
+  def scoreKneserSmoothed(docs: DataFrame, c12: DataFrame, c1: DataFrame): DataFrame =
     // bounded driver action: (npairs, V2) is a frozen PROPERTY of the
     // model (two counts of the vocab-bounded/capped c12), collected once
     // before the plan is built — the served plan then carries the
     // denominator as a literal, so KN serving has no global aggregate and
     // no scalar cross join at all (the same literal-scalar stance as
-    // [[scoreSmoothedLit]]); n1f/n1b stay model-side equi-join tables
+    // [[scoreSmoothedLit]]); n1f/n1b stay model-side equi-join tables.
+    // An AT-REST gate skips even this action: [[write]] stamps the
+    // denominator into meta and [[Gate.bucketed]] passes it down.
+    scoreKneserSmoothedLit(docs, c12, c1, knDenom(c12))
+
+  /** The (npairs + V2) continuation denominator of a c12 table — the KN
+    * scalar [[write]] freezes into meta so serving never re-counts it.
+    */
+  def knDenom(c12: DataFrame): Long = {
     val scal = c12.agg(count(lit(1)), count_distinct(col("w2"))).head()
-    val denom = scal.getLong(0) + scal.getLong(1)
+    scal.getLong(0) + scal.getLong(1)
+  }
+
+  /** [[scoreKneserSmoothed]] with the continuation denominator injected as
+    * a literal — the at-rest serving face (same split as [[scoreSmoothed]]
+    * vs [[scoreSmoothedLit]]; one shared body, so the two can never
+    * drift).
+    */
+  def scoreKneserSmoothedLit(docs: DataFrame, c12: DataFrame, c1: DataFrame,
+                             denom: Long): DataFrame = {
+    val (n1f, n1b, _) = continuationTables(c12)
     val pcont = (coalesce(col("n1b"), lit(0L)) + lit(1)).cast("double") /
       lit(denom).cast("double")
     val p = when(col("c1").isNotNull,
@@ -295,7 +327,9 @@ object LmGate {
   final case class Gate(c12: DataFrame, c1: DataFrame,
                         boundaries: Seq[(Double, Long)],
                         mode: Mode = Mode.Mle,
-                        maxBigrams: Int = 0) {
+                        maxBigrams: Int = 0,
+                        vsz: Long = -1L,
+                        knDenomStored: Long = -1L) {
     /** Score + bucket a document set against the frozen artifact —
       * streaming-safe (no windows, no state). Under an addone or kneser
       * gate, documents made ENTIRELY of unseen bigrams still score (low)
@@ -304,11 +338,16 @@ object LmGate {
     def bucketed(docs: DataFrame): DataFrame = {
       val scored = mode match {
         case Mode.Mle    => score(docs, c12, c1)
-        // the stored model's V is frozen — collect it once (bounded:
-        // ≤ cap rows capped, vocab-bounded otherwise) so the SERVED plan
-        // is just the model equi-joins + projections, no scalar stages
-        case Mode.Addone => scoreSmoothedLit(docs, c12, c1, c1.count())
-        case Mode.Kneser => scoreKneserSmoothed(docs, c12, c1)
+        // the stored model's V is frozen — [[write]] stamps it in meta so
+        // serving pays ZERO scalar actions; pre-stamp artifacts (vsz < 0)
+        // fall back to the bounded count (≤ cap rows capped,
+        // vocab-bounded otherwise). Either way the SERVED plan is just
+        // the model equi-joins + projections, no scalar stages.
+        case Mode.Addone =>
+          scoreSmoothedLit(docs, c12, c1, if (vsz >= 0) vsz else c1.count())
+        case Mode.Kneser =>
+          scoreKneserSmoothedLit(docs, c12, c1,
+            if (knDenomStored >= 0) knDenomStored else knDenom(c12))
       }
       DistributedRank.bucketByBoundaries(
         scored.select(col("doc_id"), col("avg_logprob")),
@@ -361,8 +400,19 @@ object LmGate {
         case Mode.Addone => Some(true)
         case Mode.Kneser => None
       }
-      Seq((mode.name, legacySmoothed, buckets, maxBigrams))
-        .toDF("mode", "smoothed", "n_buckets", "max_bigrams")
+      // the serving scalars are frozen PROPERTIES of the model — stamp
+      // them at train time (write-once) so every later serve skips the
+      // scalar action ([[Gate.bucketed]]); -1 = not applicable to the mode
+      val vszStamp: Long = mode match {
+        case Mode.Addone => c1.count()
+        case _           => -1L
+      }
+      val knStamp: Long = mode match {
+        case Mode.Kneser => knDenom(c12)
+        case _           => -1L
+      }
+      Seq((mode.name, legacySmoothed, buckets, maxBigrams, vszStamp, knStamp))
+        .toDF("mode", "smoothed", "n_buckets", "max_bigrams", "vsz", "kn_denom")
         .coalesce(1)
         .write.mode("overwrite").parquet(s"$dir/meta.parquet")
       c12.write.mode("overwrite").parquet(s"$dir/c12.parquet")
@@ -422,8 +472,8 @@ object LmGate {
     // boundary/scoring-mode drift the meta file exists to prevent.
     val metaPath = new org.apache.hadoop.fs.Path(s"$dir/meta.parquet")
     val fs = metaPath.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val (mode, maxBigrams) =
-      if (!fs.exists(metaPath)) (Mode.Mle: Mode, 0)
+    val (mode, maxBigrams, vsz, knD) =
+      if (!fs.exists(metaPath)) (Mode.Mle: Mode, 0, -1L, -1L)
       else {
         val meta = s.read.parquet(s"$dir/meta.parquet")
         val row = meta.collect().head
@@ -442,9 +492,14 @@ object LmGate {
             Mode.of(row.getAs[String]("mode"))
           else if (row.getAs[Boolean]("smoothed")) Mode.Addone
           else Mode.Mle
-        (m, cap)
+        // pre-stamp artifacts lack the serving scalars; -1 lets
+        // Gate.bucketed fall back to the bounded count
+        def stamp(name: String): Long =
+          if (meta.schema.fieldNames.contains(name)) row.getAs[Long](name)
+          else -1L
+        (m, cap, stamp("vsz"), stamp("kn_denom"))
       }
     Gate(s.read.parquet(s"$dir/c12.parquet"),
-      s.read.parquet(s"$dir/c1.parquet"), bs, mode, maxBigrams)
+      s.read.parquet(s"$dir/c1.parquet"), bs, mode, maxBigrams, vsz, knD)
   }
 }

@@ -55,7 +55,7 @@ object QualityClassifier {
     * count. One explode + one hash aggregate, cached across rounds.
     */
   private[graft] def featDf(docs: DataFrame): DataFrame =
-    docs
+    graft.Tables.spreadSmall(docs, col("doc_id"))
       .select(col("doc_id"),
         when(col("source") === TargetSource, 1.0).otherwise(0.0).as("y"),
         explode(tokens(col("text"))).as("tok"))

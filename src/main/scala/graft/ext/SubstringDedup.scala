@@ -29,11 +29,17 @@ import org.apache.spark.sql.functions._
   *     stage; the document text is never shuffled. (Any [[SubstringIndex]]
   *     tree persisted before this seed fix holds the chained h2 and must
   *     be regenerated — probes against it would miss everything.)
-  *  2. duplicate marking — WINDOW functions over (h1, h2) tag each
-  *     position row with its hash's occurrence/distinct-doc count in the
-  *     same pass that will emit it — one exchange on the hash, no
-  *     aggregate + semi-join round trip and no second scan (measured 4×
-  *     faster than the agg ⋈ semi-join shape at sf0.1).
+  *  2. duplicate marking — a hash AGGREGATE derives the duplicated-hash
+  *     set D (map-side combined, no sort) and the cached position table
+  *     semi-joins it. D holds only hashes that ARE duplicated — sparse in
+  *     real corpora — so the join usually broadcasts and the position
+  *     rows reach the span merge with no (h1, h2) exchange at all; at
+  *     scale the planner falls back to a shuffled join, which is one
+  *     exchange plus a hash probe. (r16 used window functions over
+  *     (h1, h2) instead — one exchange but a full SORT of the position
+  *     table inside WindowExec, measured as the family's dominant CPU in
+  *     the r17 optimization pass; the agg ⋈ semi-join shape with the
+  *     position table cached in scope beat it at every tested size.)
   *  3. span merge — one window per document: positions whose windows
   *     overlap or touch (gap ≤ k) coalesce into maximal spans via the
   *     classic lag/running-sum island trick.
@@ -94,7 +100,7 @@ object SubstringDedup {
     */
   private[graft] def windowHashes(docs: DataFrame, k: Int, sample: Int): DataFrame = {
     val win = col("text").substr(col("pos").cast("int"), lit(k))
-    val all = docs
+    val all = graft.Tables.spreadSmall(docs, col("doc_id"))
       .filter(length(col("text")) >= k)
       .select(
         col("doc_id"),
@@ -172,27 +178,40 @@ object SubstringDedup {
     */
   private def spansFromHashes(pos: DataFrame, k: Int, gap: Int,
                               minDocs: Int): DataFrame = {
-    val byH = Window.partitionBy("h1", "h2")
-    // each position row learns its hash's multiplicity in the same pass
-    // that emits it — one exchange on (h1,h2), no agg + semi-join re-scan
-    val hits = (minDocs match {
+    // duplicated-hash set D, then a semi-join marks positions. The r16
+    // shape tagged every position via window functions over (h1, h2) —
+    // ONE exchange, but a full SORT of the position table inside
+    // WindowExec (r17 measured the sort at ~10 µs/row, the dominant CPU
+    // of the whole family). The aggregate needs no sort (hash agg with
+    // map-side partial combine, and it ships only (h1, h2[, doc stats])
+    // — never `pos`), and D holds only hashes that ARE duplicated —
+    // sparse in real corpora — so the semi-join usually broadcasts and
+    // the position side then reaches the per-document span merge with no
+    // (h1, h2) exchange at all; when D outgrows the broadcast threshold
+    // the planner falls back to a shuffled join, which is the r16
+    // exchange plus a hash probe instead of a sort (guide §2.4/§3.1).
+    // two consumers (the duplicated-hash aggregate and the semi-join probe
+    // side) — cache the position table in scope so the window explode runs
+    // once per query, not per branch (at 100 TB production uses sample>1 /
+    // the at-rest SubstringIndex, where the probe side is the bounded
+    // batch; the cache spills under MEMORY_AND_DISK either way)
+    val posC = graft.CacheTracker.cachedInScope(pos)
+    val dupHashes = (minDocs match {
       case 1 =>
-        pos.withColumn("cnt", count(lit(1)).over(byH))
+        posC.groupBy("h1", "h2").agg(count(lit(1)).as("cnt"))
           .filter(col("cnt") >= 2)
       case 2 =>
-        // distinct docs ≥ 2 ⇔ min ≠ max: stays a single unordered
-        // window exec (count would be implied, not computed)
-        pos.withColumn("mn", min(col("doc_id")).over(byH))
-          .withColumn("mx", max(col("doc_id")).over(byH))
+        // distinct docs ≥ 2 ⇔ min ≠ max (cheaper than a distinct count)
+        posC.groupBy("h1", "h2")
+          .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
           .filter(col("mn") =!= col("mx"))
       case m =>
-        // general distinct count via dense_rank + max (two window specs,
-        // same exchange)
-        val byHDoc = Window.partitionBy("h1", "h2").orderBy("doc_id")
-        pos.withColumn("dr", dense_rank().over(byHDoc))
-          .withColumn("nd", max(col("dr")).over(byH))
+        posC.groupBy("h1", "h2")
+          .agg(countDistinct(col("doc_id")).as("nd"))
           .filter(col("nd") >= m)
-    }).select("doc_id", "pos")
+    }).select("h1", "h2")
+    val hits = posC.join(dupHashes, Seq("h1", "h2"), "leftsemi")
+      .select("doc_id", "pos")
     mergeSpans(hits, k, gap)
   }
 
@@ -202,7 +221,7 @@ object SubstringDedup {
     * (interior windows of a true span sit at consecutive positions);
     * sampled mode merges at the looser content-defined gap bound.
     */
-  private[ext] def mergeSpans(hits: DataFrame, k: Int, gap: Int): DataFrame = {
+  private[graft] def mergeSpans(hits: DataFrame, k: Int, gap: Int): DataFrame = {
     val w = Window.partitionBy("doc_id").orderBy("pos")
     val brk = when(col("pos") - lag(col("pos"), 1).over(w) <= gap, 0).otherwise(1)
     hits
@@ -233,12 +252,15 @@ object SubstringDedup {
     require(k > 0, "k must be positive")
     require(sample > 0, "sample must be positive")
     val gap = resolvedGap(mergeGap, k, sample)
-    val c = windowHashes(corpus, k, sample).withColumn("side", lit(0))
-    val p = windowHashes(probe, k, sample).withColumn("side", lit(1))
-    val byH = Window.partitionBy("h1", "h2")
-    val hits = c.unionByName(p)
-      .withColumn("hit", max(col("side")).over(byH))
-      .filter(col("side") === 0 && col("hit") === 1)
+    // corpus positions whose hash also occurs probe-side: a semi-join
+    // against the probe's distinct hashes. The r16 shape unioned both
+    // sides and window-tagged over (h1, h2) — shuffling AND sorting every
+    // corpus position; the probe side is typically tiny (an eval suite),
+    // so its hash set broadcasts and the corpus rows flow straight to the
+    // span merge with no (h1, h2) exchange at all (guide §3.1).
+    val c = windowHashes(corpus, k, sample)
+    val p = windowHashes(probe, k, sample).select("h1", "h2").distinct()
+    val hits = c.join(p, Seq("h1", "h2"), "leftsemi")
       .select("doc_id", "pos")
     mergeSpans(hits, k, gap)
   }
@@ -267,12 +289,26 @@ object SubstringDedup {
     require(sample > 0, "sample must be positive")
     val gap = resolvedGap(mergeGap, k, sample)
     val pos = windowHashes(docs, k, sample)
-    val byHOrd = Window.partitionBy("h1", "h2").orderBy("doc_id", "pos")
-    val cut = pos
-      .withColumn("rn", row_number().over(byHOrd))
-      .withColumn("fd", first(col("doc_id")).over(byHOrd))
-      .withColumn("fp", first(col("pos")).over(byHOrd))
-      .filter(col("rn") > 1 &&
+    // per-hash first occurrence as an AGGREGATE (min of the (doc_id, pos)
+    // struct is exactly the (doc_id, pos)-ordered window's first row) +
+    // join-back, instead of r16's row_number/first_value windows: the
+    // aggregate needs no sort and ships one row per duplicated hash —
+    // hashes occurring once are filtered out BEFORE the join, so the
+    // build side is the (sparse) duplicated set and usually broadcasts;
+    // the position side then never shuffles on (h1, h2) at all. A row is
+    // cut iff its hash is duplicated and it is not the first occurrence
+    // (rn > 1 ⇔ (doc_id, pos) ≠ (fd, fp), subsumed by the extent guard
+    // for same-doc rows since fp < fp + k).
+    // two consumers — cache in scope, same stance as spansFromHashes
+    val posC = graft.CacheTracker.cachedInScope(pos)
+    val firstOcc = posC.groupBy("h1", "h2")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("f"),
+           count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2)
+      .select(col("h1"), col("h2"),
+              col("f.doc_id").as("fd"), col("f.pos").as("fp"))
+    val cut = posC.join(firstOcc, Seq("h1", "h2"))
+      .filter(!(col("fd") === col("doc_id") && col("pos") === col("fp")) &&
         !(col("fd") === col("doc_id") && col("pos") < col("fp") + k))
       .select("doc_id", "pos")
     trimSpans(docs, mergeSpans(cut, k, gap))

@@ -115,7 +115,9 @@ object Scalars {
         |  CAST(max(floor(l_quantity)) AS BIGINT) AS max_floor,
         |  count(*) AS n
         |FROM lineitem GROUP BY bucket ORDER BY bucket""".stripMargin) { (s, d) =>
-      Tables.lineitem(s, d)
+      // decimal sums over sqrt/ln per row — spread the single-row-group
+      // scan so the partial aggregate runs cluster-wide (§2.5)
+      Tables.spreadSmall(Tables.lineitem(s, d), col("l_orderkey"))
         .groupBy((col("l_orderkey") % 7).as("bucket"))
         .agg(graft.operators.Relational.dsum(sqrt(col("l_quantity")), 8).as("sqrt_sum"),
              graft.operators.Relational.dsum(log(col("l_extendedprice") + 1)).as("ln_sum"),

@@ -95,10 +95,18 @@ object ConnectedComponents {
         .localCheckpoint())
       (out, obs.get("s").asInstanceOf[java.math.BigDecimal])
     }
+    // Seed labels at min(id, min neighbor) — one aggregate over sym,
+    // equivalent to pre-running the edge-hop half of round 1 (labels stay
+    // a monotone upper bound of the fixpoint, so correctness is
+    // unchanged). For the common shallow near-dup cluster (pairs, small
+    // stars) the seed IS the fixpoint, and the loop exits after a single
+    // confirming round instead of two — one fewer
+    // join+aggregate+checkpoint materialization per clustering query
+    // (r17; guide §1.2 "remove passes").
     var (labels, prevSum) = checkpointWithSum(
-      sym.select(col("src").as("id"))
-        .distinct()
-        .select(col("id"), col("id").as("comp")))
+      sym.groupBy(col("src"))
+        .agg(least(col("src"), min(col("dst"))).as("comp"))
+        .select(col("src").as("id"), col("comp")))
     if (prevSum == null) return attach(labels) // no edges: all isolated
     var rounds = 0
     while (rounds < maxIter) {

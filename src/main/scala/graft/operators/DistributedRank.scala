@@ -52,7 +52,7 @@ object DistributedRank {
     */
   def rankDesc(df: DataFrame, scoreCol: String, idCol: String,
                rankCol: String = "rk"): DataFrame =
-    rankCore(df, scoreCol, idCol, rankCol)._1
+    rankCore(df, scoreCol, idCol, rankCol, needTotal = false)._1
 
   /** Exact `ntile(n) OVER (ORDER BY scoreCol DESC, idCol ASC)` (standard
     * SQL bucket-size rule) as a partition-parallel plan.
@@ -190,23 +190,26 @@ object DistributedRank {
     */
   def cumSumDesc(df: DataFrame, scoreCol: String, idCol: String,
                  weightCol: String, cumCol: String = "cum"): DataFrame =
-    prefixCore(df, scoreCol, idCol, col(weightCol).cast("long"), cumCol)._1
+    prefixCore(df, scoreCol, idCol, col(weightCol).cast("long"), cumCol,
+      needTotal = false)._1
 
   private def rankCore(df: DataFrame, scoreCol: String, idCol: String,
-                       rankCol: String): (DataFrame, Long) =
-    prefixCore(df, scoreCol, idCol, lit(1L), rankCol)
+                       rankCol: String, needTotal: Boolean = true): (DataFrame, Long) =
+    prefixCore(df, scoreCol, idCol, lit(1L), rankCol, needTotal)
 
   /** Shared two-level prefix-aggregate core: running sum of `weight` in
     * the (scoreCol DESC, idCol ASC) total order, plus the grand total.
     * With weight ≡ 1 the running sum IS `row_number` and the total is N.
     */
   private def prefixCore(df: DataFrame, scoreCol: String, idCol: String,
-                         weight: Column, outCol: String): (DataFrame, Long) = {
+                         weight: Column, outCol: String,
+                         needTotal: Boolean = true): (DataFrame, Long) = {
     // fail fast instead of silently clobbering-then-dropping a caller
     // column — the same reserved-name contract as BandJoin's __band and
     // AsofJoin's __k/__ts/__tag/__rp (__graft_rk is ntileDesc's temp,
     // which feeds its input back through this core)
-    val clash = df.columns.filter(c => c == "__graft_grp" || c == "__graft_rk")
+    val clash = df.columns.filter(c =>
+      c == "__graft_grp" || c == "__graft_rk" || c == "__graft_off")
     require(clash.isEmpty,
       s"DistributedRank reserves column name(s) ${clash.mkString(", ")}; " +
         "rename them on the input")
@@ -238,27 +241,54 @@ object DistributedRank {
       }
     val withGrp = cached.withColumn("__graft_grp", grpExpr(ths, score))
 
-    // bounded action 2: exact per-group weight totals (≤ P rows) →
-    // prefix offsets in group order
-    val cnts = withGrp.groupBy("__graft_grp")
-      .agg(sum(weight).cast("long").as("__graft_w"))
-      .collect()
-      .map(row => (row.getInt(0), row.getLong(1)))
-      .sortBy(_._1)
-    var acc = 0L
-    val offs: Map[Int, Long] =
-      cnts.map { case (g, c) => val o = acc; acc += c; g -> o }.toMap
-    val total = acc
-
+    // exact per-group weight totals (≤ P rows) → prefix offsets in group
+    // order. Two faces, same arithmetic:
+    //  - callers needing the grand TOTAL as a driver scalar (ntile bucket
+    //    thresholds, boundary ranks) collect the ≤P-row aggregate —
+    //    bounded action 2, the accepted driver-artifact class;
+    //  - rank/cumsum callers don't need the total, so the offsets stay
+    //    IN-PLAN: a ≤P-row running sum (single-partition window over a
+    //    cluster-parallelism-bounded frame) broadcast-joined back — one
+    //    driver round-trip fewer per rank (r17: ~0.15 s × every rank call
+    //    in the bench), identical output.
     val w = Window.partitionBy("__graft_grp")
       .orderBy(score.desc, col(idCol).asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val offset: Column =
-      if (offs.isEmpty) lit(0L)
-      else coalesce(element_at(typedLit(offs), col("__graft_grp")), lit(0L))
-    val ranked = withGrp
-      .withColumn(outCol, offset + sum(weight).over(w).cast("long"))
-      .drop("__graft_grp")
-    (ranked, total)
+    if (needTotal) {
+      val cnts = withGrp.groupBy("__graft_grp")
+        .agg(sum(weight).cast("long").as("__graft_w"))
+        .collect()
+        .map(row => (row.getInt(0), row.getLong(1)))
+        .sortBy(_._1)
+      var acc = 0L
+      val offs: Map[Int, Long] =
+        cnts.map { case (g, c) => val o = acc; acc += c; g -> o }.toMap
+      val total = acc
+      val offset: Column =
+        if (offs.isEmpty) lit(0L)
+        else coalesce(element_at(typedLit(offs), col("__graft_grp")), lit(0L))
+      val ranked = withGrp
+        .withColumn(outCol, offset + sum(weight).over(w).cast("long"))
+        .drop("__graft_grp")
+      (ranked, total)
+    } else {
+      // prefix offsets via a triangular self-join of the ≤P-row group
+      // totals (off(g) = Σ totals of groups < g): P²/2 work on a
+      // cluster-parallelism-bounded frame — never a single-partition
+      // exchange (the PlanAudit contract) and never a driver round-trip
+      val cnts = withGrp.groupBy("__graft_grp")
+        .agg(sum(weight).cast("long").as("__graft_w"))
+      val offs = cnts.as("ga")
+        .join(broadcast(cnts.select(col("__graft_grp").as("__graft_g2"),
+            col("__graft_w").as("__graft_w2"))),
+          col("__graft_g2") < col("__graft_grp"), "left")
+        .groupBy("__graft_grp")
+        .agg(coalesce(sum(col("__graft_w2")), lit(0L)).as("__graft_off"))
+      val ranked = withGrp
+        .join(broadcast(offs), Seq("__graft_grp"))
+        .withColumn(outCol, col("__graft_off") + sum(weight).over(w).cast("long"))
+        .drop("__graft_grp", "__graft_off")
+      (ranked, -1L)
+    }
   }
 }

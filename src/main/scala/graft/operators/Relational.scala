@@ -39,8 +39,11 @@ object Relational {
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1999-12-31 00:00:00'
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
-      Tables.lineitem(s, d)
-        .filter(col("l_shipdate") <= lit("1999-12-31 00:00:00").cast("timestamp"))
+      // decimal partial aggregation is the dominant per-row cost here —
+      // spread the single-row-group scan so it runs cluster-wide (§2.5)
+      Tables.spreadSmall(Tables.lineitem(s, d)
+          .filter(col("l_shipdate") <= lit("1999-12-31 00:00:00").cast("timestamp")),
+          col("l_orderkey"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
           dsum(col("l_quantity"), 4).as("sum_qty"),

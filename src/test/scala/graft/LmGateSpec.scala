@@ -50,6 +50,26 @@ class LmGateSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("r17 meta-stamped serving scalars ≡ the counted fallback (addone + kneser)") {
+    // write() now freezes vsz / kn_denom into meta so Gate.bucketed pays
+    // zero scalar actions per serve; a pre-stamp artifact (scalars = -1)
+    // must bucket identically via the counted fallback
+    val docs = Tables.documents(spark, dir)
+    Seq(LmGate.Mode.Addone, LmGate.Mode.Kneser).foreach { mode =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft-lm-stamp").toString
+      LmGate.write(docs, tmp, mode = mode, maxBigrams = 200)
+      val stamped = LmGate.load(spark, tmp)
+      assert((if (mode == LmGate.Mode.Addone) stamped.vsz
+              else stamped.knDenomStored) >= 0,
+        s"$mode gate missing its meta stamp")
+      val legacy = stamped.copy(vsz = -1L, knDenomStored = -1L)
+      val a = stamped.bucketed(docs).collect().map(_.toSeq).toSet
+      val b = legacy.bucketed(docs).collect().map(_.toSeq).toSet
+      assert(a === b, s"$mode: stamped serving diverges from counted fallback")
+      spark.catalog.clearCache()
+    }
+  }
+
   test("capBigrams keeps exactly the deterministic top-N (count desc, key asc)") {
     import spark.implicits._
     val c12 = Seq(

@@ -150,14 +150,20 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.contains("Join"), s"mixtureSample joins:\n$plan")
   }
 
-  test("substring dedup: single-scan window shape — no joins at all") {
+  test("substring dedup: agg + semi-join duplicate marking, no sort on (h1,h2)") {
+    // r17 optimization: duplicate marking is a hash aggregate deriving the
+    // (sparse) duplicated-hash set + a semi-join, replacing the r16
+    // count-over-(h1,h2) window that SORTED every position row inside
+    // WindowExec (measured ~10 µs/row — the family's dominant CPU). The
+    // only sorts allowed in the plan are the per-document span-merge
+    // window (partitioned by doc_id) and the final orderBy; a WindowExec
+    // keyed by the hash pair would be the regression.
     val plan = queryPlan("q_dedup_substring")
-    assert(!plan.contains("Join"), s"q_dedup_substring grew a join:\n$plan")
-    // one exchange on (h1,h2) for duplicate marking, one on doc_id for the
-    // span merge, one range exchange for the final orderBy — a regression
-    // to the agg+semi-join shape would re-scan the corpus and add a fourth
-    assert(count(plan, "Exchange") <= 3,
-      s"q_dedup_substring should shuffle at most 3×:\n$plan")
+    assert(plan.contains("Join"), s"q_dedup_substring lost its semi-join:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"q_dedup_substring cartesian:\n$plan")
+    val hashWindow = "(?s)Window.{0,400}?h1".r.findFirstIn(plan)
+    assert(hashWindow.isEmpty,
+      s"q_dedup_substring re-grew a window over (h1, h2):\n$plan")
   }
 
   test("small dimension tables broadcast in join queries") {

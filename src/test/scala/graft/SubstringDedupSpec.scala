@@ -38,6 +38,59 @@ class SubstringDedupSpec extends AnyFunSuite {
     assert(spans === Seq((0L, 41L, 120L), (1L, 56L, 135L)))
   }
 
+  test("r17 agg+join duplicate marking ≡ the r16 window formulation (random corpus)") {
+    // the optimization changed spansFromHashes/selfDedupCut internals from
+    // count/min/max/row_number windows over (h1, h2) to a hash aggregate +
+    // semi-join; this pins the two formulations equal on a corpus with
+    // planted duplicates, overlaps, and periodic (self-overlapping) text
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    // LOCAL rng: the spec's shared `rnd` feeds later tests' expected
+    // literals — drawing from it here would shift their corpora
+    val lr = new scala.util.Random(7177)
+    def lnoise(n: Int): String =
+      Seq.fill(n)("abcdefghijklmnopqrstuvwxyz0123456789".charAt(lr.nextInt(36))).mkString
+    val shared = lnoise(60); val boiler = lnoise(25)
+    val texts = Seq(
+      lnoise(30) + shared + lnoise(20),
+      shared + lnoise(44) + boiler,
+      boiler + lnoise(70) + boiler,            // intra-doc repeat
+      ("ab" * 30) + lnoise(40),                 // periodic, period < k
+      lnoise(15) + ("ab" * 30),
+      lnoise(150))
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val k = 16
+    // reference: the r16 window shapes, inlined
+    val pos = SubstringDedup.windowHashes(df, k, 1)
+    val byH = Window.partitionBy("h1", "h2")
+    val refSpanHits = pos
+      .withColumn("mn", min(col("doc_id")).over(byH))
+      .withColumn("mx", max(col("doc_id")).over(byH))
+      .filter(col("mn") =!= col("mx"))
+      .select("doc_id", "pos")
+    val refSpans = SubstringDedup.mergeSpans(refSpanHits, k, k)
+      .orderBy("doc_id", "span_start").collect().map(_.toSeq).toSeq
+    val gotSpans = SubstringDedup.duplicatedSpans(df, k)
+      .orderBy("doc_id", "span_start").collect().map(_.toSeq).toSeq
+    assert(gotSpans === refSpans)
+
+    val byHOrd = Window.partitionBy("h1", "h2").orderBy("doc_id", "pos")
+    val refCutHits = pos
+      .withColumn("rn", row_number().over(byHOrd))
+      .withColumn("fd", first(col("doc_id")).over(byHOrd))
+      .withColumn("fp", first(col("pos")).over(byHOrd))
+      .filter(col("rn") > 1 &&
+        !(col("fd") === col("doc_id") && col("pos") < col("fp") + k))
+      .select("doc_id", "pos")
+    val refCut = SubstringDedup.trimSpans(df,
+        SubstringDedup.mergeSpans(refCutHits, k, k))
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val gotCut = SubstringDedup.selfDedupCut(df, k)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(gotCut === refCut)
+  }
+
   test("unique text produces no spans; docs shorter than k are ignored") {
     assert(spansOf(Seq(noise(200), noise(200), "short"), k = 16).isEmpty)
   }
