@@ -80,8 +80,23 @@ object Bench {
           spark.sparkContext.cancelJobGroupAndFutureJobs(group)
         }
       }, timeoutSec, java.util.concurrent.TimeUnit.SECONDS)
+      // The timed region runs under a CacheTracker scope, exactly like
+      // Verify and the engine Runner execute queries: builders route
+      // intra-query caches through cachedInScope, which is a PASSTHROUGH
+      // outside a scope — un-scoped, every such cache silently degrades
+      // to recompute-per-consumer (e.g. the capped bigram model is
+      // re-derived three times per curriculum run) and the bench measures
+      // a plan shape no runner ever executes. Fixed in r17 — a
+      // measurement-methodology alignment, disclosed in
+      // OPTIMIZATION_r17.md; the scope also releases those caches at
+      // region end (the clearCache below stays as the cross-rep sweep).
       val ok =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        try {
+          CacheTracker.scope {
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          }
+          true
+        }
         catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e"); false }
         finally { kill.cancel(false); spark.sparkContext.clearJobGroup() }
       val dt = (System.nanoTime() - t0) / 1e9

@@ -766,14 +766,17 @@ object Dedup {
          |  FROM sigs i WHERE i.doc_id % 2 = 1
          |) WHERE n_bands_hit > 0 ORDER BY doc_id""".stripMargin
     }) { (s, d) =>
-      val banded = mhBandedDf(s, d).transform(CacheTracker.cached)
+      // cache ONLY the probe half: the corpus half is needed once, inside
+      // the memoized build — caching the full banded frame re-computed and
+      // re-stored the corpus bands on every timed rep (r17)
+      val probeBands = mhBandedDf(s, d).filter(col("doc_id") % 2 === 1)
+        .transform(CacheTracker.cached)
       val dir = builtIndexes.computeIfAbsent(d, _ => {
         val p = freshIndexDir()
-        DedupIndex.write(banded.filter(col("doc_id") % 2 === 0), p)
+        DedupIndex.write(mhBandedDf(s, d).filter(col("doc_id") % 2 === 0), p)
         p
       })
-      DedupIndex.probe(DedupIndex.load(s, dir),
-                       banded.filter(col("doc_id") % 2 === 1))
+      DedupIndex.probe(DedupIndex.load(s, dir), probeBands)
         .orderBy("doc_id")
     },
 
@@ -829,13 +832,16 @@ object Dedup {
          |  FROM sigs i WHERE i.doc_id % 3 = 2
          |) WHERE n_bands_hit > 0 ORDER BY doc_id""".stripMargin
     }) { (s, d) =>
-      val banded = mhBandedDf(s, d).transform(CacheTracker.cached)
+      // cache only the PROBE third — the two build thirds run once inside
+      // the memoized artifact lambda (r17: caching the full banded frame
+      // re-computed + re-stored the corpus bands every timed rep)
+      val probeBands = mhBandedDf(s, d).filter(col("doc_id") % 3 === 2)
+        .transform(CacheTracker.cached)
       val dir = StoredArtifacts.of(s"dedup-append|$d") { r =>
-        DedupIndex.write(banded.filter(col("doc_id") % 3 === 0), r)
-        DedupIndex.append(banded.filter(col("doc_id") % 3 === 1), r)
+        DedupIndex.write(mhBandedDf(s, d).filter(col("doc_id") % 3 === 0), r)
+        DedupIndex.append(mhBandedDf(s, d).filter(col("doc_id") % 3 === 1), r)
       }
-      DedupIndex.probe(DedupIndex.load(s, dir),
-                       banded.filter(col("doc_id") % 3 === 2))
+      DedupIndex.probe(DedupIndex.load(s, dir), probeBands)
         .orderBy("doc_id")
     },
 
@@ -864,15 +870,17 @@ object Dedup {
          |  FROM sigs i WHERE i.doc_id % 3 = 2
          |) WHERE n_bands_hit > 0 ORDER BY doc_id""".stripMargin
     }) { (s, d) =>
-      val banded = mhBandedDf(s, d).transform(CacheTracker.cached)
+      // probe-third-only cache — same rationale as q_dedup_index_append
+      val probeBands = mhBandedDf(s, d).filter(col("doc_id") % 3 === 2)
+        .transform(CacheTracker.cached)
       val dir = StoredArtifacts.of(s"dedup-maint|$d") { r =>
-        DedupIndex.write(banded.filter(col("doc_id") % 3 === 0), r)
-        DedupIndex.append(banded.filter(col("doc_id") % 3 === 1), r)
+        DedupIndex.write(mhBandedDf(s, d).filter(col("doc_id") % 3 === 0), r)
+        DedupIndex.append(mhBandedDf(s, d).filter(col("doc_id") % 3 === 1), r)
         DedupIndex.compact(s, r)
         DedupIndex.rebucket(s, r, DedupIndex.Buckets, 2 * DedupIndex.Buckets)
       }
       DedupIndex.probe(DedupIndex.load(s, dir, 2 * DedupIndex.Buckets),
-                       banded.filter(col("doc_id") % 3 === 2),
+                       probeBands,
                        2 * DedupIndex.Buckets)
         .orderBy("doc_id")
     },
@@ -916,8 +924,10 @@ object Dedup {
          |FROM u
          |ORDER BY stage, band""".stripMargin
     }) { (s, d) =>
-      val banded = mhBandedDf(s, d).transform(CacheTracker.cached)
+      // the banded frame is only consumed inside the memoized build — no
+      // cache at all; timed reps read the stored stats (r17)
       val dir = StoredArtifacts.of(s"dedup-stats|$d") { r =>
+        val banded = mhBandedDf(s, d).transform(CacheTracker.cached)
         DedupIndex.write(banded.filter(col("doc_id") % 3 === 0), s"$r/tree")
         DedupIndex.append(banded.filter(col("doc_id") % 3 === 1), s"$r/tree")
         DedupIndex.append(banded.filter(col("doc_id") % 3 === 1), s"$r/tree")

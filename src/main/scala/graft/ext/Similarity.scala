@@ -797,7 +797,9 @@ object Similarity {
          |)
          |SELECT id_a, id_b, cos_r FROM scored WHERE cos_r >= 0.2
          |ORDER BY cos_r DESC, id_a, id_b LIMIT 20""".stripMargin) { (s, d) =>
-      val v = vecs(s, d)
+      // single-pass consumer: spread the 64-dot-product signature pipeline
+      // (§2.5; the shared vecs stays bare for the Lloyd-loop consumers)
+      val v = Tables.spreadSmall(vecs(s, d), col("vec_id"))
       // cached: both sides of the self-join read the same 64-dot-product
       // signature set — without the cache the planes are evaluated twice
       val sigs = lshSignatures(v).transform(CacheTracker.cached)
@@ -1176,7 +1178,7 @@ object Similarity {
          |    row_number() OVER (PARTITION BY qid ORDER BY cos_r DESC, cand) AS rn
          |  FROM scored
          |) WHERE rn = 1 ORDER BY qid""".stripMargin) { (s, d) =>
-      lshTopK(vecs(s, d), col("vec_id") < 20, 1)
+      lshTopK(Tables.spreadSmall(vecs(s, d), col("vec_id")), col("vec_id") < 20, 1)
         .select("qid", "cand", "cos_r")
         .orderBy("qid")
     },
@@ -1228,7 +1230,9 @@ object Similarity {
       val probes = e.filter(col("vec_id") % 5 === 0)
         .select(col("vec_id").as("qid"), col("label").as("true_label"),
                 col("v").as("qv"))
-      val corpus = e.filter(col("vec_id") % 5 =!= 0)
+      // brute-force leg: the whole corpus-side cosine pipeline sits
+      // before any exchange — spread the single-row-group scan (§2.5)
+      val corpus = Tables.spreadSmall(e.filter(col("vec_id") % 5 =!= 0), col("vec_id"))
         .select(col("vec_id").as("cand"), col("label"), col("v"))
       val pairs = corpus.join(broadcast(probes.drop("true_label")), lit(true))
         .select(col("qid"), col("cand"), col("label"),
@@ -1406,7 +1410,12 @@ object Similarity {
         .select("qid", "cand")
       val probes = v.filter(probePred)
         .select(col("vec_id").as("qid"), col("v").as("qv"))
-      val pairs = v.select(col("vec_id").as("cand"), col("v").as("cv"))
+      // exact-baseline leg: per-probe corpus scan — spread it so the
+      // cosine ranking runs cluster-wide (§2.5); the IVF legs keep the
+      // bare scan (their Lloyd collects would re-pay the exchange per
+      // round)
+      val pairs = Tables.spreadSmall(v, col("vec_id"))
+        .select(col("vec_id").as("cand"), col("v").as("cv"))
         .join(broadcast(probes), col("cand") =!= col("qid"))
         .select(col("qid"), col("cand"),
           round(cosine(col("qv"), col("cv")), 6).as("cos_r"))

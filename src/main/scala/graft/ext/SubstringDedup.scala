@@ -299,15 +299,17 @@ object SubstringDedup {
     // cut iff its hash is duplicated and it is not the first occurrence
     // (rn > 1 ⇔ (doc_id, pos) ≠ (fd, fp), subsumed by the extent guard
     // for same-doc rows since fp < fp + k).
-    // two consumers — cache in scope, same stance as spansFromHashes
-    val posC = graft.CacheTracker.cachedInScope(pos)
-    val firstOcc = posC.groupBy("h1", "h2")
+    // pos intentionally UNCACHED here: its two consumers (the first-
+    // occurrence aggregate and the join probe side) each re-run the
+    // explode, but the spread explode is cheap and r17 measured the
+    // 1.35M-row cache write+read as a net loss for this query
+    val firstOcc = pos.groupBy("h1", "h2")
       .agg(min(struct(col("doc_id"), col("pos"))).as("f"),
            count(lit(1)).as("cnt"))
       .filter(col("cnt") >= 2)
       .select(col("h1"), col("h2"),
               col("f.doc_id").as("fd"), col("f.pos").as("fp"))
-    val cut = posC.join(firstOcc, Seq("h1", "h2"))
+    val cut = pos.join(firstOcc, Seq("h1", "h2"))
       .filter(!(col("fd") === col("doc_id") && col("pos") === col("fp")) &&
         !(col("fd") === col("doc_id") && col("pos") < col("fp") + k))
       .select("doc_id", "pos")

@@ -190,8 +190,12 @@ object DistributedRank {
     */
   def cumSumDesc(df: DataFrame, scoreCol: String, idCol: String,
                  weightCol: String, cumCol: String = "cum"): DataFrame =
-    prefixCore(df, scoreCol, idCol, col(weightCol).cast("long"), cumCol,
-      needTotal = false)._1
+    // keeps the ≤P-row offsets COLLECT (needTotal=true): r17 A/B'd the
+    // in-plan triangular-join offsets here and they cost more than the
+    // bounded driver round-trip for the budget queries
+    // (q_sample_quality_budget 0.48→0.74 s) — rankDesc keeps the in-plan
+    // path, which measured neutral-to-better for the rank consumers
+    prefixCore(df, scoreCol, idCol, col(weightCol).cast("long"), cumCol)._1
 
   private def rankCore(df: DataFrame, scoreCol: String, idCol: String,
                        rankCol: String, needTotal: Boolean = true): (DataFrame, Long) =

@@ -710,7 +710,7 @@ object Relational {
         |  UNION ALL SELECT l_returnflag, 'sum_price', sum_price FROM a
         |  UNION ALL SELECT l_returnflag, 'sum_disc', sum_disc FROM a
         |) ORDER BY l_returnflag, measure""".stripMargin) { (s, d) =>
-      Tables.lineitem(s, d)
+      Tables.spreadSmall(Tables.lineitem(s, d), col("l_orderkey"))
         .groupBy("l_returnflag")
         .agg(dsum(col("l_quantity"), 4).as("sum_qty"),
              dsum(col("l_extendedprice")).as("sum_price"),
