@@ -50,18 +50,51 @@ object Tables {
     */
   private val SpreadMbPerCore =
     sys.env.getOrElse("SPARK_GRAFT_SPREAD_MB", "4").toLong
-  def spreadSmall(df: DataFrame, key: org.apache.spark.sql.Column): DataFrame = {
-    // streaming frames pass through untouched: micro-batch partitioning is
-    // the source's business, and even INSPECTING queryExecution on an
-    // unstarted streaming Dataset throws (the heavy pipelines this guards
-    // are shared by StreamingOps)
-    if (df.isStreaming) return df
+
+  /** The spread predicate, exposed: true when `df`'s optimizer size
+    * estimate is within the small-input regime (≤ cores ×
+    * SPARK_GRAFT_SPREAD_MB). Operators with two proven physical shapes —
+    * a broadcast-join fast path for small inputs, a single-exchange
+    * shape for large ones — switch on this, the same adaptivity rule
+    * [[spreadSmall]] itself uses (r17: the substring duplicate marking
+    * and the jaccard df-cap). Streaming frames report false (their
+    * queryExecution cannot be inspected pre-start).
+    */
+  def smallInput(df: DataFrame): Boolean = {
+    if (df.isStreaming || SpreadMbPerCore <= 0) return false
     val par = df.sparkSession.sparkContext.defaultParallelism
-    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    if (SpreadMbPerCore > 0 &&
-        bytes <= BigInt(par.toLong * SpreadMbPerCore * (1L << 20)))
-      df.repartition(par, key)
+    // bytes-only predicate: an additional file-count condition ("skip the
+    // spread when the input already ships ≥ par/4 files") was A/B'd at
+    // 10× and REVERTED — the 10-file synthesized tree still gained from
+    // 32-way spreading on the digest-heavy explodes (q_text_lm_smoothed
+    // 3.25 s without vs 2.17 s with, same leg)
+    df.queryExecution.optimizedPlan.stats.sizeInBytes <=
+      BigInt(par.toLong * SpreadMbPerCore * (1L << 20))
+  }
+
+  def spreadSmall(df: DataFrame, key: org.apache.spark.sql.Column): DataFrame =
+    if (smallInput(df))
+      df.repartition(df.sparkSession.sparkContext.defaultParallelism, key)
     else df
+
+  /** The BROADCAST-regime predicate — a much tighter bound than
+    * [[smallInput]] (absolute bytes, default 4 MB via
+    * SPARK_GRAFT_BCAST_REGIME_MB): true when a derived per-key set of the
+    * input (duplicated window hashes, hot shingles, probe hash sets) can
+    * be expected to stay under Spark's broadcast threshold. Operators
+    * with a broadcast-join fast path and a one-exchange window shape
+    * switch HERE, not on [[smallInput]]: r17 measured the shuffled
+    // fallback of the join shape at 3× the window's cost at 10× sf0.1,
+    * so once the derived set outgrows broadcast the window shape must
+    * come back — spreading (128 MB-class bound) and broadcasting
+    * (10 MB-class bound) are different regimes.
+    */
+  private val BcastRegimeMb =
+    sys.env.getOrElse("SPARK_GRAFT_BCAST_REGIME_MB", "4").toLong
+  def broadcastRegime(df: DataFrame): Boolean = {
+    if (df.isStreaming || BcastRegimeMb <= 0) return false
+    df.queryExecution.optimizedPlan.stats.sizeInBytes <=
+      BigInt(BcastRegimeMb * (1L << 20))
   }
 
   /** events.parquet: `ts` has shipped as INT64 TIMESTAMP(NANOS) (testdata

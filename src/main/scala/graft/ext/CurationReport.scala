@@ -304,8 +304,12 @@ object CurationReport {
     // smoothed gates score every document; an MLE gate's closed-world
     // drops (all-unseen docs) read here as tail-bucket failures, which is
     // the conservative admission stance
-    val q = gate.bucketed(batch)
-      .select(col("doc_id"), (col("bucket") < gate.boundaries.size + 1).as("pass_q"))
+    // cached in scope: the quality verdict has THREE consumers (the
+    // report join and the two qIds pre-filters below) — uncached, the
+    // whole gate-scoring pipeline (bigram explode ⋈ model + aggregate)
+    // re-executes per consumer (r17, visible at 10×)
+    val q = graft.CacheTracker.cachedInScope(gate.bucketed(batch)
+      .select(col("doc_id"), (col("bucket") < gate.boundaries.size + 1).as("pass_q")))
     // only quality-passed docs can count as novel/clean (nv and cl below
     // both require pass_q), so the funnel's heavier stages — the index
     // probe and the decontamination shingle explode — skip every document

@@ -481,19 +481,22 @@ object Dedup {
          |JOIN cnt ca ON ca.doc_id = doc_a
          |JOIN cnt cb ON cb.doc_id = doc_b
          |ORDER BY jacc DESC, doc_a, doc_b LIMIT 10""".stripMargin) { (s, d) =>
-      // df-cap via ANTI-join against the hot-shingle set instead of the
-      // r16 count-over-(h) window: the window shuffled AND sorted every
-      // (doc_id, h) row; the aggregate ships only per-hash counts
-      // (map-side combined) and keeps just hashes ABOVE the cap —
-      // boilerplate, a vanishing fraction of the distinct-shingle space at
-      // any corpus size — so the anti-join broadcasts and the index rows
-      // reach the pair join with no extra exchange and no sort
-      // (guide §2.4/§3.1).
+      // df-cap, two regimes (r17, same switch as the substring family):
+      // SMALL — anti-join against the hot-shingle set (hashes ABOVE the
+      // cap: boilerplate, a vanishing fraction), which broadcasts, so
+      // the index rows reach the pair join with no extra exchange and no
+      // sort; LARGE — the r16 count-over-(h) window: one exchange, one
+      // sort, never a corpus-sized shuffled anti-join.
       val sh0 = shingleHashDf(s, d)
-      val hot = sh0.groupBy("h").agg(count(lit(1)).as("df"))
-        .filter(col("df") > MaxShingleDf)
-        .select("h")
-      val sh = sh0.join(hot, Seq("h"), "left_anti")
+      val sh = (if (Tables.broadcastRegime(Tables.documents(s, d))) {
+          val hot = sh0.groupBy("h").agg(count(lit(1)).as("df"))
+            .filter(col("df") > MaxShingleDf)
+            .select("h")
+          sh0.join(hot, Seq("h"), "left_anti")
+        } else
+          sh0.withColumn("df", count(lit(1)).over(Window.partitionBy("h")))
+            .filter(col("df") <= MaxShingleDf)
+            .drop("df"))
         .transform(CacheTracker.cached)
       val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val pairs = sh.select(col("doc_id").as("doc_a"), col("h"))

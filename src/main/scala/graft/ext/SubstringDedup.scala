@@ -149,7 +149,8 @@ object SubstringDedup {
                               minDocs: Int = 2): DataFrame = {
     require(k > 0 && w > 0, "k and w must be positive")
     require(minDocs > 0, "minDocs must be positive")
-    spansFromHashes(winnowedHashes(docs, k, w), k, k + w, minDocs)
+    spansFromHashes(winnowedHashes(docs, k, w), k, k + w, minDocs,
+      Tables.broadcastRegime(docs))
   }
 
   /** Maximal duplicated spans: `(doc_id, span_start, span_end)` (1-based,
@@ -169,7 +170,8 @@ object SubstringDedup {
     require(sample > 0, "sample must be positive")
     require(minDocs > 0, "minDocs must be positive")
     val gap = resolvedGap(mergeGap, k, sample)
-    spansFromHashes(windowHashes(docs, k, sample), k, gap, minDocs)
+    spansFromHashes(windowHashes(docs, k, sample), k, gap, minDocs,
+      Tables.broadcastRegime(docs))
   }
 
   /** Duplicate marking + island merge over a prepared
@@ -177,41 +179,58 @@ object SubstringDedup {
     * winnowed selections.
     */
   private def spansFromHashes(pos: DataFrame, k: Int, gap: Int,
-                              minDocs: Int): DataFrame = {
-    // duplicated-hash set D, then a semi-join marks positions. The r16
-    // shape tagged every position via window functions over (h1, h2) —
-    // ONE exchange, but a full SORT of the position table inside
-    // WindowExec (r17 measured the sort at ~10 µs/row, the dominant CPU
-    // of the whole family). The aggregate needs no sort (hash agg with
-    // map-side partial combine, and it ships only (h1, h2[, doc stats])
-    // — never `pos`), and D holds only hashes that ARE duplicated —
-    // sparse in real corpora — so the semi-join usually broadcasts and
-    // the position side then reaches the per-document span merge with no
-    // (h1, h2) exchange at all; when D outgrows the broadcast threshold
-    // the planner falls back to a shuffled join, which is the r16
-    // exchange plus a hash probe instead of a sort (guide §2.4/§3.1).
-    // two consumers (the duplicated-hash aggregate and the semi-join probe
-    // side) — cache the position table in scope so the window explode runs
-    // once per query, not per branch (at 100 TB production uses sample>1 /
-    // the at-rest SubstringIndex, where the probe side is the bounded
-    // batch; the cache spills under MEMORY_AND_DISK either way)
-    val posC = graft.CacheTracker.cachedInScope(pos)
-    val dupHashes = (minDocs match {
-      case 1 =>
-        posC.groupBy("h1", "h2").agg(count(lit(1)).as("cnt"))
-          .filter(col("cnt") >= 2)
-      case 2 =>
-        // distinct docs ≥ 2 ⇔ min ≠ max (cheaper than a distinct count)
-        posC.groupBy("h1", "h2")
-          .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
-          .filter(col("mn") =!= col("mx"))
-      case m =>
-        posC.groupBy("h1", "h2")
-          .agg(countDistinct(col("doc_id")).as("nd"))
-          .filter(col("nd") >= m)
-    }).select("h1", "h2")
-    val hits = posC.join(dupHashes, Seq("h1", "h2"), "leftsemi")
-      .select("doc_id", "pos")
+                              minDocs: Int, small: Boolean): DataFrame = {
+    // Two physical shapes, switched on the input-size regime (r17,
+    // guide §1.2/§3.1): small inputs take the agg + broadcast-semi-join
+    // path (no sort anywhere; position table cached in scope for its two
+    // consumers); large inputs keep the audited one-exchange window
+    // shape — at 10× the "fallback" shuffled semi-join was measured 3×
+    // WORSE than the window (515 MB position exchange + two sorts), so
+    // the adaptive switch, not the join, is the scale story.
+    val posC = if (small) graft.CacheTracker.cachedInScope(pos) else pos
+    val hits =
+      if (small) {
+        // SMALL regime: hash aggregate derives the duplicated-hash set,
+        // which broadcasts, so the position rows reach the span merge
+        // with no (h1, h2) exchange and no sort at all
+        val dupHashes = (minDocs match {
+          case 1 =>
+            posC.groupBy("h1", "h2").agg(count(lit(1)).as("cnt"))
+              .filter(col("cnt") >= 2)
+          case 2 =>
+            // distinct docs ≥ 2 ⇔ min ≠ max (cheaper than a distinct count)
+            posC.groupBy("h1", "h2")
+              .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+              .filter(col("mn") =!= col("mx"))
+          case m =>
+            posC.groupBy("h1", "h2")
+              .agg(countDistinct(col("doc_id")).as("nd"))
+              .filter(col("nd") >= m)
+        }).select("h1", "h2")
+        posC.join(dupHashes, Seq("h1", "h2"), "leftsemi")
+          .select("doc_id", "pos")
+      } else {
+        // LARGE regime: once the duplicated set outgrows broadcast, the
+        // semi-join degrades to a sort-merge that exchanges AND sorts the
+        // position table twice over (r17 measured 12× at 10×:
+        // 515 MB position shuffle vs the window's in-place marking) —
+        // keep the r16 one-exchange window shape here
+        val byH = Window.partitionBy("h1", "h2")
+        (minDocs match {
+          case 1 =>
+            pos.withColumn("cnt", count(lit(1)).over(byH))
+              .filter(col("cnt") >= 2)
+          case 2 =>
+            pos.withColumn("mn", min(col("doc_id")).over(byH))
+              .withColumn("mx", max(col("doc_id")).over(byH))
+              .filter(col("mn") =!= col("mx"))
+          case m =>
+            val byHDoc = Window.partitionBy("h1", "h2").orderBy("doc_id")
+            pos.withColumn("dr", dense_rank().over(byHDoc))
+              .withColumn("nd", max(col("dr")).over(byH))
+              .filter(col("nd") >= m)
+        }).select("doc_id", "pos")
+      }
     mergeSpans(hits, k, gap)
   }
 
@@ -252,16 +271,27 @@ object SubstringDedup {
     require(k > 0, "k must be positive")
     require(sample > 0, "sample must be positive")
     val gap = resolvedGap(mergeGap, k, sample)
-    // corpus positions whose hash also occurs probe-side: a semi-join
-    // against the probe's distinct hashes. The r16 shape unioned both
-    // sides and window-tagged over (h1, h2) — shuffling AND sorting every
-    // corpus position; the probe side is typically tiny (an eval suite),
-    // so its hash set broadcasts and the corpus rows flow straight to the
-    // span merge with no (h1, h2) exchange at all (guide §3.1).
-    val c = windowHashes(corpus, k, sample)
-    val p = windowHashes(probe, k, sample).select("h1", "h2").distinct()
-    val hits = c.join(p, Seq("h1", "h2"), "leftsemi")
-      .select("doc_id", "pos")
+    // corpus positions whose hash also occurs probe-side. Two regimes
+    // (same switch as spansFromHashes): a small probe's distinct hash
+    // set broadcasts and the corpus rows flow straight to the span merge
+    // with no (h1, h2) exchange at all (guide §3.1); a large probe falls
+    // back to the r16 union + window-tag shape — one exchange, one sort,
+    // never a corpus-sized shuffled semi-join.
+    val c0 = windowHashes(corpus, k, sample)
+    val hits =
+      if (Tables.broadcastRegime(probe)) {
+        val p = windowHashes(probe, k, sample).select("h1", "h2").distinct()
+        c0.join(p, Seq("h1", "h2"), "leftsemi")
+          .select("doc_id", "pos")
+      } else {
+        val c = c0.withColumn("side", lit(0))
+        val p = windowHashes(probe, k, sample).withColumn("side", lit(1))
+        val byH = Window.partitionBy("h1", "h2")
+        c.unionByName(p)
+          .withColumn("hit", max(col("side")).over(byH))
+          .filter(col("side") === 0 && col("hit") === 1)
+          .select("doc_id", "pos")
+      }
     mergeSpans(hits, k, gap)
   }
 
@@ -289,30 +319,39 @@ object SubstringDedup {
     require(sample > 0, "sample must be positive")
     val gap = resolvedGap(mergeGap, k, sample)
     val pos = windowHashes(docs, k, sample)
-    // per-hash first occurrence as an AGGREGATE (min of the (doc_id, pos)
-    // struct is exactly the (doc_id, pos)-ordered window's first row) +
-    // join-back, instead of r16's row_number/first_value windows: the
-    // aggregate needs no sort and ships one row per duplicated hash —
-    // hashes occurring once are filtered out BEFORE the join, so the
-    // build side is the (sparse) duplicated set and usually broadcasts;
-    // the position side then never shuffles on (h1, h2) at all. A row is
-    // cut iff its hash is duplicated and it is not the first occurrence
-    // (rn > 1 ⇔ (doc_id, pos) ≠ (fd, fp), subsumed by the extent guard
-    // for same-doc rows since fp < fp + k).
-    // pos intentionally UNCACHED here: its two consumers (the first-
-    // occurrence aggregate and the join probe side) each re-run the
-    // explode, but the spread explode is cheap and r17 measured the
-    // 1.35M-row cache write+read as a net loss for this query
-    val firstOcc = pos.groupBy("h1", "h2")
-      .agg(min(struct(col("doc_id"), col("pos"))).as("f"),
-           count(lit(1)).as("cnt"))
-      .filter(col("cnt") >= 2)
-      .select(col("h1"), col("h2"),
-              col("f.doc_id").as("fd"), col("f.pos").as("fp"))
-    val cut = pos.join(firstOcc, Seq("h1", "h2"))
-      .filter(!(col("fd") === col("doc_id") && col("pos") === col("fp")) &&
-        !(col("fd") === col("doc_id") && col("pos") < col("fp") + k))
-      .select("doc_id", "pos")
+    // Same two-regime switch as spansFromHashes (see there). SMALL: the
+    // per-hash first occurrence as an AGGREGATE (min of the
+    // (doc_id, pos) struct is exactly the (doc_id, pos)-ordered window's
+    // first row) + broadcast join-back — no sort anywhere; hashes
+    // occurring once are filtered out BEFORE the join. A row is cut iff
+    // its hash is duplicated and it is not the first occurrence (rn > 1
+    // ⇔ (doc_id, pos) ≠ (fd, fp), subsumed by the extent guard for
+    // same-doc rows since fp < fp + k). pos intentionally UNCACHED: the
+    // spread explode re-run is cheaper than the cache write+read (r17
+    // A/B). LARGE: the r16 ordered-window shape — one exchange, one
+    // sort, never a corpus-sized shuffled join.
+    val cut =
+      if (Tables.broadcastRegime(docs)) {
+        val firstOcc = pos.groupBy("h1", "h2")
+          .agg(min(struct(col("doc_id"), col("pos"))).as("f"),
+               count(lit(1)).as("cnt"))
+          .filter(col("cnt") >= 2)
+          .select(col("h1"), col("h2"),
+                  col("f.doc_id").as("fd"), col("f.pos").as("fp"))
+        pos.join(firstOcc, Seq("h1", "h2"))
+          .filter(!(col("fd") === col("doc_id") && col("pos") === col("fp")) &&
+            !(col("fd") === col("doc_id") && col("pos") < col("fp") + k))
+          .select("doc_id", "pos")
+      } else {
+        val byHOrd = Window.partitionBy("h1", "h2").orderBy("doc_id", "pos")
+        pos
+          .withColumn("rn", row_number().over(byHOrd))
+          .withColumn("fd", first(col("doc_id")).over(byHOrd))
+          .withColumn("fp", first(col("pos")).over(byHOrd))
+          .filter(col("rn") > 1 &&
+            !(col("fd") === col("doc_id") && col("pos") < col("fp") + k))
+          .select("doc_id", "pos")
+      }
     trimSpans(docs, mergeSpans(cut, k, gap))
   }
 
