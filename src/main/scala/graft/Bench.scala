@@ -143,7 +143,27 @@ object Bench {
     // front-truncation. Distinct tail names keep the line strict-RFC-8259
     // unique-key JSON (duplicate keys parse last-wins in practice but
     // strict validators reject them).
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":${Verify.jsonStr(sfDir)},"n_queries":${good.size},"metric_tail":"total","unit_tail":"sec","value_tail":$total}""")
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":${Verify.jsonStr(sfDir)},"n_queries":${good.size},"metric_tail":"total","unit_tail":"sec","value_tail":$total}"""
+    println(fullLine)
+    // r18 harness-contract fix (VERDICT r17 "Next round" #1): with 170
+    // queries the full line is ~5.5 KB and the driver keeps only a ~2 KB
+    // stdout TAIL, so its parser saw a front-truncated fragment and nulled
+    // the per-query PERF comparison for two consecutive rounds. Two-part
+    // remedy, semantics and timing methodology unchanged:
+    //  (a) the identical full JSON is ALSO written to a file
+    //      (SPARK_GRAFT_BENCH_OUT, default bench_out.json in cwd), the
+    //      durable per-query ground truth;
+    //  (b) the FINAL stdout line is a compact (<1 KB) parseable JSON with
+    //      the headline fields and a pointer to the file, so the tail
+    //      capture always ends with one complete object. The failed list
+    //      is capped at 10 names to keep the line bounded (n_failed
+    //      carries the true count).
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (fullLine + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable => System.err.println(s"[bench] could not write $outPath: $e") }
+    val failedCompact = failed.take(10).map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${good.size},"failed":$failedCompact,"n_failed":${failed.size},"sf":${Verify.jsonStr(sfDir)},"file":${Verify.jsonStr(outPath)}}""")
     spark.stop()
   }
 }
