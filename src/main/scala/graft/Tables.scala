@@ -84,10 +84,23 @@ object Tables {
     * be expected to stay under Spark's broadcast threshold. Operators
     * with a broadcast-join fast path and a one-exchange window shape
     * switch HERE, not on [[smallInput]]: r17 measured the shuffled
-    // fallback of the join shape at 3× the window's cost at 10× sf0.1,
+    * fallback of the join shape at 3× the window's cost at 10× sf0.1,
     * so once the derived set outgrows broadcast the window shape must
     * come back — spreading (128 MB-class bound) and broadcasting
     * (10 MB-class bound) are different regimes.
+    *
+    * Margin (ADVICE r17 #1): the set actually broadcast is a DERIVED
+    * per-key frame (duplicated window hashes, hot shingles, probe hash
+    * sets) that can exceed the input text's estimate — duplicated-hash
+    * rows are 16 B/position vs ~1 B/char of text, though only the
+    * duplicated/hot SUBSET survives the aggregate. The default 4 MB
+    * bound therefore sits 2.5× under Spark's 10 MB
+    * `spark.sql.autoBroadcastJoinThreshold`: a derived set a few times
+    * larger than the input estimate still broadcasts rather than
+    * silently falling back to the shuffled semi-join (the 3×-worse
+    * cliff above). Raising SPARK_GRAFT_BCAST_REGIME_MB toward — or past
+    * — the autoBroadcastJoinThreshold removes that margin; tune the two
+    * together.
     */
   private val BcastRegimeMb =
     sys.env.getOrElse("SPARK_GRAFT_BCAST_REGIME_MB", "4").toLong

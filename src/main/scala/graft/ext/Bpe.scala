@@ -92,8 +92,14 @@ object Bpe {
     * TextHash.shinglesFromTokens).
     */
   def pairCounts(enc: DataFrame): DataFrame = {
-    val syms = symsOf(col("enc"))
-    enc.filter(size(symsOf(col("enc"))) >= 2)
+    // materialize the symbol array ONCE per word (r18): the previous
+    // shape re-ran the split+filter in the explode projection after the
+    // size filter already computed it — Catalyst's subexpression
+    // elimination is per-operator and does not bridge Filter→Project, so
+    // every training round paid the split twice over the vocab
+    val syms = col("syms")
+    enc.select(col("freq"), symsOf(col("enc")).as("syms"))
+      .filter(size(syms) >= 2)
       .select(col("freq"), explode(arrays_zip(
         slice(syms, lit(1), size(syms) - 1),
         slice(syms, lit(2), size(syms) - 1))).as("p"))
@@ -722,7 +728,11 @@ object Bpe {
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
       val docs = Tables.documents(s, d)
       val words = train(docs)._2
-      val ids = symbolIds(words)
+      // the id table feeds TWO consumers (encode's sym join and decode's
+      // sym_id join); uncached, the whole symbolIds pipeline — symbol
+      // explode, aggregate, DistributedRank with its own bounded collects
+      // — re-ran per consumer (r18, guide §5)
+      val ids = CacheTracker.cachedInScope(symbolIds(words))
       decode(encodeWith(docs.filter(col("doc_id") < 100), words, ids), ids)
         .orderBy("doc_id")
     }

@@ -189,6 +189,12 @@ object Dedup {
     // the same reason q_graph_pagerank measured (r7/r9, re-confirmed
     // r17): five downstream consumers of a small settled frame beat the
     // lazily-cached plan by ~30%.
+    // CONTRACT (same as ConnectedComponents): when called inside a
+    // CacheTracker scope, the returned frame must be CONSUMED before the
+    // scope exits — scope exit releases the checkpoint's lineage-
+    // truncated blocks, and a later action on an escaped handle fails
+    // outright (a cache would merely recompute). Every current call site
+    // consumes in-scope (ADVICE r17 #3 documents the latency of this).
     val p = CacheTracker.settled(pairs.localCheckpoint())
     val edges = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(p.select(col("doc_b"), col("doc_a")))

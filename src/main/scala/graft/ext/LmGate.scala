@@ -51,6 +51,28 @@ object LmGate {
     (c12, c1)
   }
 
+  /** [[countTables]] with the joint table cached in the enclosing runner
+    * scope — for consumers that derive SEVERAL marginals from c12 (the
+    * uncapped LM/PMI/KN query family: c1, c2, n1f, n1b, N, plus the
+    * scoring join itself). Uncached, every marginal re-ran the full
+    * corpus bigram explode + aggregate: the r18 profile measured
+    * q_text_lm_kneser at FIVE explode+aggregate evaluations (~24 s of a
+    * 25 s task-time budget) and q_text_pmi at four (guide §5 — reuse is
+    * real, recompute corpus-sized). The cache is the AGGREGATED joint
+    * table (bigram-vocabulary-bounded — Heaps-law sublinear in corpus
+    * size, the same boundedness argument its capBigrams cap note makes),
+    * never the exploded rows. cappedTables deliberately keeps the
+    * uncached [[countTables]]: its single TakeOrdered consumer would pay
+    * a full-vocabulary materialization for nothing (exactly the cache
+    * r17 removed from the gate build).
+    */
+  def countTablesShared(docs: DataFrame): (DataFrame, DataFrame) = {
+    val (c12, c1) = countTables(docs)
+    // caching the returned Dataset also serves c1: its plan contains
+    // c12's subtree, which the CacheManager substitutes at planning time
+    (graft.CacheTracker.cachedInScope(c12), c1)
+  }
+
   /** Truncate a joint count table to its top `maxBigrams` rows by count —
     * the CCNet-style MODEL-SIZE bound: an uncapped gate's c12 grows with
     * the corpus's bigram vocabulary (adversarially linear, Heaps ~N^0.5 on
@@ -378,7 +400,10 @@ object LmGate {
       val s = docs.sparkSession
       val (c12, c1) =
         if (maxBigrams > 0) cappedTables(docs, maxBigrams)
-        else countTables(docs)
+        // shared: the uncapped build consumes c12 at least twice (its
+        // own parquet write + the c1 derivation; +c1.count for addone,
+        // +knDenom for kneser) — see countTablesShared
+        else countTablesShared(docs)
       // meta lands FIRST: a write killed at ANY later point leaves a
       // missing data file load() reads loudly, so a partial first write
       // can never masquerade as a complete pre-meta (MLE) legacy artifact

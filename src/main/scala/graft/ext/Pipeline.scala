@@ -292,7 +292,10 @@ object Pipeline {
           h48(concat(lit("p1#"), col("doc_id").cast("string"))).as("h"))
         .select(col("doc_id"), col("phase"),
           (-(col("phase").cast("long") * lit(1L << 49) + col("h"))).as("neg_key"))
-      DistributedRank.rankDesc(keyed, "neg_key", "doc_id", "rk")
+      // same composite (phase, uniform-hash) key as the curriculum
+      // report → same literal thresholds, no percentile pass (r18)
+      DistributedRank.rankDescWithThresholds(keyed, "neg_key", "doc_id",
+        Sharding.phaseHashThresholds(s, 3), "rk")
         .select(col("doc_id"), (col("rk") - 1).as("rk0"))
         .select(col("doc_id"),
           pmod(col("rk0"), lit(Shards)).cast("int").as("shard"),

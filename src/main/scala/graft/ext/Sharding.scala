@@ -77,7 +77,14 @@ object Sharding {
       // rankDesc orders (score DESC, id ASC); negating the hash makes
       // that (h ASC, doc_id ASC) — the oracle window's order
       (-h48(concat(lit(epochTag), col("doc_id").cast("string")))).as("neg_h"))
-    DistributedRank.rankDesc(hashed, "neg_h", "doc_id", "rk")
+    // the rank key is a uniform 48-bit hash BY CONSTRUCTION, so the
+    // range-group thresholds are equal-width literals — no
+    // percentile_approx action, and at scale no sketch pass over the
+    // corpus (r18, guide §1.2; thresholds only set group balance, which
+    // uniformity guarantees as well as the sketch did)
+    DistributedRank.rankDescWithThresholds(hashed, "neg_h", "doc_id",
+        DistributedRank.uniformThresholds(docs.sparkSession,
+          -((1L << 48).toDouble), 0.0), "rk")
       .select(col("doc_id"), (col("rk") - 1).as("rk0"))
       .select(col("doc_id"),
         pmod(col("rk0"), lit(k)).cast("int").as("shard"),
@@ -288,13 +295,29 @@ object Sharding {
     * single-partition sort. min/max positions prove the phases tile the
     * order contiguously; order_sig pins the full doc→position assignment.
     */
+  /** Literal range-group thresholds for the composite curriculum key
+    * `-(phase·2⁴⁹ + h)`: within each phase the key is a uniform 48-bit
+    * hash, so per-phase equal-width cuts balance groups exactly like the
+    * percentile sketch they replace (whose action + full input pass are
+    * skipped — r18, guide §1.2). Rows with a phase beyond `phases` would
+    * merely share the last group — thresholds never affect correctness.
+    */
+  private[ext] def phaseHashThresholds(s: org.apache.spark.sql.SparkSession,
+                                       phases: Int): Seq[Double] = {
+    val p = s.conf.get("spark.sql.shuffle.partitions", "32").toInt.max(1)
+    val g = math.max(1, p / phases)
+    for { ph <- 1 to phases; j <- 0 until g }
+      yield -(ph.toDouble * (1L << 49) + (1L << 48).toDouble * j / g)
+  }
+
   private def curriculumReport(phased: DataFrame): DataFrame = {
     val keyed = phased
       .select(col("doc_id"), col("phase"),
         h48(concat(lit("c1#"), col("doc_id").cast("string"))).as("h"))
       .select(col("doc_id"), col("phase"),
         (-(col("phase").cast("long") * lit(1L << 49) + col("h"))).as("neg_key"))
-    DistributedRank.rankDesc(keyed, "neg_key", "doc_id", "rk")
+    DistributedRank.rankDescWithThresholds(keyed, "neg_key", "doc_id",
+        phaseHashThresholds(phased.sparkSession, 3), "rk")
       .select(col("doc_id"), col("phase"), (col("rk") - 1).as("rk0"))
       .groupBy("phase")
       .agg(count(lit(1)).as("n_docs"),

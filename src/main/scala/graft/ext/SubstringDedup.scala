@@ -90,6 +90,15 @@ object SubstringDedup {
     */
   private val OracleMaxLen = 100000
 
+  /** Scalar encoding base for (doc_id, pos) pairs: doc_id·PosEnc + pos is
+    * strictly monotone lexicographic while pos < PosEnc (2⁴⁰ ≈ 1.1e12 —
+    * string offsets cannot approach it), and the product stays well
+    * inside decimal(38,0) for any long doc_id. Used to keep per-hash
+    * first-occurrence aggregation hash-based (fixed-width buffer) rather
+    * than a struct-min SortAggregate.
+    */
+  private val PosEnc = 1L << 40
+
   /** `(doc_id, pos, h1, h2)` — two independent 64-bit content hashes of
     * each k-char window starting at 1-based `pos`. With `sample` > 1,
     * keeps only windows with h1 ≡ 0 (mod sample) — content-defined, so
@@ -332,12 +341,26 @@ object SubstringDedup {
     // sort, never a corpus-sized shuffled join.
     val cut =
       if (Tables.broadcastRegime(docs)) {
+        // The per-hash first occurrence aggregates min over the encoded
+        // scalar doc_id·2⁴⁰ + pos rather than min(struct(doc_id, pos)):
+        // a struct-typed aggregation buffer is not hash-aggregatable, so
+        // the struct form planned a SortAggregate — exchanging AND
+        // sorting the full position table (r18 profile: a 40 MB position
+        // shuffle + two Sorts inside the "no-sort" fast path; plans/r18
+        // before/after). The decimal(38,0) buffer is fixed-width, so the
+        // same aggregate now runs as a map-side-combined HashAggregate
+        // and only per-hash partials reach the exchange. Encoding is
+        // order-exact: pos ∈ [1, PosEnc) (positions are 1-based string
+        // offsets, far under 2⁴⁰), so d·PosEnc + p is strictly monotone
+        // in (doc_id, pos) for any long doc_id, and pmod decodes exactly.
         val firstOcc = pos.groupBy("h1", "h2")
-          .agg(min(struct(col("doc_id"), col("pos"))).as("f"),
+          .agg(min(col("doc_id").cast("decimal(38,0)") * lit(PosEnc) + col("pos")).as("f"),
                count(lit(1)).as("cnt"))
           .filter(col("cnt") >= 2)
           .select(col("h1"), col("h2"),
-                  col("f.doc_id").as("fd"), col("f.pos").as("fp"))
+                  ((col("f") - pmod(col("f"), lit(PosEnc))) / lit(PosEnc))
+                    .cast("long").as("fd"),
+                  pmod(col("f"), lit(PosEnc)).cast("long").as("fp"))
         pos.join(firstOcc, Seq("h1", "h2"))
           .filter(!(col("fd") === col("doc_id") && col("pos") === col("fp")) &&
             !(col("fd") === col("doc_id") && col("pos") < col("fp") + k))
@@ -369,12 +392,22 @@ object SubstringDedup {
     * never shuffles its text (LEFT join keeps it in place).
     */
   def trimSpans(docs: DataFrame, spans: DataFrame): DataFrame = {
+    // r18: the span list has THREE consumers below (the mid pieces, the
+    // tail pieces, and the affected-doc set) — uncached, the ENTIRE
+    // upstream span derivation (windowHashes explode + duplicate marking
+    // + island merge) re-ran once per consumer: q_dedup_substring_cut's
+    // before plan carried 12 Generate nodes / 34 Exchanges for ONE
+    // logical pipeline (plans/r18). The span list itself is tiny — one
+    // row per duplicated region — so this is nothing like the
+    // position-table cache r17 A/B'd and rejected (guide §5: cache when
+    // reuse is real and recompute is expensive; both hold here).
+    val sp = graft.CacheTracker.cachedInScope(spans)
     val w = Window.partitionBy("doc_id").orderBy("span_start")
-    val mid = spans
+    val mid = sp
       .withColumn("prev_end", coalesce(lag(col("span_end"), 1).over(w), lit(0L)))
       .select(col("doc_id"), (col("prev_end") + 1).as("a"),
               (col("span_start") - 1).as("b"))
-    val tail = spans.groupBy("doc_id")
+    val tail = sp.groupBy("doc_id")
       .agg((max(col("span_end")) + 1).as("a"))
       .join(docs.select(col("doc_id"), length(col("text")).cast("long").as("len")), Seq("doc_id"))
       .select(col("doc_id"), col("a"), col("len").as("b"))
@@ -389,7 +422,7 @@ object SubstringDedup {
     // a doc fully covered by spans has no pieces at all — it must come
     // back EMPTY, not fall through to its original text, so the affected
     // set (not the piece set) decides who gets rebuilt
-    val rebuilt = spans.select("doc_id").distinct()
+    val rebuilt = sp.select("doc_id").distinct()
       .join(glued, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("clean"), lit("")).as("clean"))
     docs

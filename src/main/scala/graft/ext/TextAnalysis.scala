@@ -655,7 +655,7 @@ object TextAnalysis {
       // query) — ONE definition for the declared query, the stored gate,
       // and the streaming admission path
       val docs = Tables.documents(s, d)
-      val (c12, c1) = LmGate.countTables(docs)
+      val (c12, c1) = LmGate.countTablesShared(docs)
       LmGate.score(docs.filter(col("doc_id") < 200), c12, c1)
         .orderBy("doc_id")
     },
@@ -690,7 +690,7 @@ object TextAnalysis {
          |CROSS JOIN v
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
       val docs = Tables.documents(s, d)
-      val (c12, c1) = LmGate.countTables(docs)
+      val (c12, c1) = LmGate.countTablesShared(docs)
       LmGate.scoreSmoothed(docs.filter(col("doc_id") < 200), c12, c1)
         .orderBy("doc_id")
     },
@@ -728,7 +728,7 @@ object TextAnalysis {
          |  CAST(ntile(3) OVER (ORDER BY avg_logprob DESC, doc_id) AS INT) AS bucket
          |FROM scored ORDER BY doc_id""".stripMargin) { (s, d) =>
       val docs = Tables.documents(s, d)
-      val (c12, c1) = LmGate.countTables(docs)
+      val (c12, c1) = LmGate.countTablesShared(docs)
       val scored = LmGate.score(docs, c12, c1)
         .select(col("doc_id"), col("avg_logprob"))
       graft.operators.DistributedRank.ntileDesc(scored, "avg_logprob", "doc_id", 3)
@@ -922,7 +922,7 @@ object TextAnalysis {
          |WHERE c12 >= 5
          |ORDER BY pmi DESC, w1, w2 LIMIT 30""".stripMargin) { (s, d) =>
       val docs = Tables.documents(s, d)
-      val (c12full, c1) = LmGate.countTables(docs)
+      val (c12full, c1) = LmGate.countTablesShared(docs)
       val c2 = c12full.groupBy("w2").agg(sum("c12").as("c2"))
       val n = c12full.agg(sum("c12").as("n"))
       c12full.filter(col("c12") >= 5)
@@ -974,7 +974,7 @@ object TextAnalysis {
          |CROSS JOIN np
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
       val docs = Tables.documents(s, d)
-      val (c12, c1) = LmGate.countTables(docs)
+      val (c12, c1) = LmGate.countTablesShared(docs)
       LmGate.scoreKneser(docs.filter(col("doc_id") < 200), c12, c1)
         .orderBy("doc_id")
     },

@@ -52,7 +52,40 @@ object DistributedRank {
     */
   def rankDesc(df: DataFrame, scoreCol: String, idCol: String,
                rankCol: String = "rk"): DataFrame =
-    rankCore(df, scoreCol, idCol, rankCol, needTotal = false)._1
+    // r18: reverted to the bounded offsets COLLECT (the r16 shape). r17
+    // moved the offsets in-plan (triangular self-join of the ≤P-row group
+    // totals) to save one driver round-trip, but both the driver's bench
+    // tail and the builder's own table showed the consumers regressing
+    // (q_shuffle_epoch +22%, q_shard_stored +27%, q_sample_quality_budget
+    // +22%): the extra aggregate + two broadcast joins cost more than the
+    // ≤P-row collect — the accepted driver-artifact class — at every
+    // measured size.
+    rankCore(df, scoreCol, idCol, rankCol)._1
+
+  /** [[rankDesc]] with the range-group thresholds supplied by the CALLER
+    * as literals instead of collected via a `percentile_approx` pass —
+    * for score columns whose distribution is KNOWN by construction (the
+    * engine's epoch-shuffle and curriculum keys are uniform 48-bit
+    * content hashes). Correctness never depends on threshold quality
+    * (see the object doc: thresholds only set group BALANCE), so a
+    * known-uniform domain can skip the sketch: one bounded action and —
+    * at production scale — one full pass over the input fewer per rank
+    * (guide §1.2: remove passes; the sketch aggregate scans every row).
+    * `ths` need not be sorted or deduplicated.
+    */
+  def rankDescWithThresholds(df: DataFrame, scoreCol: String, idCol: String,
+                             ths: Seq[Double], rankCol: String = "rk"): DataFrame =
+    prefixCore(df, scoreCol, idCol, lit(1L), rankCol, Some(ths))._1
+
+  /** Equal-width thresholds over a known-uniform score domain
+    * `[lo, hi)`, sized to the cluster-parallelism knob like the
+    * percentile sketch they replace.
+    */
+  def uniformThresholds(spark: org.apache.spark.sql.SparkSession,
+                        lo: Double, hi: Double): Seq[Double] = {
+    val p = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt.max(1)
+    (1 until p).map(i => lo + (hi - lo) * i / p)
+  }
 
   /** Exact `ntile(n) OVER (ORDER BY scoreCol DESC, idCol ASC)` (standard
     * SQL bucket-size rule) as a partition-parallel plan.
@@ -190,16 +223,15 @@ object DistributedRank {
     */
   def cumSumDesc(df: DataFrame, scoreCol: String, idCol: String,
                  weightCol: String, cumCol: String = "cum"): DataFrame =
-    // keeps the ≤P-row offsets COLLECT (needTotal=true): r17 A/B'd the
-    // in-plan triangular-join offsets here and they cost more than the
-    // bounded driver round-trip for the budget queries
-    // (q_sample_quality_budget 0.48→0.74 s) — rankDesc keeps the in-plan
-    // path, which measured neutral-to-better for the rank consumers
+    // ≤P-row offsets COLLECT: r17 A/B'd in-plan triangular-join offsets
+    // (both here and in rankDesc) and they cost more than the bounded
+    // driver round-trip at every measured size — reverted everywhere in
+    // r18 (see rankDesc)
     prefixCore(df, scoreCol, idCol, col(weightCol).cast("long"), cumCol)._1
 
   private def rankCore(df: DataFrame, scoreCol: String, idCol: String,
-                       rankCol: String, needTotal: Boolean = true): (DataFrame, Long) =
-    prefixCore(df, scoreCol, idCol, lit(1L), rankCol, needTotal)
+                       rankCol: String): (DataFrame, Long) =
+    prefixCore(df, scoreCol, idCol, lit(1L), rankCol, None)
 
   /** Shared two-level prefix-aggregate core: running sum of `weight` in
     * the (scoreCol DESC, idCol ASC) total order, plus the grand total.
@@ -207,7 +239,7 @@ object DistributedRank {
     */
   private def prefixCore(df: DataFrame, scoreCol: String, idCol: String,
                          weight: Column, outCol: String,
-                         needTotal: Boolean = true): (DataFrame, Long) = {
+                         thsOverride: Option[Seq[Double]] = None): (DataFrame, Long) = {
     // fail fast instead of silently clobbering-then-dropping a caller
     // column — the same reserved-name contract as BandJoin's __band and
     // AsofJoin's __k/__ts/__tag/__rp (__graft_rk is ntileDesc's temp,
@@ -234,7 +266,10 @@ object DistributedRank {
     // its INPUT type — an integral scoreCol would otherwise hand back
     // longs where the threshold literals expect doubles. Integral scores
     // up to 2^53 stay exact in the comparison domain.
-    val ths: Seq[Double] =
+    // … unless the caller supplied literal thresholds for a
+    // known-distribution score ([[rankDescWithThresholds]]): the sketch
+    // action AND its full input pass are skipped outright
+    val ths: Seq[Double] = thsOverride.getOrElse {
       if (p <= 1) Seq.empty
       else {
         val fr = (1 until p).map(_.toDouble / p)
@@ -243,56 +278,34 @@ object DistributedRank {
           .head()
         if (row.isNullAt(0)) Seq.empty else row.getSeq[Double](0)
       }
+    }
     val withGrp = cached.withColumn("__graft_grp", grpExpr(ths, score))
 
     // exact per-group weight totals (≤ P rows) → prefix offsets in group
-    // order. Two faces, same arithmetic:
-    //  - callers needing the grand TOTAL as a driver scalar (ntile bucket
-    //    thresholds, boundary ranks) collect the ≤P-row aggregate —
-    //    bounded action 2, the accepted driver-artifact class;
-    //  - rank/cumsum callers don't need the total, so the offsets stay
-    //    IN-PLAN: a ≤P-row running sum (single-partition window over a
-    //    cluster-parallelism-bounded frame) broadcast-joined back — one
-    //    driver round-trip fewer per rank (r17: ~0.15 s × every rank call
-    //    in the bench), identical output.
+    // order: bounded action 2, the accepted driver-artifact class. The
+    // collected offsets become a literal map lookup; global rank =
+    // offset + within-group running sum. (r17's in-plan triangular-join
+    // alternative — offsets computed as a ≤P-row self-join broadcast back
+    // — measured WORSE than this collect for every consumer family and
+    // was removed in r18.)
     val w = Window.partitionBy("__graft_grp")
       .orderBy(score.desc, col(idCol).asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    if (needTotal) {
-      val cnts = withGrp.groupBy("__graft_grp")
-        .agg(sum(weight).cast("long").as("__graft_w"))
-        .collect()
-        .map(row => (row.getInt(0), row.getLong(1)))
-        .sortBy(_._1)
-      var acc = 0L
-      val offs: Map[Int, Long] =
-        cnts.map { case (g, c) => val o = acc; acc += c; g -> o }.toMap
-      val total = acc
-      val offset: Column =
-        if (offs.isEmpty) lit(0L)
-        else coalesce(element_at(typedLit(offs), col("__graft_grp")), lit(0L))
-      val ranked = withGrp
-        .withColumn(outCol, offset + sum(weight).over(w).cast("long"))
-        .drop("__graft_grp")
-      (ranked, total)
-    } else {
-      // prefix offsets via a triangular self-join of the ≤P-row group
-      // totals (off(g) = Σ totals of groups < g): P²/2 work on a
-      // cluster-parallelism-bounded frame — never a single-partition
-      // exchange (the PlanAudit contract) and never a driver round-trip
-      val cnts = withGrp.groupBy("__graft_grp")
-        .agg(sum(weight).cast("long").as("__graft_w"))
-      val offs = cnts.as("ga")
-        .join(broadcast(cnts.select(col("__graft_grp").as("__graft_g2"),
-            col("__graft_w").as("__graft_w2"))),
-          col("__graft_g2") < col("__graft_grp"), "left")
-        .groupBy("__graft_grp")
-        .agg(coalesce(sum(col("__graft_w2")), lit(0L)).as("__graft_off"))
-      val ranked = withGrp
-        .join(broadcast(offs), Seq("__graft_grp"))
-        .withColumn(outCol, col("__graft_off") + sum(weight).over(w).cast("long"))
-        .drop("__graft_grp", "__graft_off")
-      (ranked, -1L)
-    }
+    val cnts = withGrp.groupBy("__graft_grp")
+      .agg(sum(weight).cast("long").as("__graft_w"))
+      .collect()
+      .map(row => (row.getInt(0), row.getLong(1)))
+      .sortBy(_._1)
+    var acc = 0L
+    val offs: Map[Int, Long] =
+      cnts.map { case (g, c) => val o = acc; acc += c; g -> o }.toMap
+    val total = acc
+    val offset: Column =
+      if (offs.isEmpty) lit(0L)
+      else coalesce(element_at(typedLit(offs), col("__graft_grp")), lit(0L))
+    val ranked = withGrp
+      .withColumn(outCol, offset + sum(weight).over(w).cast("long"))
+      .drop("__graft_grp")
+    (ranked, total)
   }
 }

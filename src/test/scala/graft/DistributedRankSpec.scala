@@ -52,6 +52,23 @@ class DistributedRankSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("rankDescWithThresholds equals rankDesc for ANY threshold literals") {
+    // thresholds only set group balance, never the result (the r18
+    // uniform-hash fast path rests on exactly this): unsorted,
+    // duplicated, out-of-range, empty — all must rank identically
+    val df = sample(101)
+    val expected = DistributedRank.rankDesc(df, "score", "id")
+      .select("id", "rk").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    spark.catalog.clearCache()
+    for (ths <- Seq(Seq(10.0, -5.0, 10.0, 1e9), Seq.empty[Double],
+                    Seq(0.0), (1 to 64).map(_ * 0.9 - 30))) {
+      val got = DistributedRank.rankDescWithThresholds(df, "score", "id", ths)
+        .select("id", "rk").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"thresholds $ths changed the rank")
+      spark.catalog.clearCache()
+    }
+  }
+
   test("rankDesc handles integral scores and string tie-break ids") {
     // the symbolIds shape: LONG frequencies (percentile_approx returns its
     // input type — must not class-cast on the threshold collect) with a

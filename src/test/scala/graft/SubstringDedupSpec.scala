@@ -59,7 +59,11 @@ class SubstringDedupSpec extends AnyFunSuite {
       ("ab" * 30) + lnoise(40),                 // periodic, period < k
       lnoise(15) + ("ab" * 30),
       lnoise(150))
-    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    // ids start NEGATIVE: selfDedupCut's r18 first-occurrence encoding
+    // (doc_id·2⁴⁰ + pos as decimal) must stay order-exact and
+    // pmod-decodable for negative doc_ids too — the shared span between
+    // docs -2 and -1 pins fd < 0 through the encode/decode round-trip
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong - 2, t) }.toDF("doc_id", "text")
     val k = 16
     // reference: the r16 window shapes, inlined
     val pos = SubstringDedup.windowHashes(df, k, 1)
@@ -89,6 +93,69 @@ class SubstringDedupSpec extends AnyFunSuite {
     val gotCut = SubstringDedup.selfDedupCut(df, k)
       .orderBy("doc_id").collect().map(_.toSeq).toSeq
     assert(gotCut === refCut)
+  }
+
+  test("crossCorpusSpans small regime ≡ the r16 union+window formulation") {
+    // ADVICE r17 #4: the probe-side broadcast semi-join switch had no
+    // direct regime-equivalence pin. Reference = the LARGE-regime shape
+    // inlined (union + side-tag window), exactly like the spansFromHashes
+    // test above.
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val lr = new scala.util.Random(4211)
+    def lnoise(n: Int): String =
+      Seq.fill(n)("abcdefghijklmnopqrstuvwxyz0123456789".charAt(lr.nextInt(36))).mkString
+    val leak1 = lnoise(40); val leak2 = lnoise(25)
+    val corpus = Seq(
+      (1L, lnoise(30) + leak1 + lnoise(10)),
+      (2L, leak2 + lnoise(50)),
+      (3L, lnoise(80))).toDF("doc_id", "text")
+    val probe = Seq(
+      (100L, lnoise(5) + leak1),
+      (101L, leak2 + leak2)).toDF("doc_id", "text")
+    val k = 16
+    val byH = Window.partitionBy("h1", "h2")
+    val c = SubstringDedup.windowHashes(corpus, k, 1).withColumn("side", lit(0))
+    val p = SubstringDedup.windowHashes(probe, k, 1).withColumn("side", lit(1))
+    val refHits = c.unionByName(p)
+      .withColumn("hit", max(col("side")).over(byH))
+      .filter(col("side") === 0 && col("hit") === 1)
+      .select("doc_id", "pos")
+    val ref = SubstringDedup.mergeSpans(refHits, k, k)
+      .orderBy("doc_id", "span_start").collect().map(_.toSeq).toSeq
+    val got = SubstringDedup.crossCorpusSpans(corpus, probe, k)
+      .orderBy("doc_id", "span_start").collect().map(_.toSeq).toSeq
+    assert(got === ref)
+    assert(got.nonEmpty, "planted leaks must surface (vacuous pass otherwise)")
+  }
+
+  test("jaccard df-cap algebra: anti-join(hot set) ≡ count-over-window cap") {
+    // ADVICE r17 #4 (second missing switch): `df ≤ cap` filtering via an
+    // anti-join against the above-cap hot set must equal the r16
+    // count-over-(h) window form for ANY (doc_id, h) frame — pinned here
+    // on a frame with a hot hash above the cap, one exactly AT the cap,
+    // and sparse tails
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val cap = 3
+    val rows =
+      (1 to 10).map(i => (i.toLong, "hot")) ++      // df 10 > cap: dropped
+      (1 to 3).map(i => (i.toLong, "atcap")) ++      // df 3 == cap: kept
+      Seq((1L, "solo"), (2L, "pair"), (3L, "pair"))
+    val sh0 = rows.toDF("doc_id", "h")
+    def rowsOf(df: org.apache.spark.sql.DataFrame): Seq[(Long, String)] =
+      df.select("doc_id", "h").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
+    val win = rowsOf(
+      sh0.withColumn("df", count(lit(1)).over(Window.partitionBy("h")))
+        .filter(col("df") <= cap).drop("df"))
+    val hot = sh0.groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") > cap).select("h")
+    val anti = rowsOf(sh0.join(hot, Seq("h"), "left_anti"))
+    assert(anti === win)
+    assert(win.size === 6)
   }
 
   test("unique text produces no spans; docs shorter than k are ignored") {
