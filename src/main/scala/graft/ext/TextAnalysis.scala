@@ -488,8 +488,12 @@ object TextAnalysis {
          |  )
          |) GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
       // distinct-then-count: one shuffle on (doc_id, h) instead of the
-      // count(DISTINCT) Expand, and min/max are unaffected by the dedup
-      Tables.documents(s, d)
+      // count(DISTINCT) Expand, and min/max are unaffected by the dedup.
+      // spread (r18): the per-shingle md5 pipeline sits before the
+      // distinct's exchange — the digest-heavy-pre-exchange rule (§2.5);
+      // r17's notes listed this site as spread but the plan shows the
+      // explode ran on the bare single-task scan
+      Tables.spreadSmall(Tables.documents(s, d), col("doc_id"))
         .select(col("doc_id"), explode(shinglesFromTokens(tokens(col("text")), 5)).as("sh"))
         .select(col("doc_id"), h48(col("sh")).as("h"))
         .distinct()
@@ -871,7 +875,11 @@ object TextAnalysis {
          |ORDER BY exact_n DESC, tok""".stripMargin
     }) { (s, d) =>
       val w = 1024
-      val toks = Tables.documents(s, d)
+      // spread BEFORE the cache (r18): the unspread explode left the
+      // cached token frame single-partition, so all four consumers (three
+      // md5-per-token sketch aggregates + the exact top-15) ran their
+      // per-row digest work on ONE core (§2.5)
+      val toks = Tables.spreadSmall(Tables.documents(s, d), col("doc_id"))
         .select(explode(tokens(col("text"))).as("tok"))
         .transform(CacheTracker.cached) // sketch rows and the exact top-15 both scan it
       def bucket(i: Int, tok: org.apache.spark.sql.Column) =
