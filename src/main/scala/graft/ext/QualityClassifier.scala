@@ -75,9 +75,14 @@ object QualityClassifier {
       .select(col("doc_id"), col("y"), col("b"),
         (col("cnt").cast("double") / col("n")).as("x"))
       .transform(CacheTracker.cached)
-    val nDocs = feats.select(col("doc_id")).distinct().count().toDouble
     var w: IndexedSeq[Double] = IndexedSeq.fill(D)(0.0)
     var bias = 0.0
+    // the gradient normalizer |docs-with-features| is read off round 1's
+    // cached residuals (exactly one row per scored doc) instead of a
+    // separate distinct+count job over the corpus-scale feature frame —
+    // same number, one bounded count on an already-cached 1-row/doc
+    // frame, one full feature-frame pass fewer (r18, guide §1.2)
+    var nDocs = 0.0
     var r = 0
     while (r < rounds) {
       val warr = typedLit(w)
@@ -95,6 +100,7 @@ object QualityClassifier {
           .select(col("doc_id"),
             (round(lit(1.0) / (lit(1.0) + exp(-col("z"))), 9) - col("y")).as("r"))
         ).cache()
+      if (r == 0) nDocs = resid.count().toDouble
       val gRows = feats.join(resid, Seq("doc_id"))
         .groupBy("b")
         .agg(round(
