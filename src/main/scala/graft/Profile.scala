@@ -81,17 +81,35 @@ object Profile {
     // measured steady-state run — same thing the Bench median reports.
     queries.foreach { case (name, fn) =>
       try {
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        // r18: both passes run under CacheTracker.scope, exactly like
+        // Bench's timed region and Verify — builders' cachedInScope
+        // caches are passthrough outside a scope, so an un-scoped
+        // profile measured (and dumped plans for) a shape no runner
+        // executes (the same methodology gap r17 fixed in Bench)
+        CacheTracker.scope {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        }
         spark.catalog.clearCache()
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
         System.gc()
         Seq(jobs, stages, tasks, taskTimeMs, gcTimeMs, shufWrite, shufRead).foreach(_.set(0))
         stageInfo.clear()
         val t0 = System.nanoTime()
-        val df = fn(spark, sfDir)
-        val tBuild = System.nanoTime()
-        df.write.format("noop").mode("overwrite").save()
-        val t1 = System.nanoTime()
+        // the plan string is rendered INSIDE the scope: scope exit
+        // releases + deregisters the in-scope caches, and a later
+        // explain would re-plan without the InMemoryRelations the
+        // measured run actually executed with
+        val (planStr, tBuild, t1) = CacheTracker.scope {
+          val d = fn(spark, sfDir)
+          val tb = System.nanoTime()
+          d.write.format("noop").mode("overwrite").save()
+          val te = System.nanoTime()
+          val p = if (planDir != "-")
+            d.queryExecution.explainString(
+              org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+          else ""
+          (p, tb, te)
+        }
         // listener events are async; give the bus a moment to drain
         Thread.sleep(400)
         println(f"[profile] $name%-32s ${(t1 - t0) / 1e9}%7.3f s  build=${(tBuild - t0) / 1e9}%6.3f s  jobs=${jobs.get}%3d stages=${stages.get}%4d tasks=${tasks.get}%5d taskTime=${taskTimeMs.get / 1000.0}%8.2f s gc=${gcTimeMs.get / 1000.0}%6.2f s shufW=${shufWrite.get / 1024}%8d KB shufR=${shufRead.get / 1024}%8d KB")
@@ -101,11 +119,8 @@ object Profile {
             println(f"    stage ${rt / 1000.0}%7.2f s  tasks=$nt%4d shufW=${sw / 1024}%8d KB  $n")
           }
         }
-        if (planDir != "-") {
-          val plan = df.queryExecution.explainString(
-            org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
-          Files.writeString(Paths.get(s"$planDir/${name}_$suffix.txt"), plan)
-        }
+        if (planDir != "-")
+          Files.writeString(Paths.get(s"$planDir/${name}_$suffix.txt"), planStr)
         spark.catalog.clearCache()
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
         System.gc()
